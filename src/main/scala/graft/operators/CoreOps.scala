@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Core relational/time-series operators of the engine.
+  *
+  * Each operator restates a behavior of the reference
+  * (Zino-ctrlZ/FinanceDatabase, snapshot at /root/reference) as a
+  * declarative Spark transform so Catalyst keeps predicate pushdown,
+  * column pruning, partial aggregation and whole-stage codegen.
+  */
+object CoreOps {
+
+  /** Order-independent sum of a double column.
+    *
+    * Doubles summed in different partition orders differ in final ulps;
+    * casting each value to a fixed-scale decimal first makes the sum
+    * exact and therefore identical on any cluster size (and identical
+    * to a single-threaded oracle). Partial aggregation still applies —
+    * decimal sums combine associatively — so this costs nothing at
+    * scale. Result is cast back to double for a stable schema.
+    */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+
+  /** Order-independent mean built from the exact decimal sum. */
+  def davg(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(30, scale))).cast(DoubleType) /
+      count(c).cast(DoubleType)
+
+  /** A 2-decimal money/rate column lifted to exact decimal arithmetic.
+    *
+    * Products of doubles rounded *after* multiplication diverge between
+    * engines (double→decimal cast rounding is implementation-defined on
+    * values with long decimal expansions); casting each factor first
+    * makes every subsequent multiply/sum exact integer arithmetic —
+    * identical on any engine and any partitioning.
+    */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact `price * (1-discount)` revenue sum, as double. */
+  def revenueSum(price: Column, discount: Column): Column =
+    sum(money(price) * (lit(1) - money(discount))).cast(DoubleType)
+
+  // -------------------------------------------------------------------
+  // A1/A2 — time-bucket resample with per-column OHLCV agg semantics.
+  // Reference: dbase/DataAPI/ThetaData/utils.py:303-399 (per-column agg
+  // map open->first, high->max, low->min, close->last, volume->sum).
+  // -------------------------------------------------------------------
+
+  /** Per-column aggregation method for [[resampleOhlc]]. */
+  sealed trait AggMethod
+  case object AggFirst extends AggMethod
+  case object AggLast extends AggMethod
+  case object AggMax extends AggMethod
+  case object AggMin extends AggMethod
+  case object AggSum extends AggMethod
+
+  /** Bucket rows of `df` into tumbling windows of `interval` per group
+    * key, applying the reference's per-column OHLCV semantics.
+    *
+    * `first`/`last` are made deterministic by ordering on
+    * `(tsCol, tieBreak)` — pandas "first in bucket" is positional; on a
+    * distributed engine position must be an explicit total order
+    * (SURVEY §7.4 item 4). Implemented with `min_by`/`max_by` over a
+    * struct key so the whole resample is ONE hash aggregation with
+    * map-side partial combine — no window function, no second shuffle.
+    *
+    * Scale: shuffle is on (keys, bucket); at 100 TB with date-
+    * partitioned input the partial aggregation collapses each
+    * partition's rows before the exchange.
+    */
+  def resampleOhlc(
+      df: DataFrame,
+      tsCol: String,
+      interval: String,
+      keys: Seq[String],
+      aggs: Map[String, AggMethod],
+      tieBreak: String): DataFrame = {
+    val bucket = window(col(tsCol), interval)("start").as("bucket")
+    val ord = struct(col(tsCol), col(tieBreak))
+    val aggCols = aggs.toSeq.map { case (c, m) =>
+      val out = m match {
+        case AggFirst => min_by(col(c), ord)
+        case AggLast  => max_by(col(c), ord)
+        case AggMax   => max(col(c))
+        case AggMin   => min(col(c))
+        case AggSum   => dsum(col(c))
+      }
+      out.as(c)
+    }
+    df.groupBy(bucket +: keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  // -------------------------------------------------------------------
+  // W1/W2 — keep-last dedup.
+  // Reference: v2.py:1658-1663 (`~data.Datetime.duplicated(keep="last")`),
+  // utils.py:684-690 (subset keys after chunk concat).
+  // -------------------------------------------------------------------
+
+  /** Keep, for every key combination, the row that is last in the total
+    * order defined by `orderCols`.
+    *
+    * Implemented as `max_by(struct(*), struct(orderCols))` — a single
+    * hash aggregation with partial combine, which scales strictly
+    * better than the row_number window (no per-partition sort, half
+    * the shuffled data after map-side combine).
+    */
+  def dedupKeepLast(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(orderCols.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, ord).as("__row"))
+      .select(col("__row.*"))
+  }
+
+  /** Keep-first variant (Organizers.py:126 dedups keep="first"). */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(orderCols.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(payload, ord).as("__row"))
+      .select(col("__row.*"))
+  }
+
+  // -------------------------------------------------------------------
+  // W3 — forward fill (last observation carried forward).
+  // Reference: utils.py:322,396-399 (resample default method "ffill"),
+  // Organizers.py:118 (`data.ffill()` after enrichment joins).
+  // -------------------------------------------------------------------
+
+  /** LOCF over `cols`, per `partitionCols` group, ordered by `orderCols`.
+    *
+    * `last(_, ignoreNulls = true)` over a running frame. One shuffle on
+    * the partition keys; at scale the partition key (contract / user)
+    * bounds state, so no executor ever holds more than one group's
+    * history slice.
+    */
+  def ffill(df: DataFrame, cols: Seq[String], partitionCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  // -------------------------------------------------------------------
+  // J3 — as-of join (timestamp alignment + LOCF).
+  // Reference: Organizers.py:107-118 — pandas index-aligned assignment
+  // of underlier close / dividend / risk-free rate onto option bars,
+  // then ffill. Equi-align on timestamp with last-known-value fallback
+  // is exactly an as-of join.
+  // -------------------------------------------------------------------
+
+  /** For every left row, attach the right-side `valueCols` of the most
+    * recent right row with `right(rightTs) <= left(leftTs)` and equal
+    * join key.
+    *
+    * Implemented as union + single sort-window pass (tag right rows
+    * before left rows at equal timestamps so the match is inclusive):
+    * one shuffle on the key, linear scan per partition. This is the
+    * scalable plan — a correlated subquery or a range-join would be
+    * O(n·m) or need an interval index; the union trick is O((n+m) log)
+    * and streams.
+    *
+    * Right side must be unique per (key, ts); pre-dedup with
+    * [[dedupKeepLast]] if not.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select(Seq(col("__k"), col("__ts"), col("__side")) ++
+        leftCols.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val r = right
+      .withColumn("__k", col(rightKey))
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select(Seq(col("__k"), col("__ts"), col("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r)
+      .select(
+        (leftCols.map(col) :+ col("__side")) ++
+          valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).as(c)): _*)
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+
+  // -------------------------------------------------------------------
+  // F7-F9 — quote arithmetic.
+  // Reference: v2.py:889 (midpoint), v3/utils.py:355-357 (weighted
+  // midpoint), utils.py:278-300 (bootstrap_ohlc).
+  // -------------------------------------------------------------------
+
+  /** (bid+ask)/2 — v2.py:889. */
+  def midpoint(bid: Column, ask: Column): Column = (bid + ask) / 2.0
+
+  /** (bid*bid_size + ask*ask_size)/(bid_size+ask_size) —
+    * v3/utils.py:355-357; 0-size guarded to midpoint like the
+    * reference's NaN→fill path.
+    */
+  def weightedMidpoint(bid: Column, ask: Column, bidSize: Column, askSize: Column): Column =
+    when(bidSize + askSize === 0, midpoint(bid, ask))
+      .otherwise((bid * bidSize + ask * askSize) / (bidSize + askSize))
+
+  /** Copy midpoint into missing O/H/L/C — utils.py:278-300. */
+  def bootstrapOhlc(df: DataFrame, mid: String = "midpoint"): DataFrame =
+    Seq("open", "high", "low", "close").foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d.withColumn(c, coalesce(col(c), col(mid))) else d
+    }
+
+  // -------------------------------------------------------------------
+  // P3 — business-hours filter.
+  // Reference: dbase/utils.py:39-49 (`enforce_bus_hours`, keep rows in
+  // [09:30, 16:00] time-of-day).
+  // -------------------------------------------------------------------
+
+  /** Predicate: time-of-day of `ts` within [openMin, closeMin] minutes.
+    * Pure column arithmetic — stays inside whole-stage codegen and is
+    * eligible for pushdown past projections.
+    */
+  def businessHours(ts: Column, openMin: Int = 570, closeMin: Int = 960): Column = {
+    val mod = hour(ts) * 60 + minute(ts)
+    mod >= openMin && mod <= closeMin
+  }
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.CoreOps._
+
+/** Time-series operator coverage (SURVEY §2.4 A1-A4, §2.5 W1-W3, §2.3
+  * J3, §2.2 P3) over the `events` stream table, each with a DuckDB
+  * oracle. `events(event_id, ts, user_id, event_type, value, props)`
+  * stands in for the reference's bar/quote stream.
+  */
+object TimeSeriesQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A1 — the engine's core resample: tumbling 1-hour buckets per
+    * event_type with the reference's per-column OHLCV agg map
+    * (utils.py:303-399: open→first, high→max, low→min, close→last,
+    * volume→sum). first/last tie-broken on (ts, event_id).
+    */
+  def resampleOhlc1h(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val ord = struct($"ts", $"event_id")
+    ev.groupBy(window($"ts", "1 hour")("start").as("bucket"), $"event_type")
+      .agg(
+        min_by($"value", ord).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", ord).as("close"),
+        dsum($"value").as("volume"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"bucket", $"event_type")
+  }
+
+  val resampleOhlc1hSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                       ORDER BY ts, event_id) AS rna,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rnd
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events)
+      |SELECT bucket, event_type,
+      |  MAX(CASE WHEN rna = 1 THEN value END) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS volume,
+      |  COUNT(*) AS n_events
+      |FROM ranked
+      |GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** W1/W2 — keep-last dedup on a composite key (utils.py:684-690,
+    * v2.py:1658-1663): latest event per (user_id, event_type), arrival
+    * order made explicit via (ts, event_id).
+    */
+  def dedupKeepLastQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    dedupKeepLast(ev, Seq("user_id", "event_type"), Seq("ts", "event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val dedupKeepLastSql: String =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                               ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** J3 — as-of join (Organizers.py:107-118 underlier-alignment): each
+    * 'click' event gets the value of the user's most recent 'purchase'
+    * at or before the click. Right side deduped to one row per
+    * (user_id, ts) first, as the operator contract requires.
+    */
+  def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"ts", $"user_id", $"value")
+    val purchases = dedupKeepLast(
+      ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value", $"event_id"),
+      Seq("user_id", "ts"), Seq("event_id"))
+      .select($"user_id".as("p_user"), $"ts".as("pts"), $"value".as("purchase_value"))
+    asofJoin(clicks, purchases, "user_id", "p_user", "ts", "pts", Seq("purchase_value"))
+      .select($"event_id", $"ts", $"user_id", $"value", $"purchase_value")
+      .orderBy($"event_id")
+  }
+
+  val asofClickPurchaseSql: String =
+    """WITH p AS (
+      |  SELECT user_id AS p_user, ts AS pts, value AS purchase_value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+      |                                 ORDER BY event_id DESC) AS rn
+      |    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'purchase') t WHERE rn = 1),
+      |c AS (
+      |  SELECT event_id, ts, user_id, value FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'click')
+      |SELECT c.event_id, c.ts, c.user_id, c.value, p.purchase_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.p_user AND c.ts >= p.pts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** W3 + A3 — forward-fill and per-group windowed transform
+    * (v2.py:2063 `groupby("date").transform("mean")`;
+    * Organizers.py:118 ffill): per user ordered by (ts, event_id),
+    * carry forward the last 'purchase' value, plus a running event
+    * count and the user's deterministic mean value.
+    */
+  def ffillRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy($"user_id")
+    ev.select(
+        $"event_id", $"ts", $"user_id", $"event_type", $"value",
+        last(when($"event_type" === "purchase", $"value"), ignoreNulls = true)
+          .over(run).as("last_purchase_value"),
+        count(lit(1)).over(run).as("events_so_far"),
+        (sum($"value".cast("decimal(30,6)")).over(all).cast("double") /
+          count(lit(1)).over(all).cast("double")).as("user_mean_value"))
+      .orderBy($"event_id")
+  }
+
+  val ffillRunningSql: String =
+    """SELECT event_id, ts, user_id, event_type, value,
+      |  MAX(CASE WHEN event_type = 'purchase' THEN value END) OVER
+      |    (PARTITION BY user_id, grp) AS last_purchase_value,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS events_so_far,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (PARTITION BY user_id) AS DOUBLE)
+      |    / CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS user_mean_value
+      |FROM (
+      |  SELECT *, COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events) t
+      |ORDER BY event_id""".stripMargin
+
+  /** P3/P4 — business-hours + date-range predicate
+    * (dbase/utils.py:39-49, v2.py:358-362): events inside [09:30,
+    * 16:00] time-of-day within a date window, aggregated per day.
+    * Pure column arithmetic → pushed into the scan stage.
+    */
+  def businessHoursDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    ev.filter(businessHours($"ts"))
+      .filter($"ts" >= to_timestamp(lit("2024-01-05")) &&
+        $"ts" < to_timestamp(lit("2024-01-20")))
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
+      .orderBy($"day")
+  }
+
+  val businessHoursDailySql: String =
+    """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+      |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events
+      |WHERE (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 570 AND 960
+      |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A4 — per-group arg-min selection (v2.py:2064-2068): within each
+    * day pick the event whose value is closest to the day's mean.
+    * Mean computed deterministically (decimal sum); tie-break on
+    * event_id like pandas idxmin takes the first positional match.
+    */
+  def closestToMean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val withMean = ev
+      .withColumn("day", to_date($"ts"))
+      .withColumn("day_mean",
+        sum($"value".cast("decimal(30,6)")).over(Window.partitionBy($"day")).cast("double") /
+          count(lit(1)).over(Window.partitionBy($"day")).cast("double"))
+    withMean
+      .groupBy($"day")
+      .agg(min_by(struct($"event_id", $"value", $"day_mean"),
+        struct(abs($"value" - $"day_mean"), $"event_id")).as("r"))
+      .select($"day", $"r.event_id".as("event_id"), $"r.value".as("value"),
+        $"r.day_mean".as("day_mean"))
+      .orderBy($"day")
+  }
+
+  val closestToMeanSql: String =
+    """WITH m AS (
+      |  SELECT *, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (PARTITION BY CAST(ts AS DATE)) AS DOUBLE)
+      |      / CAST(COUNT(*) OVER (PARTITION BY CAST(ts AS DATE)) AS DOUBLE) AS day_mean
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events),
+      |r AS (
+      |  SELECT day, event_id, value, day_mean,
+      |    row_number() OVER (PARTITION BY day ORDER BY ABS(value - day_mean), event_id) AS rn
+      |  FROM m)
+      |SELECT day, event_id, value, day_mean FROM r WHERE rn = 1 ORDER BY day""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
+    "q11_dedup_keep_last" -> (dedupKeepLastQ(_, _)),
+    "q12_asof_join" -> (asofClickPurchase(_, _)),
+    "q13_ffill_running" -> (ffillRunning(_, _)),
+    "q14_business_hours_daily" -> (businessHoursDaily(_, _)),
+    "q15_closest_to_mean" -> (closestToMean(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
+    "q11_dedup_keep_last" -> dedupKeepLastSql,
+    "q12_asof_join" -> asofClickPurchaseSql,
+    "q13_ffill_running" -> ffillRunningSql,
+    "q14_business_hours_daily" -> businessHoursDailySql,
+    "q15_closest_to_mean" -> closestToMeanSql)
+}

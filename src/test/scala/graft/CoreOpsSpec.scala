@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CoreOps._
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class CoreOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dedupKeepLast keeps the row latest in explicit order") {
+    val df = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1L, 1.0),
+      ("A", ts("2024-01-01 10:00:00"), 2L, 2.0),
+      ("A", ts("2024-01-01 09:00:00"), 3L, 3.0),
+      ("B", ts("2024-01-01 11:00:00"), 4L, 4.0)
+    ).toDF("key", "t", "seq", "v")
+    val out = dedupKeepLast(df, Seq("key"), Seq("t", "seq"))
+      .orderBy("key").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(3))).toSeq ==
+      Seq(("A", 2.0), ("B", 4.0)))
+  }
+
+  test("dedup is idempotent") {
+    val df = Seq(("A", 1L, 1.0), ("A", 2L, 2.0)).toDF("key", "seq", "v")
+    val once = dedupKeepLast(df, Seq("key"), Seq("seq"))
+    val twice = dedupKeepLast(once, Seq("key"), Seq("seq"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("ffill carries last non-null forward per key") {
+    val df = Seq(
+      ("A", 1L, Some(10.0)), ("A", 2L, None), ("A", 3L, None),
+      ("A", 4L, Some(40.0)), ("B", 1L, None), ("B", 2L, Some(5.0))
+    ).toDF("key", "seq", "v")
+    val out = ffill(df, Seq("v"), Seq("key"), Seq("seq"))
+      .orderBy("key", "seq").as[(String, Long, Option[Double])].collect()
+    assert(out.map(_._3).toSeq ==
+      Seq(Some(10.0), Some(10.0), Some(10.0), Some(40.0), None, Some(5.0)))
+  }
+
+  test("asofJoin matches most recent right row, inclusive at equal ts") {
+    val left = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (2L, "A", ts("2024-01-01 12:00:00")),
+      (3L, "A", ts("2024-01-01 08:00:00")),
+      (4L, "B", ts("2024-01-01 10:00:00"))
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:00:00"), 2.0),
+      ("A", ts("2024-01-01 11:00:00"), 3.0)
+    ).toDF("rkey", "rt", "rv")
+    val out = asofJoin(left, right, "key", "rkey", "t", "rt", Seq("rv"))
+      .orderBy("id").as[(Long, String, Timestamp, Option[Double])].collect()
+    assert(out.map(_._4).toSeq == Seq(Some(2.0), Some(3.0), None, None))
+  }
+
+  test("resampleOhlc applies the per-column agg map deterministically") {
+    val df = Seq(
+      ("X", ts("2024-01-01 10:05:00"), 1L, 10.0),
+      ("X", ts("2024-01-01 10:20:00"), 2L, 30.0),
+      ("X", ts("2024-01-01 10:50:00"), 3L, 20.0),
+      ("X", ts("2024-01-01 11:10:00"), 4L, 5.0)
+    ).toDF("key", "t", "seq", "v")
+    val out = resampleOhlc(df, "t", "1 hour", Seq("key"),
+      Map("v" -> AggFirst), "seq")
+      .orderBy("bucket").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("v") == 10.0)
+    assert(out(1).getAs[Double]("v") == 5.0)
+  }
+
+  test("midpoint and weighted midpoint match reference arithmetic") {
+    val df = Seq((10.0, 12.0, 2L, 6L), (10.0, 12.0, 0L, 0L))
+      .toDF("bid", "ask", "bid_size", "ask_size")
+    val out = df.select(
+      midpoint($"bid", $"ask").as("m"),
+      weightedMidpoint($"bid", $"ask", $"bid_size", $"ask_size").as("wm"))
+      .collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(0).getDouble(1) == (10.0 * 2 + 12.0 * 6) / 8)
+    assert(out(1).getDouble(1) == 11.0) // zero sizes fall back to midpoint
+  }
+
+  test("businessHours keeps [09:30, 16:00] inclusive") {
+    val df = Seq(
+      ts("2024-01-01 09:29:59"), ts("2024-01-01 09:30:00"),
+      ts("2024-01-01 12:00:00"), ts("2024-01-01 16:00:59"),
+      ts("2024-01-01 16:01:00")
+    ).toDF("t")
+    assert(df.filter(businessHours($"t")).count() == 3)
+  }
+}
