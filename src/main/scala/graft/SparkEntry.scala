@@ -19,7 +19,8 @@ object SparkEntry {
   private val families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.defs, RelationalQueries.oracles),
-      (TimeSeriesQueries.defs, TimeSeriesQueries.oracles))
+      (TimeSeriesQueries.defs, TimeSeriesQueries.oracles),
+      (TextQueries.defs, TextQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)

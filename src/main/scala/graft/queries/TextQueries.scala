@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextOps._
+
+/** Text-analysis + deduplication operator family over the `documents`
+  * table: token statistics, quality scoring, language ID,
+  * fingerprinting, and MinHash-LSH near-duplicate detection — the
+  * LLM-training-data operators the engine adds beyond reference
+  * parity (SURVEY §7.5). Every query is DuckDB-oracle-checked.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB fragment mirroring [[graft.functions.TextOps.shingles]]. */
+  private val shinglesSqlExpr =
+    """list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]))""".stripMargin
+
+  /** Token counting — whitespace tokens, distinct tokens, and a
+    * BPE-ish size estimate (chars/4 is the standard subword
+    * approximation). Pure per-row arithmetic: fully codegen'd.
+    */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val w = words($"text")
+    docs.select(
+        $"doc_id", $"lang", $"source", $"n_chars",
+        size(w).as("n_tokens"),
+        size(array_distinct(w)).as("n_distinct_tokens"),
+        expr("(n_chars + 3) div 4").as("est_bpe_tokens"),
+        (($"n_chars" - (size(w) - 1)).cast("double") /
+          size(w).cast("double")).as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenStatsSql: String =
+    """SELECT doc_id, lang, source, n_chars,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      |  (n_chars + 3) // 4 AS est_bpe_tokens,
+      |  CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring — stopword ratio, type-token ratio, mean word
+    * length, combined into a deterministic linear score (the
+    * length/punct/stopword-ratio heuristic family).
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val w = words($"text")
+    val nTok = size(w).cast("double")
+    val stopRatio = markerCount(w, stop).cast("double") / nTok
+    val ttr = size(array_distinct(w)).cast("double") / nTok
+    val meanLen = ($"n_chars" - (size(w) - 1)).cast("double") / nTok
+    docs.select(
+        $"doc_id", $"source",
+        stopRatio.as("stopword_ratio"),
+        ttr.as("type_token_ratio"),
+        meanLen.as("mean_word_len"),
+        (stopRatio * 2.0 + ttr * 1.0 + meanLen * 0.1).as("quality_score"))
+      .withColumn("is_quality", $"quality_score" >= 0.6)
+      .orderBy($"doc_id")
+  }
+
+  val qualityScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, n_chars, string_split(text, ' ') AS w FROM documents),
+      |m AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
+      |      / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+      |    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS type_token_ratio,
+      |    CAST(n_chars - (len(w) - 1) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_word_len
+      |  FROM t)
+      |SELECT doc_id, source, stopword_ratio, type_token_ratio, mean_word_len,
+      |  stopword_ratio * 2.0 + type_token_ratio * 1.0 + mean_word_len * 0.1 AS quality_score,
+      |  stopword_ratio * 2.0 + type_token_ratio * 1.0 + mean_word_len * 0.1 >= 0.6 AS is_quality
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language ID — marker-vocabulary n-gram heuristic: per-language
+    * stopword hit counts, argmax with a fixed preference order.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val w = words($"text")
+    val en = markerCount(w, Seq("the", "a", "of", "and", "query", "table"))
+    val fr = markerCount(w, Seq("le", "la", "et", "de"))
+    val es = markerCount(w, Seq("el", "los", "y", "que"))
+    val de = markerCount(w, Seq("der", "die", "und", "ist"))
+    docs.select($"doc_id", $"lang".as("labeled_lang"),
+        en.as("en_hits"), fr.as("fr_hits"), es.as("es_hits"), de.as("de_hits"))
+      .withColumn("predicted_lang",
+        when($"en_hits" >= $"fr_hits" && $"en_hits" >= $"es_hits" &&
+          $"en_hits" >= $"de_hits" && $"en_hits" > 0, lit("en"))
+          .when($"fr_hits" >= $"es_hits" && $"fr_hits" >= $"de_hits" && $"fr_hits" > 0, lit("fr"))
+          .when($"es_hits" >= $"de_hits" && $"es_hits" > 0, lit("es"))
+          .when($"de_hits" > 0, lit("de"))
+          .otherwise(lit("und")))
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |h AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    len(list_filter(w, x -> list_contains(['the','a','of','and','query','table'], x))) AS en_hits,
+      |    len(list_filter(w, x -> list_contains(['le','la','et','de'], x))) AS fr_hits,
+      |    len(list_filter(w, x -> list_contains(['el','los','y','que'], x))) AS es_hits,
+      |    len(list_filter(w, x -> list_contains(['der','die','und','ist'], x))) AS de_hits
+      |  FROM t)
+      |SELECT doc_id, labeled_lang, en_hits, fr_hits, es_hits, de_hits,
+      |  CASE
+      |    WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+      |    WHEN fr_hits >= es_hits AND fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+      |    WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+      |    WHEN de_hits > 0 THEN 'de'
+      |    ELSE 'und' END AS predicted_lang
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup via content fingerprint (hash-groupBy): md5 key,
+    * group size, canonical = smallest doc_id in the group. At 100 TB
+    * this is one hash aggregation on the fingerprint — the standard
+    * exact-dedup plan.
+    */
+  def exactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val fp = docs.select($"doc_id", fingerprint($"text").as("fingerprint"))
+    val groups = fp.groupBy($"fingerprint")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+    fp.join(groups, "fingerprint")
+      .select($"doc_id", $"fingerprint", $"canonical_id", $"group_size",
+        ($"doc_id" === $"canonical_id").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  val exactDedupSql: String =
+    """WITH fp AS (SELECT doc_id, md5(text) AS fingerprint FROM documents),
+      |g AS (SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+      |      FROM fp GROUP BY fingerprint)
+      |SELECT fp.doc_id, fp.fingerprint, g.canonical_id, g.group_size,
+      |  fp.doc_id = g.canonical_id AS is_canonical
+      |FROM fp JOIN g USING (fingerprint)
+      |ORDER BY fp.doc_id""".stripMargin
+
+  /** MinHash + LSH near-duplicate pairs, fully oracle-checked.
+    *
+    * Pipeline: 3-word shingles → 8 MinHashes (seeded md5, lexicographic
+    * min) → 4 bands × 2 rows → band-bucket self-join for candidates →
+    * exact Jaccard verify ≥ 0.5. The band join is the scale path: at
+    * 100 TB candidates ≪ n², versus the O(n²) all-pairs join. Shingle
+    * arrays are computed once and reused across bands.
+    */
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = 4
+    val rowsPerBand = 2
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", shingles(words($"text")).as("sh"))
+    val banded = docs.select(
+      $"doc_id", $"sh",
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey($"sh", b, rowsPerBand).as("bkey"))): _*)).as("bb"))
+      .select($"doc_id", $"sh", $"bb.band", $"bb.bkey")
+    val a = banded.select($"band", $"bkey", $"doc_id".as("i"), $"sh".as("sh_i"))
+    val b = banded.select($"band", $"bkey", $"doc_id".as("j"), $"sh".as("sh_j"))
+    a.join(b, Seq("band", "bkey")).filter($"i" < $"j")
+      .select($"i", $"j", jaccard($"sh_i", $"sh_j").as("jac"))
+      .groupBy($"i", $"j").agg(first($"jac").as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"i", $"j")
+  }
+
+  val minhashNearDupSql: String = {
+    val mh = (seed: Int) => s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
+    val bkey = (band: Int) => s"${mh(band * 2)} || '|' || ${mh(band * 2 + 1)}"
+    s"""WITH s AS (
+       |  SELECT doc_id, $shinglesSqlExpr AS sh FROM documents),
+       |banded AS (
+       |  SELECT doc_id, sh, band, CASE band
+       |    WHEN 0 THEN ${bkey(0)}
+       |    WHEN 1 THEN ${bkey(1)}
+       |    WHEN 2 THEN ${bkey(2)}
+       |    WHEN 3 THEN ${bkey(3)} END AS bkey
+       |  FROM s, (SELECT unnest([0,1,2,3]) AS band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT c.i, c.j,
+       |    CAST(len(list_intersect(si.sh, sj.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(si.sh, sj.sh))) AS DOUBLE) AS jaccard
+       |  FROM cand c JOIN s si ON c.i = si.doc_id JOIN s sj ON c.j = sj.doc_id)
+       |SELECT i, j, jaccard FROM verified WHERE jaccard >= 0.5
+       |ORDER BY i, j""".stripMargin
+  }
+
+  /** N-gram Jaccard all-pairs near-dup within each source partition —
+    * the exact (non-approximate) dedup baseline the MinHash path is
+    * checked against. Partition-scoped so the quadratic term is per
+    * group, the way an all-pairs verify would be sharded at scale.
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", shingles(words($"text")).as("sh"))
+    val a = docs.select($"source", $"doc_id".as("i"), $"sh".as("sh_i"))
+    val b = docs.select($"source", $"doc_id".as("j"), $"sh".as("sh_j"))
+    a.join(b, "source").filter($"i" < $"j")
+      .select($"source", $"i", $"j", jaccard($"sh_i", $"sh_j").as("jaccard"))
+      .filter($"jaccard" >= 0.3)
+      .orderBy($"i", $"j")
+  }
+
+  val jaccardPairsSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, source, $shinglesSqlExpr AS sh FROM documents),
+       |pairs AS (
+       |  SELECT a.source, a.doc_id AS i, b.doc_id AS j,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+       |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
+       |SELECT source, i, j, jaccard FROM pairs WHERE jaccard >= 0.3
+       |ORDER BY i, j""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q20_token_stats" -> (tokenStats(_, _)),
+    "q21_quality_score" -> (qualityScore(_, _)),
+    "q22_lang_id" -> (langId(_, _)),
+    "q23_exact_dedup" -> (exactDedup(_, _)),
+    "q24_minhash_near_dup" -> (minhashNearDup(_, _)),
+    "q25_jaccard_pairs" -> (jaccardPairs(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_stats" -> tokenStatsSql,
+    "q21_quality_score" -> qualityScoreSql,
+    "q22_lang_id" -> langIdSql,
+    "q23_exact_dedup" -> exactDedupSql,
+    "q24_minhash_near_dup" -> minhashNearDupSql,
+    "q25_jaccard_pairs" -> jaccardPairsSql)
+}
