@@ -20,7 +20,8 @@ object SparkEntry {
     Seq(
       (RelationalQueries.defs, RelationalQueries.oracles),
       (TimeSeriesQueries.defs, TimeSeriesQueries.oracles),
-      (TextQueries.defs, TextQueries.oracles))
+      (TextQueries.defs, TextQueries.oracles),
+      (SimilarityQueries.defs, SimilarityQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector similarity operators (ANN / IVF / LSH family).
+  *
+  * Embeddings are quantized to int64 at 1e-6 resolution on load; all
+  * dot products and norms are then EXACT integer arithmetic, so
+  * similarity scores are bit-identical on any partitioning / engine
+  * (IEEE sqrt and division are correctly rounded). This mirrors
+  * production ANN practice (int8/PQ quantization) and is why the whole
+  * family is oracle-checkable.
+  *
+  * All operators are higher-order column expressions — no UDFs, no
+  * per-row JVM closures; they stay inside codegen and scale linearly.
+  */
+object VectorOps {
+
+  /** float[] → int64[] at 1e6 scale (exact arithmetic thereafter). */
+  def quantize(v: Column, scale: Double = 1e6): Column =
+    transform(v, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Exact int64 dot product of two quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact squared L2 norm of a quantized vector. */
+  def intNormSq(v: Column): Column = intDot(v, v)
+
+  /** Cosine similarity from exact integer dot/norms (deterministic:
+    * sqrt and division are correctly rounded IEEE ops).
+    */
+  def cosine(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") /
+      (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  /** Random-hyperplane LSH signature over a quantized vector.
+    *
+    * Hyperplane `p`'s coefficient for dimension `i` is ±1 derived from
+    * md5(p:i) — a deterministic, engine-portable pseudo-random plane.
+    * Bit = (Σ ±x_i >= 0). Returns the signature as a bit-string key;
+    * vectors sharing the key are ANN candidates (bucketed search).
+    */
+  def rhpSignature(q: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val signedSum = aggregate(
+        zip_with(q, sequence(lit(0), lit(63)),
+          (x, i) => when(substring(md5(concat(lit(s"$p:"), i.cast("string"))), 1, 1) < "8", x).otherwise(-x)),
+        lit(0L), (acc, v) => acc + v)
+      when(signedSum >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+}

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps._
+
+/** Similarity-search operator family over the `embeddings` table
+  * (vec_id, embedding float[64], label): brute-force cosine top-k,
+  * random-hyperplane LSH bucketed ANN, label centroids, and IVF-style
+  * cluster-restricted search. All scores are exact quantized-integer
+  * arithmetic (see [[graft.functions.VectorOps]]), so every query is
+  * DuckDB-oracle-checked.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB fragment: quantized embedding list. */
+  private val quantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+  private def dotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  /** Brute-force cosine top-k — the exact baseline every ANN variant
+    * is measured against. Query set broadcast against the corpus; ONE
+    * pass over the corpus computes all query scores (at 100 TB this is
+    * the scan-heavy exact path; q31/q33 are the sublinear paths).
+    */
+  def knnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"), $"label")
+      .withColumn("nsq", intNormSq($"q"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("qn"))
+    val scored = emb.join(broadcast(queries), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"), $"label",
+        cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .orderBy($"qid", $"rank")
+  }
+
+  val knnBruteForceSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, $quantSql AS q FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, q, ${dotSql("q", "q")} AS nsq FROM e),
+       |qs AS (
+       |  SELECT vec_id AS qid, q AS qv, nsq AS qn FROM n WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qs.qid, n.vec_id AS cid, n.label,
+       |    CAST(${dotSql("qv", "q")} AS DOUBLE)
+       |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nsq AS DOUBLE))) AS cos
+       |  FROM n, qs WHERE n.vec_id != qs.qid),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, label, cos, rank FROM ranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Random-hyperplane LSH ANN: 4-plane signatures → 16 buckets;
+    * candidates share the query's bucket; exact cosine re-rank inside
+    * the bucket. The bucket join replaces the full cross product —
+    * the sublinear scale path for ANN.
+    */
+  def annLshBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"))
+      .withColumn("nsq", intNormSq($"q"))
+      .withColumn("bucket", rhpSignature($"q", 4))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("qn"), $"bucket")
+    val scored = emb.join(queries, Seq("bucket")).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"), $"bucket",
+        cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  private val sigSql: String = {
+    val bit = (p: Int) =>
+      s"""CASE WHEN list_sum(list_transform(range(1, 65),
+         |    i -> CASE WHEN substr(md5('$p:' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8'
+         |              THEN q[i] ELSE -q[i] END)) >= 0 THEN '1' ELSE '0' END""".stripMargin
+    (0 until 4).map(bit).mkString(" || ")
+  }
+
+  val annLshBucketsSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, $quantSql AS q FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, q, ${dotSql("q", "q")} AS nsq, $sigSql AS bucket FROM e),
+       |qs AS (
+       |  SELECT vec_id AS qid, q AS qv, nsq AS qn, bucket FROM sig WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qs.qid, sig.vec_id AS cid, sig.bucket,
+       |    CAST(${dotSql("qv", "q")} AS DOUBLE)
+       |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nsq AS DOUBLE))) AS cos
+       |  FROM sig JOIN qs ON sig.bucket = qs.bucket AND sig.vec_id != qs.qid),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, bucket, cos, rank FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Per-label centroids (the IVF coarse-quantizer "training" step):
+    * exact integer per-dimension sums → deterministic double means.
+    * Long format (label, pos, centroid) — one shuffle, partial-agg
+    * combined map-side.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"label", posexplode(quantize($"embedding")).as(Seq("pos", "qv")))
+    emb.groupBy($"label", $"pos")
+      .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy($"label", $"pos")
+  }
+
+  val labelCentroidsSql: String =
+    s"""WITH e AS (
+       |  SELECT label, $quantSql AS q FROM embeddings)
+       |SELECT label, r.range - 1 AS pos,
+       |  CAST(SUM(q[r.range]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid,
+       |  COUNT(*) AS n_vectors
+       |FROM e, range(1, 65) r
+       |GROUP BY label, r.range
+       |ORDER BY label, pos""".stripMargin
+
+  /** IVF-style search: assign every vector to its nearest label
+    * centroid (exact integer L2 on re-quantized centroids), then
+    * search ONLY the query's cluster — the inverted-file pruning that
+    * makes ANN sublinear at scale.
+    */
+  def ivfSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"), $"label")
+    // centroid arrays, re-quantized to int64 for exact distances
+    val cent = emb
+      .select($"label", posexplode($"q").as(Seq("pos", "qv")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => round(x("c")).cast("long")).as("cvec"))
+      .select($"label".as("clabel"), $"cvec")
+    // assign: nearest centroid by exact squared L2
+    val dist = emb.crossJoin(broadcast(cent))
+      .select($"vec_id", $"q", $"label", $"clabel",
+        aggregate(zip_with($"q", $"cvec", (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v).as("d2"))
+    val assigned = dist.groupBy($"vec_id")
+      .agg(min_by(struct($"q", $"label", $"clabel", $"d2"),
+        struct($"d2", $"clabel")).as("r"))
+      .select($"vec_id", $"r.q".as("q"), $"r.label".as("label"),
+        $"r.clabel".as("cluster"))
+      .withColumn("nsq", intNormSq($"q"))
+    val queries = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("qn"), $"cluster")
+    val scored = assigned.join(queries, Seq("cluster")).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"), $"cluster",
+        cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  val ivfSearchSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, $quantSql AS q FROM embeddings),
+       |centl AS (
+       |  SELECT label AS clabel, r.range AS pos,
+       |    CAST(round(CAST(SUM(q[r.range]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+       |  FROM e, range(1, 65) r GROUP BY label, r.range),
+       |cent AS (
+       |  SELECT clabel, list(cv ORDER BY pos) AS cvec FROM centl GROUP BY clabel),
+       |dist AS (
+       |  SELECT e.vec_id, e.q, e.label, c.clabel,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (q[i] - cvec[i]) * (q[i] - cvec[i]))) AS BIGINT) AS d2
+       |  FROM e, cent c),
+       |assigned AS (
+       |  SELECT vec_id, q, label, clabel AS cluster,
+       |    ${dotSql("q", "q")} AS nsq
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+       |        FROM dist) t WHERE rn = 1),
+       |qs AS (
+       |  SELECT vec_id AS qid, q AS qv, nsq AS qn, cluster FROM assigned WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qs.qid, a.vec_id AS cid, a.cluster,
+       |    CAST(${dotSql("qv", "q")} AS DOUBLE)
+       |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nsq AS DOUBLE))) AS cos
+       |  FROM assigned a JOIN qs ON a.cluster = qs.cluster AND a.vec_id != qs.qid),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, cluster, cos, rank FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q30_knn_brute_force" -> (knnBruteForce(_, _)),
+    "q31_ann_lsh_buckets" -> (annLshBuckets(_, _)),
+    "q32_label_centroids" -> (labelCentroids(_, _)),
+    "q33_ivf_search" -> (ivfSearch(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q30_knn_brute_force" -> knnBruteForceSql,
+    "q31_ann_lsh_buckets" -> annLshBucketsSql,
+    "q32_label_centroids" -> labelCentroidsSql,
+    "q33_ivf_search" -> ivfSearchSql)
+}
