@@ -21,7 +21,8 @@ object SparkEntry {
       (RelationalQueries.defs, RelationalQueries.oracles),
       (TimeSeriesQueries.defs, TimeSeriesQueries.oracles),
       (TextQueries.defs, TextQueries.oracles),
-      (SimilarityQueries.defs, SimilarityQueries.oracles))
+      (SimilarityQueries.defs, SimilarityQueries.oracles),
+      (FinanceQueries.defs, FinanceQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)

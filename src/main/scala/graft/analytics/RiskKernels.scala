@@ -1,0 +1,72 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's analytics-enrichment pipeline (§3.2 /
+  * Organizers.py:125-292 `Calc_Risks`) as one declarative Spark
+  * transform: per price basis (close, midpoint, weighted midpoint,
+  * bid, ask) compute BS IV, binomial IV and greeks, then the
+  * ±inf/NaN→0 cleanup.
+  *
+  * The kernels are deterministic Scala UDFs — the one place the
+  * engine leaves codegen, exactly as SURVEY §2.9 prescribes (no Spark
+  * built-in exists). The UDF returns ONE struct per price basis so
+  * each row pays a single kernel invocation per basis, not one per
+  * output column; Catalyst expands the struct into columns for free.
+  */
+object RiskKernels {
+
+  import BlackScholes._
+
+  /** (isCall?, price, S, K, t, r, q) → (bsIv, binIv, delta, gamma,
+    * theta, vega, rho, dollarDelta). Null-safe: any null input yields
+    * zeros, mirroring the reference's fillna(0).
+    */
+  final case class Risk(bs_iv: Double, binomial_iv: Double, delta: Double,
+      gamma: Double, theta: Double, vega: Double, rho: Double,
+      dollar_delta: Double)
+
+  def riskOf(right: String, price: java.lang.Double, s: java.lang.Double,
+      k: java.lang.Double, t: java.lang.Double, r: java.lang.Double,
+      q: java.lang.Double): Risk = {
+    if (right == null || price == null || s == null || k == null ||
+      t == null || r == null || q == null)
+      return Risk(0, 0, 0, 0, 0, 0, 0, 0)
+    val isCall = right.nonEmpty && Character.toUpperCase(right.charAt(0)) == 'C'
+    val iv = bsImpliedVol(isCall, price, s, k, t, r, q)
+    val binIv = binomialImpliedVol(isCall, price, s, k, t, r, q)
+    val g =
+      if (iv > 0.0) bsGreeks(isCall, s, k, t, r, q, iv)
+      else Greeks(0, 0, 0, 0, 0)
+    def z(x: Double) = if (java.lang.Double.isFinite(x)) x else 0.0
+    Risk(z(iv), z(binIv), z(g.delta), z(g.gamma), z(g.theta), z(g.vega),
+      z(g.rho), z(g.delta * s))
+  }
+
+  private val riskUdf = udf(riskOf _)
+
+  /** Enrich `df` with IV/greeks columns for each (prefix → price
+    * column) basis, like Organizers' close/midpoint/weighted-midpoint/
+    * bid/ask passes (Organizers.py:162-271).
+    *
+    * Expects columns: right ('C'/'P'), underlier_price, strike,
+    * year_frac, rf_rate, div_yield.
+    */
+  def calcRisks(df: DataFrame, bases: Map[String, String]): DataFrame =
+    bases.foldLeft(df) { case (d, (prefix, priceCol)) =>
+      val r = riskUdf(col("right"), col(priceCol), col("underlier_price"),
+        col("strike"), col("year_frac"), col("rf_rate"), col("div_yield"))
+      val tag = if (prefix.isEmpty) "" else s"${prefix}_"
+      d.withColumn(s"__r_$prefix", r)
+        .withColumn(s"${tag}bs_iv", col(s"__r_$prefix.bs_iv"))
+        .withColumn(s"${tag}binomial_iv", col(s"__r_$prefix.binomial_iv"))
+        .withColumn(s"${tag}delta", col(s"__r_$prefix.delta"))
+        .withColumn(s"${tag}gamma", col(s"__r_$prefix.gamma"))
+        .withColumn(s"${tag}theta", col(s"__r_$prefix.theta"))
+        .withColumn(s"${tag}vega", col(s"__r_$prefix.vega"))
+        .withColumn(s"${tag}rho", col(s"__r_$prefix.rho"))
+        .withColumn(s"${tag}dollar_delta", col(s"__r_$prefix.dollar_delta"))
+        .drop(s"__r_$prefix")
+    }
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.analytics.RiskKernels
+import graft.functions.OccSymbol
+import graft.operators.CoreOps._
+import graft.operators.TickerSplice
+
+/** Finance-domain operator coverage: OCC symbology (F11/F12), the
+  * corporate-action ticker splice (R1), the canonical quote→bars
+  * formatting pipeline (§3.1 steps 4-8: midpoint/weighted-midpoint,
+  * business hours, 30-minute agg-map resample), and the IV/greeks
+  * risk enrichment (§2.9 U1-U6, rows-only check — root-finding isn't
+  * SQL-expressible).
+  */
+object FinanceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Synthetic option contracts derived deterministically from orders
+    * (the test corpus has no options table; identities are arithmetic
+    * on order columns so Spark and DuckDB derive identical contracts).
+    */
+  private def contracts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Expirations anchored in 2026+ so the OCC YYMMDD year is
+    // unambiguous under both Spark's reduced-year (base 2000) and
+    // DuckDB's POSIX %y pivot.
+    Tables.load(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        regexp_replace(upper($"o_orderpriority"), "[^A-Z]", "").as("root"),
+        date_add(lit(java.sql.Date.valueOf("2026-01-01")),
+          ($"o_orderkey" % 700).cast("int")).as("expiration"),
+        when($"o_orderkey" % 2 === 0, "C").otherwise("P").as("right"),
+        ((round($"o_totalprice").cast("long") % 10000).cast("double") + 0.5).as("strike"))
+  }
+
+  /** F11/F12 — OCC symbol generate + parse roundtrip. */
+  def occRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = contracts(s, dir)
+    c.select($"o_orderkey", $"root", $"expiration", $"right", $"strike",
+        OccSymbol.generate($"root", $"expiration", $"right", $"strike").as("occ"))
+      .withColumn("parsed_root", OccSymbol.parseRoot($"occ"))
+      .withColumn("parsed_expiration", OccSymbol.parseExpiration($"occ"))
+      .withColumn("parsed_right", OccSymbol.parseRight($"occ"))
+      .withColumn("parsed_strike", OccSymbol.parseStrike($"occ"))
+      .withColumn("roundtrip_ok",
+        $"parsed_root" === $"root" && $"parsed_expiration" === $"expiration" &&
+          $"parsed_right" === $"right" && $"parsed_strike" === $"strike")
+      .orderBy($"o_orderkey")
+  }
+
+  val occRoundtripSql: String =
+    """WITH c AS (
+      |  SELECT o_orderkey,
+      |    regexp_replace(upper(o_orderpriority), '[^A-Z]', '', 'g') AS root,
+      |    DATE '2026-01-01' + CAST(o_orderkey % 700 AS INTEGER) AS expiration,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'C' ELSE 'P' END AS "right",
+      |    CAST(CAST(round(o_totalprice) AS BIGINT) % 10000 AS DOUBLE) + 0.5 AS strike
+      |  FROM orders),
+      |g AS (
+      |  SELECT *, root || strftime(expiration, '%y%m%d') || "right" ||
+      |    lpad(CAST(CAST(round(strike * 1000) AS BIGINT) AS VARCHAR), 8, '0') AS occ
+      |  FROM c)
+      |SELECT o_orderkey, root, expiration, "right", strike, occ,
+      |  regexp_extract(occ, '^([A-Z]+)([0-9]{6})([CP])([0-9]{8})$', 1) AS parsed_root,
+      |  strptime(regexp_extract(occ, '^([A-Z]+)([0-9]{6})([CP])([0-9]{8})$', 2), '%y%m%d')::DATE AS parsed_expiration,
+      |  regexp_extract(occ, '^([A-Z]+)([0-9]{6})([CP])([0-9]{8})$', 3) AS parsed_right,
+      |  CAST(CAST(regexp_extract(occ, '^([A-Z]+)([0-9]{6})([CP])([0-9]{8})$', 4) AS BIGINT) AS DOUBLE) / 1000.0 AS parsed_strike,
+      |  (regexp_extract(occ, '^([A-Z]+)([0-9]{6})([CP])([0-9]{8})$', 1) = root
+      |    AND strptime(regexp_extract(occ, '^([A-Z]+)([0-9]{6})([CP])([0-9]{8})$', 2), '%y%m%d')::DATE = expiration
+      |    AND regexp_extract(occ, '^([A-Z]+)([0-9]{6})([CP])([0-9]{8})$', 3) = "right"
+      |    AND CAST(CAST(regexp_extract(occ, '^([A-Z]+)([0-9]{6})([CP])([0-9]{8})$', 4) AS BIGINT) AS DOUBLE) / 1000.0 = strike) AS roundtrip_ok
+      |FROM g
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** R1 — ticker-change splice on the events stream: entity 7 was
+    * "renamed" to 8 on 2024-01-15; the full history of 8 is the union
+    * of both segments, identity normalized, keep-last dedup at the
+    * boundary.
+    */
+  def tickerSplice(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    TickerSplice.splicedHistory(ev, "user_id", "ts",
+        TickerSplice.Alias(8L, 7L, "2024-01-15"), Seq("event_id"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .orderBy($"ts", $"event_id")
+  }
+
+  val tickerSpliceSql: String =
+    """WITH spliced AS (
+      |  SELECT event_id, ts, CAST(8 AS BIGINT) AS user_id, event_type, value, 0 AS seg
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events) e
+      |  WHERE user_id = 7 AND ts < TIMESTAMP '2024-01-15'
+      |  UNION ALL
+      |  SELECT event_id, ts, CAST(8 AS BIGINT) AS user_id, event_type, value, 1 AS seg
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events) e
+      |  WHERE user_id = 8 AND ts >= TIMESTAMP '2024-01-15'),
+      |deduped AS (
+      |  SELECT event_id, ts, user_id, event_type, value,
+      |    row_number() OVER (PARTITION BY ts ORDER BY seg DESC, event_id DESC) AS rn
+      |  FROM spliced)
+      |SELECT event_id, ts, user_id, event_type, value
+      |FROM deduped WHERE rn = 1
+      |ORDER BY ts, event_id""".stripMargin
+
+  /** §3.1 steps 4-8 — the canonical quote-formatting pipeline:
+    * synthetic per-contract quotes → midpoint / weighted midpoint →
+    * business-hours filter → 30-minute agg-map resample (open→first,
+    * high→max, low→min, close→last, volume→sum, closebid/closeask→
+    * last). ONE hash aggregation (min_by/max_by), no window shuffle.
+    */
+  def quotePipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val quotes = ev.select(
+        ($"user_id" % 20).as("contract"),
+        $"ts", $"event_id",
+        $"value".as("bid"),
+        ($"value" + 0.10 + ($"event_id" % 7).cast("double") * 0.01).as("ask"),
+        (lit(1L) + $"event_id" % 5).as("bid_size"),
+        (lit(1L) + $"event_id" % 3).as("ask_size"))
+      .withColumn("mid", midpoint($"bid", $"ask"))
+      .withColumn("wmid", weightedMidpoint($"bid", $"ask", $"bid_size", $"ask_size"))
+      .filter(businessHours($"ts"))
+    val ord = struct($"ts", $"event_id")
+    quotes
+      .groupBy(window($"ts", "30 minutes")("start").as("bucket"), $"contract")
+      .agg(
+        min_by($"mid", ord).as("open"),
+        max($"mid").as("high"),
+        min($"mid").as("low"),
+        max_by($"mid", ord).as("close"),
+        sum($"bid_size" + $"ask_size").as("volume"),
+        max_by($"bid", ord).as("close_bid"),
+        max_by($"ask", ord).as("close_ask"),
+        max_by($"wmid", ord).as("weighted_midpoint"))
+      .orderBy($"bucket", $"contract")
+  }
+
+  val quotePipelineSql: String =
+    """WITH quotes AS (
+      |  SELECT user_id % 20 AS contract, ts, event_id,
+      |    value AS bid,
+      |    value + 0.10 + CAST(event_id % 7 AS DOUBLE) * 0.01 AS ask,
+      |    1 + event_id % 5 AS bid_size,
+      |    1 + event_id % 3 AS ask_size
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events) e
+      |  WHERE (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 570 AND 960),
+      |derived AS (
+      |  SELECT *, (bid + ask) / 2.0 AS mid,
+      |    CASE WHEN bid_size + ask_size = 0 THEN (bid + ask) / 2.0
+      |         ELSE (bid * bid_size + ask * ask_size) / (bid_size + ask_size) END AS wmid,
+      |    time_bucket(INTERVAL '30 minutes', ts) AS bucket
+      |  FROM quotes),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY contract, bucket ORDER BY ts, event_id) AS rna,
+      |    row_number() OVER (PARTITION BY contract, bucket ORDER BY ts DESC, event_id DESC) AS rnd
+      |  FROM derived)
+      |SELECT bucket, contract,
+      |  MAX(CASE WHEN rna = 1 THEN mid END) AS open,
+      |  MAX(mid) AS high,
+      |  MIN(mid) AS low,
+      |  MAX(CASE WHEN rnd = 1 THEN mid END) AS close,
+      |  SUM(bid_size + ask_size) AS volume,
+      |  MAX(CASE WHEN rnd = 1 THEN bid END) AS close_bid,
+      |  MAX(CASE WHEN rnd = 1 THEN ask END) AS close_ask,
+      |  MAX(CASE WHEN rnd = 1 THEN wmid END) AS weighted_midpoint
+      |FROM ranked
+      |GROUP BY bucket, contract
+      |ORDER BY bucket, contract""".stripMargin
+
+  /** U1-U6 — the risk-enrichment kernel (BS IV, binomial IV, greeks,
+    * Dollar_Delta, cleanup) on synthetic contracts. No SQL oracle —
+    * implied-vol root-finding isn't expressible in DuckDB — so the
+    * driver records the rows-only check; numeric correctness is locked
+    * by BlackScholesSpec (put-call parity, IV roundtrip, binomial→BS
+    * convergence).
+    */
+  def riskEnrichment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = contracts(s, dir).filter($"o_orderkey" < 2000)
+      .withColumn("underlier_price", lit(100.0) + ($"o_orderkey" % 50).cast("double"))
+      .withColumn("strike",
+        $"underlier_price" * (lit(0.8) + ($"o_orderkey" % 9).cast("double") / 20.0))
+      .withColumn("year_frac", lit(0.05) + ($"o_orderkey" % 24).cast("double") / 24.0)
+      .withColumn("rf_rate", lit(0.045))
+      .withColumn("div_yield", lit(0.012))
+      .withColumn("price",
+        greatest(
+          when($"right" === "C", $"underlier_price" - $"strike")
+            .otherwise($"strike" - $"underlier_price"), lit(0.0)) +
+          $"underlier_price" * (lit(0.02) + ($"o_orderkey" % 11).cast("double") / 200.0))
+    RiskKernels.calcRisks(c, Map("" -> "price"))
+      .select($"o_orderkey",
+        OccSymbol.generate($"root", $"expiration", $"right", $"strike").as("option_tick"),
+        $"right", $"underlier_price", $"strike", $"year_frac", $"price",
+        $"bs_iv", $"binomial_iv", $"delta", $"gamma", $"theta", $"vega",
+        $"rho", $"dollar_delta")
+      .orderBy($"o_orderkey")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q40_occ_roundtrip" -> (occRoundtrip(_, _)),
+    "q41_ticker_splice" -> (tickerSplice(_, _)),
+    "q42_quote_pipeline" -> (quotePipeline(_, _)),
+    "q43_risk_enrichment" -> (riskEnrichment(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q40_occ_roundtrip" -> occRoundtripSql,
+    "q41_ticker_splice" -> tickerSpliceSql,
+    "q42_quote_pipeline" -> quotePipelineSql)
+}
