@@ -205,13 +205,60 @@ object RelationalQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** K3 — dynamic batch UPDATE as a table rewrite
+    * (SQLHelpers.py:689-776): reprioritize old open orders, then
+    * aggregate the updated table.
+    */
+  def batchUpdateQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.load(s, dir, "orders")
+    val updated = graft.sources.Store.batchUpdate(orders,
+      $"o_orderstatus" === "O" && $"o_orderdate" < to_timestamp(lit("1997-01-01")),
+      Map("o_orderpriority" -> lit("5-LOW")))
+    updated.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val batchUpdateSql: String =
+    """SELECT CASE WHEN o_orderstatus = 'O' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |            THEN '5-LOW' ELSE o_orderpriority END AS o_orderpriority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** K4 — filtered DELETE as the complement rewrite
+    * (SQLHelpers.py:251-358): purge discounted returned lines, then
+    * summarize the surviving table.
+    */
+  def filteredDeleteQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val remaining = graft.sources.Store.filteredDelete(li,
+      $"l_returnflag" === "A" && $"l_discount" > 0.05)
+    remaining.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val filteredDeleteSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE NOT (l_returnflag = 'A' AND l_discount > 0.05)
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (pricingSummary(_, _)),
     "q02_order_fulfillment" -> (orderFulfillment(_, _)),
     "q03_revenue_by_region" -> (revenueByRegion(_, _)),
     "q04_customers_without_orders" -> (customersWithoutOrders(_, _)),
     "q05_top_revenue_orders" -> (topRevenueOrders(_, _)),
-    "q06_insert_ignore_upsert" -> (insertIgnoreUpsert(_, _)))
+    "q06_insert_ignore_upsert" -> (insertIgnoreUpsert(_, _)),
+    "q07_batch_update" -> (batchUpdateQ(_, _)),
+    "q08_filtered_delete" -> (filteredDeleteQ(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummarySql,
@@ -219,5 +266,7 @@ object RelationalQueries {
     "q03_revenue_by_region" -> revenueByRegionSql,
     "q04_customers_without_orders" -> customersWithoutOrdersSql,
     "q05_top_revenue_orders" -> topRevenueOrdersSql,
-    "q06_insert_ignore_upsert" -> insertIgnoreUpsertSql)
+    "q06_insert_ignore_upsert" -> insertIgnoreUpsertSql,
+    "q07_batch_update" -> batchUpdateSql,
+    "q08_filtered_delete" -> filteredDeleteSql)
 }

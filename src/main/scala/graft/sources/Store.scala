@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Write-path operators (SURVEY §2.1 K2-K7) restated as pure
+  * DataFrame rewrites. The reference does these as SQL side effects
+  * against MySQL; on an immutable columnar store each becomes a
+  * deterministic transform producing the table's next version —
+  * the anti-join/merge pattern that replaces INSERT IGNORE / UPDATE /
+  * DELETE at scale (and maps 1:1 onto Delta/Iceberg MERGE when a
+  * transactional table format is available).
+  */
+object Store {
+
+  /** K2 — INSERT-IGNORE upsert (SQLHelpers.py:651-687): rows of
+    * `incoming` whose key is absent from `existing`, appended. The
+    * left_anti join is the temp-table INSERT IGNORE without the temp
+    * table; broadcastable when incoming is small.
+    */
+  def insertIgnore(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.unionByName(
+      incoming.join(existing.select(keys.map(col): _*).dropDuplicates(keys),
+        keys, "left_anti"))
+
+  /** K3 — dynamic batch UPDATE (SQLHelpers.py:689-776): SET
+    * `assignments` on rows matching `condition`. Returns the rewritten
+    * table; `matchCount` mirrors the reference's pre-count report.
+    */
+  def batchUpdate(target: DataFrame, condition: Column,
+      assignments: Map[String, Column]): DataFrame =
+    assignments.foldLeft(target) { case (d, (c, v)) =>
+      d.withColumn(c, when(condition, v).otherwise(col(c)))
+    }
+
+  /** K4 — filtered DELETE (SQLHelpers.py:251-358): AND-combined
+    * equality/IN filters; keep the complement.
+    */
+  def filteredDelete(target: DataFrame, condition: Column): DataFrame =
+    target.filter(!coalesce(condition, lit(false)))
+
+  /** K6 — whole-table dedup rewrite (SQLHelpers.py:370-405). */
+  def dedupRewrite(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** K7 — pre-save filter (SQLHelpers.py:894-924 `__filter_data`):
+    * lowercase column names, drop rows that are entirely null, drop
+    * full-row duplicates, drop repeated column names (keep first).
+    */
+  def presaveFilter(df: DataFrame): DataFrame = {
+    val lowered = df.toDF(df.columns.map(_.toLowerCase): _*)
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    val keepIdx = lowered.columns.zipWithIndex.collect {
+      case (c, i) if seen.add(c) => i
+    }
+    val uniqueCols = keepIdx.map(i => lowered.columns(i))
+    val pruned = lowered.toDF(
+      lowered.columns.zipWithIndex.map { case (c, i) => s"${c}__$i" }: _*)
+      .select(keepIdx.map(i => col(s"${lowered.columns(i)}__$i").as(lowered.columns(i))).toSeq: _*)
+    val notAllNull = uniqueCols.map(c => col(c).isNotNull)
+      .reduceOption(_ || _).getOrElse(lit(true))
+    pruned.filter(notAllNull).dropDuplicates()
+  }
+}
+
+/** Environment-aware logical→physical catalog (SURVEY §2.8 R7 +
+  * §2.11; reference db_utils.py:40-164, db_management.py).
+  *
+  * The registry is itself a table (`database_configs` fixture schema,
+  * FIXTURES.md §3); resolution rules mirror the reference exactly:
+  * `master_config` is never environment-suffixed, prod resolves to
+  * the base name, anything else goes through the registry with an
+  * (env, base) cache.
+  */
+final class EnvCatalog(registry: DataFrame) {
+
+  private val cache = scala.collection.concurrent.TrieMap[(String, String), Option[String]]()
+
+  /** R7 — resolve a logical base name in an environment. */
+  def resolve(baseName: String, environment: String): Option[String] = {
+    if (baseName == "master_config") return Some(baseName)
+    if (environment == "prod") return Some(baseName)
+    cache.getOrElseUpdate((environment, baseName), {
+      registry
+        .filter(col("base_name") === baseName &&
+          col("environment") === environment && col("is_active"))
+        .orderBy(col("database_name"))
+        .limit(1)
+        .collect()
+        .headOption
+        .map(_.getAs[String]("database_name"))
+    })
+  }
+
+  /** C6 — environment diff (db_management.py:186-228): active base
+    * names present in `source` but missing from `target`.
+    */
+  def diffEnvironments(source: String, target: String): DataFrame = {
+    val s = registry.filter(col("environment") === source && col("is_active"))
+      .select(col("base_name"))
+    val t = registry.filter(col("environment") === target && col("is_active"))
+      .select(col("base_name"))
+    s.join(t, Seq("base_name"), "left_anti")
+  }
+
+  /** C9 — register / soft-delete lifecycle as registry rewrites. */
+  def register(databaseName: String, baseName: String, environment: String,
+      createdBy: String): DataFrame = {
+    val spark = registry.sparkSession
+    import spark.implicits._
+    val row = Seq((databaseName, baseName, environment,
+      Option.empty[String], createdBy, true))
+      .toDF("database_name", "base_name", "environment", "branch_name",
+        "created_by", "is_active")
+    Store.insertIgnore(registry, row, Seq("database_name"))
+  }
+
+  def softDelete(databaseName: String): DataFrame =
+    Store.batchUpdate(registry, col("database_name") === databaseName,
+      Map("is_active" -> lit(false)))
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+case class Tick(ts: Timestamp, contract: String, value: Double, seq: Long)
+
+class StreamOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ticks = Seq(
+    Tick(ts("2024-01-01 10:00:00"), "A", 1.0, 1),
+    Tick(ts("2024-01-01 10:05:00"), "A", 2.0, 2),
+    Tick(ts("2024-01-01 10:05:00"), "A", 2.0, 3), // duplicate key+ts
+    Tick(ts("2024-01-01 10:40:00"), "A", 3.0, 4),
+    Tick(ts("2024-01-01 10:02:00"), "B", 5.0, 5),
+    Tick(ts("2024-01-01 11:30:00"), "A", 7.0, 6)) // advances watermark past 10:xx
+
+  test("streaming windowed agg emits closed windows matching batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val agg = StreamOps.windowedAgg(
+      input.toDF(), "ts", "10 minutes", "30 minutes", Seq("contract"))
+    val q = agg.writeStream
+      .format("memory").queryName("win_out").outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt").toString)
+      .start()
+    try {
+      input.addData(ticks: _*)
+      q.processAllAvailable()
+      input.addData(Tick(ts("2024-01-01 13:00:00"), "A", 0.0, 7)) // close all
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .select($"bucket", $"contract", $"n_events", $"high", $"low", $"volume")
+        .orderBy($"bucket", $"contract")
+        .collect()
+      // batch equivalent over the same rows
+      val batch = StreamOps.windowedAgg(
+          ticks.toDF().union(Seq(Tick(ts("2024-01-01 13:00:00"), "A", 0.0, 7)).toDF()),
+          "ts", "10 minutes", "30 minutes", Seq("contract"))
+        .select($"bucket", $"contract", $"n_events", $"high", $"low", $"volume")
+        .orderBy($"bucket", $"contract")
+        .collect()
+      assert(out.nonEmpty)
+      // stream (append mode) emits only watermark-closed windows; all
+      // emitted rows must match the batch computation exactly
+      val batchMap = batch.map(r => (r.getAs[Timestamp]("bucket"), r.getString(1)) -> r).toMap
+      out.foreach { r =>
+        val key = (r.getAs[Timestamp]("bucket"), r.getString(1))
+        assert(batchMap.contains(key), s"unexpected window $key")
+        assert(batchMap(key).toSeq == r.toSeq, s"mismatch at $key")
+      }
+    } finally q.stop()
+  }
+
+  test("watermarked dedup drops duplicate (key, ts) rows on the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val dd = StreamOps.dedupWithWatermark(input.toDF(), "ts", "10 minutes",
+      Seq("contract"))
+    val q = dd.writeStream
+      .format("memory").queryName("dedup_out").outputMode(OutputMode.Append)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt2").toString)
+      .start()
+    try {
+      input.addData(ticks: _*)
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+      assert(out.length == ticks.length - 1) // one exact dup dropped
+    } finally q.stop()
+  }
+
+  test("latestSnapshot keeps one row per contract (micro-batch refresh)") {
+    val snap = StreamOps.latestSnapshot(ticks.toDF(), "ts", Seq("contract"), Seq("seq"))
+      .orderBy("contract").collect()
+    assert(snap.map(r => (r.getString(1), r.getDouble(2))).toSeq ==
+      Seq(("A", 7.0), ("B", 5.0)))
+  }
+}
