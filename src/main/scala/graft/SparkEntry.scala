@@ -22,7 +22,8 @@ object SparkEntry {
       (TimeSeriesQueries.defs, TimeSeriesQueries.oracles),
       (TextQueries.defs, TextQueries.oracles),
       (SimilarityQueries.defs, SimilarityQueries.oracles),
-      (FinanceQueries.defs, FinanceQueries.oracles))
+      (FinanceQueries.defs, FinanceQueries.oracles),
+      (CalendarQueries.defs, CalendarQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)

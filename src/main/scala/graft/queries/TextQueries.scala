@@ -237,13 +237,35 @@ object TextQueries {
        |SELECT source, i, j, jaccard FROM pairs WHERE jaccard >= 0.3
        |ORDER BY i, j""".stripMargin
 
+  /** SimHash near-dup detection via the native codegen'd
+    * [[graft.plans.SimHash64]] expression: one 64-bit signature per
+    * doc, near-dups = small Hamming distance. No SQL oracle (the
+    * signature kernel isn't expressible in DuckDB) — rows-only check;
+    * behavior locked by NativeExpressionsSpec. The planted near-dup
+    * pairs (q24) reappear here, found by a different signature family.
+    */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source",
+        graft.plans.NativeFunctions.simhash64(shingles(words($"text"))).as("h"))
+    val a = docs.select($"doc_id".as("i"), $"h".as("hi"))
+    val b = docs.select($"doc_id".as("j"), $"h".as("hj"))
+    a.crossJoin(b).filter($"i" < $"j")
+      .withColumn("hamming", bit_count($"hi".bitwiseXOR($"hj")))
+      .filter($"hamming" <= 3)
+      .select($"i", $"j", $"hamming")
+      .orderBy($"i", $"j")
+  }
+
   val defs: Map[String, Q] = Map(
     "q20_token_stats" -> (tokenStats(_, _)),
     "q21_quality_score" -> (qualityScore(_, _)),
     "q22_lang_id" -> (langId(_, _)),
     "q23_exact_dedup" -> (exactDedup(_, _)),
     "q24_minhash_near_dup" -> (minhashNearDup(_, _)),
-    "q25_jaccard_pairs" -> (jaccardPairs(_, _)))
+    "q25_jaccard_pairs" -> (jaccardPairs(_, _)),
+    "q26_simhash_near_dup" -> (simhashNearDup(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q20_token_stats" -> tokenStatsSql,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{Kernels, NativeFunctions}
+import org.apache.spark.unsafe.types.UTF8String
+
+class NativeExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash64: identical token sets hash identically; near sets are close") {
+    val docs = Seq(
+      (1L, "spark join shuffle partition agg window"),
+      (2L, "spark join shuffle partition agg window"),
+      (3L, "spark join shuffle partition agg filter"), // one token differs
+      (4L, "entirely different words about cooking pasta tonight")
+    ).toDF("id", "text")
+    val out = docs
+      .select($"id", NativeFunctions.simhash64(split($"text", " ")).as("h"))
+      .orderBy("id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(out(1L), out(3L)) < hamming(out(1L), out(4L)))
+    assert(hamming(out(1L), out(3L)) <= 16)
+  }
+
+  test("simhash64 codegen result equals interpreted kernel") {
+    val tokens = Seq("alpha", "beta", "gamma")
+    val viaSpark = Seq(Tuple1(tokens)).toDF("t")
+      .select(NativeFunctions.simhash64($"t")).as[Long].head()
+    val direct = Kernels.simhash(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        tokens.map(UTF8String.fromString).toArray))
+    assert(viaSpark == direct)
+  }
+
+  test("rolling_hash64 distinguishes order (unlike a bag hash)") {
+    val out = Seq(("ab cd", "cd ab"), ("same", "same"))
+      .toDF("a", "b")
+      .select(
+        NativeFunctions.rollingHash64($"a").as("ha"),
+        NativeFunctions.rollingHash64($"b").as("hb"))
+      .collect()
+    assert(out(0).getLong(0) != out(0).getLong(1))
+    assert(out(1).getLong(0) == out(1).getLong(1))
+  }
+
+  test("functions are SQL-registered and usable from spark.sql") {
+    NativeFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT simhash64(array('x','y')) AS s, rolling_hash64('xy') AS r").head()
+    assert(r.getLong(0) == Kernels.simhash(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(UTF8String.fromString("x"), UTF8String.fromString("y")))))
+    assert(r.getLong(1) == Kernels.rollingHash(UTF8String.fromString("xy")))
+  }
+
+  test("null safety") {
+    val r = Seq(Tuple1(Option.empty[String])).toDF("t")
+      .select(NativeFunctions.rollingHash64($"t")).collect()
+    assert(r(0).isNullAt(0))
+  }
+}
