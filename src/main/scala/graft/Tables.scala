@@ -29,6 +29,17 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Load and spread across the default parallelism. The test files
+    * are single-row-group parquet (one scan task); compute-dense
+    * pipelines (UDF kernels, pairwise similarity, regex) must
+    * redistribute or they run single-threaded. On a cluster the same
+    * call spreads a small dimension scan before a CPU-bound stage —
+    * the standard pattern; I/O-bound queries skip it (the shuffle
+    * isn't free).
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

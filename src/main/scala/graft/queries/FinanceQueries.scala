@@ -29,7 +29,7 @@ object FinanceQueries {
     // Expirations anchored in 2026+ so the OCC YYMMDD year is
     // unambiguous under both Spark's reduced-year (base 2000) and
     // DuckDB's POSIX %y pivot.
-    Tables.load(s, dir, "orders")
+    Tables.loadSpread(s, dir, "orders")
       .select(
         $"o_orderkey",
         regexp_replace(upper($"o_orderpriority"), "[^A-Z]", "").as("root"),

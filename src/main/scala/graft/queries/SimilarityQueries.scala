@@ -32,7 +32,7 @@ object SimilarityQueries {
     */
   def knnBruteForce(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = Tables.loadSpread(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"), $"label")
       .withColumn("nsq", intNormSq($"q"))
     val queries = emb.filter($"vec_id" < 10)
@@ -71,7 +71,7 @@ object SimilarityQueries {
     */
   def annLshBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = Tables.loadSpread(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"))
       .withColumn("nsq", intNormSq($"q"))
       .withColumn("bucket", rhpSignature($"q", 4))
@@ -119,7 +119,7 @@ object SimilarityQueries {
     */
   def labelCentroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = Tables.loadSpread(s, dir, "embeddings")
       .select($"label", posexplode(quantize($"embedding")).as(Seq("pos", "qv")))
     emb.groupBy($"label", $"pos")
       .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("centroid"),
@@ -144,7 +144,7 @@ object SimilarityQueries {
     */
   def ivfSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.load(s, dir, "embeddings")
+    val emb = Tables.loadSpread(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"), $"label")
     // centroid arrays, re-quantized to int64 for exact distances
     val cent = emb

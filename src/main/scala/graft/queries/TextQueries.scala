@@ -168,20 +168,31 @@ object TextQueries {
     import s.implicits._
     val bands = 4
     val rowsPerBand = 2
-    val docs = Tables.load(s, dir, "documents")
+    // Shingles + band keys materialized ONCE (persist): the band
+    // self-join and the verify re-join below would otherwise recompute
+    // every seeded md5 MinHash 3x. At warehouse scale this staging is
+    // the signatures table you'd write between pipeline stages.
+    val sigs = Tables.loadSpread(s, dir, "documents")
       .select($"doc_id", shingles(words($"text")).as("sh"))
-    val banded = docs.select(
-      $"doc_id", $"sh",
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandKey($"sh", b, rowsPerBand).as("bkey"))): _*)).as("bb"))
-      .select($"doc_id", $"sh", $"bb.band", $"bb.bkey")
-    val a = banded.select($"band", $"bkey", $"doc_id".as("i"), $"sh".as("sh_i"))
-    val b = banded.select($"band", $"bkey", $"doc_id".as("j"), $"sh".as("sh_j"))
-    a.join(b, Seq("band", "bkey")).filter($"i" < $"j")
-      .select($"i", $"j", jaccard($"sh_i", $"sh_j").as("jac"))
-      .groupBy($"i", $"j").agg(first($"jac").as("jaccard"))
+      .select($"doc_id", $"sh",
+        array((0 until bands).map(b => bandKey($"sh", b, rowsPerBand)): _*).as("bkeys"))
+      .persist()
+    val banded = sigs.select($"doc_id",
+      posexplode($"bkeys").as(Seq("band", "bkey")))
+    val cand = banded.select($"band", $"bkey", $"doc_id".as("i"))
+      .join(banded.select($"band", $"bkey", $"doc_id".as("j")), Seq("band", "bkey"))
+      .filter($"i" < $"j")
+      .select($"i", $"j").distinct()
+    val verified = cand
+      .join(sigs.select($"doc_id".as("i"), $"sh".as("sh_i")), "i")
+      .join(sigs.select($"doc_id".as("j"), $"sh".as("sh_j")), "j")
+      .withColumn("inter", size(array_intersect($"sh_i", $"sh_j")).cast("double"))
+      .withColumn("jaccard",
+        $"inter" / (size($"sh_i") + size($"sh_j") - $"inter"))
       .filter($"jaccard" >= 0.5)
+      .select($"i", $"j", $"jaccard")
       .orderBy($"i", $"j")
+    verified
   }
 
   val minhashNearDupSql: String = {
@@ -216,13 +227,19 @@ object TextQueries {
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
       .select($"doc_id", $"source", shingles(words($"text")).as("sh"))
+      .persist()
     val a = docs.select($"source", $"doc_id".as("i"), $"sh".as("sh_i"))
     val b = docs.select($"source", $"doc_id".as("j"), $"sh".as("sh_j"))
-    a.join(b, "source").filter($"i" < $"j")
-      .select($"source", $"i", $"j", jaccard($"sh_i", $"sh_j").as("jaccard"))
+    // |A∪B| = |A|+|B|-|A∩B| for distinct arrays: one intersect per
+    // pair instead of intersect+union — halves the dominant cost.
+    a.join(broadcast(b), "source").filter($"i" < $"j")
+      .withColumn("inter", size(array_intersect($"sh_i", $"sh_j")).cast("double"))
+      .withColumn("jaccard",
+        $"inter" / (size($"sh_i") + size($"sh_j") - $"inter"))
       .filter($"jaccard" >= 0.3)
+      .select($"source", $"i", $"j", $"jaccard")
       .orderBy($"i", $"j")
   }
 
@@ -246,15 +263,27 @@ object TextQueries {
     */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents")
-      .select($"doc_id", $"source",
+    val docs = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id",
         graft.plans.NativeFunctions.simhash64(shingles(words($"text"))).as("h"))
-    val a = docs.select($"doc_id".as("i"), $"h".as("hi"))
-    val b = docs.select($"doc_id".as("j"), $"h".as("hj"))
-    a.crossJoin(b).filter($"i" < $"j")
+    // Pigeonhole LSH: hamming(a,b) <= 3 over 4 disjoint 16-bit chunks
+    // forces at least one IDENTICAL chunk — candidates come from an
+    // equi-join on (chunk_id, chunk_value) instead of the O(n^2)
+    // cross join, then the cheap exact Hamming verify. This is the
+    // standard sublinear SimHash dedup plan at scale.
+    val chunked = docs.select($"doc_id", $"h",
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned($"h", c * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk", "cval")))
+    val cand = chunked.select($"chunk", $"cval", $"doc_id".as("i"), $"h".as("hi"))
+      .join(chunked.select($"chunk", $"cval", $"doc_id".as("j"), $"h".as("hj")),
+        Seq("chunk", "cval"))
+      .filter($"i" < $"j")
+    cand
       .withColumn("hamming", bit_count($"hi".bitwiseXOR($"hj")))
       .filter($"hamming" <= 3)
       .select($"i", $"j", $"hamming")
+      .distinct()
       .orderBy($"i", $"j")
   }
 
