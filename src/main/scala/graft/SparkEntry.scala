@@ -23,7 +23,8 @@ object SparkEntry {
       (TextQueries.defs, TextQueries.oracles),
       (SimilarityQueries.defs, SimilarityQueries.oracles),
       (FinanceQueries.defs, FinanceQueries.oracles),
-      (CalendarQueries.defs, CalendarQueries.oracles))
+      (CalendarQueries.defs, CalendarQueries.oracles),
+      (PipelineQueries.defs, PipelineQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)
