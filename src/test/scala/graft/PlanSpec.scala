@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries._
+
+/** Plan-shape assertions — the 100 TB design contract, enforced in CI:
+  * filters reach the parquet scan, small dims broadcast, the resample
+  * is one hash aggregation (no window shuffle), codegen covers the hot
+  * path. A regression here is a scale bug even when results stay
+  * correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter is pushed to the parquet scan") {
+    val p = plan(RelationalQueries.pricingSummary(spark, dir))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: only referenced columns are read") {
+    val p = plan(RelationalQueries.pricingSummary(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema) // pruned
+    assert(readSchema.contains("l_quantity"))
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan(RelationalQueries.revenueByRegion(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q10 resample: aggregation with partial combine, no window operator") {
+    val p = plan(TimeSeriesQueries.resampleOhlc1h(spark, dir))
+    assert(!p.contains("Window"), "resample must not need a window shuffle")
+    // min_by/max_by carry a struct buffer -> SortAggregate; what
+    // matters at scale is partial aggregation before ONE exchange
+    assert(p.contains("Aggregate"), p)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one data shuffle, plan:\n$p")
+  }
+
+  test("q11 dedup: aggregation-based (partial combine), no row_number window") {
+    val p = plan(TimeSeriesQueries.dedupKeepLastQ(spark, dir))
+    assert(!p.contains("Window"), "keep-last dedup must use max_by aggregation")
+  }
+
+  test("q12 as-of join: one shuffle on the key, no cartesian/range join") {
+    val p = plan(TimeSeriesQueries.asofClickPurchase(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("whole-stage codegen covers the scan+filter+project hot path") {
+    val df = TimeSeriesQueries.businessHoursDaily(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(p.contains("WholeStageCodegen subtree"), p.take(500))
+  }
+
+  test("q30 knn: query side broadcast against a single corpus pass") {
+    val p = plan(SimilarityQueries.knnBruteForce(spark, dir))
+    assert(p.contains("Broadcast"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
