@@ -1,0 +1,172 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{CoreOps, TickerSplice}
+import graft.operators.CoreOps._
+
+/** Market-hours configuration (reference PRICING_CONFIG uses at
+  * v2.py:623, 899-901, 1432-1437).
+  */
+final case class MarketConfig(openMin: Int = 570, closeMin: Int = 960,
+    eodHour: Int = 16)
+
+/** The reference's public retrieval surface (SURVEY §7.1 module 5 /
+  * §3.1) re-expressed over DataFrame-backed market tables:
+  * `retrieveQuote`, `retrieveOhlc`, `retrieveEodOhlc` (quote⟕ohlc
+  * J1), `retrieveOpenInterest`, `listDates`, `listContracts`,
+  * `snapshotQuote` — each a declarative pipeline of the engine's
+  * operators (formatting → derived columns → business hours →
+  * agg-map resample → splice/dedup), so a reference user can switch
+  * call-for-call.
+  *
+  * Tables are injected (storage-agnostic): `quotes(root, ts, seq,
+  * bid, ask, bid_size, ask_size)`, `ohlc(root, ts, seq, open, high,
+  * low, close, volume)`, `oi(root, day, seq, open_interest)`.
+  * Corporate actions come from the alias list (R1).
+  */
+final class FinanceApi(
+    quotes: DataFrame,
+    ohlc: DataFrame,
+    oi: DataFrame,
+    aliases: Seq[TickerSplice.Alias] = Nil,
+    cfg: MarketConfig = MarketConfig()) {
+
+  /** R1: widen a single-root scan with its pre-rename history. */
+  private def spliced(df: DataFrame, root: Any, tsCol: String): DataFrame =
+    aliases.find(_.currentKey == root) match {
+      case Some(a) => TickerSplice.splicedHistory(
+        df, "root", tsCol, a, Seq("seq"))
+      case None => df.filter(col("root") === lit(root))
+    }
+
+  private def inRange(df: DataFrame, tsCol: String, start: String, end: String) =
+    df.filter(col(tsCol) >= to_timestamp(lit(start)) &&
+      col(tsCol) < to_timestamp(lit(end)))
+
+  /** §3.1 steps 4-8: quotes → midpoint/weighted midpoint → business
+    * hours → interval resample with the A1 agg map.
+    */
+  def retrieveQuote(root: Any, start: String, end: String,
+      interval: String): DataFrame = {
+    val base = inRange(spliced(quotes, root, "ts"), "ts", start, end)
+      .withColumn("mid", midpoint(col("bid"), col("ask")))
+      .withColumn("weighted_midpoint",
+        weightedMidpoint(col("bid"), col("ask"), col("bid_size"), col("ask_size")))
+      .filter(businessHours(col("ts"), cfg.openMin, cfg.closeMin))
+    val ord = struct(col("ts"), col("seq"))
+    base.groupBy(window(col("ts"), interval)("start").as("datetime"), col("root"))
+      .agg(
+        min_by(col("mid"), ord).as("open"),
+        max(col("mid")).as("high"),
+        min(col("mid")).as("low"),
+        max_by(col("mid"), ord).as("close"),
+        max_by(col("bid"), ord).as("close_bid"),
+        max_by(col("ask"), ord).as("close_ask"),
+        max_by(col("bid_size"), ord).as("bid_size"),
+        max_by(col("ask_size"), ord).as("ask_size"),
+        max_by(col("weighted_midpoint"), ord).as("weighted_midpoint"))
+  }
+
+  /** Trade bars for a root over a range, resampled. */
+  def retrieveOhlc(root: Any, start: String, end: String,
+      interval: String): DataFrame = {
+    val base = inRange(spliced(ohlc, root, "ts"), "ts", start, end)
+      .filter(businessHours(col("ts"), cfg.openMin, cfg.closeMin))
+    val ord = struct(col("ts"), col("seq"))
+    base.groupBy(window(col("ts"), interval)("start").as("datetime"), col("root"))
+      .agg(
+        min_by(col("open"), ord).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max_by(col("close"), ord).as("close"),
+        dsum(col("volume")).as("volume"))
+  }
+
+  /** J1 — EOD: quote side is the complete timeline, OHLC attaches
+    * where trades exist, midpoint bootstraps missing bars (F9),
+    * volume fillna(0).
+    */
+  def retrieveEodOhlc(root: Any, start: String, end: String): DataFrame = {
+    val q = retrieveQuote(root, start, end, "1 day")
+      .withColumn("datetime",
+        col("datetime") + expr(s"interval ${cfg.eodHour} hours"))
+    val o = retrieveOhlc(root, start, end, "1 day")
+      .withColumn("datetime",
+        col("datetime") + expr(s"interval ${cfg.eodHour} hours"))
+      .select(col("datetime"), col("root"),
+        col("open").as("t_open"), col("high").as("t_high"),
+        col("low").as("t_low"), col("close").as("t_close"), col("volume"))
+    q.join(o, Seq("datetime", "root"), "left")
+      .select(
+        col("datetime"), col("root"),
+        coalesce(col("t_open"), col("close")).as("open"),
+        coalesce(col("t_high"), col("close")).as("high"),
+        coalesce(col("t_low"), col("close")).as("low"),
+        coalesce(col("t_close"), col("close")).as("close"),
+        coalesce(col("volume"), lit(0.0)).as("volume"),
+        col("close_bid"), col("close_ask"),
+        col("bid_size"), col("ask_size"),
+        ((col("close_bid") + col("close_ask")) / 2.0).as("midpoint"),
+        col("weighted_midpoint"))
+  }
+
+  /** OI series: keep-last per day (W1 on the OI stream). */
+  def retrieveOpenInterest(root: Any, start: String, end: String): DataFrame =
+    CoreOps.dedupKeepLast(
+      spliced(oi, root, "day")
+        .filter(col("day") >= to_date(lit(start)) && col("day") < to_date(lit(end))),
+      Seq("root", "day"), Seq("seq"))
+
+  /** Available dates across alias history, sorted (list_dates). */
+  def listDates(root: Any): DataFrame =
+    spliced(quotes, root, "ts")
+      .select(to_date(col("ts")).as("date"))
+      .distinct()
+      .orderBy(col("date"))
+
+  /** Latest quote per root "as of now" (snapshot, T1/T2). */
+  def snapshotQuote(): DataFrame =
+    CoreOps.dedupKeepLast(quotes, Seq("root"), Seq("ts", "seq"))
+}
+
+/** Deterministic synthetic option-market tables derived from the
+  * events stream — the fixture factory for the API (the driver
+  * corpus has no market tables).
+  */
+object SyntheticMarket {
+
+  def quotes(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").select(
+      (col("user_id") % 10).as("root"),
+      col("ts"),
+      col("event_id").as("seq"),
+      col("value").as("bid"),
+      (col("value") + 0.10 + (col("event_id") % 7).cast("double") * 0.01).as("ask"),
+      (lit(1L) + col("event_id") % 5).as("bid_size"),
+      (lit(1L) + col("event_id") % 3).as("ask_size"))
+
+  def ohlc(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase") // trades are sparse
+      .select(
+        (col("user_id") % 10).as("root"),
+        col("ts"),
+        col("event_id").as("seq"),
+        col("value").as("open"),
+        (col("value") * 1.02).as("high"),
+        (col("value") * 0.98).as("low"),
+        (col("value") * 1.01).as("close"),
+        (col("event_id") % 100).cast("double").as("volume"))
+
+  def oi(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .filter(col("event_type") === "signup")
+      .select(
+        (col("user_id") % 10).as("root"),
+        to_date(col("ts")).as("day"),
+        col("event_id").as("seq"),
+        (col("event_id") % 10000).as("open_interest"))
+}

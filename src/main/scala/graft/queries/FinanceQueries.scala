@@ -207,14 +207,77 @@ object FinanceQueries {
       .orderBy($"o_orderkey")
   }
 
+  /** §3.1 end-to-end through the public API surface
+    * ([[graft.api.FinanceApi]]): corporate-action splice + keep-last
+    * dedup + business hours + hourly agg-map resample, invoked the
+    * way a reference user calls `retrieve_quote`.
+    */
+  def apiRetrieveQuote(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val api = new graft.api.FinanceApi(
+      graft.api.SyntheticMarket.quotes(s, dir),
+      graft.api.SyntheticMarket.ohlc(s, dir),
+      graft.api.SyntheticMarket.oi(s, dir),
+      aliases = Seq(TickerSplice.Alias(3L, 2L, "2024-01-15")))
+    api.retrieveQuote(3L, "2024-01-02", "2024-01-28", "1 hour")
+      .orderBy($"datetime")
+  }
+
+  val apiRetrieveQuoteSql: String =
+    """WITH quotes AS (
+      |  SELECT user_id % 10 AS root, ts, event_id AS seq,
+      |    value AS bid,
+      |    value + 0.10 + CAST(event_id % 7 AS DOUBLE) * 0.01 AS ask,
+      |    1 + event_id % 5 AS bid_size,
+      |    1 + event_id % 3 AS ask_size
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events) e),
+      |spliced AS (
+      |  SELECT CAST(3 AS BIGINT) AS root, ts, seq, bid, ask, bid_size, ask_size, 0 AS seg
+      |  FROM quotes WHERE root = 2 AND ts < TIMESTAMP '2024-01-15'
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), ts, seq, bid, ask, bid_size, ask_size, 1
+      |  FROM quotes WHERE root = 3 AND ts >= TIMESTAMP '2024-01-15'),
+      |deduped AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY ts ORDER BY seg DESC, seq DESC) AS rn
+      |    FROM spliced) t WHERE rn = 1),
+      |filtered AS (
+      |  SELECT *, (bid + ask) / 2.0 AS mid,
+      |    CASE WHEN bid_size + ask_size = 0 THEN (bid + ask) / 2.0
+      |         ELSE (bid * bid_size + ask * ask_size) / (bid_size + ask_size) END AS wmid,
+      |    date_trunc('hour', ts) AS datetime
+      |  FROM deduped
+      |  WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-28'
+      |    AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 570 AND 960),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY datetime ORDER BY ts, seq) AS rna,
+      |    row_number() OVER (PARTITION BY datetime ORDER BY ts DESC, seq DESC) AS rnd
+      |  FROM filtered)
+      |SELECT datetime, root,
+      |  MAX(CASE WHEN rna = 1 THEN mid END) AS open,
+      |  MAX(mid) AS high,
+      |  MIN(mid) AS low,
+      |  MAX(CASE WHEN rnd = 1 THEN mid END) AS close,
+      |  MAX(CASE WHEN rnd = 1 THEN bid END) AS close_bid,
+      |  MAX(CASE WHEN rnd = 1 THEN ask END) AS close_ask,
+      |  MAX(CASE WHEN rnd = 1 THEN bid_size END) AS bid_size,
+      |  MAX(CASE WHEN rnd = 1 THEN ask_size END) AS ask_size,
+      |  MAX(CASE WHEN rnd = 1 THEN wmid END) AS weighted_midpoint
+      |FROM ranked
+      |GROUP BY datetime, root
+      |ORDER BY datetime""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q40_occ_roundtrip" -> (occRoundtrip(_, _)),
     "q41_ticker_splice" -> (tickerSplice(_, _)),
     "q42_quote_pipeline" -> (quotePipeline(_, _)),
-    "q43_risk_enrichment" -> (riskEnrichment(_, _)))
+    "q43_risk_enrichment" -> (riskEnrichment(_, _)),
+    "q46_api_retrieve_quote" -> (apiRetrieveQuote(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q40_occ_roundtrip" -> occRoundtripSql,
     "q41_ticker_splice" -> tickerSpliceSql,
-    "q42_quote_pipeline" -> quotePipelineSql)
+    "q42_quote_pipeline" -> quotePipelineSql,
+    "q46_api_retrieve_quote" -> apiRetrieveQuoteSql)
 }
