@@ -29,6 +29,27 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Events scan with a PUSHED-DOWN time-range predicate.
+    *
+    * The public `ts` column is derived (nanos → micros), so filters on
+    * it cannot reach the parquet reader; this helper filters the RAW
+    * nanos column first — `PushedFilters: [GreaterThanOrEqual(ts,...)]`
+    * lands in the scan — then converts. At 100 TB (date-partitioned
+    * events) this is the difference between pruning at the source and
+    * scanning everything.
+    */
+  def eventsInRange(spark: SparkSession, dir: String,
+      startInclusive: String, endExclusive: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def nanos(s: String) =
+      java.sql.Timestamp.valueOf(s.replace("T", " ") + (if (s.length == 10) " 00:00:00" else ""))
+        .getTime * 1000000L
+    spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("ts") >= nanos(startInclusive) && col("ts") < nanos(endExclusive))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Load and spread across the default parallelism. The test files
     * are single-row-group parquet (one scan task); compute-dense
     * pipelines (UDF kernels, pairwise similarity, regex) must

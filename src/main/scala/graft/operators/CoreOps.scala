@@ -204,6 +204,31 @@ object CoreOps {
   }
 
   // -------------------------------------------------------------------
+  // Skew handling — salted two-phase aggregation.
+  // -------------------------------------------------------------------
+
+  /** Aggregate `sum(valueCol), count(*)` per `keys` with salting: a
+    * hot key is first spread over `buckets` reducers (phase 1 groups
+    * on keys+salt), then merged (phase 2 on keys alone).
+    *
+    * The salt is `hash(saltSource) % buckets` — deterministic, so
+    * results are reproducible; AQE's skew handling covers joins, but a
+    * single mega-key AGGREGATION still funnels into one reducer
+    * without this. Only algebraic aggregates compose this way.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltSource: String, buckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(col(saltSource)), lit(buckets)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(valueCol).cast(DecimalType(30, 4))).as("__psum"),
+        count(lit(1)).as("__pcnt"))
+    phase1.groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).cast(DoubleType).as(s"sum_$valueCol"),
+        sum(col("__pcnt")).as("n"))
+  }
+
+  // -------------------------------------------------------------------
   // F7-F9 — quote arithmetic.
   // Reference: v2.py:889 (midpoint), v3/utils.py:355-357 (weighted
   // midpoint), utils.py:278-300 (bootstrap_ohlc).

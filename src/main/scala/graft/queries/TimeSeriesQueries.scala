@@ -150,10 +150,10 @@ object TimeSeriesQueries {
     */
   def businessHoursDaily(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.load(s, dir, "events")
+    // range predicate applied on the raw nanos column so it reaches
+    // the parquet scan (see Tables.eventsInRange)
+    val ev = Tables.eventsInRange(s, dir, "2024-01-05", "2024-01-20")
     ev.filter(businessHours($"ts"))
-      .filter($"ts" >= to_timestamp(lit("2024-01-05")) &&
-        $"ts" < to_timestamp(lit("2024-01-20")))
       .groupBy(to_date($"ts").as("day"))
       .agg(count(lit(1)).as("n"), dsum($"value").as("total_value"))
       .orderBy($"day")

@@ -64,6 +64,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen subtree"), p.take(500))
   }
 
+  test("q14: events time-range predicate reaches the parquet scan") {
+    val p = plan(TimeSeriesQueries.businessHoursDaily(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,") ||
+      p.contains("GreaterThanOrEqual(ts,"), p)
+  }
+
   test("q30 knn: query side broadcast against a single corpus pass") {
     val p = plan(SimilarityQueries.knnBruteForce(spark, dir))
     assert(p.contains("Broadcast"))
