@@ -78,22 +78,58 @@ object CoreOps {
       tsCol: String,
       interval: String,
       keys: Seq[String],
-      aggs: Map[String, AggMethod],
+      aggs: Seq[(String, String, AggMethod)],
       tieBreak: String): DataFrame = {
     val bucket = window(col(tsCol), interval)("start").as("bucket")
     val ord = struct(col(tsCol), col(tieBreak))
-    val aggCols = aggs.toSeq.map { case (c, m) =>
-      val out = m match {
-        case AggFirst => min_by(col(c), ord)
-        case AggLast  => max_by(col(c), ord)
-        case AggMax   => max(col(c))
-        case AggMin   => min(col(c))
-        case AggSum   => dsum(col(c))
+    val aggCols = aggs.map { case (out, src, m) =>
+      val c = m match {
+        case AggFirst => min_by(col(src), ord)
+        case AggLast  => max_by(col(src), ord)
+        case AggMax   => max(col(src))
+        case AggMin   => min(col(src))
+        case AggSum   => dsum(col(src))
       }
-      out.as(c)
+      c.as(out)
     }
     df.groupBy(bucket +: keys.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Full pandas-resample semantics (utils.py:359-399): emit EVERY
+    * bucket between each key's first and last observation — not just
+    * non-empty ones — then forward-fill the `ffillCols` (pandas'
+    * default method for non-OHLCV columns and the source of continuity
+    * between sparse bars) and zero-fill `zeroCols` (`fillna(0)`).
+    *
+    * Gap buckets are generated distributively: per key, ONE row with
+    * `sequence(floor(min), floor(max), interval)` exploded — no
+    * driver-side calendar loop; the grid then left-joins the
+    * aggregated buckets. Two shuffles total (agg + ffill window), both
+    * on the same key — at scale the second reuses the first's
+    * partitioning.
+    */
+  def resampleWithGaps(
+      df: DataFrame,
+      tsCol: String,
+      interval: String,
+      keys: Seq[String],
+      aggs: Seq[(String, String, AggMethod)],
+      tieBreak: String,
+      ffillCols: Seq[String],
+      zeroCols: Seq[String]): DataFrame = {
+    val agged = resampleOhlc(df, tsCol, interval, keys, aggs, tieBreak)
+    val grid = df
+      .groupBy(keys.map(col): _*)
+      .agg(min(window(col(tsCol), interval)("start")).as("__first"),
+        max(window(col(tsCol), interval)("start")).as("__last"))
+      .select(keys.map(col) :+
+        explode(sequence(col("__first"), col("__last"),
+          expr(s"interval $interval"))).as("bucket"): _*)
+    val joined = grid.join(agged, keys :+ "bucket", "left")
+    val filled = ffill(joined, ffillCols, keys, Seq("bucket"))
+    zeroCols.foldLeft(filled)((d, c) =>
+      d.withColumn(c, coalesce(col(c), lit(0.0).cast(d.schema(c).dataType))))
   }
 
   // -------------------------------------------------------------------

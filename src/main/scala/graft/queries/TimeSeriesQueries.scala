@@ -201,13 +201,60 @@ object TimeSeriesQueries {
       |  FROM m)
       |SELECT day, event_id, value, day_mean FROM r WHERE rn = 1 ORDER BY day""".stripMargin
 
+  /** A1 full pandas-resample semantics — gap buckets emitted, close
+    * forward-filled across empty days, volume zero-filled
+    * (utils.py:359-399: default-ffill + fillna(0)). Daily purchase
+    * bars per user.
+    */
+  def resampleWithGapsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val purchases = Tables.load(s, dir, "events")
+      .filter($"event_type" === "purchase")
+    resampleWithGaps(purchases, "ts", "1 day", Seq("user_id"),
+        Seq(("close", "value", AggLast), ("volume", "value", AggSum)), "event_id",
+        ffillCols = Seq("close"), zeroCols = Seq("volume"))
+      .orderBy($"user_id", $"bucket")
+  }
+
+  private val resampleWithGapsSqlBody: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS bucket,
+      |    max(CASE WHEN rnd = 1 THEN value END) AS close,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS volume
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+      |                                     ORDER BY ts DESC, event_id DESC) AS rnd
+      |        FROM p) t
+      |  GROUP BY user_id, date_trunc('day', ts)),
+      |bounds AS (
+      |  SELECT user_id, min(date_trunc('day', ts)) AS t0, max(date_trunc('day', ts)) AS t1
+      |  FROM p GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS bucket
+      |  FROM bounds),
+      |joined AS (
+      |  SELECT g.user_id, g.bucket, d.close, COALESCE(d.volume, 0.0) AS volume,
+      |    COUNT(d.close) OVER (PARTITION BY g.user_id ORDER BY g.bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.bucket = d.bucket)
+      |SELECT user_id, bucket,
+      |  MAX(close) OVER (PARTITION BY user_id, grp) AS close,
+      |  volume
+      |FROM joined
+      |ORDER BY user_id, bucket""".stripMargin
+
+  val resampleWithGapsSql: String = resampleWithGapsSqlBody
+
   val defs: Map[String, Q] = Map(
     "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
     "q11_dedup_keep_last" -> (dedupKeepLastQ(_, _)),
     "q12_asof_join" -> (asofClickPurchase(_, _)),
     "q13_ffill_running" -> (ffillRunning(_, _)),
     "q14_business_hours_daily" -> (businessHoursDaily(_, _)),
-    "q15_closest_to_mean" -> (closestToMean(_, _)))
+    "q15_closest_to_mean" -> (closestToMean(_, _)),
+    "q47_resample_with_gaps" -> (resampleWithGapsQ(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
@@ -215,5 +262,6 @@ object TimeSeriesQueries {
     "q12_asof_join" -> asofClickPurchaseSql,
     "q13_ffill_running" -> ffillRunningSql,
     "q14_business_hours_daily" -> businessHoursDailySql,
-    "q15_closest_to_mean" -> closestToMeanSql)
+    "q15_closest_to_mean" -> closestToMeanSql,
+    "q47_resample_with_gaps" -> resampleWithGapsSql)
 }

@@ -79,7 +79,7 @@ class CoreOpsSpec extends AnyFunSuite {
       ("X", ts("2024-01-01 11:10:00"), 4L, 5.0)
     ).toDF("key", "t", "seq", "v")
     val out = resampleOhlc(df, "t", "1 hour", Seq("key"),
-      Map("v" -> AggFirst), "seq")
+      Seq(("v", "v", AggFirst)), "seq")
       .orderBy("bucket").collect()
     assert(out.length == 2)
     assert(out(0).getAs[Double]("v") == 10.0)

@@ -42,10 +42,10 @@ class ResamplePropertiesSpec extends AnyFunSuite {
         .map { case ((k, t, v), i) => (k, t, v, i.toLong) }
         .toDF("key", "ts", "value", "seq")
       val r = resampleOhlc(df, "ts", "1 hour", Seq("key"),
-        Map("value" -> AggFirst), "seq")
+        Seq(("value", "value", AggFirst)), "seq")
         .withColumnRenamed("value", "open")
       val checks = resampleOhlc(df, "ts", "1 hour", Seq("key"),
-        Map("value" -> AggLast), "seq").withColumnRenamed("value", "close")
+        Seq(("value", "value", AggLast)), "seq").withColumnRenamed("value", "close")
         .join(r, Seq("bucket", "key"))
         .join(df.groupBy(window($"ts", "1 hour")("start").as("bucket"), $"key")
           .agg(max($"value").as("high"), min($"value").as("low")),
