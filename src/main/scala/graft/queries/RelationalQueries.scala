@@ -250,6 +250,32 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Semi-join (EXISTS) — customers WITH at least one high-value
+    * recent order, plus an intersect-style set op on their segments
+    * (J5/O5 complement to q04's anti-join).
+    */
+  def customersWithBigOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = Tables.load(s, dir, "customer")
+    val big = Tables.load(s, dir, "orders")
+      .filter($"o_totalprice" > 300000.0)
+      .select($"o_custkey")
+    customer.join(big, customer("c_custkey") === big("o_custkey"), "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("total_balance"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val customersWithBigOrdersSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE) AS total_balance
+      |FROM customer
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q01_pricing_summary" -> (pricingSummary(_, _)),
     "q02_order_fulfillment" -> (orderFulfillment(_, _)),
@@ -258,7 +284,8 @@ object RelationalQueries {
     "q05_top_revenue_orders" -> (topRevenueOrders(_, _)),
     "q06_insert_ignore_upsert" -> (insertIgnoreUpsert(_, _)),
     "q07_batch_update" -> (batchUpdateQ(_, _)),
-    "q08_filtered_delete" -> (filteredDeleteQ(_, _)))
+    "q08_filtered_delete" -> (filteredDeleteQ(_, _)),
+    "q09_semi_join_exists" -> (customersWithBigOrders(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> pricingSummarySql,
@@ -268,5 +295,6 @@ object RelationalQueries {
     "q05_top_revenue_orders" -> topRevenueOrdersSql,
     "q06_insert_ignore_upsert" -> insertIgnoreUpsertSql,
     "q07_batch_update" -> batchUpdateSql,
-    "q08_filtered_delete" -> filteredDeleteSql)
+    "q08_filtered_delete" -> filteredDeleteSql,
+    "q09_semi_join_exists" -> customersWithBigOrdersSql)
 }

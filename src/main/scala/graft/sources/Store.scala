@@ -39,6 +39,19 @@ object Store {
   def filteredDelete(target: DataFrame, condition: Column): DataFrame =
     target.filter(!coalesce(condition, lit(false)))
 
+  /** Physical layout for bar/event tables at scale (SURVEY §4):
+    * parquet partitioned by (key, date), rows sorted by timestamp
+    * within files. Readers filtering on (key, date) prune whole
+    * directories before any I/O; the within-file sort gives min/max
+    * row-group statistics on the timestamp for fine-grained skipping.
+    */
+  def writePartitionedBars(df: DataFrame, path: String, keyCol: String,
+      tsCol: String): Unit =
+    df.withColumn("date", to_date(col(tsCol)))
+      .repartition(col(keyCol), col("date"))
+      .sortWithinPartitions(col(keyCol), col(tsCol))
+      .write.partitionBy(keyCol, "date").mode("overwrite").parquet(path)
+
   /** K6 — whole-table dedup rewrite (SQLHelpers.py:370-405). */
   def dedupRewrite(df: DataFrame): DataFrame = df.dropDuplicates()
 

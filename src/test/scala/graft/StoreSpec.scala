@@ -80,4 +80,23 @@ class StoreSpec extends AnyFunSuite {
     val reg3 = new EnvCatalog(reg2).softDelete("y_dev")
     assert(new EnvCatalog(reg3).resolve("y", "dev").isEmpty)
   }
+
+  test("writePartitionedBars lays out (key, date) directories and prunes") {
+    import java.sql.Timestamp
+    val bars = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-02 10:00:00"), 2.0),
+      (2L, Timestamp.valueOf("2024-01-01 11:00:00"), 3.0)
+    ).toDF("root", "ts", "px")
+    val dir = java.nio.file.Files.createTempDirectory("bars").toString
+    Store.writePartitionedBars(bars, dir, "root", "ts")
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("root="))
+    assert(dirs.toSet == Set("root=1", "root=2"))
+    // partition pruning: only the matching directory is scanned
+    val pruned = spark.read.parquet(dir)
+      .filter($"root" === 1L && $"date" === "2024-01-01")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 1)
+    assert(scan.contains("PartitionFilters"), scan)
+  }
 }

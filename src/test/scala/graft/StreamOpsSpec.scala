@@ -86,4 +86,35 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(snap.map(r => (r.getString(1), r.getDouble(2))).toSeq ==
       Seq(("A", 7.0), ("B", 5.0)))
   }
+
+  test("foreachBatch snapshot refresh upserts latest row per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    var snapshot = Seq.empty[Tick].toDF()
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val latest = StreamOps.latestSnapshot(batch, "ts", Seq("contract"), Seq("seq"))
+        snapshot =
+          if (snapshot.isEmpty) latest
+          else StreamOps.latestSnapshot(
+            snapshot.unionByName(latest), "ts", Seq("contract"), Seq("seq"))
+        snapshot = snapshot.localCheckpoint() // pin the micro-batch result
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ckpt3").toString)
+      .start()
+    try {
+      input.addData(
+        Tick(ts("2024-01-01 10:00:00"), "A", 1.0, 1),
+        Tick(ts("2024-01-01 10:05:00"), "B", 2.0, 2))
+      q.processAllAvailable()
+      input.addData(
+        Tick(ts("2024-01-01 10:10:00"), "A", 9.0, 3), // newer A
+        Tick(ts("2024-01-01 09:00:00"), "B", 0.0, 4)) // older B: ignored
+      q.processAllAvailable()
+      val rows = snapshot.orderBy("contract").collect()
+        .map(r => (r.getAs[String]("contract"), r.getAs[Double]("value")))
+      assert(rows.toSeq == Seq(("A", 9.0), ("B", 2.0)))
+    } finally q.stop()
+  }
 }
