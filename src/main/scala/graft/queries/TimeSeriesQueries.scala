@@ -247,6 +247,39 @@ object TimeSeriesQueries {
 
   val resampleWithGapsSql: String = resampleWithGapsSqlBody
 
+  /** T3/T4 — the STREAMING transform run in batch mode: watermark
+    * dedup (degrades to exact dedup on bounded data) then the
+    * windowed aggregate from [[graft.streaming.StreamOps]]. One code
+    * path for live and backfill, oracle-checked here.
+    */
+  def streamingWindowedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"ts", $"user_id", $"event_type", $"value")
+    val deduped = graft.streaming.StreamOps.dedupWithWatermark(
+      ev, "ts", "10 minutes", Seq("user_id", "event_type"))
+    graft.streaming.StreamOps.windowedAgg(
+        deduped, "ts", "10 minutes", "15 minutes", Seq("event_type"))
+      .select($"bucket", $"event_type", $"n_events", $"high", $"low", $"volume")
+      .orderBy($"bucket", $"event_type")
+  }
+
+  val streamingWindowedAggSql: String =
+    """WITH deduped AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, event_type, ts
+      |                                 ORDER BY event_id) AS rn
+      |    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events) e) t
+      |  WHERE rn = 1)
+      |SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket, event_type,
+      |  COUNT(*) AS n_events,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS volume
+      |FROM deduped
+      |GROUP BY 1, 2
+      |ORDER BY bucket, event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
     "q11_dedup_keep_last" -> (dedupKeepLastQ(_, _)),
@@ -254,7 +287,8 @@ object TimeSeriesQueries {
     "q13_ffill_running" -> (ffillRunning(_, _)),
     "q14_business_hours_daily" -> (businessHoursDaily(_, _)),
     "q15_closest_to_mean" -> (closestToMean(_, _)),
-    "q47_resample_with_gaps" -> (resampleWithGapsQ(_, _)))
+    "q47_resample_with_gaps" -> (resampleWithGapsQ(_, _)),
+    "q48_streaming_windowed_agg" -> (streamingWindowedAgg(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
@@ -263,5 +297,6 @@ object TimeSeriesQueries {
     "q13_ffill_running" -> ffillRunningSql,
     "q14_business_hours_daily" -> businessHoursDailySql,
     "q15_closest_to_mean" -> closestToMeanSql,
-    "q47_resample_with_gaps" -> resampleWithGapsSql)
+    "q47_resample_with_gaps" -> resampleWithGapsSql,
+    "q48_streaming_windowed_agg" -> streamingWindowedAggSql)
 }
