@@ -46,6 +46,21 @@ object RiskKernels {
 
   private val riskUdf = udf(riskOf _)
 
+  /** U4 — missing-vol rescue (Organizers.py:172-185): rows whose
+    * primary-price IV solved to 0 are re-solved with a fallback price
+    * column (the reference retries with the midpoint). Declarative
+    * `when` over a second kernel call on the SAME row — no second
+    * pass over the data, no union.
+    */
+  def rescueMissingVol(df: DataFrame, ivCol: String,
+      fallbackPriceCol: String): DataFrame = {
+    val rescued = riskUdf(col("right"), col(fallbackPriceCol),
+      col("underlier_price"), col("strike"), col("year_frac"),
+      col("rf_rate"), col("div_yield"))
+    df.withColumn(ivCol,
+      when(col(ivCol) === 0.0, rescued("bs_iv")).otherwise(col(ivCol)))
+  }
+
   /** Enrich `df` with IV/greeks columns for each (prefix → price
     * column) basis, like Organizers' close/midpoint/weighted-midpoint/
     * bid/ask passes (Organizers.py:162-271).
