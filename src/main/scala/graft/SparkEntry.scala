@@ -24,7 +24,8 @@ object SparkEntry {
       (SimilarityQueries.defs, SimilarityQueries.oracles),
       (FinanceQueries.defs, FinanceQueries.oracles),
       (CalendarQueries.defs, CalendarQueries.oracles),
-      (PipelineQueries.defs, PipelineQueries.oracles))
+      (PipelineQueries.defs, PipelineQueries.oracles),
+      (SessionQueries.defs, SessionQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.CoreOps._
+
+/** Event-pipeline additions beyond reference parity: gap-based
+  * sessionization (the batch form of session windows), native-
+  * expression fingerprint dedup, and cardinality sketching.
+  */
+object SessionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sessionization: a new session starts after a >30-minute gap per
+    * user. Classic lag → gap flag → running sum → session aggregate;
+    * two window passes over the SAME (user_id, ts) partitioning — one
+    * shuffle, then a per-session aggregation.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = ev
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          (unix_micros($"ts") - unix_micros($"prev_ts")) > 30L * 60 * 1000000,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum($"new_session").over(run))
+    flagged.groupBy($"user_id", $"session_id")
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsum($"value").as("session_value"),
+        countDistinct($"event_type").as("n_event_types"))
+      .withColumn("duration_sec",
+        (unix_micros($"session_end") - unix_micros($"session_start"))
+          .cast("double") / 1e6)
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT *,
+      |    CASE WHEN prev_ts IS NULL
+      |           OR epoch_us(ts) - epoch_us(prev_ts) > 30 * 60 * 1000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |    SELECT user_id, ts, event_id, event_type, value,
+      |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events) e) t),
+      |sessions AS (
+      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id,
+      |  MIN(ts) AS session_start,
+      |  MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS session_value,
+      |  COUNT(DISTINCT event_type) AS n_event_types,
+      |  CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1e6 AS duration_sec
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** Document fingerprint dedup through the native codegen
+    * [[graft.plans.RollingHash64]] expression (rows-only: the
+    * polynomial kernel has no DuckDB mirror; NativeExpressionsSpec
+    * locks the values).
+    */
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    docs.select($"doc_id",
+        graft.plans.NativeFunctions.rollingHash64($"text").as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n"))
+      .orderBy($"canonical_id")
+  }
+
+  /** Cardinality sketching (HLL) beside exact distinct — the approx
+    * path an engine needs at 100 TB where countDistinct's shuffle is
+    * the bottleneck. Rows-only: sketch estimates are engine-specific
+    * by construction; the exact column anchors it.
+    */
+  def approxCardinality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    li.groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("exact_orders"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        count(lit(1)).as("n"))
+      .withColumn("rel_err",
+        abs($"approx_orders" - $"exact_orders").cast("double") /
+          $"exact_orders".cast("double"))
+      .orderBy($"l_returnflag")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q49_sessionize" -> (sessionize(_, _)),
+    "q50_rolling_fingerprint" -> (rollingFingerprint(_, _)),
+    "q51_approx_cardinality" -> (approxCardinality(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q49_sessionize" -> sessionizeSql)
+}
