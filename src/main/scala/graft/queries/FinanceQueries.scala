@@ -268,16 +268,99 @@ object FinanceQueries {
       |GROUP BY datetime, root
       |ORDER BY datetime""".stripMargin
 
+  /** The reference's flagship call — `retrieve_eod_ohlc` (§3.1) —
+    * through the public API: daily quote bars (complete timeline) ⟕
+    * trade bars, OHLC bootstrapped from the quote close where no
+    * trades exist (F9/R4), volume fillna(0), EOD 16:00 stamping.
+    */
+  def apiRetrieveEod(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val api = new graft.api.FinanceApi(
+      graft.api.SyntheticMarket.quotes(s, dir),
+      graft.api.SyntheticMarket.ohlc(s, dir),
+      graft.api.SyntheticMarket.oi(s, dir))
+    api.retrieveEodOhlc(5L, "2024-01-02", "2024-01-28")
+      .orderBy($"datetime")
+  }
+
+  val apiRetrieveEodSql: String =
+    """WITH raw AS (
+      |  SELECT user_id % 10 AS root, ts, event_id AS seq, event_type,
+      |    value AS bid,
+      |    value + 0.10 + CAST(event_id % 7 AS DOUBLE) * 0.01 AS ask,
+      |    1 + event_id % 5 AS bid_size,
+      |    1 + event_id % 3 AS ask_size,
+      |    value
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events) e),
+      |q0 AS (
+      |  SELECT *, (bid + ask) / 2.0 AS mid,
+      |    CASE WHEN bid_size + ask_size = 0 THEN (bid + ask) / 2.0
+      |         ELSE (bid * bid_size + ask * ask_size) / (bid_size + ask_size) END AS wmid,
+      |    date_trunc('day', ts) + INTERVAL 16 HOUR AS datetime
+      |  FROM raw
+      |  WHERE root = 5 AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-28'
+      |    AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 570 AND 960),
+      |qr AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY datetime ORDER BY ts, seq) AS rna,
+      |    row_number() OVER (PARTITION BY datetime ORDER BY ts DESC, seq DESC) AS rnd
+      |  FROM q0),
+      |q AS (
+      |  SELECT datetime, root,
+      |    MAX(CASE WHEN rnd = 1 THEN mid END) AS q_close,
+      |    MAX(CASE WHEN rnd = 1 THEN bid END) AS close_bid,
+      |    MAX(CASE WHEN rnd = 1 THEN ask END) AS close_ask,
+      |    MAX(CASE WHEN rnd = 1 THEN bid_size END) AS bid_size,
+      |    MAX(CASE WHEN rnd = 1 THEN ask_size END) AS ask_size,
+      |    MAX(CASE WHEN rnd = 1 THEN wmid END) AS weighted_midpoint
+      |  FROM qr GROUP BY datetime, root),
+      |t0 AS (
+      |  SELECT root, ts, seq,
+      |    value AS t_open, value * 1.02 AS t_high, value * 0.98 AS t_low,
+      |    value * 1.01 AS t_close,
+      |    CAST(seq % 100 AS DOUBLE) AS t_vol,
+      |    date_trunc('day', ts) + INTERVAL 16 HOUR AS datetime
+      |  FROM raw
+      |  WHERE event_type = 'purchase' AND root = 5
+      |    AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-28'
+      |    AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 570 AND 960),
+      |tr AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY datetime ORDER BY ts, seq) AS rna,
+      |    row_number() OVER (PARTITION BY datetime ORDER BY ts DESC, seq DESC) AS rnd
+      |  FROM t0),
+      |t AS (
+      |  SELECT datetime, root,
+      |    MAX(CASE WHEN rna = 1 THEN t_open END) AS t_open,
+      |    MAX(t_high) AS t_high,
+      |    MIN(t_low) AS t_low,
+      |    MAX(CASE WHEN rnd = 1 THEN t_close END) AS t_close,
+      |    CAST(SUM(CAST(t_vol AS DECIMAL(30,4))) AS DOUBLE) AS volume
+      |  FROM tr GROUP BY datetime, root)
+      |SELECT q.datetime, q.root,
+      |  COALESCE(t.t_open, q.q_close) AS open,
+      |  COALESCE(t.t_high, q.q_close) AS high,
+      |  COALESCE(t.t_low, q.q_close) AS low,
+      |  COALESCE(t.t_close, q.q_close) AS close,
+      |  COALESCE(t.volume, 0.0) AS volume,
+      |  q.close_bid, q.close_ask, q.bid_size, q.ask_size,
+      |  (q.close_bid + q.close_ask) / 2.0 AS midpoint,
+      |  q.weighted_midpoint
+      |FROM q LEFT JOIN t ON q.datetime = t.datetime AND q.root = t.root
+      |ORDER BY q.datetime""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q40_occ_roundtrip" -> (occRoundtrip(_, _)),
     "q41_ticker_splice" -> (tickerSplice(_, _)),
     "q42_quote_pipeline" -> (quotePipeline(_, _)),
     "q43_risk_enrichment" -> (riskEnrichment(_, _)),
-    "q46_api_retrieve_quote" -> (apiRetrieveQuote(_, _)))
+    "q46_api_retrieve_quote" -> (apiRetrieveQuote(_, _)),
+    "q52_api_retrieve_eod" -> (apiRetrieveEod(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q40_occ_roundtrip" -> occRoundtripSql,
     "q41_ticker_splice" -> tickerSpliceSql,
     "q42_quote_pipeline" -> quotePipelineSql,
-    "q46_api_retrieve_quote" -> apiRetrieveQuoteSql)
+    "q46_api_retrieve_quote" -> apiRetrieveQuoteSql,
+    "q52_api_retrieve_eod" -> apiRetrieveEodSql)
 }
