@@ -135,15 +135,60 @@ object CalendarQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** A1 anchored-hour buckets — pandas `origin=MARKET_OPEN_TIME`
+    * (utils.py:349-357, 396): hourly windows anchored at 09:30 via
+    * Spark's window startTime, so intraday bars run 09:30-10:30,
+    * 10:30-11:30, … exactly like the reference's resample.
+    */
+  def marketHourBars(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .filter(graft.operators.CoreOps.businessHours($"ts"))
+    val ord = struct($"ts", $"event_id")
+    ev.groupBy(
+        window($"ts", "1 hour", "1 hour", "30 minutes")("start").as("bar_start"),
+        $"event_type")
+      .agg(
+        min_by($"value", ord).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", ord).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy($"bar_start", $"event_type")
+  }
+
+  val marketHourBarsSql: String =
+    """WITH f AS (
+      |  SELECT event_type, ts, event_id, value,
+      |    time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS bar_start
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events) e
+      |  WHERE (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 570 AND 960),
+      |ranked AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, bar_start ORDER BY ts, event_id) AS rna,
+      |    row_number() OVER (PARTITION BY event_type, bar_start ORDER BY ts DESC, event_id DESC) AS rnd
+      |  FROM f)
+      |SELECT bar_start, event_type,
+      |  MAX(CASE WHEN rna = 1 THEN value END) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+      |  COUNT(*) AS n
+      |FROM ranked
+      |GROUP BY bar_start, event_type
+      |ORDER BY bar_start, event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q16_anchored_buckets" -> (anchoredBuckets(_, _)),
     "q17_bus_day_coverage" -> (busDayCoverage(_, _)),
     "q18_time_conversions" -> (timeConversions(_, _)),
-    "q19_json_extract" -> (jsonExtract(_, _)))
+    "q19_json_extract" -> (jsonExtract(_, _)),
+    "q53_market_hour_bars" -> (marketHourBars(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q16_anchored_buckets" -> anchoredBucketsSql,
     "q17_bus_day_coverage" -> busDayCoverageSql,
     "q18_time_conversions" -> timeConversionsSql,
-    "q19_json_extract" -> jsonExtractSql)
+    "q19_json_extract" -> jsonExtractSql,
+    "q53_market_hour_bars" -> marketHourBarsSql)
 }
