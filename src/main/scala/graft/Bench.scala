@@ -36,11 +36,18 @@ object Bench {
     queries.foreach { case (_, fn) => runOnce(fn) }
     spark.catalog.clearCache()
 
-    // timed
-    val results = queries.map { case (name, fn) =>
+    // two timed passes, keep the per-query minimum: robust against
+    // transient co-tenant load and GC pauses
+    def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       val sec = runOnce(fn)
       spark.catalog.clearCache()
       name -> sec
+    }.toMap
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = queries.map { case (name, _) =>
+      val (a, b) = (p1(name), p2(name))
+      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // NOTE: default INT96 parquet timestamps are intentional — they
+      // read back as tz-naive values matching the DuckDB oracle's
+      // naive timestamps; TIMESTAMP_MICROS would add a UTC tz
+      // annotation and break value comparison.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -169,7 +169,7 @@ object FinanceQueries {
       |  MAX(mid) AS high,
       |  MIN(mid) AS low,
       |  MAX(CASE WHEN rnd = 1 THEN mid END) AS close,
-      |  SUM(bid_size + ask_size) AS volume,
+      |  CAST(SUM(bid_size + ask_size) AS BIGINT) AS volume,
       |  MAX(CASE WHEN rnd = 1 THEN bid END) AS close_bid,
       |  MAX(CASE WHEN rnd = 1 THEN ask END) AS close_ask,
       |  MAX(CASE WHEN rnd = 1 THEN wmid END) AS weighted_midpoint

@@ -56,8 +56,8 @@ object SessionQueries {
       |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events) e) t),
       |sessions AS (
-      |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id,
       |  MIN(ts) AS session_start,

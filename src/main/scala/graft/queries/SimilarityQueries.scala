@@ -41,7 +41,7 @@ object SimilarityQueries {
       .select($"qid", $"vec_id".as("cid"), $"label",
         cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 10)
       .orderBy($"qid", $"rank")
   }
@@ -81,7 +81,7 @@ object SimilarityQueries {
       .select($"qid", $"vec_id".as("cid"), $"bucket",
         cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
       .orderBy($"qid", $"rank")
   }
@@ -121,6 +121,7 @@ object SimilarityQueries {
     import s.implicits._
     val emb = Tables.loadSpread(s, dir, "embeddings")
       .select($"label", posexplode(quantize($"embedding")).as(Seq("pos", "qv")))
+      .withColumn("pos", col("pos").cast("long"))
     emb.groupBy($"label", $"pos")
       .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("centroid"),
         count(lit(1)).as("n_vectors"))
@@ -172,7 +173,7 @@ object SimilarityQueries {
       .select($"qid", $"vec_id".as("cid"), $"cluster",
         cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
     val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
       .orderBy($"qid", $"rank")
   }

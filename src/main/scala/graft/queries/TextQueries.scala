@@ -31,8 +31,8 @@ object TextQueries {
     val w = words($"text")
     docs.select(
         $"doc_id", $"lang", $"source", $"n_chars",
-        size(w).as("n_tokens"),
-        size(array_distinct(w)).as("n_distinct_tokens"),
+        size(w).cast("long").as("n_tokens"),
+        size(array_distinct(w)).cast("long").as("n_distinct_tokens"),
         expr("(n_chars + 3) div 4").as("est_bpe_tokens"),
         (($"n_chars" - (size(w) - 1)).cast("double") /
           size(w).cast("double")).as("avg_token_len"))
@@ -100,7 +100,8 @@ object TextQueries {
     val es = markerCount(w, Seq("el", "los", "y", "que"))
     val de = markerCount(w, Seq("der", "die", "und", "ist"))
     docs.select($"doc_id", $"lang".as("labeled_lang"),
-        en.as("en_hits"), fr.as("fr_hits"), es.as("es_hits"), de.as("de_hits"))
+        en.cast("long").as("en_hits"), fr.cast("long").as("fr_hits"),
+        es.cast("long").as("es_hits"), de.cast("long").as("de_hits"))
       .withColumn("predicted_lang",
         when($"en_hits" >= $"fr_hits" && $"en_hits" >= $"es_hits" &&
           $"en_hits" >= $"de_hits" && $"en_hits" > 0, lit("en"))

@@ -52,6 +52,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns differ spark={gcols} oracle={ecols}")
             n_fail += 1
             continue
+        # dtype drift report (warning only; value compare is authoritative)
+        for c in gcols:
+            gt = got.schema.field(c).type
+            et = exp.schema.field(c).type
+            if str(gt) != str(et):
+                print(f"  WARN {name}.{c}: spark={gt} duckdb={et}")
         if got.num_rows != exp.num_rows:
             print(f"FAIL {name}: rows spark={got.num_rows} oracle={exp.num_rows}")
             n_fail += 1
