@@ -60,3 +60,72 @@ object StreamOps {
       tieBreak: Seq[String]): DataFrame =
     graft.operators.CoreOps.dedupKeepLast(df, keys, (tsCol +: tieBreak))
 }
+
+/** Custom stateful streaming: gap-based sessionization with
+  * `flatMapGroupsWithState` — per-key mutable state + event-time
+  * timeout, the extension point for stream semantics no built-in
+  * window covers (beyond reference parity; the reference has no
+  * streaming state at all, SURVEY §2.10).
+  *
+  * State per key is ONE open session (constant size); sessions emit
+  * when a gap closes them or the event-time watermark times the key
+  * out — so state is bounded and the operator runs at any key
+  * cardinality.
+  */
+object StatefulSessions {
+
+  import org.apache.spark.sql.Dataset
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  final case class Event(userId: Long, ts: java.sql.Timestamp, value: Double)
+
+  final case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+  final case class Session(userId: Long, sessionStart: java.sql.Timestamp,
+      sessionEnd: java.sql.Timestamp, nEvents: Long, totalValue: Double)
+
+  val gapMicros: Long = 30L * 60 * 1000000
+
+  private def toSession(userId: Long, s: OpenSession): Session =
+    Session(userId, new java.sql.Timestamp(s.start / 1000),
+      new java.sql.Timestamp(s.end / 1000), s.n, s.sum)
+
+  def processGroup(userId: Long, events: Iterator[Event],
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(toSession(userId, _))
+      state.remove()
+      return out.iterator
+    }
+    // micro-batch arrivals processed in event order
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.value))
+    var open = state.getOption
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = e.ts.getTime * 1000
+      open match {
+        case Some(s) if t - s.end <= gapMicros =>
+          open = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+        case Some(s) =>
+          closed += toSession(userId, s)
+          open = Some(OpenSession(t, t, 1, e.value))
+        case None =>
+          open = Some(OpenSession(t, t, 1, e.value))
+      }
+    }
+    open.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.end / 1000 + 30 * 60 * 1000)
+    }
+    closed.result().iterator
+  }
+
+  /** Wire the stateful operator over a (possibly unbound) event set. */
+  def sessionize(ds: Dataset[Event]): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("ts", "1 hour")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(processGroup)
+  }
+}

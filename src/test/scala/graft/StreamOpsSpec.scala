@@ -117,4 +117,37 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(rows.toSeq == Seq(("A", 9.0), ("B", 2.0)))
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState sessionizer closes sessions on gap and timeout") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.{Event, Session}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = StatefulSessions.sessionize(input.toDS())
+    val q = out.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt4").toString)
+      .start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Event(1L, ts("2024-01-01 10:10:00"), 2.0), // same session
+        Event(1L, ts("2024-01-01 11:30:00"), 3.0), // gap > 30m: closes first
+        Event(2L, ts("2024-01-01 10:00:00"), 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to time out all open sessions
+      input.addData(Event(3L, ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(3L, ts("2024-01-01 20:00:00"), 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out").as[Session]
+        .collect().sortBy(s => (s.userId, s.sessionStart.getTime))
+      val u1 = sessions.filter(_.userId == 1L)
+      assert(u1.length == 2)
+      assert(u1(0).nEvents == 2 && u1(0).totalValue == 3.0)
+      assert(u1(1).nEvents == 1 && u1(1).totalValue == 3.0)
+      assert(sessions.count(_.userId == 2L) == 1)
+    } finally q.stop()
+  }
 }
