@@ -25,7 +25,8 @@ object SparkEntry {
       (FinanceQueries.defs, FinanceQueries.oracles),
       (CalendarQueries.defs, CalendarQueries.oracles),
       (PipelineQueries.defs, PipelineQueries.oracles),
-      (SessionQueries.defs, SessionQueries.oracles))
+      (SessionQueries.defs, SessionQueries.oracles),
+      (AnalyticsQueries.defs, AnalyticsQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)

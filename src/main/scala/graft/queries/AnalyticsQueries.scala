@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.CoreOps._
+
+/** Additional analytic shapes: decorrelated scalar subqueries,
+  * discrete medians, and rolling-window statistics — standard
+  * warehouse analytics the engine supports beyond the reference's
+  * own surface.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Correlated scalar subquery, decorrelated: suppliers whose
+    * balance exceeds their nation's average. Expressed as the
+    * aggregate-then-join plan Catalyst would decorrelate to — one
+    * shuffle for the per-nation aggregate (tiny), broadcast back.
+    */
+  def aboveAvgSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.load(s, dir, "supplier")
+    val nationAvg = sup.groupBy($"s_nationkey")
+      .agg(davg($"s_acctbal").as("nation_avg"))
+    sup.join(broadcast(nationAvg), "s_nationkey")
+      .filter($"s_acctbal" > $"nation_avg")
+      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal", $"nation_avg")
+      .orderBy($"s_suppkey")
+  }
+
+  val aboveAvgSuppliersSql: String =
+    """WITH na AS (
+      |  SELECT s_nationkey,
+      |    CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+      |      / CAST(COUNT(s_acctbal) AS DOUBLE) AS nation_avg
+      |  FROM supplier GROUP BY s_nationkey)
+      |SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal, na.nation_avg
+      |FROM supplier s JOIN na ON s.s_nationkey = na.s_nationkey
+      |WHERE s.s_acctbal > na.nation_avg
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  /** Discrete median (lower-median element pick — no interpolation,
+    * so the value is a datum and bit-identical on any engine) plus
+    * min/max per group. Element chosen by explicit total order.
+    */
+  def discreteMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+    val ranked = li
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
+    ranked.filter($"rn" === (($"n" + 1) / 2).cast("int"))
+      .select($"l_returnflag", $"l_quantity".as("median_qty"), $"n".as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val discreteMedianSql: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_quantity AS median_qty, n AS n_rows
+      |FROM ranked WHERE rn = CAST((n + 1) / 2 AS INTEGER)
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Rolling-window statistics: 5-row trailing moving average and
+    * moving max of event values per user — the bar-smoothing
+    * operation every market pipeline needs; decimal-sum
+    * deterministic.
+    */
+  def movingAverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events").filter($"event_id" < 2000)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-4, Window.currentRow)
+    ev.select(
+        $"event_id", $"user_id", $"ts", $"value",
+        (sum($"value".cast("decimal(30,6)")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("ma5"),
+        max($"value").over(w).as("max5"),
+        count(lit(1)).over(w).as("n_window"))
+      .orderBy($"event_id")
+  }
+
+  val movingAverageSql: String =
+    """SELECT event_id, user_id, ts, value,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+      |    / CAST(COUNT(*) OVER w AS DOUBLE) AS ma5,
+      |  MAX(value) OVER w AS max5,
+      |  COUNT(*) OVER w AS n_window
+      |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events) e
+      |WHERE event_id < 2000
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q54_above_avg_suppliers" -> (aboveAvgSuppliers(_, _)),
+    "q55_discrete_median" -> (discreteMedian(_, _)),
+    "q56_moving_average" -> (movingAverage(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q54_above_avg_suppliers" -> aboveAvgSuppliersSql,
+    "q55_discrete_median" -> discreteMedianSql,
+    "q56_moving_average" -> movingAverageSql)
+}
