@@ -102,13 +102,38 @@ object AnalyticsQueries {
       |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Set intersection (O5): customers active in BOTH the first and
+    * last order years — two semi-joins, the engine's INTERSECT path.
+    */
+  def commonCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.load(s, dir, "orders")
+    val early = orders.filter(year($"o_orderdate") === 1995).select($"o_custkey")
+    val late = orders.filter(year($"o_orderdate") === 2001).select($"o_custkey")
+    val customer = Tables.load(s, dir, "customer")
+    customer
+      .join(early, customer("c_custkey") === early("o_custkey"), "left_semi")
+      .join(late, customer("c_custkey") === late("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val commonCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995)
+      |  AND c_custkey IN (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 2001)
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q54_above_avg_suppliers" -> (aboveAvgSuppliers(_, _)),
     "q55_discrete_median" -> (discreteMedian(_, _)),
-    "q56_moving_average" -> (movingAverage(_, _)))
+    "q56_moving_average" -> (movingAverage(_, _)),
+    "q57_common_customers" -> (commonCustomers(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q54_above_avg_suppliers" -> aboveAvgSuppliersSql,
     "q55_discrete_median" -> discreteMedianSql,
-    "q56_moving_average" -> movingAverageSql)
+    "q56_moving_average" -> movingAverageSql,
+    "q57_common_customers" -> commonCustomersSql)
 }
