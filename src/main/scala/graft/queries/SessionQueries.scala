@@ -93,11 +93,19 @@ object SessionQueries {
   def approxCardinality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.load(s, dir, "lineitem")
-    li.groupBy($"l_returnflag")
+    // Two-phase distinct: pre-aggregate to (flag, orderkey) so the
+    // exact distinct is a plain count over already-unique keys — no
+    // Expand row-duplication (Spark's mixed distinct/non-distinct agg
+    // plan), and the second shuffle moves only distinct keys. HLL over
+    // the distinct set estimates identically to the multiset (hash
+    // dedup is inherent to the sketch).
+    li.groupBy($"l_returnflag", $"l_orderkey")
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy($"l_returnflag")
       .agg(
-        countDistinct($"l_orderkey").as("exact_orders"),
+        count(lit(1)).as("exact_orders"),
         approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
-        count(lit(1)).as("n"))
+        sum($"__cnt").as("n"))
       .withColumn("rel_err",
         abs($"approx_orders" - $"exact_orders").cast("double") /
           $"exact_orders".cast("double"))

@@ -221,24 +221,36 @@ object TextQueries {
        |ORDER BY i, j""".stripMargin
   }
 
-  /** N-gram Jaccard all-pairs near-dup within each source partition —
-    * the exact (non-approximate) dedup baseline the MinHash path is
-    * checked against. Partition-scoped so the quadratic term is per
-    * group, the way an all-pairs verify would be sharded at scale.
+  /** N-gram Jaccard near-dup pairs via an INVERTED-INDEX join — the
+    * exact (non-approximate) dedup baseline the MinHash path is checked
+    * against.
+    *
+    * Instead of the O(n²)-per-source all-pairs join with a per-pair
+    * `array_intersect`, explode each doc's distinct shingles into a
+    * posting list and equi-join postings on (source, shingle): pairs
+    * sharing no shingle (jaccard = 0) never materialize, and
+    * |A∩B| falls out of a count per (i,j). |A∪B| = |A|+|B|-|A∩B|.
+    * At 100 TB this is the standard exact-verify plan: shuffle is on
+    * the shingle key (near-uniform for 3-grams), candidate volume is
+    * Σ df(shingle)² ≪ n², and a hot-shingle cap would bolt on as a
+    * df filter — the same skew story as any inverted index.
     */
   def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.loadSpread(s, dir, "documents")
       .select($"doc_id", $"source", shingles(words($"text")).as("sh"))
       .persist()
-    val a = docs.select($"source", $"doc_id".as("i"), $"sh".as("sh_i"))
-    val b = docs.select($"source", $"doc_id".as("j"), $"sh".as("sh_j"))
-    // |A∪B| = |A|+|B|-|A∩B| for distinct arrays: one intersect per
-    // pair instead of intersect+union — halves the dominant cost.
-    a.join(broadcast(b), "source").filter($"i" < $"j")
-      .withColumn("inter", size(array_intersect($"sh_i", $"sh_j")).cast("double"))
-      .withColumn("jaccard",
-        $"inter" / (size($"sh_i") + size($"sh_j") - $"inter"))
+    val sizes = docs.select($"source", $"doc_id", size($"sh").as("n"))
+    val posting = docs.select($"source", $"doc_id", explode($"sh").as("shingle"))
+    val co = posting.select($"source", $"shingle", $"doc_id".as("i"))
+      .join(posting.select($"source", $"shingle", $"doc_id".as("j")),
+        Seq("source", "shingle"))
+      .filter($"i" < $"j")
+      .groupBy($"source", $"i", $"j")
+      .agg(count(lit(1)).cast("double").as("inter"))
+    co.join(sizes.select($"source", $"doc_id".as("i"), $"n".as("ni")), Seq("source", "i"))
+      .join(sizes.select($"source", $"doc_id".as("j"), $"n".as("nj")), Seq("source", "j"))
+      .withColumn("jaccard", $"inter" / ($"ni" + $"nj" - $"inter"))
       .filter($"jaccard" >= 0.3)
       .select($"source", $"i", $"j", $"jaccard")
       .orderBy($"i", $"j")
