@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.CoreOps._
+
+/** OLAP breadth beyond the reference's own operator set (SURVEY §2.4
+  * notes these as "absent" in the reference — an engine replacing it
+  * still needs them): rollup subtotals, per-group top-k windows,
+  * INTERSECT/EXCEPT set ops, trailing range frames, sliding windows,
+  * pivot, and discrete multi-quantiles. Every query is
+  * DuckDB-oracle-checked.
+  */
+object OlapQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** ROLLUP subtotal hierarchy over the region→nation revenue cube.
+    * One Expand + one hash aggregation in Spark; group keys carry a
+    * grouping level so subtotal rows sort deterministically. Dims are
+    * null-free, so coalesce('ALL') is unambiguous.
+    */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = Tables.load(s, dir, "customer")
+    val nation = Tables.load(s, dir, "nation")
+    val region = Tables.load(s, dir, "region")
+    val orders = Tables.load(s, dir, "orders")
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("total_revenue"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("r_name"),
+        coalesce($"n_name", lit("ALL")).as("n_name"),
+        $"gid", $"n_orders", $"total_revenue")
+      .orderBy($"gid", $"r_name", $"n_name")
+  }
+
+  val rollupRevenueSql: String =
+    """SELECT
+      |  COALESCE(r_name, 'ALL') AS r_name,
+      |  COALESCE(n_name, 'ALL') AS n_name,
+      |  CASE WHEN r_name IS NULL THEN 3 WHEN n_name IS NULL THEN 1 ELSE 0 END AS gid,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY gid, r_name, n_name""".stripMargin
+
+  /** Top-3 orders per market segment — the rank/top-k-per-group window
+    * the reference lacks. One shuffle on the segment key; row_number
+    * with an explicit (price desc, key) total order so ties are
+    * deterministic on any partitioning.
+    */
+  def topPerSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customer = Tables.load(s, dir, "customer")
+    val orders = Tables.load(s, dir, "orders")
+    val joined = orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select($"c_mktsegment", $"o_orderkey", $"o_custkey", $"o_totalprice")
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .orderBy($"c_mktsegment", $"rank")
+  }
+
+  val topPerSegmentSql: String =
+    """SELECT c_mktsegment, o_orderkey, o_custkey, o_totalprice, rank FROM (
+      |  SELECT c.c_mktsegment, o.o_orderkey, o.o_custkey, o.o_totalprice,
+      |    row_number() OVER (PARTITION BY c.c_mktsegment
+      |                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
+      |WHERE rank <= 3
+      |ORDER BY c_mktsegment, rank""".stripMargin
+
+  /** INTERSECT / EXCEPT set ops on the customer-activity sets of two
+    * years (O5 generalized to true distinct set operators). Both ops
+    * plan as hash aggregates + joins on the key — one shuffle each at
+    * scale; the union of the three tagged branches shares the two
+    * year-scans.
+    */
+  def activitySetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.load(s, dir, "orders")
+    def active(year: Int) = orders
+      .filter($"o_orderdate" >= to_timestamp(lit(f"$year-01-01")) &&
+        $"o_orderdate" < to_timestamp(lit(f"${year + 1}-01-01")))
+      .select($"o_custkey")
+    val a = active(1997)
+    val b = active(1998)
+    val both = a.intersect(b).withColumn("op", lit("both"))
+    val onlyA = a.except(b).withColumn("op", lit("only_1997"))
+    val onlyB = b.except(a).withColumn("op", lit("only_1998"))
+    both.unionByName(onlyA).unionByName(onlyB)
+      .groupBy($"op")
+      .agg(count(lit(1)).as("n_customers"),
+        min($"o_custkey").as("min_key"), max($"o_custkey").as("max_key"))
+      .orderBy($"op")
+  }
+
+  val activitySetOpsSql: String =
+    """WITH a AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+      |b AS (SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'),
+      |tagged AS (
+      |  SELECT o_custkey, 'both' AS op FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      |  UNION ALL
+      |  SELECT o_custkey, 'only_1997' AS op FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      |  UNION ALL
+      |  SELECT o_custkey, 'only_1998' AS op FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a))
+      |SELECT op, COUNT(*) AS n_customers, MIN(o_custkey) AS min_key, MAX(o_custkey) AS max_key
+      |FROM tagged GROUP BY op ORDER BY op""".stripMargin
+
+  /** Trailing 1-hour RANGE frame per user — event-time range windows
+    * (the "events in the preceding interval" interval-join expressed
+    * as a frame, which is the single-shuffle plan: no self-join).
+    * Order key is epoch micros so the frame bound is numeric on both
+    * engines; ties (equal ts) are peers and included together.
+    */
+  def trailingHourStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("tsu", unix_micros($"ts"))
+    val w = Window.partitionBy($"user_id").orderBy($"tsu")
+      .rangeBetween(-3600L * 1000000, 0)
+    ev.select($"event_id", $"user_id", $"ts",
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum($"value".cast("decimal(30,4)")).over(w).cast("double").as("value_trailing_1h"))
+      .orderBy($"event_id")
+  }
+
+  val trailingHourStatsSql: String =
+    """SELECT event_id, user_id, ts,
+      |  COUNT(*) OVER w AS n_trailing_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,4))) OVER w AS DOUBLE) AS value_trailing_1h
+      |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value,
+      |        epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events) e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** Sliding (hopping) windows: 1-hour windows every 15 minutes per
+    * event type. Spark's `window(ts, "1 hour", "15 minutes")` assigns
+    * each row to its 4 covering windows (an Expand — rows × 4, then
+    * ONE hash aggregation); the oracle replays the same assignment
+    * with an explicit hop index.
+    */
+  def slidingWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    ev.groupBy($"event_type",
+        window($"ts", "1 hour", "15 minutes")("start").as("window_start"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+      .orderBy($"event_type", $"window_start")
+  }
+
+  val slidingWindowAggSql: String =
+    """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |assigned AS (
+      |  SELECT event_type, value,
+      |    time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS window_start
+      |  FROM e, (SELECT unnest([0,1,2,3]) AS k) k)
+      |SELECT event_type, window_start, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+      |FROM assigned
+      |GROUP BY event_type, window_start
+      |ORDER BY event_type, window_start""".stripMargin
+
+  /** Pivot: yearly revenue spread over return-flag columns. Spark's
+    * `pivot` with an explicit value list compiles to conditional
+    * aggregates — one shuffle, no per-value scans — exactly the
+    * CASE-sum form the oracle states.
+    */
+  def pivotRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    li.withColumn("ship_year", year($"l_shipdate").cast("long"))
+      .groupBy($"ship_year")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(revenueSum($"l_extendedprice", $"l_discount"))
+      .withColumnsRenamed(Map("A" -> "revenue_a", "N" -> "revenue_n", "R" -> "revenue_r"))
+      .orderBy($"ship_year")
+  }
+
+  val pivotRevenueSql: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) AS revenue_a,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) AS revenue_n,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) AS revenue_r
+      |FROM lineitem
+      |GROUP BY year(l_shipdate)
+      |ORDER BY ship_year""".stripMargin
+
+  /** Discrete multi-quantiles per group: percentile_disc picks an
+    * actual element (smallest value with cumulative distribution
+    * ≥ p), so results are exact and engine-independent — the safe
+    * distributed-quantile contract (interpolated quantiles differ in
+    * ulps across engines; q55 holds the median case).
+    */
+  def quantileProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    li.groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity)").as("p95"),
+        min($"l_quantity").as("qmin"),
+        max($"l_quantity").as("qmax"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val quantileProfileSql: String =
+    """SELECT l_returnflag,
+      |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+      |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+      |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_quantity) AS p95,
+      |  MIN(l_quantity) AS qmin,
+      |  MAX(l_quantity) AS qmax,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q58_rollup_revenue" -> (rollupRevenue(_, _)),
+    "q59_top_per_segment" -> (topPerSegment(_, _)),
+    "q60_activity_set_ops" -> (activitySetOps(_, _)),
+    "q61_trailing_hour" -> (trailingHourStats(_, _)),
+    "q62_sliding_window" -> (slidingWindowAgg(_, _)),
+    "q63_pivot_revenue" -> (pivotRevenue(_, _)),
+    "q64_quantile_profile" -> (quantileProfile(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q58_rollup_revenue" -> rollupRevenueSql,
+    "q59_top_per_segment" -> topPerSegmentSql,
+    "q60_activity_set_ops" -> activitySetOpsSql,
+    "q61_trailing_hour" -> trailingHourStatsSql,
+    "q62_sliding_window" -> slidingWindowAggSql,
+    "q63_pivot_revenue" -> pivotRevenueSql,
+    "q64_quantile_profile" -> quantileProfileSql)
+}
