@@ -26,7 +26,8 @@ object SparkEntry {
       (CalendarQueries.defs, CalendarQueries.oracles),
       (PipelineQueries.defs, PipelineQueries.oracles),
       (SessionQueries.defs, SessionQueries.oracles),
-      (AnalyticsQueries.defs, AnalyticsQueries.oracles))
+      (AnalyticsQueries.defs, AnalyticsQueries.oracles),
+      (OlapQueries.defs, OlapQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)
