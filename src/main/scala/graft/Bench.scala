@@ -23,8 +23,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Optional args: query names to bench (default: all).
+    // Optional args: query names to bench (default: all). Unknown
+    // names are a hard error — a misspelled filter would otherwise
+    // silently bench nothing.
     val wanted = args.toSet
+    val unknown = wanted -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
 
@@ -35,9 +42,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup
-    queries.foreach { case (_, fn) => runOnce(fn) }
-    spark.catalog.clearCache()
+    // warmup (cache cleared per query so persists don't accumulate)
+    queries.foreach { case (_, fn) => runOnce(fn); spark.catalog.clearCache() }
 
     // two timed passes, keep the per-query minimum: robust against
     // transient co-tenant load and GC pauses

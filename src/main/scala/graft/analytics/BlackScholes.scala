@@ -98,7 +98,13 @@ object BlackScholes {
       if (f(mid) < price) lo = mid else hi = mid
       i += 1
     }
-    (lo + hi) / 2.0
+    val root = (lo + hi) / 2.0
+    // Validate the root: a discontinuous pricer (the CRR tree's
+    // degenerate-probability branch at tiny σ returns 0) can leave NO
+    // σ with f(σ) = price even though the bracket check passed —
+    // bisection then converges onto the jump. A failed solve is 0.0,
+    // the reference's coercion for unsolvable IVs.
+    if (math.abs(f(root) - price) < 1e-6) root else 0.0
   }
 
   /** BS greeks (call/put), per-unit conventions: Theta per year, Vega

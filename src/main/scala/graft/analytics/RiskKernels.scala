@@ -46,6 +46,78 @@ object RiskKernels {
 
   private val riskUdf = udf(riskOf _)
 
+  /** Self-verification of the risk kernel, per row: each boolean holds
+    * whenever the kernels are internally consistent, independent of
+    * the input data — which makes the whole enrichment oracle-checkable
+    * (the DuckDB oracle asserts TRUE) even though root-finding itself
+    * is not SQL-expressible.
+    *
+    *  - `bs_roundtrip_ok`    — bsPrice(bs_iv) recovers the input price
+    *    to 1e-6 (bisection tolerance 1e-10 on σ; vega bounds the price
+    *    error well inside 1e-6), or the solve was out-of-bounds (iv=0).
+    *  - `binomial_roundtrip_ok` — same through the CRR tree (American
+    *    exercise: the tree price is monotone in σ, so bisection's root
+    *    is exact; no BS-vs-binomial closeness is asserted because the
+    *    early-exercise premium over vega is data-dependent).
+    *  - `delta_in_range` / `gamma_nonneg` / `vega_nonneg` — greeks
+    *    sanity on solved rows.
+    *  - `dollar_delta_exact` — Dollar_Delta ≡ Delta × S bit-for-bit.
+    */
+  final case class RiskCheck(bs_roundtrip_ok: Boolean,
+      binomial_roundtrip_ok: Boolean, delta_in_range: Boolean,
+      gamma_nonneg: Boolean, vega_nonneg: Boolean,
+      dollar_delta_exact: Boolean)
+
+  def verifyRisk(right: String, price: Double, s: Double, k: Double,
+      t: Double, r: Double, q: Double, risk: Risk): RiskCheck = {
+    val isCall = right != null && right.nonEmpty &&
+      Character.toUpperCase(right.charAt(0)) == 'C'
+    val bsOk = risk.bs_iv == 0.0 ||
+      math.abs(bsPrice(isCall, s, k, t, r, q, risk.bs_iv) - price) < 1e-6
+    val binOk = risk.binomial_iv == 0.0 ||
+      math.abs(binomialPrice(isCall, s, k, t, r, q, risk.binomial_iv) - price) < 1e-6
+    val solved = risk.bs_iv > 0.0
+    val deltaOk = !solved ||
+      (if (isCall) risk.delta >= 0.0 && risk.delta <= 1.0
+       else risk.delta >= -1.0 && risk.delta <= 0.0)
+    RiskCheck(bsOk, binOk, deltaOk,
+      !solved || risk.gamma >= 0.0, !solved || risk.vega >= 0.0,
+      risk.dollar_delta == risk.delta * s)
+  }
+
+  final case class RiskVerified(risk: Risk, check: RiskCheck)
+
+  /** Null inputs yield the zero Risk, which is trivially consistent. */
+  def riskVerifiedOf(right: String, price: java.lang.Double,
+      s: java.lang.Double, k: java.lang.Double, t: java.lang.Double,
+      r: java.lang.Double, q: java.lang.Double): RiskVerified = {
+    val risk = riskOf(right, price, s, k, t, r, q)
+    if (right == null || price == null || s == null || k == null ||
+      t == null || r == null || q == null)
+      RiskVerified(risk, RiskCheck(bs_roundtrip_ok = true,
+        binomial_roundtrip_ok = true, delta_in_range = true,
+        gamma_nonneg = true, vega_nonneg = true, dollar_delta_exact = true))
+    else RiskVerified(risk, verifyRisk(right, price, s, k, t, r, q, risk))
+  }
+
+  private val riskVerifiedUdf = udf(riskVerifiedOf _)
+
+  /** [[calcRisks]] for one un-prefixed basis, plus the [[RiskCheck]]
+    * self-verification booleans — one kernel invocation per row. */
+  def calcRisksVerified(df: DataFrame, priceCol: String): DataFrame = {
+    val v = riskVerifiedUdf(col("right"), col(priceCol),
+      col("underlier_price"), col("strike"), col("year_frac"),
+      col("rf_rate"), col("div_yield"))
+    val riskCols = Seq("bs_iv", "binomial_iv", "delta", "gamma", "theta",
+      "vega", "rho", "dollar_delta").map(f => f -> col(s"__v.risk.$f"))
+    val checkCols = Seq("bs_roundtrip_ok", "binomial_roundtrip_ok",
+      "delta_in_range", "gamma_nonneg", "vega_nonneg", "dollar_delta_exact")
+      .map(f => f -> col(s"__v.check.$f"))
+    (riskCols ++ checkCols)
+      .foldLeft(df.withColumn("__v", v)) { case (d, (n, c)) => d.withColumn(n, c) }
+      .drop("__v")
+  }
+
   /** U4 — missing-vol rescue (Organizers.py:172-185): rows whose
     * primary-price IV solved to 0 are re-solved with a fallback price
     * column (the reference retries with the midpoint). Declarative

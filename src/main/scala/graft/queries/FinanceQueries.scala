@@ -13,8 +13,8 @@ import graft.operators.TickerSplice
   * corporate-action ticker splice (R1), the canonical quote→bars
   * formatting pipeline (§3.1 steps 4-8: midpoint/weighted-midpoint,
   * business hours, 30-minute agg-map resample), and the IV/greeks
-  * risk enrichment (§2.9 U1-U6, rows-only check — root-finding isn't
-  * SQL-expressible).
+  * risk enrichment (§2.9 U1-U6, oracle-checked via kernel
+  * self-verification booleans).
   */
 object FinanceQueries {
 
@@ -178,11 +178,15 @@ object FinanceQueries {
       |ORDER BY bucket, contract""".stripMargin
 
   /** U1-U6 — the risk-enrichment kernel (BS IV, binomial IV, greeks,
-    * Dollar_Delta, cleanup) on synthetic contracts. No SQL oracle —
-    * implied-vol root-finding isn't expressible in DuckDB — so the
-    * driver records the rows-only check; numeric correctness is locked
-    * by BlackScholesSpec (put-call parity, IV roundtrip, binomial→BS
-    * convergence).
+    * Dollar_Delta, cleanup) on synthetic contracts, oracle-checked:
+    * root-finding isn't SQL-expressible, so the output carries the
+    * kernel's self-verification booleans
+    * ([[graft.analytics.RiskKernels.RiskCheck]] — price roundtrips
+    * through bsPrice/binomialPrice at the solved IV, greeks bounds,
+    * Dollar_Delta ≡ Delta×S) which the DuckDB oracle asserts TRUE; it
+    * reproduces the contract identity/price arithmetic exactly.
+    * Numeric values themselves stay locked by BlackScholesSpec
+    * (put-call parity, IV roundtrip, binomial→BS convergence).
     */
   def riskEnrichment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -198,14 +202,43 @@ object FinanceQueries {
           when($"right" === "C", $"underlier_price" - $"strike")
             .otherwise($"strike" - $"underlier_price"), lit(0.0)) +
           $"underlier_price" * (lit(0.02) + ($"o_orderkey" % 11).cast("double") / 200.0))
-    RiskKernels.calcRisks(c, Map("" -> "price"))
+    RiskKernels.calcRisksVerified(c, "price")
       .select($"o_orderkey",
         OccSymbol.generate($"root", $"expiration", $"right", $"strike").as("option_tick"),
         $"right", $"underlier_price", $"strike", $"year_frac", $"price",
-        $"bs_iv", $"binomial_iv", $"delta", $"gamma", $"theta", $"vega",
-        $"rho", $"dollar_delta")
+        $"bs_roundtrip_ok", $"binomial_roundtrip_ok", $"delta_in_range",
+        $"gamma_nonneg", $"vega_nonneg", $"dollar_delta_exact")
       .orderBy($"o_orderkey")
   }
+
+  val riskEnrichmentSql: String =
+    """WITH c AS (
+      |  SELECT o_orderkey,
+      |    regexp_replace(upper(o_orderpriority), '[^A-Z]', '', 'g') AS root,
+      |    DATE '2026-01-01' + CAST(o_orderkey % 700 AS INTEGER) AS expiration,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'C' ELSE 'P' END AS "right",
+      |    100.0 + CAST(o_orderkey % 50 AS DOUBLE) AS underlier_price
+      |  FROM orders WHERE o_orderkey < 2000),
+      |d AS (
+      |  SELECT *,
+      |    underlier_price * (0.8 + CAST(o_orderkey % 9 AS DOUBLE) / 20.0) AS strike,
+      |    0.05 + CAST(o_orderkey % 24 AS DOUBLE) / 24.0 AS year_frac
+      |  FROM c),
+      |p AS (
+      |  SELECT *,
+      |    greatest(CASE WHEN "right" = 'C' THEN underlier_price - strike
+      |                  ELSE strike - underlier_price END, 0.0)
+      |      + underlier_price * (0.02 + CAST(o_orderkey % 11 AS DOUBLE) / 200.0) AS price
+      |  FROM d)
+      |SELECT o_orderkey,
+      |  root || strftime(expiration, '%y%m%d') || "right" ||
+      |    lpad(CAST(CAST(round(strike * 1000) AS BIGINT) AS VARCHAR), 8, '0') AS option_tick,
+      |  "right", underlier_price, strike, year_frac, price,
+      |  TRUE AS bs_roundtrip_ok, TRUE AS binomial_roundtrip_ok,
+      |  TRUE AS delta_in_range, TRUE AS gamma_nonneg, TRUE AS vega_nonneg,
+      |  TRUE AS dollar_delta_exact
+      |FROM p
+      |ORDER BY o_orderkey""".stripMargin
 
   /** §3.1 end-to-end through the public API surface
     * ([[graft.api.FinanceApi]]): corporate-action splice + keep-last
@@ -361,6 +394,7 @@ object FinanceQueries {
     "q40_occ_roundtrip" -> occRoundtripSql,
     "q41_ticker_splice" -> tickerSpliceSql,
     "q42_quote_pipeline" -> quotePipelineSql,
+    "q43_risk_enrichment" -> riskEnrichmentSql,
     "q46_api_retrieve_quote" -> apiRetrieveQuoteSql,
     "q52_api_retrieve_eod" -> apiRetrieveEodSql)
 }

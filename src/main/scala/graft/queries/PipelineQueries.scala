@@ -17,8 +17,10 @@ object PipelineQueries {
   /** Multimodal feature pipeline: documents → binary media column +
     * typed metadata → partition-wise feature extraction (mapInPandas
     * analog; codec stubbed deterministically) → per-kind rollup.
-    * Rows-only check: the mapPartitions stage is intentionally outside
-    * SQL; behavior locked by MultimodalSpec.
+    * Oracle-checked: the stub codec's byte-sum checksum and brightness
+    * are DuckDB-expressible over the UTF-8 payload (codepoint sums
+    * equal byte sums on this ASCII corpus), so the whole mapPartitions
+    * stage is verified end-to-end, not just rows-only.
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -35,6 +37,30 @@ object PipelineQueries {
         sum($"n_frames").as("total_frames"))
       .orderBy($"kind")
   }
+
+  val multimodalFeaturesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS kind,
+      |    CAST(len(text) AS BIGINT) AS n_bytes,
+      |    CAST(list_aggregate(
+      |      list_transform(range(1, len(text) + 1), i -> ord(text[i])),
+      |      'sum') AS BIGINT) AS checksum,
+      |    (doc_id % 90000) // 1000 + 1 AS n_frames
+      |  FROM documents),
+      |g AS (
+      |  SELECT *,
+      |    CASE WHEN n_bytes = 0 THEN 0.0
+      |         ELSE CAST(checksum AS DOUBLE) / n_bytes / 255.0 END AS brightness
+      |  FROM f)
+      |SELECT kind,
+      |  COUNT(*) AS n_media,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(checksum) AS BIGINT) AS total_checksum,
+      |  CAST(SUM(CAST(brightness AS DECIMAL(30,12))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_brightness,
+      |  CAST(SUM(n_frames) AS BIGINT) AS total_frames
+      |FROM g GROUP BY kind ORDER BY kind""".stripMargin
 
   /** §3.3 — ad-hoc SQL over the registered catalog: the engine's
     * `spark.sql` surface, written in the ANSI subset both engines
@@ -62,5 +88,6 @@ object PipelineQueries {
     "q45_sql_surface" -> (sqlSurface(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q44_multimodal_features" -> multimodalFeaturesSql,
     "q45_sql_surface" -> sqlSurfaceText)
 }

@@ -71,9 +71,12 @@ object SessionQueries {
       |ORDER BY user_id, session_id""".stripMargin
 
   /** Document fingerprint dedup through the native codegen
-    * [[graft.plans.RollingHash64]] expression (rows-only: the
-    * polynomial kernel has no DuckDB mirror; NativeExpressionsSpec
-    * locks the values).
+    * [[graft.plans.RollingHash64]] expression. Fully oracle-checked:
+    * the polynomial kernel (h = h*1000003 + byte, 64-bit wraparound)
+    * is mirrored in DuckDB with HUGEINT modular arithmetic over the
+    * text's codepoints — identical to UTF-8 bytes because the corpus
+    * is ASCII (the oracle would need a byte-level rewrite for
+    * multi-byte text).
     */
   def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -85,10 +88,29 @@ object SessionQueries {
       .orderBy($"canonical_id")
   }
 
+  val rollingFingerprintSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+      |              THEN h - 18446744073709551616::HUGEINT
+      |              ELSE h END AS BIGINT) AS fingerprint
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_reduce(
+      |        list_prepend(0::HUGEINT,
+      |          list_transform(range(1, len(text) + 1), i -> ord(text[i])::HUGEINT)),
+      |        (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT) AS h
+      |    FROM documents))
+      |SELECT fingerprint, MIN(doc_id) AS canonical_id, COUNT(*) AS n
+      |FROM fp GROUP BY fingerprint
+      |ORDER BY canonical_id""".stripMargin
+
   /** Cardinality sketching (HLL) beside exact distinct — the approx
     * path an engine needs at 100 TB where countDistinct's shuffle is
-    * the bottleneck. Rows-only: sketch estimates are engine-specific
-    * by construction; the exact column anchors it.
+    * the bottleneck. Oracle-checked: the sketch estimate itself is
+    * engine-specific, so the output carries the exact count plus an
+    * `approx_ok` bounded-error boolean (rsd 0.02 ⇒ observed error
+    * ≤ 0.6%; the 5% bound is a 2.5σ margin) the oracle asserts TRUE.
     */
   def approxCardinality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -104,13 +126,23 @@ object SessionQueries {
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("exact_orders"),
-        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        approx_count_distinct($"l_orderkey", 0.02).as("__approx"),
         sum($"__cnt").as("n"))
-      .withColumn("rel_err",
-        abs($"approx_orders" - $"exact_orders").cast("double") /
-          $"exact_orders".cast("double"))
+      .withColumn("approx_ok",
+        abs($"__approx" - $"exact_orders").cast("double") /
+          $"exact_orders".cast("double") <= 0.05)
+      .select($"l_returnflag", $"exact_orders", $"n", $"approx_ok")
       .orderBy($"l_returnflag")
   }
+
+  val approxCardinalitySql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  COUNT(*) AS n,
+      |  TRUE AS approx_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   val defs: Map[String, Q] = Map(
     "q49_sessionize" -> (sessionize(_, _)),
@@ -118,5 +150,7 @@ object SessionQueries {
     "q51_approx_cardinality" -> (approxCardinality(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "q49_sessionize" -> sessionizeSql)
+    "q49_sessionize" -> sessionizeSql,
+    "q50_rolling_fingerprint" -> rollingFingerprintSql,
+    "q51_approx_cardinality" -> approxCardinalitySql)
 }

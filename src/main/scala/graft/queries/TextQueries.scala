@@ -269,10 +269,13 @@ object TextQueries {
 
   /** SimHash near-dup detection via the native codegen'd
     * [[graft.plans.SimHash64]] expression: one 64-bit signature per
-    * doc, near-dups = small Hamming distance. No SQL oracle (the
-    * signature kernel isn't expressible in DuckDB) — rows-only check;
-    * behavior locked by NativeExpressionsSpec. The planted near-dup
-    * pairs (q24) reappear here, found by a different signature family.
+    * doc, near-dups = small Hamming distance. Fully oracle-checked:
+    * the FNV-1a + per-bit-majority kernel is mirrored in DuckDB with
+    * HUGEINT modular arithmetic (valid because the corpus is ASCII, so
+    * codepoints = UTF-8 bytes), and the oracle's all-pairs
+    * hamming ≤ 3 equals the chunk-LSH result exactly (pigeonhole is
+    * lossless at this radius). The planted near-dup pairs (q24)
+    * reappear here, found by a different signature family.
     */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -300,6 +303,48 @@ object TextQueries {
       .orderBy($"i", $"j")
   }
 
+  /** DuckDB mirror of [[graft.plans.Kernels.fnv1a]]: 64-bit FNV-1a
+    * with wraparound via HUGEINT mod 2^64; the per-byte XOR touches
+    * only the low 8 bits, so it is expressed as subtract-low-byte +
+    * BIGINT xor. `{c}` is the string column.
+    */
+  private def fnv1aSqlExpr(c: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(range(1, len($c) + 1), i -> ord($c[i])::HUGEINT)),
+       |    (acc, ch) -> ((acc - acc % 256
+       |      + xor(CAST(acc % 256 AS BIGINT), CAST(ch AS BIGINT))::HUGEINT)
+       |      * 1099511628211) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  val simhashNearDupSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, $shinglesSqlExpr AS sh FROM documents),
+       |th AS (
+       |  SELECT doc_id, ${fnv1aSqlExpr("t")} AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS t FROM s)),
+       |bitcnt AS (
+       |  SELECT doc_id, bb.b,
+       |    SUM(CASE WHEN (h >> CAST(bb.b AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM th, (SELECT unnest(range(0, 64)) AS b) bb
+       |  GROUP BY doc_id, bb.b),
+       |sigagg AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN c > 0 THEN 1::HUGEINT << CAST(b AS INTEGER)
+       |             ELSE 0::HUGEINT END) AS v
+       |  FROM bitcnt GROUP BY doc_id),
+       |sig AS (
+       |  SELECT s.doc_id,
+       |    CAST(CASE WHEN v IS NULL THEN 0
+       |              WHEN v >= 9223372036854775808::HUGEINT
+       |              THEN v - 18446744073709551616::HUGEINT
+       |              ELSE v END AS BIGINT) AS h
+       |  FROM s LEFT JOIN sigagg USING (doc_id)),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j,
+       |    CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+       |SELECT i, j, hamming FROM pairs WHERE hamming <= 3
+       |ORDER BY i, j""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q20_token_stats" -> (tokenStats(_, _)),
     "q21_quality_score" -> (qualityScore(_, _)),
@@ -315,5 +360,6 @@ object TextQueries {
     "q22_lang_id" -> langIdSql,
     "q23_exact_dedup" -> exactDedupSql,
     "q24_minhash_near_dup" -> minhashNearDupSql,
-    "q25_jaccard_pairs" -> jaccardPairsSql)
+    "q25_jaccard_pairs" -> jaccardPairsSql,
+    "q26_simhash_near_dup" -> simhashNearDupSql)
 }
