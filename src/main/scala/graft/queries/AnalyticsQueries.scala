@@ -43,32 +43,31 @@ object AnalyticsQueries {
       |WHERE s.s_acctbal > na.nation_avg
       |ORDER BY s.s_suppkey""".stripMargin
 
-  /** Discrete median (lower-median element pick — no interpolation,
-    * so the value is a datum and bit-identical on any engine) plus
-    * min/max per group. Element chosen by explicit total order.
+  /** Discrete median (element pick — no interpolation, so the value
+    * is a datum and bit-identical on any engine) plus row count per
+    * group, as a `percentile_disc` AGGREGATE: partial aggregation
+    * keeps a per-value count map (l_quantity has bounded cardinality)
+    * instead of sorting each group's full row set through one task —
+    * the previous row_number-over-3-partitions window plan was a
+    * scale-killer at 100 TB (the whole table funneled into ≤3 tasks).
     */
   def discreteMedian(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.load(s, dir, "lineitem")
-    val w = Window.partitionBy($"l_returnflag")
-      .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
-    val ranked = li
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"l_returnflag")))
-    ranked.filter($"rn" === (($"n" + 1) / 2).cast("int"))
-      .select($"l_returnflag", $"l_quantity".as("median_qty"), $"n".as("n_rows"))
+    li.groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("median_qty"),
+        count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag")
   }
 
   val discreteMedianSql: String =
-    """WITH ranked AS (
-      |  SELECT l_returnflag, l_quantity,
-      |    row_number() OVER (PARTITION BY l_returnflag
-      |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
-      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-      |  FROM lineitem)
-      |SELECT l_returnflag, l_quantity AS median_qty, n AS n_rows
-      |FROM ranked WHERE rn = CAST((n + 1) / 2 AS INTEGER)
+    """SELECT l_returnflag,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
   /** Rolling-window statistics: 5-row trailing moving average and

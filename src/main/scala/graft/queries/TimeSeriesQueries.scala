@@ -171,16 +171,18 @@ object TimeSeriesQueries {
     * day pick the event whose value is closest to the day's mean.
     * Mean computed deterministically (decimal sum); tie-break on
     * event_id like pandas idxmin takes the first positional match.
+    * Day means come from a partial-aggregating groupBy broadcast back
+    * onto the rows (the q54 decorrelation pattern) — NOT a window
+    * partitioned by day, which would funnel each day's full row set
+    * through a single task at scale.
     */
   def closestToMean(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.load(s, dir, "events")
-    val withMean = ev
-      .withColumn("day", to_date($"ts"))
-      .withColumn("day_mean",
-        sum($"value".cast("decimal(30,6)")).over(Window.partitionBy($"day")).cast("double") /
-          count(lit(1)).over(Window.partitionBy($"day")).cast("double"))
-    withMean
+    val ev = Tables.load(s, dir, "events").withColumn("day", to_date($"ts"))
+    val means = ev.groupBy($"day")
+      .agg((sum($"value".cast("decimal(30,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("day_mean"))
+    ev.join(broadcast(means), "day")
       .groupBy($"day")
       .agg(min_by(struct($"event_id", $"value", $"day_mean"),
         struct(abs($"value" - $"day_mean"), $"event_id")).as("r"))
