@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.MultimodalOps
+import graft.sources.EnvCatalog
 
 /** End-to-end pipeline surfaces: the multimodal batch-extract stage
   * and the plain-SQL entry point (§3.3 — the reference delegates SQL
@@ -83,11 +84,91 @@ object PipelineQueries {
     s.sql(sqlSurfaceText)
   }
 
+  /** C6/C8/C9 — the environment-catalog lifecycle as a registry-
+    * rewrite pipeline: seed a deterministic registry from `nation`,
+    * register one new database + one already-registered name
+    * (INSERT-IGNOREd), diff environments (anti-join), refuse a
+    * protected-environment delete, then soft-delete the 'dev'
+    * environment. The physical DROP/CREATE side (C5/C7 DDL) is
+    * spec-tested in StoreSpec; this query oracle-checks every registry
+    * state transition.
+    */
+  def catalogLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nation = Tables.load(s, dir, "nation")
+    val reg0 = nation.select(
+        lower(regexp_replace($"n_name", "[^A-Za-z0-9]", "_")).as("base_name"),
+        element_at(array(lit("prod"), lit("test"), lit("dev")),
+          ($"n_nationkey" % 3 + 1).cast("int")).as("environment"),
+        ($"n_nationkey" % 5 =!= 4).as("is_active"))
+      .withColumn("database_name", concat($"base_name", lit("_"), $"environment"))
+      .withColumn("branch_name", lit(null).cast("string"))
+      .withColumn("created_by", lit("seed"))
+      .select($"database_name", $"base_name", $"environment", $"branch_name",
+        $"created_by", $"is_active")
+    val prot = EnvCatalog.parseProtectedEnvironments(" prod , prod ")
+    val reg1 = new EnvCatalog(reg0, prot)
+      .register("orders_main_dev", "orders_main", "dev", "builder")
+    // ARGENTINA (nationkey 1) seeds 'argentina_test' — re-register is
+    // ignored, the K2 INSERT-IGNORE path
+    val reg2 = new EnvCatalog(reg1, prot)
+      .register("argentina_test", "argentina", "test", "builder")
+    val cat2 = new EnvCatalog(reg2, prot)
+    val missingInDev = cat2.diffEnvironments("test", "dev")
+      .withColumn("missing_in_dev", lit(true))
+    val blocked =
+      try { cat2.deleteEnvironment(Seq("prod")); false }
+      catch { case _: IllegalArgumentException => true }
+    val reg3 = cat2.deleteEnvironment(Seq("dev"))
+    reg3.join(missingInDev, Seq("base_name"), "left")
+      .withColumn("missing_in_dev", coalesce($"missing_in_dev", lit(false)))
+      .withColumn("protected_delete_blocked", lit(blocked))
+      .select($"database_name", $"base_name", $"environment", $"branch_name",
+        $"created_by", $"is_active", $"missing_in_dev",
+        $"protected_delete_blocked")
+      .orderBy($"database_name")
+  }
+
+  val catalogLifecycleSql: String =
+    """WITH seed AS (
+      |  SELECT n_nationkey,
+      |    lower(regexp_replace(n_name, '[^A-Za-z0-9]', '_', 'g')) AS base_name,
+      |    (['prod', 'test', 'dev'])[CAST(n_nationkey % 3 + 1 AS INTEGER)] AS environment,
+      |    n_nationkey % 5 <> 4 AS is_active
+      |  FROM nation),
+      |reg0 AS (
+      |  SELECT base_name || '_' || environment AS database_name, base_name,
+      |    environment, CAST(NULL AS VARCHAR) AS branch_name,
+      |    'seed' AS created_by, is_active
+      |  FROM seed),
+      |reg1 AS (
+      |  SELECT * FROM reg0
+      |  UNION ALL
+      |  SELECT 'orders_main_dev', 'orders_main', 'dev', NULL, 'builder', TRUE
+      |  WHERE NOT EXISTS (SELECT 1 FROM reg0 WHERE database_name = 'orders_main_dev')
+      |  UNION ALL
+      |  SELECT 'argentina_test', 'argentina', 'test', NULL, 'builder', TRUE
+      |  WHERE NOT EXISTS (SELECT 1 FROM reg0 WHERE database_name = 'argentina_test')),
+      |diff AS (
+      |  SELECT DISTINCT base_name FROM reg1
+      |  WHERE environment = 'test' AND is_active
+      |    AND base_name NOT IN (
+      |      SELECT base_name FROM reg1 WHERE environment = 'dev' AND is_active))
+      |SELECT r.database_name, r.base_name, r.environment, r.branch_name,
+      |  r.created_by,
+      |  CASE WHEN r.environment = 'dev' THEN FALSE ELSE r.is_active END AS is_active,
+      |  r.base_name IN (SELECT base_name FROM diff) AS missing_in_dev,
+      |  TRUE AS protected_delete_blocked
+      |FROM reg1 r
+      |ORDER BY database_name""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q44_multimodal_features" -> (multimodalFeatures(_, _)),
-    "q45_sql_surface" -> (sqlSurface(_, _)))
+    "q45_sql_surface" -> (sqlSurface(_, _)),
+    "q65_catalog_lifecycle" -> (catalogLifecycle(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q44_multimodal_features" -> multimodalFeaturesSql,
-    "q45_sql_surface" -> sqlSurfaceText)
+    "q45_sql_surface" -> sqlSurfaceText,
+    "q65_catalog_lifecycle" -> catalogLifecycleSql)
 }

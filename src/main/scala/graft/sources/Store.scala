@@ -82,9 +82,16 @@ object Store {
   * FIXTURES.md §3); resolution rules mirror the reference exactly:
   * `master_config` is never environment-suffixed, prod resolves to
   * the base name, anything else goes through the registry with an
-  * (env, base) cache.
+  * (env, base) cache. Lifecycle verbs (clone C5 / sync C7 / protected
+  * delete C8) operate on the Spark session catalog plus the registry;
+  * registry mutations return the next registry version (immutable
+  * rewrite, like every Store operator).
+  *
+  * `protectedEnvs` mirrors `DB_PROTECTED_ENVIRONMENTS`
+  * (db_management.py:59-107): environments that refuse deletion.
   */
-final class EnvCatalog(registry: DataFrame) {
+final class EnvCatalog(registry: DataFrame,
+    protectedEnvs: Seq[String] = Seq.empty) {
 
   private val cache = scala.collection.concurrent.TrieMap[(String, String), Option[String]]()
 
@@ -130,4 +137,132 @@ final class EnvCatalog(registry: DataFrame) {
   def softDelete(databaseName: String): DataFrame =
     Store.batchUpdate(registry, col("database_name") === databaseName,
       Map("is_active" -> lit(false)))
+
+  /** C5 — clone a database's schema (optionally data) into a new
+    * database (db_management.py:349-509). The mysqldump/restore round
+    * trip becomes `CREATE TABLE ... LIKE` per table (CTAS when
+    * `withData`); the source is never dropped. Returns cloned table
+    * names.
+    */
+  def cloneSchema(sourceDb: String, targetDb: String,
+      withData: Boolean = false): Seq[String] = {
+    EnvCatalog.validateName(sourceDb)
+    EnvCatalog.validateName(targetDb)
+    val spark = registry.sparkSession
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$targetDb`")
+    val tables = spark.catalog.listTables(sourceDb).collect().map(_.name).toSeq.sorted
+    tables.foreach { t =>
+      if (withData)
+        spark.sql(s"CREATE TABLE IF NOT EXISTS `$targetDb`.`$t` AS SELECT * FROM `$sourceDb`.`$t`")
+      else
+        spark.sql(s"CREATE TABLE IF NOT EXISTS `$targetDb`.`$t` LIKE `$sourceDb`.`$t`")
+    }
+    tables
+  }
+
+  /** C7 (table level) — create tables present in `sourceDb` but
+    * missing from `targetDb` (db_management.py:817-862: CREATE TABLE
+    * IF NOT EXISTS ... LIKE, INSERT INTO ... SELECT when `copyData`).
+    * Dry-run by default, like the reference: `apply = false` only
+    * reports the plan.
+    */
+  def syncMissingTables(sourceDb: String, targetDb: String,
+      copyData: Boolean = false, apply: Boolean = false): EnvCatalog.SyncResult = {
+    EnvCatalog.validateName(sourceDb)
+    EnvCatalog.validateName(targetDb)
+    val spark = registry.sparkSession
+    val have = spark.catalog.listTables(targetDb).collect().map(_.name).toSet
+    val missing = spark.catalog.listTables(sourceDb).collect().map(_.name)
+      .toSeq.sorted.filterNot(have)
+    if (apply) missing.foreach { t =>
+      spark.sql(s"CREATE TABLE IF NOT EXISTS `$targetDb`.`$t` LIKE `$sourceDb`.`$t`")
+      if (copyData)
+        spark.sql(s"INSERT INTO `$targetDb`.`$t` SELECT * FROM `$sourceDb`.`$t`")
+    }
+    EnvCatalog.SyncResult(missing, dryRun = !apply)
+  }
+
+  /** C7 (environment level) — create in `target` the databases whose
+    * base exists in `source` but not in `target`
+    * (db_management.py:771-814): clone schema, register
+    * `<base>_<target>`. Dry-run by default. Returns the next registry
+    * plus the (base → created db) plan.
+    */
+  def syncEnvironments(source: String, target: String,
+      apply: Boolean = false): (DataFrame, Seq[(String, String)]) = {
+    EnvCatalog.validateName(source)
+    EnvCatalog.validateName(target)
+    // registry = catalog metadata, O(#databases) rows — collect is the
+    // reference's own access pattern (LIMIT-1 lookups / full env maps)
+    val missing = diffEnvironments(source, target)
+      .join(registry.filter(col("environment") === source && col("is_active")),
+        Seq("base_name"))
+      .select(col("base_name"), col("database_name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq.sortBy(_._1)
+    val plan = missing.map { case (base, _) => base -> s"${base}_$target" }
+    if (!apply) return (registry, plan)
+    val next = missing.foldLeft(registry) { case (reg, (base, sourceDb)) =>
+      val targetDb = s"${base}_$target"
+      cloneSchema(sourceDb, targetDb)
+      new EnvCatalog(reg, protectedEnvs).register(targetDb, base, target, "sync")
+    }
+    (next, plan)
+  }
+
+  /** C8 — delete every database of the given environments
+    * (db_management.py:682-768): refuse protected environments, DROP
+    * each physical database, soft-delete its registry row (audit
+    * trail). Returns the next registry.
+    */
+  def deleteEnvironment(environments: Seq[String]): DataFrame = {
+    environments.foreach(EnvCatalog.validateName)
+    val blocked = environments.filter(protectedEnvs.contains)
+    if (blocked.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Cannot delete protected environment(s): ${blocked.mkString(", ")}")
+    val spark = registry.sparkSession
+    val doomed = registry
+      .filter(col("environment").isin(environments: _*) && col("is_active"))
+      .select("database_name").collect().map(_.getString(0))
+    doomed.foreach(db => spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE"))
+    Store.batchUpdate(registry, col("environment").isin(environments: _*),
+      Map("is_active" -> lit(false)))
+  }
+}
+
+object EnvCatalog {
+
+  final case class SyncResult(missing: Seq[String], dryRun: Boolean)
+
+  /** P7 — identifier whitelist (db_management.py:35-56
+    * `validate_database_input`): non-empty, alphanumeric plus
+    * underscore/hyphen only; everything else (quotes, semicolons,
+    * backticks, whitespace, comment tokens) is rejected by the
+    * whitelist itself.
+    */
+  private val dangerousTokens =
+    Seq("'", "\"", ";", "--", "/*", "*/", "`", "\n", "\r")
+
+  def validateName(value: String): String = {
+    if (value == null || value.isEmpty)
+      throw new IllegalArgumentException("Value must be a non-empty string")
+    dangerousTokens.find(value.contains(_)).foreach { tok =>
+      throw new IllegalArgumentException(
+        s"Value contains invalid character: $tok")
+    }
+    if (!value.matches("^[a-zA-Z0-9_-]+$"))
+      throw new IllegalArgumentException(
+        "Value must contain only alphanumeric characters, underscores, or hyphens")
+    value
+  }
+
+  /** Protected-environment list from a raw config string
+    * (db_management.py:59-107): comma-separated names, trimmed,
+    * validated, de-duplicated; empty/absent means nothing protected.
+    */
+  def parseProtectedEnvironments(raw: String): Seq[String] = {
+    if (raw == null || raw.trim.isEmpty) Seq.empty
+    else raw.split(",").map(_.trim).filter(_.nonEmpty)
+      .map(validateName).distinct.toSeq
+  }
 }

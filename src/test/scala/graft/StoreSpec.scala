@@ -81,6 +81,106 @@ class StoreSpec extends AnyFunSuite {
     assert(new EnvCatalog(reg3).resolve("y", "dev").isEmpty)
   }
 
+  test("validateName whitelists identifiers, rejects injection shapes") {
+    assert(EnvCatalog.validateName("portfolio_dev-1") == "portfolio_dev-1")
+    for (bad <- Seq(null, "", "a b", "a;b", "a`b", "a'b", "a--b", "db.t", "a/*b*/"))
+      assertThrows[IllegalArgumentException](EnvCatalog.validateName(bad))
+    assert(EnvCatalog.parseProtectedEnvironments(" prod , prod ,stage") ==
+      Seq("prod", "stage"))
+    assert(EnvCatalog.parseProtectedEnvironments(null).isEmpty)
+    assertThrows[IllegalArgumentException](
+      EnvCatalog.parseProtectedEnvironments("prod,bad name"))
+  }
+
+  private def emptyRegistry = Seq.empty[(String, String, String, String, String, Boolean)]
+    .toDF("database_name", "base_name", "environment", "branch_name",
+      "created_by", "is_active")
+
+  /** Drop a test database AND scrub its warehouse location — a failed
+    * earlier run can leave an orphaned directory that blocks managed-
+    * table creation (LOCATION_ALREADY_EXISTS).
+    */
+  private def resetDb(name: String): Unit = {
+    spark.sql(s"DROP DATABASE IF EXISTS $name CASCADE")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), s"$name.db")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
+  test("cloneSchema clones tables (schema-only and with data)") {
+    Seq("clone_src", "clone_tgt", "clone_tgt_data").foreach(resetDb)
+    spark.sql("CREATE DATABASE clone_src")
+    Seq((1L, 2.0)).toDF("k", "px").write.saveAsTable("clone_src.bars")
+    val cat = new EnvCatalog(emptyRegistry)
+    assert(cat.cloneSchema("clone_src", "clone_tgt") == Seq("bars"))
+    assert(spark.table("clone_tgt.bars").schema ==
+      spark.table("clone_src.bars").schema)
+    assert(spark.table("clone_tgt.bars").count() == 0) // schema only
+    cat.cloneSchema("clone_src", "clone_tgt_data", withData = true)
+    assert(spark.table("clone_tgt_data.bars").count() == 1)
+    // source untouched
+    assert(spark.table("clone_src.bars").count() == 1)
+  }
+
+  test("syncMissingTables dry-runs by default, applies on request") {
+    Seq("sync_src", "sync_tgt").foreach(resetDb)
+    spark.sql("CREATE DATABASE sync_src")
+    spark.sql("CREATE DATABASE sync_tgt")
+    Seq((1L, "a")).toDF("k", "v").write.saveAsTable("sync_src.t1")
+    Seq((2L, "b")).toDF("k", "v").write.saveAsTable("sync_src.t2")
+    Seq((9L, "z")).toDF("k", "v").write.saveAsTable("sync_tgt.t1")
+    val cat = new EnvCatalog(emptyRegistry)
+    val dry = cat.syncMissingTables("sync_src", "sync_tgt")
+    assert(dry == EnvCatalog.SyncResult(Seq("t2"), dryRun = true))
+    assert(!spark.catalog.tableExists("sync_tgt.t2")) // dry run: no DDL
+    val applied = cat.syncMissingTables("sync_src", "sync_tgt",
+      copyData = true, apply = true)
+    assert(applied == EnvCatalog.SyncResult(Seq("t2"), dryRun = false))
+    assert(spark.table("sync_tgt.t2").count() == 1)
+    assert(spark.table("sync_tgt.t1").count() == 1) // pre-existing untouched
+  }
+
+  test("syncEnvironments clones + registers missing bases; dry-run inert") {
+    Seq("envsync_a_dev", "envsync_a_stage").foreach(resetDb)
+    spark.sql("CREATE DATABASE envsync_a_dev")
+    Seq((1L, 1.5)).toDF("k", "px").write.saveAsTable("envsync_a_dev.q")
+    val reg = Seq(("envsync_a_dev", "envsync_a", "dev", null.asInstanceOf[String], "me", true))
+      .toDF("database_name", "base_name", "environment", "branch_name",
+        "created_by", "is_active")
+    val cat = new EnvCatalog(reg)
+    val (sameReg, plan) = cat.syncEnvironments("dev", "stage")
+    assert(plan == Seq("envsync_a" -> "envsync_a_stage"))
+    assert(sameReg eq reg) // dry run: registry unchanged, no DDL
+    assert(!spark.catalog.databaseExists("envsync_a_stage"))
+    val (nextReg, _) = cat.syncEnvironments("dev", "stage", apply = true)
+    assert(spark.catalog.tableExists("envsync_a_stage.q"))
+    assert(new EnvCatalog(nextReg).resolve("envsync_a", "stage")
+      .contains("envsync_a_stage"))
+  }
+
+  test("deleteEnvironment refuses protected envs, drops + soft-deletes others") {
+    resetDb("doomed_db_dev")
+    spark.sql("CREATE DATABASE doomed_db_dev")
+    val reg = Seq(
+      ("doomed_db_dev", "doomed_db", "dev", null.asInstanceOf[String], "me", true),
+      ("keep_db_prod", "keep_db", "prod", null.asInstanceOf[String], "me", true)
+    ).toDF("database_name", "base_name", "environment", "branch_name",
+      "created_by", "is_active")
+    val cat = new EnvCatalog(reg, protectedEnvs = Seq("prod"))
+    val ex = intercept[IllegalArgumentException](cat.deleteEnvironment(Seq("prod")))
+    assert(ex.getMessage.contains("protected"))
+    assert(spark.catalog.databaseExists("doomed_db_dev"))
+    val next = cat.deleteEnvironment(Seq("dev"))
+    assert(!spark.catalog.databaseExists("doomed_db_dev"))
+    assert(new EnvCatalog(next).resolve("doomed_db", "dev").isEmpty)
+    // audit trail: the row survives, inactive
+    assert(next.filter($"database_name" === "doomed_db_dev").count() == 1)
+  }
+
   test("writePartitionedBars lays out (key, date) directories and prunes") {
     import java.sql.Timestamp
     val bars = Seq(
