@@ -68,4 +68,32 @@ object Patches {
     df => df.join(
       org.apache.spark.sql.functions.broadcast(corrections.select(keys.map(col): _*)),
       keys, "left_anti")
+
+  /** The AAPL split-artifact rule (patches/p1.py:33-62), generalized:
+    * drop `markerDate` rows of a key when the key's date set shows the
+    * vendor's out-of-sequence signature — marker present, `firstValid`
+    * present, and NONE of `gapDays` present. (The reference's
+    * positional marker-before-valid check is inherent here: dates
+    * order chronologically and marker < firstValid.)
+    *
+    * Declarative form: per-key conditional aggregate → broadcast of
+    * qualifying keys → filter. One shuffle for the tiny key-level
+    * aggregate, no collect — the 100 TB shape of a data correction.
+    */
+  def removeSplitArtifact(keyCol: String, dateCol: String,
+      markerDate: String, firstValid: String, gapDays: Seq[String]): Patch = df => {
+    import org.apache.spark.sql.functions._
+    val d = col(dateCol)
+    val qualifying = df.groupBy(col(keyCol))
+      .agg(
+        max(when(d === lit(markerDate), 1).otherwise(0)).as("__has_marker"),
+        max(when(d === lit(firstValid), 1).otherwise(0)).as("__has_valid"),
+        max(when(d.isin(gapDays: _*), 1).otherwise(0)).as("__has_gap"))
+      .filter(col("__has_marker") === 1 && col("__has_valid") === 1 &&
+        col("__has_gap") === 0)
+      .select(col(keyCol), lit(1).as("__qual"))
+    df.join(broadcast(qualifying), Seq(keyCol), "left")
+      .filter(col("__qual").isNull || d =!= lit(markerDate))
+      .drop("__qual")
+  }
 }

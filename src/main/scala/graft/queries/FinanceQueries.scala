@@ -7,7 +7,7 @@ import graft.Tables
 import graft.analytics.RiskKernels
 import graft.functions.OccSymbol
 import graft.operators.CoreOps._
-import graft.operators.TickerSplice
+import graft.operators.{Patches, TickerSplice}
 
 /** Finance-domain operator coverage: OCC symbology (F11/F12), the
   * corporate-action ticker splice (R1), the canonical quote→bars
@@ -382,13 +382,71 @@ object FinanceQueries {
       |FROM q LEFT JOIN t ON q.datetime = t.datetime AND q.root = t.root
       |ORDER BY q.datetime""".stripMargin
 
+  /** R3 — the data-correction patch framework applied inside a query
+    * (patches/main.py:42-64 + p1.py:5-101): a `list_dates`-shaped
+    * result (per-entity distinct dates) goes through the registered
+    * patch chain — a corrections-table removal (the removal-bucket
+    * rule) then the conditional split-artifact rule, which drops the
+    * marker date ONLY for entities showing the full vendor signature
+    * (marker + first-valid present, gap days absent). Entity 1 has the
+    * gap carved so it qualifies; every other entity keeps the marker —
+    * the patched result provably differs from the unpatched scan.
+    */
+  def patchRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gap = Seq("2024-01-11", "2024-01-12", "2024-01-13")
+    // inject the artifact signature for entity 1 (marker + first-valid
+    // present) so the qualifying branch triggers at every scale factor
+    val days = Tables.load(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("date"))
+      .unionByName(Seq(
+        (1L, java.sql.Date.valueOf("2024-01-10")),
+        (1L, java.sql.Date.valueOf("2024-01-15"))).toDF("user_id", "date"))
+      .distinct()
+    val shaped = days.filter(!($"user_id" === 1 && $"date".isin(gap: _*)))
+    val corrections = Seq((3L, java.sql.Date.valueOf("2024-02-01")))
+      .toDF("user_id", "date")
+    val registry = Map("list_dates" -> Seq(
+      Patches.removeCorrections(corrections, Seq("user_id", "date")),
+      Patches.removeSplitArtifact("user_id", "date",
+        "2024-01-10", "2024-01-15", gap)))
+    Patches.applyAll(registry, "list_dates", shaped)
+      .orderBy($"user_id", $"date")
+  }
+
+  val patchRulesSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, date FROM (
+      |    SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date FROM events
+      |    UNION ALL SELECT 1, DATE '2024-01-10'
+      |    UNION ALL SELECT 1, DATE '2024-01-15') u),
+      |shaped AS (
+      |  SELECT * FROM days
+      |  WHERE NOT (user_id = 1 AND date IN
+      |    (DATE '2024-01-11', DATE '2024-01-12', DATE '2024-01-13'))),
+      |corrected AS (
+      |  SELECT * FROM shaped
+      |  WHERE NOT (user_id = 3 AND date = DATE '2024-02-01')),
+      |qual AS (
+      |  SELECT user_id FROM corrected GROUP BY user_id
+      |  HAVING MAX(CASE WHEN date = DATE '2024-01-10' THEN 1 ELSE 0 END) = 1
+      |     AND MAX(CASE WHEN date = DATE '2024-01-15' THEN 1 ELSE 0 END) = 1
+      |     AND MAX(CASE WHEN date IN
+      |       (DATE '2024-01-11', DATE '2024-01-12', DATE '2024-01-13')
+      |       THEN 1 ELSE 0 END) = 0)
+      |SELECT user_id, date FROM corrected
+      |WHERE NOT (user_id IN (SELECT user_id FROM qual)
+      |           AND date = DATE '2024-01-10')
+      |ORDER BY user_id, date""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q40_occ_roundtrip" -> (occRoundtrip(_, _)),
     "q41_ticker_splice" -> (tickerSplice(_, _)),
     "q42_quote_pipeline" -> (quotePipeline(_, _)),
     "q43_risk_enrichment" -> (riskEnrichment(_, _)),
     "q46_api_retrieve_quote" -> (apiRetrieveQuote(_, _)),
-    "q52_api_retrieve_eod" -> (apiRetrieveEod(_, _)))
+    "q52_api_retrieve_eod" -> (apiRetrieveEod(_, _)),
+    "q66_patch_rules" -> (patchRules(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q40_occ_roundtrip" -> occRoundtripSql,
@@ -396,5 +454,6 @@ object FinanceQueries {
     "q42_quote_pipeline" -> quotePipelineSql,
     "q43_risk_enrichment" -> riskEnrichmentSql,
     "q46_api_retrieve_quote" -> apiRetrieveQuoteSql,
-    "q52_api_retrieve_eod" -> apiRetrieveEodSql)
+    "q52_api_retrieve_eod" -> apiRetrieveEodSql,
+    "q66_patch_rules" -> patchRulesSql)
 }

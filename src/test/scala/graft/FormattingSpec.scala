@@ -33,6 +33,25 @@ class FormattingSpec extends AnyFunSuite {
     assert(Patches.applyAll(registry, "other", data).count() == 3)
   }
 
+  test("split-artifact patch removes marker only on the full signature") {
+    val gap = Seq("2024-01-11", "2024-01-12", "2024-01-13")
+    val patch = Patches.removeSplitArtifact("sym", "day",
+      "2024-01-10", "2024-01-15", gap)
+    val data = Seq(
+      // qualifies: marker + first-valid present, gap absent
+      ("A", "2024-01-10"), ("A", "2024-01-15"), ("A", "2024-01-16"),
+      // gap day present -> signature incomplete -> marker kept
+      ("B", "2024-01-10"), ("B", "2024-01-12"), ("B", "2024-01-15"),
+      // no first-valid -> marker kept
+      ("C", "2024-01-10"), ("C", "2024-01-20")
+    ).toDF("sym", "day")
+    val out = patch(data).orderBy("sym", "day").as[(String, String)].collect()
+    assert(out.toSeq == Seq(
+      ("A", "2024-01-15"), ("A", "2024-01-16"),
+      ("B", "2024-01-10"), ("B", "2024-01-12"), ("B", "2024-01-15"),
+      ("C", "2024-01-10"), ("C", "2024-01-20")))
+  }
+
   test("missing-vol rescue re-solves zeros from the fallback price") {
     val rows = Seq(
       // solvable close price
