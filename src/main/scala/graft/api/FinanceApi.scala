@@ -32,7 +32,8 @@ final class FinanceApi(
     ohlc: DataFrame,
     oi: DataFrame,
     aliases: Seq[TickerSplice.Alias] = Nil,
-    cfg: MarketConfig = MarketConfig()) {
+    cfg: MarketConfig = MarketConfig(),
+    contracts: DataFrame = null) {
 
   /** R1: widen a single-root scan with its pre-rename history. */
   private def spliced(df: DataFrame, root: Any, tsCol: String): DataFrame =
@@ -85,9 +86,12 @@ final class FinanceApi(
         dsum(col("volume")).as("volume"))
   }
 
-  /** J1 — EOD: quote side is the complete timeline, OHLC attaches
-    * where trades exist, midpoint bootstraps missing bars (F9),
-    * volume fillna(0).
+  /** J1 + J2 — EOD: quote side is the complete timeline, OHLC
+    * attaches where trades exist, midpoint bootstraps missing bars
+    * (F9), volume fillna(0), and the open-interest series left-joins
+    * onto the EOD stamp (Organizers.py:274-279's `merge(openInterest,
+    * on='Datetime', how='left')`) — nullable where no OI print exists,
+    * exactly like the reference's NaN.
     */
   def retrieveEodOhlc(root: Any, start: String, end: String): DataFrame = {
     val q = retrieveQuote(root, start, end, "1 day")
@@ -99,7 +103,13 @@ final class FinanceApi(
       .select(col("datetime"), col("root"),
         col("open").as("t_open"), col("high").as("t_high"),
         col("low").as("t_low"), col("close").as("t_close"), col("volume"))
+    val oiDaily = retrieveOpenInterest(root, start, end)
+      .select(col("root"),
+        (col("day").cast("timestamp") + expr(s"interval ${cfg.eodHour} hours"))
+          .as("datetime"),
+        col("open_interest"))
     q.join(o, Seq("datetime", "root"), "left")
+      .join(oiDaily, Seq("datetime", "root"), "left")
       .select(
         col("datetime"), col("root"),
         coalesce(col("t_open"), col("close")).as("open"),
@@ -110,7 +120,8 @@ final class FinanceApi(
         col("close_bid"), col("close_ask"),
         col("bid_size"), col("ask_size"),
         ((col("close_bid") + col("close_ask")) / 2.0).as("midpoint"),
-        col("weighted_midpoint"))
+        col("weighted_midpoint"),
+        col("open_interest"))
   }
 
   /** OI series: keep-last per day (W1 on the OI stream). */
@@ -130,6 +141,34 @@ final class FinanceApi(
   /** Latest quote per root "as of now" (snapshot, T1/T2). */
   def snapshotQuote(): DataFrame =
     CoreOps.dedupKeepLast(quotes, Seq("root"), Seq("ts", "seq"))
+
+  /** S7 — contract list (Alpaca `get_option_contracts_all`,
+    * Alpaca.py:553-583): the filter surface of the REST endpoint
+    * (underlying, type, expiration window, strike window) over the
+    * injected contracts table, with OCC symbology attached
+    * (tests exercise `symbol/strike/expiration/right`). Pagination is
+    * source-internal in the reference; a DataFrame is already the
+    * fully-accumulated list, so every filter pushes into the scan.
+    */
+  def listContracts(root: Any, right: Option[String] = None,
+      expirationGte: Option[String] = None, expirationLte: Option[String] = None,
+      strikeGte: Option[Double] = None, strikeLte: Option[Double] = None): DataFrame = {
+    require(contracts != null, "FinanceApi built without a contracts table")
+    val filters = Seq(
+      Some(col("root") === lit(root)),
+      right.map(r => col("right") === lit(r)),
+      expirationGte.map(d => col("expiration") >= to_date(lit(d))),
+      expirationLte.map(d => col("expiration") <= to_date(lit(d))),
+      strikeGte.map(v => col("strike") >= lit(v)),
+      strikeLte.map(v => col("strike") <= lit(v))).flatten
+    filters.foldLeft(contracts)(_ filter _)
+      .withColumn("occ", graft.functions.OccSymbol.generate(
+        concat(lit("R"), col("root").cast("string")),
+        col("expiration"), col("right"), col("strike")))
+      .select(col("occ"), col("root"), col("expiration"), col("right"),
+        col("strike"))
+      .orderBy(col("expiration"), col("strike"), col("right"))
+  }
 }
 
 /** Deterministic synthetic option-market tables derived from the
@@ -169,4 +208,17 @@ object SyntheticMarket {
         to_date(col("ts")).as("day"),
         col("event_id").as("seq"),
         (col("event_id") % 10000).as("open_interest"))
+
+  /** Deterministic option-contract table (root, expiration, right,
+    * strike) derived from orders, mirroring the Alpaca contract-list
+    * shape.
+    */
+  def contracts(s: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(s, dir, "orders").select(
+      (col("o_orderkey") % 10).as("root"),
+      date_add(lit(java.sql.Date.valueOf("2026-01-01")),
+        (col("o_orderkey") % 300).cast("int")).as("expiration"),
+      when(col("o_orderkey") % 4 < 2, "C").otherwise("P").as("right"),
+      (lit(50.0) + (col("o_orderkey") % 200).cast("double") * 0.5).as("strike"))
+      .distinct()
 }

@@ -304,7 +304,9 @@ object FinanceQueries {
   /** The reference's flagship call — `retrieve_eod_ohlc` (§3.1) —
     * through the public API: daily quote bars (complete timeline) ⟕
     * trade bars, OHLC bootstrapped from the quote close where no
-    * trades exist (F9/R4), volume fillna(0), EOD 16:00 stamping.
+    * trades exist (F9/R4), volume fillna(0), EOD 16:00 stamping, and
+    * the open-interest series left-joined per day (J2,
+    * Organizers.py:274-279).
     */
   def apiRetrieveEod(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -369,7 +371,19 @@ object FinanceQueries {
       |    MIN(t_low) AS t_low,
       |    MAX(CASE WHEN rnd = 1 THEN t_close END) AS t_close,
       |    CAST(SUM(CAST(t_vol AS DECIMAL(30,4))) AS DOUBLE) AS volume
-      |  FROM tr GROUP BY datetime, root)
+      |  FROM tr GROUP BY datetime, root),
+      |oi AS (
+      |  SELECT root, datetime, open_interest FROM (
+      |    SELECT root,
+      |      CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 16 HOUR AS datetime,
+      |      seq % 10000 AS open_interest,
+      |      row_number() OVER (PARTITION BY root, CAST(ts AS DATE)
+      |                         ORDER BY seq DESC) AS rn
+      |    FROM raw
+      |    WHERE event_type = 'signup' AND root = 5
+      |      AND CAST(ts AS DATE) >= DATE '2024-01-02'
+      |      AND CAST(ts AS DATE) < DATE '2024-01-28') z
+      |  WHERE rn = 1)
       |SELECT q.datetime, q.root,
       |  COALESCE(t.t_open, q.q_close) AS open,
       |  COALESCE(t.t_high, q.q_close) AS high,
@@ -378,9 +392,46 @@ object FinanceQueries {
       |  COALESCE(t.volume, 0.0) AS volume,
       |  q.close_bid, q.close_ask, q.bid_size, q.ask_size,
       |  (q.close_bid + q.close_ask) / 2.0 AS midpoint,
-      |  q.weighted_midpoint
+      |  q.weighted_midpoint,
+      |  oi.open_interest
       |FROM q LEFT JOIN t ON q.datetime = t.datetime AND q.root = t.root
+      |LEFT JOIN oi ON q.datetime = oi.datetime AND q.root = oi.root
       |ORDER BY q.datetime""".stripMargin
+
+  /** S7 — the Alpaca contract-list surface (`get_option_contracts_all`
+    * filter params, Alpaca.py:553-583) through the public API: filter
+    * by underlying/right/expiration window/strike window over the
+    * synthetic contracts table, OCC symbology attached.
+    */
+  def apiListContracts(s: SparkSession, dir: String): DataFrame = {
+    val api = new graft.api.FinanceApi(
+      graft.api.SyntheticMarket.quotes(s, dir),
+      graft.api.SyntheticMarket.ohlc(s, dir),
+      graft.api.SyntheticMarket.oi(s, dir),
+      contracts = graft.api.SyntheticMarket.contracts(s, dir))
+    api.listContracts(5L, right = Some("C"),
+      expirationGte = Some("2026-03-01"), expirationLte = Some("2026-08-01"),
+      strikeGte = Some(60.0), strikeLte = Some(120.0))
+  }
+
+  val apiListContractsSql: String =
+    """WITH c AS (
+      |  SELECT DISTINCT o_orderkey % 10 AS root,
+      |    DATE '2026-01-01' + CAST(o_orderkey % 300 AS INTEGER) AS expiration,
+      |    CASE WHEN o_orderkey % 4 < 2 THEN 'C' ELSE 'P' END AS "right",
+      |    50.0 + CAST(o_orderkey % 200 AS DOUBLE) * 0.5 AS strike
+      |  FROM orders),
+      |f AS (
+      |  SELECT * FROM c
+      |  WHERE root = 5 AND "right" = 'C'
+      |    AND expiration >= DATE '2026-03-01' AND expiration <= DATE '2026-08-01'
+      |    AND strike >= 60.0 AND strike <= 120.0)
+      |SELECT 'R' || CAST(root AS VARCHAR) || strftime(expiration, '%y%m%d')
+      |    || "right"
+      |    || lpad(CAST(CAST(round(strike * 1000) AS BIGINT) AS VARCHAR), 8, '0') AS occ,
+      |  root, expiration, "right", strike
+      |FROM f
+      |ORDER BY expiration, strike, "right"""".stripMargin
 
   /** R3 — the data-correction patch framework applied inside a query
     * (patches/main.py:42-64 + p1.py:5-101): a `list_dates`-shaped
@@ -446,7 +497,8 @@ object FinanceQueries {
     "q43_risk_enrichment" -> (riskEnrichment(_, _)),
     "q46_api_retrieve_quote" -> (apiRetrieveQuote(_, _)),
     "q52_api_retrieve_eod" -> (apiRetrieveEod(_, _)),
-    "q66_patch_rules" -> (patchRules(_, _)))
+    "q66_patch_rules" -> (patchRules(_, _)),
+    "q67_list_contracts" -> (apiListContracts(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q40_occ_roundtrip" -> occRoundtripSql,
@@ -455,5 +507,6 @@ object FinanceQueries {
     "q43_risk_enrichment" -> riskEnrichmentSql,
     "q46_api_retrieve_quote" -> apiRetrieveQuoteSql,
     "q52_api_retrieve_eod" -> apiRetrieveEodSql,
-    "q66_patch_rules" -> patchRulesSql)
+    "q66_patch_rules" -> patchRulesSql,
+    "q67_list_contracts" -> apiListContractsSql)
 }
