@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.operators.CalendarOps._
@@ -135,6 +136,64 @@ object CalendarQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Nested-JSON legs (Alpaca multi-leg orders, Alpaca.py:125-145:
+    * `legs: list[dict]` with symbol/ratio_qty/side/position_intent):
+    * an Alpaca-shaped JSON array payload per order, parsed with
+    * `from_json` into `ArrayType(StructType)` and exploded to one row
+    * per leg — the nested-struct path q19's flat `$.k` extraction
+    * doesn't cover. Orders divisible by 5 carry a third closing leg,
+    * so array lengths vary. The oracle rebuilds the same legs from
+    * first principles (no JSON), independently checking the parse.
+    */
+  def multilegOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val legSchema = ArrayType(StructType(Seq(
+      StructField("symbol", StringType),
+      StructField("ratio_qty", DoubleType),
+      StructField("side", StringType),
+      StructField("position_intent", StringType))))
+    val o = Tables.loadSpread(s, dir, "orders")
+      .filter($"o_orderkey" < 2000)
+      .select($"o_orderkey".as("order_id"))
+    val twoLegs = format_string(
+      """[{"symbol":"S%d","ratio_qty":%d.0,"side":"buy","position_intent":"buy_to_open"},""" +
+        """{"symbol":"S%d","ratio_qty":%d.0,"side":"sell","position_intent":"sell_to_open"}]""",
+      $"order_id" % 7, $"order_id" % 3 + 1, ($"order_id" + 1) % 7, $"order_id" % 2 + 1)
+    val threeLegs = format_string(
+      """[{"symbol":"S%d","ratio_qty":%d.0,"side":"buy","position_intent":"buy_to_open"},""" +
+        """{"symbol":"S%d","ratio_qty":%d.0,"side":"sell","position_intent":"sell_to_open"},""" +
+        """{"symbol":"S9","ratio_qty":1.0,"side":"buy","position_intent":"buy_to_close"}]""",
+      $"order_id" % 7, $"order_id" % 3 + 1, ($"order_id" + 1) % 7, $"order_id" % 2 + 1)
+    o.withColumn("legs_json",
+        when($"order_id" % 5 === 0, threeLegs).otherwise(twoLegs))
+      .withColumn("legs", from_json($"legs_json", legSchema))
+      .select($"order_id", posexplode($"legs").as(Seq("leg_idx", "leg")))
+      .select($"order_id", $"leg_idx",
+        $"leg.symbol".as("symbol"), $"leg.ratio_qty".as("ratio_qty"),
+        $"leg.side".as("side"), $"leg.position_intent".as("position_intent"))
+      .orderBy($"order_id", $"leg_idx")
+  }
+
+  val multilegOrdersSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS order_id FROM orders WHERE o_orderkey < 2000),
+      |legs AS (
+      |  SELECT order_id, 0 AS leg_idx,
+      |    'S' || CAST(order_id % 7 AS VARCHAR) AS symbol,
+      |    CAST(order_id % 3 + 1 AS DOUBLE) AS ratio_qty,
+      |    'buy' AS side, 'buy_to_open' AS position_intent
+      |  FROM o
+      |  UNION ALL
+      |  SELECT order_id, 1, 'S' || CAST((order_id + 1) % 7 AS VARCHAR),
+      |    CAST(order_id % 2 + 1 AS DOUBLE), 'sell', 'sell_to_open'
+      |  FROM o
+      |  UNION ALL
+      |  SELECT order_id, 2, 'S9', 1.0, 'buy', 'buy_to_close'
+      |  FROM o WHERE order_id % 5 = 0)
+      |SELECT order_id, leg_idx, symbol, ratio_qty, side, position_intent
+      |FROM legs
+      |ORDER BY order_id, leg_idx""".stripMargin
+
   /** A1 anchored-hour buckets — pandas `origin=MARKET_OPEN_TIME`
     * (utils.py:349-357, 396): hourly windows anchored at 09:30 via
     * Spark's window startTime, so intraday bars run 09:30-10:30,
@@ -183,12 +242,14 @@ object CalendarQueries {
     "q17_bus_day_coverage" -> (busDayCoverage(_, _)),
     "q18_time_conversions" -> (timeConversions(_, _)),
     "q19_json_extract" -> (jsonExtract(_, _)),
-    "q53_market_hour_bars" -> (marketHourBars(_, _)))
+    "q53_market_hour_bars" -> (marketHourBars(_, _)),
+    "q68_multileg_orders" -> (multilegOrders(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q16_anchored_buckets" -> anchoredBucketsSql,
     "q17_bus_day_coverage" -> busDayCoverageSql,
     "q18_time_conversions" -> timeConversionsSql,
     "q19_json_extract" -> jsonExtractSql,
-    "q53_market_hour_bars" -> marketHourBarsSql)
+    "q53_market_hour_bars" -> marketHourBarsSql,
+    "q68_multileg_orders" -> multilegOrdersSql)
 }
