@@ -232,23 +232,71 @@ object TextQueries {
     * |A∩B| falls out of a count per (i,j). |A∪B| = |A|+|B|-|A∩B|.
     * At 100 TB this is the standard exact-verify plan: shuffle is on
     * the shingle key (near-uniform for 3-grams), candidate volume is
-    * Σ df(shingle)² ≪ n², and a hot-shingle cap would bolt on as a
-    * df filter — the same skew story as any inverted index.
+    * Σ df(shingle)² ≪ n², and shingles hotter than [[jaccardMaxDf]]
+    * are excluded from candidate generation (then exactly re-verified)
+    * — the explicit skew bound of any inverted index.
     */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Hot-shingle document-frequency cap for [[jaccardPairs]]'s
+    * candidate stage: a shingle posted by more than this many docs per
+    * source is excluded from candidate GENERATION (its posting join
+    * contributes df² pairs — the inverted index's skew term), but NOT
+    * from verification, which recomputes the exact intersection from
+    * the full arrays. A pair is lost only if EVERY shared shingle is
+    * hot — JaccardCapSpec proves the corpus result is invariant.
+    */
+  val jaccardMaxDf = 1000
+
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsCapped(s, dir, jaccardMaxDf)
+
+  def jaccardPairsCapped(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     import s.implicits._
-    val docs = Tables.loadSpread(s, dir, "documents")
-      .select($"doc_id", $"source", shingles(words($"text")).as("sh"))
+    // ONE persisted posting table feeds everything: df counts, per-doc
+    // set sizes (= posting rows per doc, shingles are distinct), and
+    // the candidate join — the staging table a warehouse pipeline
+    // would materialize between stages.
+    val posting = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", $"source", explode(shingles(words($"text"))).as("shingle"))
       .persist()
-    val sizes = docs.select($"source", $"doc_id", size($"sh").as("n"))
-    val posting = docs.select($"source", $"doc_id", explode($"sh").as("shingle"))
-    val co = posting.select($"source", $"shingle", $"doc_id".as("i"))
-      .join(posting.select($"source", $"shingle", $"doc_id".as("j")),
+    val sizes = posting.groupBy($"source", $"doc_id").agg(count(lit(1)).as("n"))
+    val dfs = posting.groupBy($"source", $"shingle").agg(count(lit(1)).as("df"))
+    // Sub-cap postings drive the posting join + count, exactly the
+    // uncapped plan; hot shingles are carried as tiny per-doc sets and
+    // their overlap added back on the already-candidate pairs — so the
+    // df cap bounds the join's skew term without touching results for
+    // any pair sharing at least one cool shingle.
+    // Shingles ABOVE the cap are few by construction (a vocabulary of
+    // truly hot n-grams), so they broadcast. The check is one tiny
+    // existence job (AQE-style runtime adaptation): a skew-free corpus
+    // pays only the df aggregation and runs the plain posting join.
+    val hotKeys = dfs.filter($"df" > maxDf).select($"source", $"shingle")
+    val hasHot = hotKeys.limit(1).count() > 0
+    val cool =
+      if (hasHot) posting.join(broadcast(hotKeys), Seq("source", "shingle"), "left_anti")
+      else posting
+    val co = cool.select($"source", $"shingle", $"doc_id".as("i"))
+      .join(cool.select($"source", $"shingle", $"doc_id".as("j")),
         Seq("source", "shingle"))
       .filter($"i" < $"j")
       .groupBy($"source", $"i", $"j")
-      .agg(count(lit(1)).cast("double").as("inter"))
-    co.join(sizes.select($"source", $"doc_id".as("i"), $"n".as("ni")), Seq("source", "i"))
+      .agg(count(lit(1)).cast("double").as("inter_cool"))
+    val withInter =
+      if (!hasHot) co.withColumn("inter", $"inter_cool")
+      else {
+        val hotSets = posting
+          .join(broadcast(hotKeys), Seq("source", "shingle"), "left_semi")
+          .groupBy($"source", $"doc_id")
+          .agg(collect_list($"shingle").as("hot_sh"))
+        co.join(hotSets.select($"source", $"doc_id".as("i"), $"hot_sh".as("hot_i")),
+            Seq("source", "i"), "left")
+          .join(hotSets.select($"source", $"doc_id".as("j"), $"hot_sh".as("hot_j")),
+            Seq("source", "j"), "left")
+          .withColumn("inter", $"inter_cool" +
+            when($"hot_i".isNull || $"hot_j".isNull, lit(0.0))
+              .otherwise(size(array_intersect($"hot_i", $"hot_j")).cast("double")))
+      }
+    withInter
+      .join(sizes.select($"source", $"doc_id".as("i"), $"n".as("ni")), Seq("source", "i"))
       .join(sizes.select($"source", $"doc_id".as("j"), $"n".as("nj")), Seq("source", "j"))
       .withColumn("jaccard", $"inter" / ($"ni" + $"nj" - $"inter"))
       .filter($"jaccard" >= 0.3)

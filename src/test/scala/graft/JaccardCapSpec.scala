@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TextQueries
+
+/** The q25 hot-shingle cap is a candidate-generation bound only:
+  * verification recomputes exact intersections, so the default cap
+  * must not change a single pair on the corpus, while an absurdly
+  * tiny cap may only LOSE pairs (never invent or corrupt one).
+  */
+class JaccardCapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(maxDf: Int): Seq[(String, Long, Long, Double)] =
+    TextQueries.jaccardPairsCapped(spark, dir, maxDf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+  test("default df cap leaves the corpus result invariant") {
+    val uncapped = rows(Int.MaxValue)
+    assert(uncapped.nonEmpty) // corpus has planted near-dups
+    assert(rows(TextQueries.jaccardMaxDf) == uncapped)
+  }
+
+  test("a tiny df cap only drops pairs, never alters surviving ones") {
+    val uncapped = rows(Int.MaxValue).toSet
+    val tiny = rows(1)
+    assert(tiny.size <= uncapped.size)
+    assert(tiny.forall(uncapped)) // survivors identical, never corrupted
+    assert(rows(0).isEmpty) // no postings -> no candidates
+  }
+}
