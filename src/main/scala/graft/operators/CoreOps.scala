@@ -102,13 +102,19 @@ object CoreOps {
     * default method for non-OHLCV columns and the source of continuity
     * between sparse bars) and zero-fill `zeroCols` (`fillna(0)`).
     *
-    * Gap buckets are generated distributively: per key, ONE row with
-    * `sequence(floor(min), floor(max), interval)` exploded — no
-    * driver-side calendar loop; the grid then left-joins the
+    * Gap buckets are generated distributively AND memory-bounded: per
+    * key the bucket range is exploded in two levels — a chunk index
+    * (≤ n/[[gridChunkBuckets]] elements) then the in-chunk sequence
+    * (≤ [[gridChunkBuckets]] elements) — so a multi-year key at a
+    * 1-minute interval never materializes its millions of buckets in a
+    * single row's array. All arithmetic is exact integer micros on the
+    * already-aligned window starts. The grid then left-joins the
     * aggregated buckets. Two shuffles total (agg + ffill window), both
     * on the same key — at scale the second reuses the first's
     * partitioning.
     */
+  val gridChunkBuckets = 4096
+
   def resampleWithGaps(
       df: DataFrame,
       tsCol: String,
@@ -117,15 +123,34 @@ object CoreOps {
       aggs: Seq[(String, String, AggMethod)],
       tieBreak: String,
       ffillCols: Seq[String],
-      zeroCols: Seq[String]): DataFrame = {
+      zeroCols: Seq[String],
+      gridChunk: Int = gridChunkBuckets): DataFrame = {
     val agged = resampleOhlc(df, tsCol, interval, keys, aggs, tieBreak)
-    val grid = df
+    // one interval's length in micros, computed at plan time (epoch 0
+    // + interval); resample intervals are fixed-duration day-time
+    // intervals, so this is a constant
+    val ivlUs = unix_micros(
+      to_timestamp(lit("1970-01-01 00:00:00")) + expr(s"interval $interval"))
+    // clamp so chunkSize * ivlUs can't overflow Long for any sane
+    // bucket width (2^20 buckets × ≤100-day intervals < 2^63 µs)
+    val chunkSize = math.max(1, math.min(gridChunk, 1 << 20)).toLong
+    val chunkSpan = lit(chunkSize) * ivlUs
+    val ranges = df
       .groupBy(keys.map(col): _*)
-      .agg(min(window(col(tsCol), interval)("start")).as("__first"),
-        max(window(col(tsCol), interval)("start")).as("__last"))
+      .agg(
+        unix_micros(min(window(col(tsCol), interval)("start"))).as("__first_us"),
+        unix_micros(max(window(col(tsCol), interval)("start"))).as("__last_us"))
+    val chunks = ranges.select(keys.map(col) ++ Seq(col("__first_us"), col("__last_us"),
+      explode(sequence(lit(0L),
+        floor((col("__last_us") - col("__first_us")) / chunkSpan).cast("long")))
+        .as("__chunk")): _*)
+    val chunkStart = col("__first_us") + col("__chunk") * chunkSpan
+    val chunkEnd = least(col("__last_us"),
+      chunkStart + lit(chunkSize - 1) * ivlUs)
+    val grid = chunks
       .select(keys.map(col) :+
-        explode(sequence(col("__first"), col("__last"),
-          expr(s"interval $interval"))).as("bucket"): _*)
+        explode(sequence(chunkStart, chunkEnd, ivlUs)).as("__bucket_us"): _*)
+      .select(keys.map(col) :+ timestamp_micros(col("__bucket_us")).as("bucket"): _*)
     val joined = grid.join(agged, keys :+ "bucket", "left")
     val filled = ffill(joined, ffillCols, keys, Seq("bucket"))
     zeroCols.foldLeft(filled)((d, c) =>

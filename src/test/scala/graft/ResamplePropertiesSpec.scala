@@ -102,4 +102,33 @@ class ResamplePropertiesSpec extends AnyFunSuite {
       assert(once.collect().toSet == twice.collect().toSet)
     }
   }
+
+  test("chunked gap grid: multi-year sparse key, any chunk size, same result") {
+    // two observations ~30 years apart: the daily grid spans ~11k
+    // buckets; chunk sizes straddling divisor/non-divisor/edge cases
+    // must all produce the identical complete grid with correct ffill
+    val rows = Seq(
+      ("K", Timestamp.valueOf("1994-01-03 10:00:00"), 5.0, 0L),
+      ("K", Timestamp.valueOf("2024-02-29 15:30:00"), 7.0, 1L),
+      ("L", Timestamp.valueOf("2024-02-28 09:00:00"), 9.0, 2L)
+    ).toDF("key", "ts", "value", "seq")
+    def run(chunk: Int) = resampleWithGaps(rows, "ts", "1 day", Seq("key"),
+      Seq(("close", "value", AggLast), ("volume", "value", AggSum)), "seq",
+      ffillCols = Seq("close"), zeroCols = Seq("volume"), gridChunk = chunk)
+      .orderBy($"key", $"bucket")
+      .collect().toSeq
+    val expectedDays =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse("1994-01-03"),
+        java.time.LocalDate.parse("2024-02-29")) + 1
+    val reference = run(1 << 30) // single chunk = unchunked grid
+    assert(reference.count(_.getString(0) == "K") == expectedDays)
+    assert(reference.count(_.getString(0) == "L") == 1)
+    // every gap bucket carries the forward-filled close, zero volume
+    val kGaps = reference.filter(r => r.getString(0) == "K" && r.getDouble(3) == 0.0)
+    assert(kGaps.size == expectedDays - 2)
+    assert(kGaps.forall(_.getDouble(2) == 5.0))
+    for (chunk <- Seq(1, 16, 4096, 11011, 11012))
+      assert(run(chunk) == reference, s"gridChunk=$chunk diverged")
+  }
 }
