@@ -8,10 +8,13 @@ import graft.operators.{CoreOps, TickerSplice}
 import graft.operators.CoreOps._
 
 /** Market-hours configuration (reference PRICING_CONFIG uses at
-  * v2.py:623, 899-901, 1432-1437).
+  * v2.py:623, 899-901, 1432-1437). `quoteStartMin` (09:45) is the
+  * QUOTE_DATA_START_TIME applied when quotes BOOTSTRAP an OHLC frame
+  * — the v2.py:1432-1437 one-time fix "to ensure there is data for
+  * open"; plain quote retrieval still starts at market open.
   */
 final case class MarketConfig(openMin: Int = 570, closeMin: Int = 960,
-    eodHour: Int = 16)
+    eodHour: Int = 16, quoteStartMin: Int = 585)
 
 /** The reference's public retrieval surface (SURVEY §7.1 module 5 /
   * §3.1) re-expressed over DataFrame-backed market tables:
@@ -51,12 +54,16 @@ final class FinanceApi(
     * hours → interval resample with the A1 agg map.
     */
   def retrieveQuote(root: Any, start: String, end: String,
-      interval: String): DataFrame = {
+      interval: String): DataFrame =
+    quoteBars(root, start, end, interval, cfg.openMin)
+
+  private def quoteBars(root: Any, start: String, end: String,
+      interval: String, fromMin: Int): DataFrame = {
     val base = inRange(spliced(quotes, root, "ts"), "ts", start, end)
       .withColumn("mid", midpoint(col("bid"), col("ask")))
       .withColumn("weighted_midpoint",
         weightedMidpoint(col("bid"), col("ask"), col("bid_size"), col("ask_size")))
-      .filter(businessHours(col("ts"), cfg.openMin, cfg.closeMin))
+      .filter(businessHours(col("ts"), fromMin, cfg.closeMin))
     val ord = struct(col("ts"), col("seq"))
     base.groupBy(window(col("ts"), interval)("start").as("datetime"), col("root"))
       .agg(
@@ -94,7 +101,9 @@ final class FinanceApi(
     * exactly like the reference's NaN.
     */
   def retrieveEodOhlc(root: Any, start: String, end: String): DataFrame = {
-    val q = retrieveQuote(root, start, end, "1 day")
+    // quotes that BOOTSTRAP ohlc start at quoteStartMin (09:45), the
+    // v2.py:1432-1437 gating, so the bootstrapped open has data behind it
+    val q = quoteBars(root, start, end, "1 day", cfg.quoteStartMin)
       .withColumn("datetime",
         col("datetime") + expr(s"interval ${cfg.eodHour} hours"))
     val o = retrieveOhlc(root, start, end, "1 day")

@@ -304,9 +304,10 @@ object FinanceQueries {
   /** The reference's flagship call — `retrieve_eod_ohlc` (§3.1) —
     * through the public API: daily quote bars (complete timeline) ⟕
     * trade bars, OHLC bootstrapped from the quote close where no
-    * trades exist (F9/R4), volume fillna(0), EOD 16:00 stamping, and
-    * the open-interest series left-joined per day (J2,
-    * Organizers.py:274-279).
+    * trades exist (F9/R4), volume fillna(0), EOD 16:00 stamping, the
+    * bootstrap-quote side gated at 09:45 (QUOTE_DATA_START_TIME,
+    * v2.py:1432-1437), and the open-interest series left-joined per
+    * day (J2, Organizers.py:274-279).
     */
   def apiRetrieveEod(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -334,7 +335,7 @@ object FinanceQueries {
       |    date_trunc('day', ts) + INTERVAL 16 HOUR AS datetime
       |  FROM raw
       |  WHERE root = 5 AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-28'
-      |    AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 570 AND 960),
+      |    AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 585 AND 960),
       |qr AS (
       |  SELECT *,
       |    row_number() OVER (PARTITION BY datetime ORDER BY ts, seq) AS rna,

@@ -158,7 +158,12 @@ object OlapQueries {
     * event type. Spark's `window(ts, "1 hour", "15 minutes")` assigns
     * each row to its 4 covering windows (an Expand — rows × 4, then
     * ONE hash aggregation); the oracle replays the same assignment
-    * with an explicit hop index.
+    * with an explicit hop index. NOTE: the oracle's `time_bucket`
+    * aligns with Spark's 1970-01-01 window origin only because the
+    * 15-minute hop divides a day evenly (DuckDB's default origin is
+    * 2000-01-03, a whole number of days after the epoch); a hop that
+    * does not divide 24h must pass an explicit epoch origin to
+    * `time_bucket`.
     */
   def slidingWindowAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
