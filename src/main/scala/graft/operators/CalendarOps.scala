@@ -73,4 +73,18 @@ object CalendarOps {
 
   /** F14 — `default_timestamp` (dbase/utils.py:25-36): truncate to midnight. */
   def toMidnight(ts: Column): Column = date_trunc("day", ts)
+
+  /** F1 — `normalize_date_format` (utils.py:443-454): any common date
+    * string → canonical `yyyy-MM-dd` (type 1) or `yyyyMMdd` (type 2).
+    * Formats dispatch by shape (compact, ISO with optional time,
+    * US slash), so nothing trips ANSI parsing; unrecognized shapes
+    * yield null — the caller's validation boundary, where the
+    * reference raises.
+    */
+  def normalizeDate(c: Column, compact: Boolean = false): Column = {
+    val d = when(c.rlike("^[0-9]{8}$"), to_date(c, "yyyyMMdd"))
+      .when(c.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}"), to_date(substring(c, 1, 10)))
+      .when(c.rlike("^[0-9]{2}/[0-9]{2}/[0-9]{4}$"), to_date(c, "MM/dd/yyyy"))
+    date_format(d, if (compact) "yyyyMMdd" else "yyyy-MM-dd")
+  }
 }

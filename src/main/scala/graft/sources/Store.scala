@@ -52,6 +52,13 @@ object Store {
       .sortWithinPartitions(col(keyCol), col(tsCol))
       .write.partitionBy(keyCol, "date").mode("overwrite").parquet(path)
 
+  /** K5 — truncate (SQLHelpers.py:225-248 `clear_table_data`): the
+    * table's next version is its empty self, schema preserved. The
+    * reference's autoincrement reset has no analog — identity comes
+    * from data, not storage, on a columnar table.
+    */
+  def truncate(df: DataFrame): DataFrame = df.filter(lit(false))
+
   /** K6 — whole-table dedup rewrite (SQLHelpers.py:370-405). */
   def dedupRewrite(df: DataFrame): DataFrame = df.dropDuplicates()
 
@@ -72,6 +79,38 @@ object Store {
     val notAllNull = uniqueCols.map(c => col(c).isNotNull)
       .reduceOption(_ || _).getOrElse(lit(true))
     pruned.filter(notAllNull).dropDuplicates()
+  }
+}
+
+/** S7 — paginated REST accumulation (Alpaca.py:486-517
+  * `get_option_chain_all`, 553-583 `get_option_contracts_all`):
+  * follow the next-page token until exhausted, accumulating pages.
+  * The token walk is driver-side control flow — exactly as in the
+  * reference — but each page's DATA is a DataFrame, so the
+  * accumulated result stays distributed and downstream operators
+  * plan over the union.
+  */
+object PaginatedSource {
+
+  /** `fetch(None)` returns the first page; `fetch(Some(token))` the
+    * next. Pages union by name; `maxPages` guards a server that never
+    * ends the walk (the reference loops unbounded — its failure mode).
+    */
+  def paginatedScan(fetch: Option[String] => (DataFrame, Option[String]),
+      maxPages: Int = 10000): DataFrame = {
+    @annotation.tailrec
+    def loop(token: Option[String], acc: DataFrame, pages: Int): DataFrame =
+      token match {
+        case None => acc
+        case Some(_) =>
+          if (pages >= maxPages)
+            throw new IllegalStateException(
+              s"pagination exceeded $maxPages pages — non-terminating token walk?")
+          val (page, next) = fetch(token)
+          loop(next, acc.unionByName(page), pages + 1)
+      }
+    val (first, next) = fetch(None)
+    loop(next, first, 1)
   }
 }
 

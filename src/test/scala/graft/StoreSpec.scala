@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{EnvCatalog, Store}
+import graft.sources.{EnvCatalog, PaginatedSource, Store}
 
 class StoreSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -79,6 +79,28 @@ class StoreSpec extends AnyFunSuite {
     assert(new EnvCatalog(reg2).register("y_dev", "y", "dev", "me").count() == 2)
     val reg3 = new EnvCatalog(reg2).softDelete("y_dev")
     assert(new EnvCatalog(reg3).resolve("y", "dev").isEmpty)
+  }
+
+  test("truncate keeps schema, empties data") {
+    val t = Seq((1L, "a")).toDF("k", "v")
+    val out = Store.truncate(t)
+    assert(out.schema == t.schema)
+    assert(out.count() == 0)
+  }
+
+  test("paginatedScan follows tokens, accumulates pages, bounds the walk") {
+    def page(rows: Seq[Long]) = rows.toDF("k")
+    val pages = Map(
+      None -> (page(Seq(1L, 2L)), Some("p2")),
+      Some("p2") -> (page(Seq(3L)), Some("p3")),
+      Some("p3") -> (page(Seq(4L, 5L)), None))
+    val out = PaginatedSource.paginatedScan(pages(_))
+      .orderBy("k").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // a token walk that never terminates trips the page guard
+    assertThrows[IllegalStateException](
+      PaginatedSource.paginatedScan(
+        _ => (page(Seq(9L)), Some("again")), maxPages = 3))
   }
 
   test("validateName whitelists identifiers, rejects injection shapes") {
