@@ -210,15 +210,77 @@ object SimilarityQueries {
        |SELECT qid, cid, cluster, cos, rank FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** Embedding-cosine near-duplicate PAIRS — the dedup member of the
+    * vector family (q30-q33 answer queries; dedup needs every
+    * near-identical pair). The corpus has no natural near-dups (max
+    * pairwise cos ≈ 0.51), so the query plants a deterministic
+    * perturbed copy of every 50th vector (±0.2% per-dimension scaling,
+    * id + 1,000,000) and must find exactly those: LSH-bucket self-join
+    * generates candidate pairs sublinearly (near-parallel vectors
+    * share a bucket unless a hyperplane splits them — a restriction
+    * both engines replicate bit-identically), then exact integer
+    * cosine ≥ 0.99 verifies.
+    */
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"))
+    val copies = base.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"emb", (x, i) =>
+          x * (lit(1.0) + lit(0.001) * ((i % 5) - 2).cast("double"))).as("emb"))
+    val emb = base.unionByName(copies)
+      .select($"vec_id", quantize($"emb").as("q"))
+      .withColumn("nsq", intNormSq($"q"))
+      .withColumn("bucket", rhpSignature($"q", 4))
+    emb.select($"bucket", $"vec_id".as("i"), $"q".as("qi"), $"nsq".as("ni"))
+      .join(emb.select($"bucket", $"vec_id".as("j"), $"q".as("qj"), $"nsq".as("nj")),
+        Seq("bucket"))
+      .filter($"i" < $"j")
+      .withColumn("cos", cosine(intDot($"qi", $"qj"), $"ni", $"nj"))
+      .filter($"cos" >= 0.99)
+      .select($"i", $"j", $"cos")
+      .orderBy($"i", $"j")
+  }
+
+  val cosineNearDupSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> emb[i] * (1.0 + 0.001 * CAST((i - 1) % 5 - 2 AS DOUBLE))) AS emb
+       |  FROM b WHERE vec_id % 50 = 0),
+       |allv AS (SELECT * FROM b UNION ALL SELECT * FROM c),
+       |e AS (
+       |  SELECT vec_id,
+       |    list_transform(emb, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+       |  FROM allv),
+       |sig AS (
+       |  SELECT vec_id, q, ${dotSql("q", "q")} AS nsq, $sigSql AS bucket FROM e),
+       |pairs AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j, a.q AS qi, b.q AS qj,
+       |    a.nsq AS ni, b.nsq AS nj
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT i, j, CAST(${dotSql("qi", "qj")} AS DOUBLE)
+       |    / (sqrt(CAST(ni AS DOUBLE)) * sqrt(CAST(nj AS DOUBLE))) AS cos
+       |  FROM pairs)
+       |SELECT i, j, cos FROM scored WHERE cos >= 0.99
+       |ORDER BY i, j""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q30_knn_brute_force" -> (knnBruteForce(_, _)),
     "q31_ann_lsh_buckets" -> (annLshBuckets(_, _)),
     "q32_label_centroids" -> (labelCentroids(_, _)),
-    "q33_ivf_search" -> (ivfSearch(_, _)))
+    "q33_ivf_search" -> (ivfSearch(_, _)),
+    "q34_cosine_near_dup" -> (cosineNearDup(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q30_knn_brute_force" -> knnBruteForceSql,
     "q31_ann_lsh_buckets" -> annLshBucketsSql,
     "q32_label_centroids" -> labelCentroidsSql,
-    "q33_ivf_search" -> ivfSearchSql)
+    "q33_ivf_search" -> ivfSearchSql,
+    "q34_cosine_near_dup" -> cosineNearDupSql)
 }
