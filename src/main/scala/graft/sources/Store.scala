@@ -52,6 +52,30 @@ object Store {
       .sortWithinPartitions(col(keyCol), col(tsCol))
       .write.partitionBy(keyCol, "date").mode("overwrite").parquet(path)
 
+  /** S6 — JDBC scan (SQLHelpers.py:408-445 `query_database` /
+    * `pd.read_sql`): `spark.read.jdbc` over any JDBC url. With
+    * `partition` = (column, lower, upper, n) the scan splits into n
+    * range-predicate queries executed as parallel tasks — the scale
+    * path a single-connection `read_sql` lacks. Filters and column
+    * pruning push into the remote engine via the JDBC relation.
+    */
+  def jdbcScan(spark: org.apache.spark.sql.SparkSession, url: String,
+      table: String,
+      partition: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val props = new java.util.Properties()
+    partition match {
+      case Some((col, lo, hi, n)) =>
+        spark.read.jdbc(url, table, col, lo, hi, n, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
+  }
+
+  /** S6/K1 write side — append a DataFrame through JDBC (the
+    * `to_sql(if_exists='append')` shape of SQLHelpers.py:361-367).
+    */
+  def jdbcAppend(df: DataFrame, url: String, table: String): Unit =
+    df.write.mode("append").jdbc(url, table, new java.util.Properties())
+
   /** K5 — truncate (SQLHelpers.py:225-248 `clear_table_data`): the
     * table's next version is its empty self, schema preserved. The
     * reference's autoincrement reset has no analog — identity comes

@@ -75,4 +75,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q55 median: percentile_disc aggregate, no whole-table window sort") {
+    val p = plan(AnalyticsQueries.discreteMedian(spark, dir))
+    assert(!p.contains("Window"), "median must not sort the table through a window")
+    assert(p.toLowerCase.contains("percentile"), p)
+  }
+
+  test("q15 closest-to-mean: day means broadcast back, no day window") {
+    val p = plan(TimeSeriesQueries.closestToMean(spark, dir))
+    assert(!p.contains("Window"), "day means must come from agg + broadcast join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q24/q25/q26 near-dup plans: no all-pairs product anywhere") {
+    for (q <- Seq(TextQueries.minhashNearDup(spark, dir),
+        TextQueries.jaccardPairs(spark, dir),
+        TextQueries.simhashNearDup(spark, dir))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p.take(300))
+    }
+  }
+
+  test("q34 cosine near-dup: bucket equi-join, no cross product") {
+    val p = plan(SimilarityQueries.cosineNearDup(spark, dir))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(300))
+  }
 }

@@ -81,6 +81,31 @@ class StoreSpec extends AnyFunSuite {
     assert(new EnvCatalog(reg3).resolve("y", "dev").isEmpty)
   }
 
+  test("jdbcScan reads, partitions, and pushes filters into Derby") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE bars") catch { case _: java.sql.SQLException => }
+      st.execute("CREATE TABLE bars(k BIGINT, px DOUBLE)")
+      (0L until 10L).foreach(i =>
+        st.execute(s"INSERT INTO bars VALUES ($i, ${i * 1.5})"))
+    } finally conn.close()
+    val plain = Store.jdbcScan(spark, url, "bars")
+    assert(plain.count() == 10)
+    assert(plain.filter($"k" === 3L).select($"px").head().getDouble(0) == 4.5)
+    // partitioned read: n range predicates = n parallel tasks
+    val parted = Store.jdbcScan(spark, url, "bars", Some(("k", 0L, 10L, 3)))
+    assert(parted.rdd.getNumPartitions == 3)
+    assert(parted.agg(sum($"k")).head().getLong(0) == 45L)
+    // filter reaches the JDBC relation (remote engine), not Spark
+    val plan = plain.filter($"k" === 3L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(K,3)"), plan)
+    // write side: append then read back
+    Store.jdbcAppend(Seq((100L, 9.9)).toDF("k", "px"), url, "bars")
+    assert(Store.jdbcScan(spark, url, "bars").count() == 11)
+  }
+
   test("truncate keeps schema, empties data") {
     val t = Seq((1L, "a")).toDF("k", "v")
     val out = Store.truncate(t)
