@@ -248,6 +248,73 @@ object OlapQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** The analytic-window function family the reference lacks entirely
+    * (§2.5 "absent: rank/dense_rank/lag/lead/ntile"): per-user
+    * event-ordered lag/lead deltas, quartile ntile, percent_rank and
+    * dense_rank by value. One shuffle on the user key; the partition
+    * key is the natural entity, so cardinality scales with data.
+    */
+  def windowFunctions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events").filter($"event_id" < 5000)
+    val byTime = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val byValue = Window.partitionBy($"user_id").orderBy($"value", $"event_id")
+    ev.select($"event_id", $"user_id", $"ts", $"value",
+        lag($"value", 1).over(byTime).as("prev_value"),
+        lead($"value", 1).over(byTime).as("next_value"),
+        ntile(4).over(byValue).as("value_quartile"),
+        percent_rank().over(byValue).as("value_pct_rank"),
+        dense_rank().over(byValue).cast("long").as("value_dense_rank"))
+      .orderBy($"event_id")
+  }
+
+  val windowFunctionsSql: String =
+    """SELECT event_id, user_id, ts, value,
+      |  lag(value, 1) OVER t AS prev_value,
+      |  lead(value, 1) OVER t AS next_value,
+      |  ntile(4) OVER v AS value_quartile,
+      |  percent_rank() OVER v AS value_pct_rank,
+      |  CAST(dense_rank() OVER v AS BIGINT) AS value_dense_rank
+      |FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+      |      FROM events) e
+      |WHERE event_id < 5000
+      |WINDOW t AS (PARTITION BY user_id ORDER BY ts, event_id),
+      |       v AS (PARTITION BY user_id ORDER BY value, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** CUBE grouping sets over (returnflag, linestatus) with an explicit
+    * grouping level — the full subtotal lattice in ONE Expand + hash
+    * aggregation (4 grouping sets, not 4 scans). Dims are null-free so
+    * 'ALL' coalescing is unambiguous, as in q58's rollup.
+    */
+  def cubeRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    li.cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        revenueSum($"l_extendedprice", $"l_discount").as("revenue"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
+        $"gid", $"n", $"revenue")
+      .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+  }
+
+  val cubeRevenueSql: String =
+    """SELECT
+      |  COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      |  CAST(CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+      |     + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q58_rollup_revenue" -> (rollupRevenue(_, _)),
     "q59_top_per_segment" -> (topPerSegment(_, _)),
@@ -255,7 +322,9 @@ object OlapQueries {
     "q61_trailing_hour" -> (trailingHourStats(_, _)),
     "q62_sliding_window" -> (slidingWindowAgg(_, _)),
     "q63_pivot_revenue" -> (pivotRevenue(_, _)),
-    "q64_quantile_profile" -> (quantileProfile(_, _)))
+    "q64_quantile_profile" -> (quantileProfile(_, _)),
+    "q69_window_functions" -> (windowFunctions(_, _)),
+    "q70_cube_revenue" -> (cubeRevenue(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q58_rollup_revenue" -> rollupRevenueSql,
@@ -264,5 +333,7 @@ object OlapQueries {
     "q61_trailing_hour" -> trailingHourStatsSql,
     "q62_sliding_window" -> slidingWindowAggSql,
     "q63_pivot_revenue" -> pivotRevenueSql,
-    "q64_quantile_profile" -> quantileProfileSql)
+    "q64_quantile_profile" -> quantileProfileSql,
+    "q69_window_functions" -> windowFunctionsSql,
+    "q70_cube_revenue" -> cubeRevenueSql)
 }
