@@ -131,6 +131,39 @@ object TextQueries {
       |FROM h
       |ORDER BY doc_id""".stripMargin
 
+  /** BPE-style regex pre-tokenization (the GPT-2 pre-tokenizer shape:
+    * contraction suffixes, space-prefixed letter/digit/punctuation
+    * runs, residual whitespace) — the real subword token-counting path
+    * beyond q20's chars/4 estimate. Pure codegen `regexp_extract_all`;
+    * leftmost-match semantics are identical across engines, so counts
+    * and even the token lists agree exactly.
+    */
+  def bpePretokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+| +"
+    val docs = Tables.load(s, dir, "documents")
+    docs.select($"doc_id",
+        regexp_extract_all($"text", lit(pat), lit(0)).as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_pretokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct_pretokens"),
+        element_at($"toks", 1).as("first_pretoken"))
+      .orderBy($"doc_id")
+  }
+
+  val bpePretokenizeSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(text,
+      |      '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+| +') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_pretokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_pretokens,
+      |  toks[1] AS first_pretoken
+      |FROM t
+      |ORDER BY doc_id""".stripMargin
+
   /** Exact dedup via content fingerprint (hash-groupBy): md5 key,
     * group size, canonical = smallest doc_id in the group. At 100 TB
     * this is one hash aggregation on the fingerprint — the standard
@@ -398,6 +431,7 @@ object TextQueries {
     "q21_quality_score" -> (qualityScore(_, _)),
     "q22_lang_id" -> (langId(_, _)),
     "q23_exact_dedup" -> (exactDedup(_, _)),
+    "q27_bpe_pretokenize" -> (bpePretokenize(_, _)),
     "q24_minhash_near_dup" -> (minhashNearDup(_, _)),
     "q25_jaccard_pairs" -> (jaccardPairs(_, _)),
     "q26_simhash_near_dup" -> (simhashNearDup(_, _)))
@@ -407,6 +441,7 @@ object TextQueries {
     "q21_quality_score" -> qualityScoreSql,
     "q22_lang_id" -> langIdSql,
     "q23_exact_dedup" -> exactDedupSql,
+    "q27_bpe_pretokenize" -> bpePretokenizeSql,
     "q24_minhash_near_dup" -> minhashNearDupSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
     "q26_simhash_near_dup" -> simhashNearDupSql)
