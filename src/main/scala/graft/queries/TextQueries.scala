@@ -190,6 +190,62 @@ object TextQueries {
       |FROM fp JOIN g USING (fingerprint)
       |ORDER BY fp.doc_id""".stripMargin
 
+  /** Corpus bigram counts with top-k — the n-gram-LM / contamination-
+    * check staple: explode word bigrams, one hash aggregation, global
+    * top-50 under a deterministic (count desc, bigram) total order
+    * (Spark plans the limit as TakeOrderedAndProject — no full sort).
+    */
+  def bigramCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val w = words($"text")
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(explode(bigrams).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(50)
+  }
+
+  val bigramCountsSql: String =
+    """WITH b AS (
+      |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+      |  FROM documents)
+      |SELECT bigram, COUNT(*) AS n
+      |FROM b GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 50""".stripMargin
+
+  /** Document-length histogram — the corpus-profiling pass every
+    * training-data pipeline runs before filtering: 100-char buckets,
+    * count + char mass per bucket. One hash aggregation.
+    */
+  def lengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    docs.select(expr("CAST(n_chars AS BIGINT) div 100 * 100").as("bucket_lo"),
+        $"n_chars")
+      .groupBy($"bucket_lo")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars".cast("long")).as("total_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"bucket_lo")
+  }
+
+  val lengthHistogramSql: String =
+    """SELECT CAST(n_chars AS BIGINT) // 100 * 100 AS bucket_lo,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+      |  MIN(n_chars) AS min_chars,
+      |  MAX(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** MinHash + LSH near-duplicate pairs, fully oracle-checked.
     *
     * Pipeline: 3-word shingles → 8 MinHashes (seeded md5, lexicographic
@@ -432,6 +488,8 @@ object TextQueries {
     "q22_lang_id" -> (langId(_, _)),
     "q23_exact_dedup" -> (exactDedup(_, _)),
     "q27_bpe_pretokenize" -> (bpePretokenize(_, _)),
+    "q28_bigram_counts" -> (bigramCounts(_, _)),
+    "q29_length_histogram" -> (lengthHistogram(_, _)),
     "q24_minhash_near_dup" -> (minhashNearDup(_, _)),
     "q25_jaccard_pairs" -> (jaccardPairs(_, _)),
     "q26_simhash_near_dup" -> (simhashNearDup(_, _)))
@@ -442,6 +500,8 @@ object TextQueries {
     "q22_lang_id" -> langIdSql,
     "q23_exact_dedup" -> exactDedupSql,
     "q27_bpe_pretokenize" -> bpePretokenizeSql,
+    "q28_bigram_counts" -> bigramCountsSql,
+    "q29_length_histogram" -> lengthHistogramSql,
     "q24_minhash_near_dup" -> minhashNearDupSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
     "q26_simhash_near_dup" -> simhashNearDupSql)
