@@ -18,10 +18,13 @@ object OlapQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** ROLLUP subtotal hierarchy over the region→nation revenue cube.
-    * One Expand + one hash aggregation in Spark; group keys carry a
-    * grouping level so subtotal rows sort deterministically. Dims are
-    * null-free, so coalesce('ALL') is unambiguous.
+  /** ROLLUP subtotal hierarchy over the region→nation revenue cube,
+    * computed over a PRE-AGGREGATED base: one plain hash aggregation
+    * collapses the joined fact rows to the 25 (region, nation) cells,
+    * and only those expand ×2 through the rollup (decimal partials
+    * re-sum exactly). Group keys carry a grouping level so subtotal
+    * rows sort deterministically; dims are null-free, so
+    * coalesce('ALL') is unambiguous.
     */
   def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -29,15 +32,18 @@ object OlapQueries {
     val nation = Tables.load(s, dir, "nation")
     val region = Tables.load(s, dir, "region")
     val orders = Tables.load(s, dir, "orders")
-    orders
+    val pre = orders
       .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
-      .rollup($"r_name", $"n_name")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("__n"),
+        sum($"o_totalprice".cast("decimal(30,4)")).as("__rev"))
+    pre.rollup($"r_name", $"n_name")
       .agg(
         grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n_orders"),
-        dsum($"o_totalprice").as("total_revenue"))
+        sum($"__n").as("n_orders"),
+        sum($"__rev").cast("double").as("total_revenue"))
       .select(
         coalesce($"r_name", lit("ALL")).as("r_name"),
         coalesce($"n_name", lit("ALL")).as("n_name"),
@@ -283,18 +289,26 @@ object OlapQueries {
       |ORDER BY event_id""".stripMargin
 
   /** CUBE grouping sets over (returnflag, linestatus) with an explicit
-    * grouping level — the full subtotal lattice in ONE Expand + hash
-    * aggregation (4 grouping sets, not 4 scans). Dims are null-free so
-    * 'ALL' coalescing is unambiguous, as in q58's rollup.
+    * grouping level. The lattice is computed over a PRE-AGGREGATED
+    * base: one plain hash aggregation collapses the table to the ≤6
+    * (flag, status) cells, and only those expand ×4 through the cube —
+    * decimal sums re-sum exactly, so results equal the direct cube
+    * while the Expand never multiplies the fact table (at 100 TB the
+    * naive plan quadruples scan output; this one quadruples 6 rows).
     */
   def cubeRevenue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.load(s, dir, "lineitem")
-    li.cube($"l_returnflag", $"l_linestatus")
+    val pre = li.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("__n"),
+        sum($"l_extendedprice".cast("decimal(18,2)") *
+          (lit(1) - $"l_discount".cast("decimal(18,2)"))).as("__rev"))
+    pre.cube($"l_returnflag", $"l_linestatus")
       .agg(
         grouping_id().cast("long").as("gid"),
-        count(lit(1)).as("n"),
-        revenueSum($"l_extendedprice", $"l_discount").as("revenue"))
+        sum($"__n").as("n"),
+        sum($"__rev").cast("double").as("revenue"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
