@@ -34,15 +34,21 @@ object StreamOps {
     df.withWatermark(tsCol, lateness)
       .dropDuplicates(keys :+ tsCol)
 
-  /** T4 — streaming resample: tumbling window OHLC-style aggregate
-    * with bounded state. Append-mode compatible (watermark closes
-    * windows).
+  /** T4 — streaming resample: tumbling (or, with `slide`, hopping)
+    * window OHLC-style aggregate with bounded state. Append-mode
+    * compatible (watermark closes windows); a sliding window holds
+    * interval/slide open windows per key — still watermark-bounded.
     */
   def windowedAgg(df: DataFrame, tsCol: String, lateness: String,
-      interval: String, keys: Seq[String]): DataFrame = {
+      interval: String, keys: Seq[String],
+      slide: Option[String] = None): DataFrame = {
+    val win = slide match {
+      case Some(sl) => window(col(tsCol), interval, sl)
+      case None => window(col(tsCol), interval)
+    }
     val grouped = df
       .withWatermark(tsCol, lateness)
-      .groupBy(window(col(tsCol), interval) +: keys.map(col): _*)
+      .groupBy(win +: keys.map(col): _*)
     grouped.agg(
       count(lit(1)).as("n_events"),
       max(col("value")).as("high"),

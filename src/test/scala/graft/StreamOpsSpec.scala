@@ -63,6 +63,42 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming SLIDING windows emit closed hops matching batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val agg = StreamOps.windowedAgg(
+      input.toDF(), "ts", "10 minutes", "30 minutes", Seq("contract"),
+      slide = Some("10 minutes"))
+    val q = agg.writeStream
+      .format("memory").queryName("slide_out").outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt_slide").toString)
+      .start()
+    try {
+      input.addData(ticks: _*)
+      q.processAllAvailable()
+      input.addData(Tick(ts("2024-01-01 13:00:00"), "A", 0.0, 7))
+      q.processAllAvailable()
+      val out = spark.table("slide_out")
+        .select($"bucket", $"contract", $"n_events", $"high", $"low", $"volume")
+        .orderBy($"bucket", $"contract").collect()
+      val batch = StreamOps.windowedAgg(
+          ticks.toDF().union(Seq(Tick(ts("2024-01-01 13:00:00"), "A", 0.0, 7)).toDF()),
+          "ts", "10 minutes", "30 minutes", Seq("contract"),
+          slide = Some("10 minutes"))
+        .select($"bucket", $"contract", $"n_events", $"high", $"low", $"volume")
+        .orderBy($"bucket", $"contract").collect()
+      // every event belongs to 3 hops; emitted closed hops match batch
+      assert(out.length >= 3 * 2)
+      val batchMap = batch.map(r => (r.getAs[Timestamp]("bucket"), r.getString(1)) -> r).toMap
+      out.foreach { r =>
+        val key = (r.getAs[Timestamp]("bucket"), r.getString(1))
+        assert(batchMap.contains(key), s"unexpected hop $key")
+        assert(batchMap(key).toSeq == r.toSeq, s"mismatch at $key")
+      }
+    } finally q.stop()
+  }
+
   test("watermarked dedup drops duplicate (key, ts) rows on the stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tick]
