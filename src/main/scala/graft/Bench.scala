@@ -45,18 +45,18 @@ object Bench {
     // warmup (cache cleared per query so persists don't accumulate)
     queries.foreach { case (_, fn) => runOnce(fn); spark.catalog.clearCache() }
 
-    // two timed passes, keep the per-query minimum: robust against
-    // transient co-tenant load and GC pauses
+    // three timed passes, keep the per-query minimum: robust against
+    // transient co-tenant load and GC pauses (observed swings >40%
+    // between whole runs on this box)
     def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
       val sec = runOnce(fn)
       spark.catalog.clearCache()
       name -> sec
     }.toMap
-    val p1 = timedPass()
-    val p2 = timedPass()
+    val passes = Seq.fill(3)(timedPass())
     val results = queries.map { case (name, _) =>
-      val (a, b) = (p1(name), p2(name))
-      name -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      val ok = passes.map(_(name)).filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
