@@ -70,6 +70,40 @@ object AnalyticsQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Approximate-quantile sketch beside exact discrete quantiles —
+    * the t-digest-style path an engine needs when even the
+    * percentile_disc count map is too wide (high-cardinality value
+    * domains at 100 TB). Sketch estimates are engine-specific, so the
+    * output carries the exact values plus a bounded-error boolean the
+    * oracle asserts TRUE (tolerance one quantity unit — generous for
+    * accuracy 10000 on this domain).
+    */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+    li.groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("__a50"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("__a90"),
+        count(lit(1)).as("n"))
+      .withColumn("approx_ok",
+        abs($"__a50" - $"p50") <= 1.0 && abs($"__a90" - $"p90") <= 1.0)
+      .select($"l_returnflag", $"p50", $"p90", $"n", $"approx_ok")
+      .orderBy($"l_returnflag")
+  }
+
+  val approxQuantilesSql: String =
+    """SELECT l_returnflag,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+      |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90,
+      |  COUNT(*) AS n,
+      |  TRUE AS approx_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Rolling-window statistics: 5-row trailing moving average and
     * moving max of event values per user — the bar-smoothing
     * operation every market pipeline needs; decimal-sum
@@ -125,12 +159,14 @@ object AnalyticsQueries {
       |ORDER BY c_custkey""".stripMargin
 
   val defs: Map[String, Q] = Map(
+    "q35_approx_quantiles" -> (approxQuantiles(_, _)),
     "q54_above_avg_suppliers" -> (aboveAvgSuppliers(_, _)),
     "q55_discrete_median" -> (discreteMedian(_, _)),
     "q56_moving_average" -> (movingAverage(_, _)),
     "q57_common_customers" -> (commonCustomers(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q35_approx_quantiles" -> approxQuantilesSql,
     "q54_above_avg_suppliers" -> aboveAvgSuppliersSql,
     "q55_discrete_median" -> discreteMedianSql,
     "q56_moving_average" -> movingAverageSql,
