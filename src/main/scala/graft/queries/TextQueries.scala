@@ -246,6 +246,58 @@ object TextQueries {
       |FROM documents
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Benchmark decontamination — flag documents containing any
+    * blacklisted evaluation phrase (exact substring match against a
+    * broadcast phrase list): the pass every training-data pipeline
+    * runs before release. Pure codegen `contains` over a literal
+    * array; at scale the phrase list broadcasts and the scan stays
+    * one pass.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val phrases = Seq("table table", "scan scan", "query big query", "agg join")
+    val docs = Tables.load(s, dir, "documents")
+    val parr = array(phrases.map(lit): _*)
+    docs.select($"doc_id", $"source",
+        size(filter(parr, p => contains($"text", p))).as("n_matched"))
+      .withColumn("is_contaminated", $"n_matched" > 0)
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String =
+    """SELECT doc_id, source,
+      |  len(list_filter(['table table', 'scan scan', 'query big query', 'agg join'],
+      |      p -> contains(text, p))) AS n_matched,
+      |  len(list_filter(['table table', 'scan scan', 'query big query', 'agg join'],
+      |      p -> contains(text, p))) > 0 AS is_contaminated
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling — the reproducible subsampling
+    * pass that builds training mixtures: keep a document iff the md5
+    * of its id falls under its stratum's threshold (~10% for
+    * even-numbered sources, ~30% for odd). Hash-based, so the sample
+    * is identical on any engine, any partitioning, any run — no RNG
+    * state, no seed plumbing.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val srcNum = substring($"source", 4, 10).cast("int")
+    val thresh = when(srcNum % 2 === 0, lit("19")).otherwise(lit("4c"))
+    docs.filter(substring(md5($"doc_id".cast("string")), 1, 2) < thresh)
+      .select($"doc_id", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, source, n_chars
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+      |       THEN '19' ELSE '4c' END
+      |ORDER BY doc_id""".stripMargin
+
   /** MinHash + LSH near-duplicate pairs, fully oracle-checked.
     *
     * Pipeline: 3-word shingles → 8 MinHashes (seeded md5, lexicographic
@@ -490,6 +542,8 @@ object TextQueries {
     "q27_bpe_pretokenize" -> (bpePretokenize(_, _)),
     "q28_bigram_counts" -> (bigramCounts(_, _)),
     "q29_length_histogram" -> (lengthHistogram(_, _)),
+    "q36_decontaminate" -> (decontaminate(_, _)),
+    "q37_stratified_sample" -> (stratifiedSample(_, _)),
     "q24_minhash_near_dup" -> (minhashNearDup(_, _)),
     "q25_jaccard_pairs" -> (jaccardPairs(_, _)),
     "q26_simhash_near_dup" -> (simhashNearDup(_, _)))
@@ -502,6 +556,8 @@ object TextQueries {
     "q27_bpe_pretokenize" -> bpePretokenizeSql,
     "q28_bigram_counts" -> bigramCountsSql,
     "q29_length_histogram" -> lengthHistogramSql,
+    "q36_decontaminate" -> decontaminateSql,
+    "q37_stratified_sample" -> stratifiedSampleSql,
     "q24_minhash_near_dup" -> minhashNearDupSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
     "q26_simhash_near_dup" -> simhashNearDupSql)
