@@ -19,6 +19,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // structural guard: an oracle without a query would silently earn
+    // zero correctness rows (the round-2 OlapQueries wiring bug)
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    if (orphaned.nonEmpty) {
+      System.err.println(
+        s"[verify] oracles without queries: ${orphaned.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
