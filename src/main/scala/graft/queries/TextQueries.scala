@@ -298,6 +298,93 @@ object TextQueries {
       |       THEN '19' ELSE '4c' END
       |ORDER BY doc_id""".stripMargin
 
+  /** Training-mixture accounting — per-source share of documents,
+    * characters and whitespace tokens (the weights a data recipe
+    * samples from). One aggregation; shares are exact decimal sums
+    * divided at the end, so they are bit-identical across engines.
+    */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val per = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars".cast("long")).as("n_chars"),
+        sum(size(words($"text")).cast("long")).as("n_tokens"))
+    val tot = per.agg(
+      sum($"n_docs").as("t_docs"), sum($"n_chars").as("t_chars"),
+      sum($"n_tokens").as("t_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_chars", $"n_tokens",
+        ($"n_docs".cast("double") / $"t_docs".cast("double")).as("doc_share"),
+        ($"n_chars".cast("double") / $"t_chars".cast("double")).as("char_share"),
+        ($"n_tokens".cast("double") / $"t_tokens".cast("double")).as("token_share"))
+      .orderBy($"source")
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS n_chars,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS t_chars,
+      |    CAST(SUM(n_tokens) AS BIGINT) AS t_tokens FROM per)
+      |SELECT source, n_docs, n_chars, n_tokens,
+      |  CAST(n_docs AS DOUBLE) / CAST(t_docs AS DOUBLE) AS doc_share,
+      |  CAST(n_chars AS DOUBLE) / CAST(t_chars AS DOUBLE) AS char_share,
+      |  CAST(n_tokens AS DOUBLE) / CAST(t_tokens AS DOUBLE) AS token_share
+      |FROM per, tot
+      |ORDER BY source""".stripMargin
+
+  /** PII scrubbing — mask email addresses and long digit runs (the
+    * regex-scrub pass before training). The corpus is synthetic, so
+    * PII is INJECTED deterministically (every 7th doc gets an email +
+    * phone appended) and must come back masked, with per-doc
+    * replacement counts proving the scrub; replace-all semantics on
+    * both engines.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("raw",
+        when($"doc_id" % 7 === 0,
+          concat($"text", lit(" contact user"), $"doc_id",
+            lit("@mail.example.com or 555-"),
+            format_string("%04d", $"doc_id" % 10000)))
+          .otherwise($"text"))
+    docs.select($"doc_id",
+        size(regexp_extract_all($"raw", lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"raw", lit(phoneRe), lit(0))).as("n_phones"),
+        length(regexp_replace(regexp_replace($"raw", emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("scrubbed_len"))
+      .withColumn("was_scrubbed", $"n_emails" + $"n_phones" > 0)
+      .orderBy($"doc_id")
+  }
+
+  val piiScrubSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |           || '@mail.example.com or 555-'
+      |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE text END AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS n_emails,
+      |  len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+      |  len(regexp_replace(regexp_replace(raw,
+      |    '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+      |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_len,
+      |  len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+'))
+      |    + len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) > 0 AS was_scrubbed
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
   /** MinHash + LSH near-duplicate pairs, fully oracle-checked.
     *
     * Pipeline: 3-word shingles → 8 MinHashes (seeded md5, lexicographic
@@ -544,6 +631,8 @@ object TextQueries {
     "q29_length_histogram" -> (lengthHistogram(_, _)),
     "q36_decontaminate" -> (decontaminate(_, _)),
     "q37_stratified_sample" -> (stratifiedSample(_, _)),
+    "q38_mixture_weights" -> (mixtureWeights(_, _)),
+    "q39_pii_scrub" -> (piiScrub(_, _)),
     "q24_minhash_near_dup" -> (minhashNearDup(_, _)),
     "q25_jaccard_pairs" -> (jaccardPairs(_, _)),
     "q26_simhash_near_dup" -> (simhashNearDup(_, _)))
@@ -558,6 +647,8 @@ object TextQueries {
     "q29_length_histogram" -> lengthHistogramSql,
     "q36_decontaminate" -> decontaminateSql,
     "q37_stratified_sample" -> stratifiedSampleSql,
+    "q38_mixture_weights" -> mixtureWeightsSql,
+    "q39_pii_scrub" -> piiScrubSql,
     "q24_minhash_near_dup" -> minhashNearDupSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
     "q26_simhash_near_dup" -> simhashNearDupSql)
