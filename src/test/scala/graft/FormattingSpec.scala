@@ -52,6 +52,19 @@ class FormattingSpec extends AnyFunSuite {
       ("C", "2024-01-10"), ("C", "2024-01-20")))
   }
 
+  test("split-artifact patch is idempotent") {
+    val gap = Seq("2024-01-11", "2024-01-12", "2024-01-13")
+    val patch = Patches.removeSplitArtifact("sym", "day",
+      "2024-01-10", "2024-01-15", gap)
+    val data = Seq(
+      ("A", "2024-01-10"), ("A", "2024-01-15"), ("A", "2024-01-16"),
+      ("B", "2024-01-10"), ("B", "2024-01-12"), ("B", "2024-01-15")
+    ).toDF("sym", "day")
+    val once = patch(data).orderBy("sym", "day").collect().toSeq
+    val twice = patch(patch(data)).orderBy("sym", "day").collect().toSeq
+    assert(once == twice)
+  }
+
   test("missing-vol rescue re-solves zeros from the fallback price") {
     val rows = Seq(
       // solvable close price

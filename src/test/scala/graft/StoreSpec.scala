@@ -17,6 +17,19 @@ class StoreSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("insertIgnore and presaveFilter are idempotent") {
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val incoming = Seq((2L, "B"), (3L, "c")).toDF("k", "v")
+    val once = Store.insertIgnore(existing, incoming, Seq("k"))
+    val twice = Store.insertIgnore(once, incoming, Seq("k"))
+    assert(once.orderBy("k").collect().toSeq == twice.orderBy("k").collect().toSeq)
+    val messy = Seq((Some(1L), Some("a")), (Some(1L), Some("a")), (None, None))
+      .toDF("K", "V")
+    val f1 = Store.presaveFilter(messy)
+    assert(Store.presaveFilter(f1).orderBy("k").collect().toSeq ==
+      f1.orderBy("k").collect().toSeq)
+  }
+
   test("batchUpdate rewrites only matching rows") {
     val t = Seq((1L, "open", 10.0), (2L, "done", 20.0)).toDF("k", "status", "x")
     val out = Store.batchUpdate(t, $"status" === "open",
