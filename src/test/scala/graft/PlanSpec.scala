@@ -97,6 +97,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("native hash expressions compile into whole-stage codegen") {
+    // AQE finalizes stages lazily — run the query, then read the
+    // codegen dump of the finalized plan; the kernel call must appear
+    // in GENERATED code (interpreted fallback would leave the hot
+    // path outside codegen)
+    def codegenOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    }
+    val gen = codegenOf(SessionQueries.rollingFingerprint(spark, dir))
+    assert(gen.contains("graft.plans.Kernels.rollingHash"), gen.take(400))
+    // q26's simhash projection sits beside a Generate (posexplode),
+    // which legally breaks the codegen stage there — assert the
+    // expression's doGenCode on a pure projection plan instead
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val simDf = spark.range(8)
+      .select(graft.plans.NativeFunctions.simhash64(
+        array(lit("a"), col("id").cast("string"))).as("h"))
+      .filter(col("h") =!= 0L)
+    val sim = codegenOf(simDf.toDF())
+    assert(sim.contains("graft.plans.Kernels.simhash"), sim.take(400))
+  }
+
   test("q34 cosine near-dup: bucket equi-join, no cross product") {
     val p = plan(SimilarityQueries.cosineNearDup(spark, dir))
     assert(!p.contains("CartesianProduct"))
