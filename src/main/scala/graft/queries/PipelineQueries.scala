@@ -162,13 +162,63 @@ object PipelineQueries {
       |FROM reg1 r
       |ORDER BY database_name""".stripMargin
 
+  /** S1 as a real DataSource V2 scan
+    * ([[graft.sources.dsv2.ThetaCsvSource]]): read the CSV-endpoint
+    * source through `spark.read.format(...)`, let the date filter
+    * push into `planInputPartitions` (whole day-splits pruned before
+    * any fetch — 7 of 10 survive), and aggregate daily bars. The
+    * oracle regenerates the canned CSV arithmetically, including the
+    * format('%.2f')→parse roundtrip the CSV path performs.
+    */
+  def dsv2EndpointScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bars = s.read.format("graft.sources.dsv2.ThetaCsvSource")
+      .option("root", "SPY").option("start", "2024-01-02")
+      .option("days", "10").load()
+    bars.filter($"day" >= lit("2024-01-05").cast("date"))
+      .groupBy($"day", $"root")
+      .agg(
+        count(lit(1)).as("n_bars"),
+        min_by($"open", $"ts").as("day_open"),
+        max($"high").as("day_high"),
+        min($"low").as("day_low"),
+        max_by($"close", $"ts").as("day_close"),
+        sum($"volume").as("total_volume"))
+      .orderBy($"day")
+  }
+
+  val dsv2EndpointScanSql: String =
+    """WITH days AS (
+      |  SELECT DATE '2024-01-02' + CAST(k.k AS INTEGER) AS day,
+      |    CAST(DATE '2024-01-02' + CAST(k.k AS INTEGER) - DATE '1970-01-01' AS INTEGER) AS dn
+      |  FROM (SELECT unnest(range(0, 10)) AS k) k
+      |  WHERE DATE '2024-01-02' + CAST(k.k AS INTEGER) >= DATE '2024-01-05'),
+      |bars AS (
+      |  SELECT day, dn, h.h AS h,
+      |    CAST(printf('%.2f', 100.0 + CAST(dn % 50 AS DOUBLE) + h.h * 0.25) AS DOUBLE) AS open,
+      |    CAST(printf('%.2f', 100.0 + CAST(dn % 50 AS DOUBLE) + h.h * 0.25 + 0.8) AS DOUBLE) AS high,
+      |    CAST(printf('%.2f', 100.0 + CAST(dn % 50 AS DOUBLE) + h.h * 0.25 - 0.6) AS DOUBLE) AS low,
+      |    CAST(printf('%.2f', 100.0 + CAST(dn % 50 AS DOUBLE) + h.h * 0.25 + 0.3) AS DOUBLE) AS close,
+      |    (dn % 1000) * 10 + h.h AS volume
+      |  FROM days, (SELECT unnest(range(0, 13)) AS h) h)
+      |SELECT day, 'SPY' AS root, COUNT(*) AS n_bars,
+      |  MAX(CASE WHEN h = 0 THEN open END) AS day_open,
+      |  MAX(high) AS day_high,
+      |  MIN(low) AS day_low,
+      |  MAX(CASE WHEN h = 12 THEN close END) AS day_close,
+      |  CAST(SUM(volume) AS BIGINT) AS total_volume
+      |FROM bars GROUP BY day, dn
+      |ORDER BY day""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q44_multimodal_features" -> (multimodalFeatures(_, _)),
     "q45_sql_surface" -> (sqlSurface(_, _)),
-    "q65_catalog_lifecycle" -> (catalogLifecycle(_, _)))
+    "q65_catalog_lifecycle" -> (catalogLifecycle(_, _)),
+    "q71_dsv2_endpoint_scan" -> (dsv2EndpointScan(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q44_multimodal_features" -> multimodalFeaturesSql,
     "q45_sql_surface" -> sqlSurfaceText,
-    "q65_catalog_lifecycle" -> catalogLifecycleSql)
+    "q65_catalog_lifecycle" -> catalogLifecycleSql,
+    "q71_dsv2_endpoint_scan" -> dsv2EndpointScanSql)
 }
