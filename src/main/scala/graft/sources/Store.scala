@@ -207,13 +207,23 @@ final class EnvCatalog(registry: DataFrame,
     * `withData`); the source is never dropped. Returns cloned table
     * names.
     */
+  /** Persistent tables of a database — listTables also returns the
+    * session's temp views, which are not part of any database's
+    * schema and must not be cloned/synced.
+    */
+  private def persistentTables(db: String): Seq[String] = {
+    val spark = registry.sparkSession
+    spark.catalog.listTables(db).collect()
+      .filterNot(_.isTemporary).map(_.name).toSeq.sorted
+  }
+
   def cloneSchema(sourceDb: String, targetDb: String,
       withData: Boolean = false): Seq[String] = {
     EnvCatalog.validateName(sourceDb)
     EnvCatalog.validateName(targetDb)
     val spark = registry.sparkSession
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `$targetDb`")
-    val tables = spark.catalog.listTables(sourceDb).collect().map(_.name).toSeq.sorted
+    val tables = persistentTables(sourceDb)
     tables.foreach { t =>
       if (withData)
         spark.sql(s"CREATE TABLE IF NOT EXISTS `$targetDb`.`$t` AS SELECT * FROM `$sourceDb`.`$t`")
@@ -234,9 +244,8 @@ final class EnvCatalog(registry: DataFrame,
     EnvCatalog.validateName(sourceDb)
     EnvCatalog.validateName(targetDb)
     val spark = registry.sparkSession
-    val have = spark.catalog.listTables(targetDb).collect().map(_.name).toSet
-    val missing = spark.catalog.listTables(sourceDb).collect().map(_.name)
-      .toSeq.sorted.filterNot(have)
+    val have = persistentTables(targetDb).toSet
+    val missing = persistentTables(sourceDb).filterNot(have)
     if (apply) missing.foreach { t =>
       spark.sql(s"CREATE TABLE IF NOT EXISTS `$targetDb`.`$t` LIKE `$sourceDb`.`$t`")
       if (copyData)

@@ -184,6 +184,11 @@ class StoreSpec extends AnyFunSuite {
     assert(spark.table("clone_tgt_data.bars").count() == 1)
     // source untouched
     assert(spark.table("clone_src.bars").count() == 1)
+    // session temp views are NOT part of the database schema
+    Seq((9L, 9.0)).toDF("k", "px").createOrReplaceTempView("stray_view")
+    resetDb("clone_tgt2")
+    assert(cat.cloneSchema("clone_src", "clone_tgt2") == Seq("bars"))
+    spark.catalog.dropTempView("stray_view")
   }
 
   test("syncMissingTables dry-runs by default, applies on request") {
