@@ -61,8 +61,15 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // All three raw pass times per query, so a reader can see run-to-run
+    // noise directly instead of inferring it from the min — a loaded box
+    // shows uniform inflation across the array, a plan regression shows
+    // consistent slowness.
+    val ps = queries.map { case (name, _) =>
+      "\"" + name + "\":[" + passes.map(_(name)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -42,8 +42,16 @@ object VectorOps {
     * Bit = (Σ ±x_i >= 0). Returns the signature as a bit-string key;
     * vectors sharing the key are ANN candidates (bucketed search).
     */
-  def rhpSignature(q: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
+  def rhpSignature(q: Column, nPlanes: Int): Column =
+    rhpSignature(q, nPlanes, 0)
+
+  /** As above, using the plane indices `[offset, offset + nPlanes)` —
+    * the band primitive for OR-construction LSH: band b of width w is
+    * `rhpSignature(q, w, b * w)`, giving each band an independent set
+    * of hyperplanes while staying deterministic and engine-portable.
+    */
+  def rhpSignature(q: Column, nPlanes: Int, offset: Int): Column = {
+    val bits = (offset until offset + nPlanes).map { p =>
       val signedSum = aggregate(
         zip_with(q, sequence(lit(0), lit(63)),
           (x, i) => when(substring(md5(concat(lit(s"$p:"), i.cast("string"))), 1, 1) < "8", x).otherwise(-x)),

@@ -1,0 +1,143 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, InterpretedOrdering, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+
+/** Bounded top-k aggregate: keeps the k SMALLEST struct rows under the
+  * struct's field-by-field ascending order, with a ≤k buffer at every
+  * stage of aggregation.
+  *
+  * This is the scale-correct replacement for the
+  * `row_number().over(Window.partitionBy(lowCardKey))` top-k idiom:
+  * the window plan shuffles EVERY row of a group into one task and
+  * sorts it there (at 100 TB a handful of segment/query-id partitions
+  * each sort the whole join output), while this aggregate's partial
+  * combine keeps at most k rows per map task, shuffles ≤k rows per
+  * (group, partition), and never materializes or sorts a full group.
+  *
+  * Descending keys are expressed by negating the column (caller-side),
+  * exactly like ORDER BY -x; payload columns ride behind the sort keys
+  * in the same struct. Output is the k rows as an ascending-sorted
+  * array of structs — `posexplode` yields (rank-1, row).
+  */
+case class BoundedTopK(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[InternalRow]] {
+
+  require(k > 0, s"bounded_top_k requires k > 0, got $k")
+
+  private lazy val childSchema: StructType = child.dataType.asInstanceOf[StructType]
+  // Field-by-field ascending order over the struct — the total order
+  // the caller encodes in the struct's leading fields.
+  private lazy val rowOrdering: Ordering[InternalRow] =
+    InterpretedOrdering.forSchema(childSchema.map(_.dataType))
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(childSchema, containsNull = false)
+  override def prettyName: String = "bounded_top_k"
+
+  // Max-heap under the row ordering: head is the current worst of the
+  // kept k, so the bound check is O(1) and eviction O(log k).
+  override def createAggregationBuffer(): mutable.PriorityQueue[InternalRow] =
+    mutable.PriorityQueue.empty(rowOrdering)
+
+  override def update(
+      buf: mutable.PriorityQueue[InternalRow],
+      input: InternalRow): mutable.PriorityQueue[InternalRow] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val row = v.asInstanceOf[InternalRow]
+      if (buf.size < k) {
+        buf.enqueue(row.copy())
+      } else if (rowOrdering.compare(row, buf.head) < 0) {
+        buf.dequeue()
+        buf.enqueue(row.copy())
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[InternalRow],
+      other: mutable.PriorityQueue[InternalRow]): mutable.PriorityQueue[InternalRow] = {
+    other.foreach { row =>
+      if (buf.size < k) {
+        buf.enqueue(row)
+      } else if (rowOrdering.compare(row, buf.head) < 0) {
+        buf.dequeue()
+        buf.enqueue(row)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[InternalRow]): Any = {
+    // dequeueAll drains in priority (descending) order; reverse for the
+    // ascending rank order the caller posexplodes.
+    val sorted = buf.clone().dequeueAll.reverse
+    new GenericArrayData(sorted.toArray[Any])
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[InternalRow]): Array[Byte] = {
+    val proj = UnsafeProjection.create(childSchema)
+    val out = new ByteArrayOutputStream()
+    val dos = new DataOutputStream(out)
+    dos.writeInt(buf.size)
+    buf.foreach { row =>
+      val u = proj(row)
+      dos.writeInt(u.getSizeInBytes)
+      u.writeToStream(dos, null)
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[InternalRow] = {
+    val buf = createAggregationBuffer()
+    val dis = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = dis.readInt()
+    var i = 0
+    while (i < n) {
+      val len = dis.readInt()
+      val rowBytes = new Array[Byte](len)
+      dis.readFully(rowBytes)
+      val row = new UnsafeRow(childSchema.length)
+      row.pointTo(rowBytes, len)
+      buf.enqueue(row)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BoundedTopK =
+    copy(child = newChildren.head)
+}
+
+object BoundedTopK {
+
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column API: `boundedTopK(struct(sortKeys..., payload...), k)` →
+    * array of the k smallest structs, ascending.
+    */
+  def boundedTopK(c: Column, k: Int): Column =
+    ColumnShim.column(
+      BoundedTopK(ColumnShim.expression(c), k).toAggregateExpression())
+}

@@ -65,22 +65,29 @@ object OlapQueries {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY gid, r_name, n_name""".stripMargin
 
-  /** Top-3 orders per market segment — the rank/top-k-per-group window
-    * the reference lacks. One shuffle on the segment key; row_number
-    * with an explicit (price desc, key) total order so ties are
-    * deterministic on any partitioning.
+  /** Top-3 orders per market segment — the rank/top-k-per-group
+    * operation the reference lacks, via [[graft.plans.BoundedTopK]]
+    * with the explicit (price desc, key) total order as struct sort
+    * keys. The window-function form
+    * (`row_number over partitionBy(c_mktsegment)`) shuffles EVERY
+    * joined row into ~5 segment tasks and sorts there; the bounded
+    * aggregate keeps ≤3 rows per map task, so the shuffle carries
+    * ≤3×partitions rows regardless of data size.
     */
   def topPerSegment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.plans.BoundedTopK.boundedTopK
     val customer = Tables.load(s, dir, "customer")
     val orders = Tables.load(s, dir, "orders")
     val joined = orders
       .join(customer, orders("o_custkey") === customer("c_custkey"))
       .select($"c_mktsegment", $"o_orderkey", $"o_custkey", $"o_totalprice")
-    val w = Window.partitionBy($"c_mktsegment")
-      .orderBy($"o_totalprice".desc, $"o_orderkey")
-    joined.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 3)
+    joined.groupBy($"c_mktsegment")
+      .agg(boundedTopK(struct((-$"o_totalprice").as("negp"),
+        $"o_orderkey", $"o_custkey", $"o_totalprice"), 3).as("top"))
+      .select($"c_mktsegment", posexplode($"top").as(Seq("pos", "r")))
+      .select($"c_mktsegment", $"r.o_orderkey", $"r.o_custkey",
+        $"r.o_totalprice", ($"pos" + 1).cast("long").as("rank"))
       .orderBy($"c_mktsegment", $"rank")
   }
 

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -40,9 +39,25 @@ object SimilarityQueries {
     val scored = emb.join(broadcast(queries), $"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"), $"label",
         cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 10)
+    // Bounded top-k per query id (NOT a qid-partitioned window, which
+    // would funnel all n×|Q| scored rows into |Q| sort tasks): each map
+    // task keeps ≤10 rows per qid, the final merge sees ≤10×partitions.
+    topKRank(scored, 10)
+  }
+
+  /** Shared final ranking: per-qid bounded top-k by (cos desc, cid) via
+    * [[graft.plans.BoundedTopK]], emitted as (qid, cid, tag, cos, rank).
+    * `tag` is the per-query passthrough column (label/bucket/cluster).
+    */
+  private def topKRank(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    import graft.plans.BoundedTopK.boundedTopK
+    val tag = scored.columns.filterNot(Set("qid", "cid", "cos")).head
+    scored.groupBy($"qid")
+      .agg(boundedTopK(struct((-$"cos").as("negc"), $"cid", col(tag), $"cos"), k).as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "r")))
+      .select($"qid", $"r.cid".as("cid"), col(s"r.$tag").as(tag),
+        $"r.cos".as("cos"), ($"pos" + 1).cast("long").as("rank"))
       .orderBy($"qid", $"rank")
   }
 
@@ -80,19 +95,19 @@ object SimilarityQueries {
     val scored = emb.join(queries, Seq("bucket")).filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"), $"bucket",
         cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 5)
-      .orderBy($"qid", $"rank")
+    topKRank(scored, 5)
   }
 
-  private val sigSql: String = {
+  /** DuckDB mirror of `rhpSignature(q, until - from, from)`. */
+  private def sigSqlRange(from: Int, until: Int): String = {
     val bit = (p: Int) =>
       s"""CASE WHEN list_sum(list_transform(range(1, 65),
          |    i -> CASE WHEN substr(md5('$p:' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8'
          |              THEN q[i] ELSE -q[i] END)) >= 0 THEN '1' ELSE '0' END""".stripMargin
-    (0 until 4).map(bit).mkString(" || ")
+    (from until until).map(bit).mkString(" || ")
   }
+
+  private val sigSql: String = sigSqlRange(0, 4)
 
   val annLshBucketsSql: String =
     s"""WITH e AS (
@@ -172,10 +187,7 @@ object SimilarityQueries {
     val scored = assigned.join(queries, Seq("cluster")).filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"), $"cluster",
         cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
-    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"cid")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 5)
-      .orderBy($"qid", $"rank")
+    topKRank(scored, 5)
   }
 
   val ivfSearchSql: String =
@@ -215,11 +227,27 @@ object SimilarityQueries {
     * near-identical pair). The corpus has no natural near-dups (max
     * pairwise cos ≈ 0.51), so the query plants a deterministic
     * perturbed copy of every 50th vector (±0.2% per-dimension scaling,
-    * id + 1,000,000) and must find exactly those: LSH-bucket self-join
-    * generates candidate pairs sublinearly (near-parallel vectors
-    * share a bucket unless a hyperplane splits them — a restriction
-    * both engines replicate bit-identically), then exact integer
-    * cosine ≥ 0.99 verifies.
+    * id + 1,000,000) and must find exactly those.
+    *
+    * Candidate generation is banded OR-construction LSH (the q24
+    * MinHash band pattern applied to random-hyperplane signatures):
+    * 3 bands × 8 planes = 24 independent hyperplanes; a pair is a
+    * candidate iff it agrees on ALL 8 planes of SOME band.
+    *
+    * Candidate-volume bound: each band hashes n vectors into 2^8 = 256
+    * buckets, so expected candidate pairs ≈ bands × Σ_buckets (n_b
+    * choose 2) ≈ 3·n²/512 for near-uniform buckets — 16× below the old
+    * single 16-bucket table (n²/16), and the exponent knob is explicit:
+    * at larger n, widen the bands (planes ∝ log₂ n keeps bucket
+    * population, and thus per-bucket join cost, constant) and add bands
+    * to hold recall. Recall for planted pairs is unaffected by the
+    * widening: a ±0.2% perturbed copy subtends ~0.0016 rad, so a single
+    * 8-plane band already retains it with p ≈ 1 - 8·(θ/π) ≈ 0.996, and
+    * three independent bands leave miss probability ≈ (1-p)³ < 1e-7
+    * (SimilaritySpec asserts all planted pairs are found). Both engines
+    * replicate the banding bit-identically; exact integer cosine ≥ 0.99
+    * verifies candidates, and DISTINCT collapses pairs that collide in
+    * multiple bands.
     */
   def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -232,14 +260,18 @@ object SimilarityQueries {
     val emb = base.unionByName(copies)
       .select($"vec_id", quantize($"emb").as("q"))
       .withColumn("nsq", intNormSq($"q"))
-      .withColumn("bucket", rhpSignature($"q", 4))
-    emb.select($"bucket", $"vec_id".as("i"), $"q".as("qi"), $"nsq".as("ni"))
-      .join(emb.select($"bucket", $"vec_id".as("j"), $"q".as("qj"), $"nsq".as("nj")),
-        Seq("bucket"))
+    val banded = emb.select($"vec_id", $"q", $"nsq",
+        explode(array((0 until 3).map(b =>
+          struct(lit(b).as("band"), rhpSignature($"q", 8, b * 8).as("sig"))): _*)).as("bs"))
+      .select($"vec_id", $"q", $"nsq", $"bs.band".as("band"), $"bs.sig".as("sig"))
+    banded.select($"band", $"sig", $"vec_id".as("i"), $"q".as("qi"), $"nsq".as("ni"))
+      .join(banded.select($"band", $"sig", $"vec_id".as("j"), $"q".as("qj"), $"nsq".as("nj")),
+        Seq("band", "sig"))
       .filter($"i" < $"j")
       .withColumn("cos", cosine(intDot($"qi", $"qj"), $"ni", $"nj"))
       .filter($"cos" >= 0.99)
       .select($"i", $"j", $"cos")
+      .distinct()
       .orderBy($"i", $"j")
   }
 
@@ -258,16 +290,25 @@ object SimilarityQueries {
        |    list_transform(emb, x -> CAST(round(x * 1000000) AS BIGINT)) AS q
        |  FROM allv),
        |sig AS (
-       |  SELECT vec_id, q, ${dotSql("q", "q")} AS nsq, $sigSql AS bucket FROM e),
+       |  SELECT vec_id, q, ${dotSql("q", "q")} AS nsq,
+       |    ${sigSqlRange(0, 8)} AS s0,
+       |    ${sigSqlRange(8, 16)} AS s1,
+       |    ${sigSqlRange(16, 24)} AS s2
+       |  FROM e),
+       |banded AS (
+       |  SELECT vec_id, q, nsq, 0 AS band, s0 AS sig FROM sig
+       |  UNION ALL SELECT vec_id, q, nsq, 1 AS band, s1 AS sig FROM sig
+       |  UNION ALL SELECT vec_id, q, nsq, 2 AS band, s2 AS sig FROM sig),
        |pairs AS (
        |  SELECT a.vec_id AS i, b.vec_id AS j, a.q AS qi, b.q AS qj,
        |    a.nsq AS ni, b.nsq AS nj
-       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
        |scored AS (
        |  SELECT i, j, CAST(${dotSql("qi", "qj")} AS DOUBLE)
        |    / (sqrt(CAST(ni AS DOUBLE)) * sqrt(CAST(nj AS DOUBLE))) AS cos
        |  FROM pairs)
-       |SELECT i, j, cos FROM scored WHERE cos >= 0.99
+       |SELECT DISTINCT i, j, cos FROM scored WHERE cos >= 0.99
        |ORDER BY i, j""".stripMargin
 
   val defs: Map[String, Q] = Map(

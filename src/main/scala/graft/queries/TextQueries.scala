@@ -401,6 +401,10 @@ object TextQueries {
     // self-join and the verify re-join below would otherwise recompute
     // every seeded md5 MinHash 3x. At warehouse scale this staging is
     // the signatures table you'd write between pipeline stages.
+    // Cache lifecycle is caller-owned: the query returns lazily, so
+    // unpersisting here would drop the blocks before first use — the
+    // materializing caller clears the cache after the action (Verify
+    // and Bench both clearCache() per query).
     val sigs = Tables.loadSpread(s, dir, "documents")
       .select($"doc_id", shingles(words($"text")).as("sh"))
       .select($"doc_id", $"sh",
@@ -482,7 +486,9 @@ object TextQueries {
     // ONE persisted posting table feeds everything: df counts, per-doc
     // set sizes (= posting rows per doc, shingles are distinct), and
     // the candidate join — the staging table a warehouse pipeline
-    // would materialize between stages.
+    // would materialize between stages. Cache lifecycle is
+    // caller-owned (see minhashNearDup): the materializing caller
+    // clears the cache after the action.
     val posting = Tables.loadSpread(s, dir, "documents")
       .select($"doc_id", $"source", explode(shingles(words($"text"))).as("shingle"))
       .persist()

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.BoundedTopK.boundedTopK
+import graft.queries.{OlapQueries, SimilarityQueries}
+
+/** [[graft.plans.BoundedTopK]] — the scale-correct top-k-per-group:
+  * result equivalence against the window-function definition, bounded
+  * partial state under any partitioning, and the plan contract that no
+  * query-path top-k routes through a low-cardinality window anymore.
+  */
+class BoundedTopKSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Deterministic skewed fixture: 3 groups, value collisions (ties)
+    * on purpose, arbitrary partitioning.
+    */
+  private def fixture(parts: Int) = spark.range(0, 1000)
+    .select(($"id" % 3).as("g"), ($"id" % 97).cast("double").as("v"), $"id")
+    .repartition(parts)
+
+  private def viaWindow(k: Int) = {
+    val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+    fixture(7).withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"g", $"id", $"v", $"rank")
+  }
+
+  private def viaTopK(k: Int, parts: Int) = fixture(parts)
+    .groupBy($"g")
+    .agg(boundedTopK(struct((-$"v").as("nv"), $"id", $"v"), k).as("top"))
+    .select($"g", posexplode($"top").as(Seq("pos", "r")))
+    .select($"g", $"r.id".as("id"), $"r.v".as("v"),
+      ($"pos" + 1).cast("long").as("rank"))
+
+  test("equals the row_number window definition, ties broken identically") {
+    for (k <- Seq(1, 3, 10)) {
+      val w = viaWindow(k)
+      val t = viaTopK(k, 7)
+      assert(t.count() == w.count())
+      assert(t.except(w).count() == 0, s"k=$k extra rows")
+      assert(w.except(t).count() == 0, s"k=$k missing rows")
+    }
+  }
+
+  test("partitioning-invariant (merge path exercised)") {
+    val one = viaTopK(3, 1).orderBy($"g", $"rank").collect().toSeq
+    val many = viaTopK(3, 32).orderBy($"g", $"rank").collect().toSeq
+    assert(one == many)
+  }
+
+  test("groups smaller than k return all rows, ascending rank") {
+    val few = spark.range(0, 4)
+      .select(($"id" % 2).as("g"), $"id".cast("double").as("v"), $"id")
+      .groupBy($"g")
+      .agg(boundedTopK(struct((-$"v").as("nv"), $"id"), 10).as("top"))
+      .select($"g", size($"top").as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(few == Map(0L -> 2, 1L -> 2))
+  }
+
+  test("q59/q30/q31/q33: no Window operator; aggregation-based top-k") {
+    val plans = Seq(
+      OlapQueries.topPerSegment(spark, dir),
+      SimilarityQueries.knnBruteForce(spark, dir),
+      SimilarityQueries.annLshBuckets(spark, dir),
+      SimilarityQueries.ivfSearch(spark, dir))
+    for (df <- plans) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"),
+        "top-k must not funnel groups through a window sort:\n" + p.take(400))
+      assert(p.contains("ObjectHashAggregate"),
+        "bounded top-k should plan as ObjectHashAggregate:\n" + p.take(400))
+    }
+  }
+
+  test("q34 banded LSH finds exactly the planted near-dup pairs") {
+    // Recall invariance of the 3×8-plane OR-construction: the planted
+    // (v, v+1000000) perturbed copies — and nothing else — survive the
+    // cos >= 0.99 verify, so widening the signature kept recall 1.0.
+    val emb = Tables.loadSpread(spark, dir, "embeddings")
+    val planted = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("i"), ($"vec_id" + 1000000L).as("j"))
+      .orderBy($"i").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val found = SimilarityQueries.cosineNearDup(spark, dir)
+      .select($"i", $"j").orderBy($"i")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(found == planted)
+  }
+}
