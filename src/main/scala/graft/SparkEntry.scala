@@ -27,7 +27,8 @@ object SparkEntry {
       (PipelineQueries.defs, PipelineQueries.oracles),
       (SessionQueries.defs, SessionQueries.oracles),
       (AnalyticsQueries.defs, AnalyticsQueries.oracles),
-      (OlapQueries.defs, OlapQueries.oracles))
+      (OlapQueries.defs, OlapQueries.oracles),
+      (BulkQueries.defs, BulkQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)

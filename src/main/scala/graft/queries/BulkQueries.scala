@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.{BulkApi, SyntheticContractMarket}
+
+/** The reference's bulk/chain/snapshot retrieval family through
+  * [[graft.api.BulkApi]] — full contract identity (root, expiration,
+  * right, strike) on every row (v2.py:1055-1160, 1682-1760, 2096-2212,
+  * 456-524). Every query is DuckDB-oracle-checked: the oracle rederives
+  * the synthetic contract-keyed tables and replays the same
+  * aggregation.
+  */
+object BulkQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def api(s: SparkSession, dir: String) = new BulkApi(
+    SyntheticContractMarket.quotes(s, dir),
+    SyntheticContractMarket.trades(s, dir),
+    SyntheticContractMarket.oi(s, dir))
+
+  /** Shared oracle CTE: the contract-keyed tick stream rederived from
+    * events (mirrors [[SyntheticContractMarket]] arithmetic exactly).
+    */
+  private val rawSql: String =
+    """raw AS (
+      |  SELECT user_id % 5 AS root,
+      |    DATE '2026-01-16' + CAST((event_id % 4) * 28 AS INTEGER) AS expiration,
+      |    CASE WHEN event_id % 2 = 0 THEN 'C' ELSE 'P' END AS "right",
+      |    90.0 + CAST(event_id % 3 AS DOUBLE) * 10.0 AS strike,
+      |    ts, event_id AS seq, event_type, value
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |        FROM events) e)""".stripMargin
+
+  private val quoteColsSql: String =
+    """value AS bid,
+      |    value + 0.10 + CAST(seq % 7 AS DOUBLE) * 0.01 AS ask,
+      |    1 + seq % 5 AS bid_size,
+      |    1 + seq % 3 AS ask_size""".stripMargin
+
+  /** v2.py:1055-1160 — bulk EOD for every contract of root 3 over the
+    * January window: quote timeline + trade OHLC + bootstrap + fillna,
+    * one row per (contract, day).
+    */
+  def bulkEod(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    api(s, dir).retrieveBulkEod(3L, None, "2024-01-02", "2024-01-28")
+      .orderBy($"datetime", $"expiration", $"right", $"strike")
+  }
+
+  val bulkEodSql: String =
+    s"""WITH $rawSql,
+       |q0 AS (
+       |  SELECT root, expiration, "right", strike, ts, seq, $quoteColsSql,
+       |    date_trunc('day', ts) + INTERVAL 16 HOUR AS datetime
+       |  FROM raw
+       |  WHERE root = 3 AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-28'
+       |    AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 585 AND 960),
+       |q1 AS (
+       |  SELECT *, (bid + ask) / 2.0 AS mid,
+       |    CASE WHEN bid_size + ask_size = 0 THEN (bid + ask) / 2.0
+       |         ELSE (bid * bid_size + ask * ask_size) / (bid_size + ask_size) END AS wmid
+       |  FROM q0),
+       |qr AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY datetime, expiration, "right", strike
+       |      ORDER BY ts DESC, seq DESC) AS rnd
+       |  FROM q1),
+       |q AS (
+       |  SELECT datetime, root, expiration, "right", strike,
+       |    MAX(CASE WHEN rnd = 1 THEN mid END) AS q_close,
+       |    MAX(CASE WHEN rnd = 1 THEN bid END) AS close_bid,
+       |    MAX(CASE WHEN rnd = 1 THEN ask END) AS close_ask,
+       |    MAX(CASE WHEN rnd = 1 THEN bid_size END) AS bid_size,
+       |    MAX(CASE WHEN rnd = 1 THEN ask_size END) AS ask_size,
+       |    MAX(CASE WHEN rnd = 1 THEN wmid END) AS weighted_midpoint
+       |  FROM qr GROUP BY datetime, root, expiration, "right", strike),
+       |t0 AS (
+       |  SELECT root, expiration, "right", strike, ts, seq,
+       |    value AS price, CAST(seq % 100 AS DOUBLE) AS vol,
+       |    date_trunc('day', ts) + INTERVAL 16 HOUR AS datetime
+       |  FROM raw
+       |  WHERE event_type = 'purchase' AND root = 3
+       |    AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-28'
+       |    AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 570 AND 960),
+       |tr AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY datetime, expiration, "right", strike
+       |                       ORDER BY ts, seq) AS rna,
+       |    row_number() OVER (PARTITION BY datetime, expiration, "right", strike
+       |                       ORDER BY ts DESC, seq DESC) AS rnd
+       |  FROM t0),
+       |t AS (
+       |  SELECT datetime, root, expiration, "right", strike,
+       |    MAX(CASE WHEN rna = 1 THEN price END) AS t_open,
+       |    MAX(price) AS t_high,
+       |    MIN(price) AS t_low,
+       |    MAX(CASE WHEN rnd = 1 THEN price END) AS t_close,
+       |    CAST(SUM(CAST(vol AS DECIMAL(30,4))) AS DOUBLE) AS volume
+       |  FROM tr GROUP BY datetime, root, expiration, "right", strike)
+       |SELECT q.datetime, q.root, q.strike, q.expiration, q."right",
+       |  COALESCE(t.t_open, q.q_close) AS open,
+       |  COALESCE(t.t_high, q.q_close) AS high,
+       |  COALESCE(t.t_low, q.q_close) AS low,
+       |  COALESCE(t.t_close, q.q_close) AS close,
+       |  COALESCE(t.volume, 0.0) AS volume,
+       |  q.bid_size, q.close_bid, q.ask_size, q.close_ask,
+       |  (q.close_bid + q.close_ask) / 2.0 AS midpoint,
+       |  q.weighted_midpoint
+       |FROM q LEFT JOIN t
+       |  ON q.datetime = t.datetime AND q.expiration = t.expiration
+       |  AND q."right" = t."right" AND q.strike = t.strike
+       |ORDER BY q.datetime, q.expiration, q."right", q.strike""".stripMargin
+
+  /** v2.py:2096-2212 — the call side of root 2's chain at 14:30 each
+    * day: last quote at-or-before the cut per (contract, day).
+    */
+  def chainBulk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    api(s, dir).retrieveChainBulk(2L, None, "2024-01-02", "2024-01-28",
+        "14:30", right = Some("C"))
+      .orderBy($"date", $"expiration", $"strike")
+  }
+
+  val chainBulkSql: String =
+    s"""WITH $rawSql,
+       |q0 AS (
+       |  SELECT root, expiration, "right", strike, ts, seq, $quoteColsSql,
+       |    CAST(ts AS DATE) AS date
+       |  FROM raw
+       |  WHERE root = 2 AND "right" = 'C'
+       |    AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-28'
+       |    AND EXTRACT(hour FROM ts) * 3600000 + EXTRACT(minute FROM ts) * 60000
+       |      + CAST(EXTRACT(second FROM ts) AS BIGINT) * 1000 <= 52200000),
+       |q1 AS (
+       |  SELECT *,
+       |    CASE WHEN bid_size + ask_size = 0 THEN (bid + ask) / 2.0
+       |         ELSE (bid * bid_size + ask * ask_size) / (bid_size + ask_size) END AS wmid,
+       |    row_number() OVER (PARTITION BY date, expiration, "right", strike
+       |                       ORDER BY ts DESC, seq DESC) AS rnd
+       |  FROM q0)
+       |SELECT root, expiration, strike, "right",
+       |  MAX(CASE WHEN rnd = 1 THEN bid_size END) AS bid_size,
+       |  MAX(CASE WHEN rnd = 1 THEN bid END) AS close_bid,
+       |  MAX(CASE WHEN rnd = 1 THEN ask_size END) AS ask_size,
+       |  MAX(CASE WHEN rnd = 1 THEN ask END) AS close_ask,
+       |  date,
+       |  (MAX(CASE WHEN rnd = 1 THEN bid END) + MAX(CASE WHEN rnd = 1 THEN ask END)) / 2.0 AS midpoint,
+       |  MAX(CASE WHEN rnd = 1 THEN wmid END) AS weighted_midpoint
+       |FROM q1
+       |GROUP BY root, expiration, strike, "right", date
+       |ORDER BY date, expiration, strike""".stripMargin
+
+  /** v2.py:1682-1760 — bulk open interest: keep-last OI print per
+    * (contract, day) of root 1 over the window.
+    */
+  def bulkOpenInterest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    api(s, dir).retrieveBulkOpenInterest(1L, None, "2024-01-02", "2024-01-28")
+      .orderBy($"day", $"expiration", $"right", $"strike")
+  }
+
+  val bulkOpenInterestSql: String =
+    s"""WITH $rawSql,
+       |o AS (
+       |  SELECT root, CAST(ts AS DATE) AS day, expiration, "right", strike,
+       |    seq, seq % 10000 AS open_interest
+       |  FROM raw
+       |  WHERE event_type = 'signup' AND root = 1
+       |    AND CAST(ts AS DATE) >= DATE '2024-01-02'
+       |    AND CAST(ts AS DATE) < DATE '2024-01-28'),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY day, expiration, "right", strike
+       |      ORDER BY seq DESC) AS rn
+       |  FROM o)
+       |SELECT root, day, expiration, "right", strike, open_interest
+       |FROM r WHERE rn = 1
+       |ORDER BY day, expiration, "right", strike""".stripMargin
+
+  /** v2.py:456-471 — greeks snapshot of root 4: latest quote per
+    * contract, enriched with IV/greeks; the oracle asserts the
+    * RiskCheck booleans TRUE (q43 pattern) and mirrors the
+    * deterministic market inputs exactly.
+    */
+  def snapshotGreeks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    api(s, dir).snapshotGreeks(4L)
+      .orderBy($"expiration", $"right", $"strike")
+  }
+
+  val snapshotGreeksSql: String =
+    s"""WITH $rawSql,
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY expiration, "right", strike
+       |      ORDER BY ts DESC, seq DESC) AS rn
+       |  FROM raw WHERE root = 4),
+       |snap AS (
+       |  SELECT root, expiration, "right", strike, ts AS datetime, seq,
+       |    100.0 + CAST(root AS DOUBLE) * 5.0 AS underlier_price,
+       |    CAST(date_diff('day', CAST(ts AS DATE), expiration) AS DOUBLE) / 365.0 AS year_frac
+       |  FROM r WHERE rn = 1)
+       |SELECT root, expiration, "right", strike, datetime,
+       |  underlier_price, year_frac,
+       |  greatest(CASE WHEN "right" = 'C' THEN underlier_price - strike
+       |                ELSE strike - underlier_price END, 0.0)
+       |    + underlier_price * (0.02 + CAST(seq % 11 AS DOUBLE) / 200.0) AS price,
+       |  TRUE AS bs_roundtrip_ok, TRUE AS binomial_roundtrip_ok,
+       |  TRUE AS delta_in_range, TRUE AS gamma_nonneg, TRUE AS vega_nonneg,
+       |  TRUE AS dollar_delta_exact
+       |FROM snap
+       |ORDER BY expiration, "right", strike""".stripMargin
+
+  /** v2.py:474-489 — OHLC snapshot of root 0: each contract's last
+    * traded day's aggregated bar.
+    */
+  def snapshotOhlc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    api(s, dir).snapshotOhlc(0L)
+      .orderBy($"expiration", $"right", $"strike")
+  }
+
+  val snapshotOhlcSql: String =
+    s"""WITH $rawSql,
+       |t0 AS (
+       |  SELECT root, expiration, "right", strike, CAST(ts AS DATE) AS day,
+       |    ts, seq, value AS price, CAST(seq % 100 AS DOUBLE) AS vol
+       |  FROM raw WHERE event_type = 'purchase' AND root = 0),
+       |tr AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY day, expiration, "right", strike
+       |                       ORDER BY ts, seq) AS rna,
+       |    row_number() OVER (PARTITION BY day, expiration, "right", strike
+       |                       ORDER BY ts DESC, seq DESC) AS rnd
+       |  FROM t0),
+       |daily AS (
+       |  SELECT root, expiration, "right", strike, day,
+       |    MAX(CASE WHEN rna = 1 THEN price END) AS open,
+       |    MAX(price) AS high,
+       |    MIN(price) AS low,
+       |    MAX(CASE WHEN rnd = 1 THEN price END) AS close,
+       |    CAST(SUM(CAST(vol AS DECIMAL(30,4))) AS DOUBLE) AS volume
+       |  FROM tr GROUP BY root, expiration, "right", strike, day),
+       |latest AS (
+       |  SELECT *, row_number() OVER (PARTITION BY expiration, "right", strike
+       |                               ORDER BY day DESC) AS rn
+       |  FROM daily)
+       |SELECT root, expiration, "right", strike, day, open, high, low, close, volume
+       |FROM latest WHERE rn = 1
+       |ORDER BY expiration, "right", strike""".stripMargin
+
+  /** v2.py:2096-2212 `oi=true` — the chain's open-interest prints per
+    * day (the `bulk_at_time/option/open_interest` arm).
+    */
+  def chainBulkOi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    api(s, dir).retrieveChainBulk(2L, None, "2024-01-02", "2024-01-28",
+        "15:00", right = None, oiMode = true)
+      .orderBy($"date", $"expiration", $"right", $"strike")
+  }
+
+  val chainBulkOiSql: String =
+    s"""WITH $rawSql,
+       |o AS (
+       |  SELECT root, CAST(ts AS DATE) AS date, expiration, "right", strike,
+       |    seq, seq % 10000 AS open_interest
+       |  FROM raw
+       |  WHERE event_type = 'signup' AND root = 2
+       |    AND CAST(ts AS DATE) >= DATE '2024-01-02'
+       |    AND CAST(ts AS DATE) < DATE '2024-01-28'),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY date, expiration, "right", strike
+       |      ORDER BY seq DESC) AS rn
+       |  FROM o)
+       |SELECT root, expiration, "right", strike, date, open_interest
+       |FROM r WHERE rn = 1
+       |ORDER BY date, expiration, "right", strike""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q72_bulk_eod" -> (bulkEod(_, _)),
+    "q73_chain_bulk" -> (chainBulk(_, _)),
+    "q74_bulk_open_interest" -> (bulkOpenInterest(_, _)),
+    "q75_snapshot_greeks" -> (snapshotGreeks(_, _)),
+    "q76_snapshot_ohlc" -> (snapshotOhlc(_, _)),
+    "q77_chain_bulk_oi" -> (chainBulkOi(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q72_bulk_eod" -> bulkEodSql,
+    "q73_chain_bulk" -> chainBulkSql,
+    "q74_bulk_open_interest" -> bulkOpenInterestSql,
+    "q75_snapshot_greeks" -> snapshotGreeksSql,
+    "q76_snapshot_ohlc" -> snapshotOhlcSql,
+    "q77_chain_bulk_oi" -> chainBulkOiSql)
+}
