@@ -36,21 +36,22 @@ object CalendarOps {
 
   /** P5 — business-day range: all weekdays in [start, end] minus the
     * holiday set, as a single-column DataFrame. Generated
-    * distributively via sequence+explode (no driver loop); holidays
-    * broadcast anti-joined like the reference prunes HOLIDAY_SET.
+    * distributively via sequence+explode (no driver loop). Holiday
+    * pruning is the codegen [[graft.plans.TradingDayRoll]] predicate
+    * (a day is a trading day iff it rolls to itself) — the holiday set
+    * rides inside the expression, so no join appears in the plan at
+    * all, versus the reference's HOLIDAY_SET scan (dbase/utils.py:
+    * 52-68).
     */
   def busRange(spark: SparkSession, start: String, end: String,
       holidays: Seq[String]): DataFrame = {
     import spark.implicits._
-    val days = spark.range(1)
+    spark.range(1)
       .select(explode(sequence(
         lit(java.sql.Date.valueOf(start)),
         lit(java.sql.Date.valueOf(end)),
         expr("interval 1 day"))).as("day"))
-      .filter(isWeekday($"day"))
-    val hol = holidays.toDF("holiday")
-      .select(to_date($"holiday").as("day"))
-    days.join(broadcast(hol), Seq("day"), "left_anti")
+      .filter(graft.plans.NativeFunctions.tradingDayRoll($"day", holidays) === $"day")
   }
 
   /** F4 — ms-of-day → HH:MM:SS (utils.py:260-266). */

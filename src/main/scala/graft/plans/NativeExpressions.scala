@@ -89,6 +89,57 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Trading-calendar roll: date → the first trading day on-or-after it
+  * (weekends + the holiday set skipped) — the codegen promotion of the
+  * business-day bucket (SURVEY §4 custom-work item 1; bus_range
+  * semantics, dbase/utils.py:52-68). `d` is a trading day iff
+  * `roll(d) == d`, so the predicate replaces the broadcast holiday
+  * anti-join with pure column arithmetic that stays inside
+  * whole-stage codegen.
+  *
+  * `holidays` are epoch days, kept as a sorted array and carried into
+  * generated code as a codegen reference object — the expression-level
+  * equivalent of a broadcast holiday bitmap (holiday sets are O(10)/yr,
+  * so per-task duplication is nil).
+  */
+case class TradingDayRoll(child: Expression, holidays: Array[Int])
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DateType
+  override def prettyName: String = "trading_day_roll"
+
+  def roll(epochDay: Int): Int = {
+    var d = epochDay
+    // epoch day 0 = 1970-01-01, a Thursday: (d+4)%7 gives 0=Sunday…6=Saturday
+    var dow = java.lang.Math.floorMod(d + 4, 7)
+    while (dow == 0 || dow == 6 || java.util.Arrays.binarySearch(holidays, d) >= 0) {
+      d += 1
+      dow = java.lang.Math.floorMod(d + 4, 7)
+    }
+    d
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    roll(input.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("roller", this, classOf[TradingDayRoll].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.roll($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TradingDayRoll =
+    copy(child = newChild)
+
+  // Array[Int] equality is by reference; compare holiday contents so
+  // plan canonicalization/dedup treats equal calendars as equal.
+  override def equals(other: Any): Boolean = other match {
+    case t: TradingDayRoll =>
+      child == t.child && java.util.Arrays.equals(holidays, t.holidays)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(holidays)
+}
+
 case class RollingHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash64"
@@ -113,6 +164,14 @@ object NativeFunctions {
 
   def rollingHash64(c: Column): Column =
     ColumnShim.column(RollingHash64(ColumnShim.expression(c)))
+
+  /** Date → first trading day on-or-after, skipping weekends and the
+    * given `yyyy-MM-dd` holidays.
+    */
+  def tradingDayRoll(c: Column, holidays: Seq[String]): Column =
+    ColumnShim.column(TradingDayRoll(ColumnShim.expression(c),
+      holidays.map(d => java.time.LocalDate.parse(d).toEpochDay.toInt)
+        .sorted.toArray))
 
   /** Register both for `spark.sql` use (engine-level function surface). */
   def register(spark: SparkSession): Unit = {

@@ -491,7 +491,87 @@ object FinanceQueries {
       |           AND date = DATE '2024-01-10')
       |ORDER BY user_id, date""".stripMargin
 
+  /** The broker order-lifecycle state machine
+    * ([[graft.operators.OrderLifecycle]], Alpaca.py:735-860 cancel→
+    * poll→repost): a deterministic synthetic event stream (creates,
+    * partial/full fills, rejects, cancels, replace requests — overlaps
+    * intentional, so every poll outcome occurs) folded to final order
+    * states; replaced orders spawn a `new` replacement with the
+    * remaining qty at the new price, while fills/rejects during the
+    * cancel poll abort the repost exactly like the reference.
+    */
+  def orderLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.loadSpread(s, dir, "orders").filter($"o_orderkey" < 3000)
+      .select($"o_orderkey".as("order_id"),
+        (lit(10L) + $"o_orderkey" % 90).as("qty"),
+        (lit(50.0) + ($"o_orderkey" % 200).cast("double") * 0.5).as("price"))
+    val ev = o.select($"order_id", explode(array(
+        struct(lit(1L).as("seq"), lit("create").as("kind"),
+          $"qty", $"price"),
+        when($"order_id" % 3 === 1, struct(lit(2L).as("seq"),
+          lit("fill").as("kind"), expr("qty div 2").as("qty"),
+          lit(null).cast("double").as("price"))),
+        when($"order_id" % 7 === 2, struct(lit(3L).as("seq"),
+          lit("fill").as("kind"), $"qty",
+          lit(null).cast("double").as("price"))),
+        when($"order_id" % 11 === 3, struct(lit(4L).as("seq"),
+          lit("reject").as("kind"), lit(null).cast("long").as("qty"),
+          lit(null).cast("double").as("price"))),
+        when($"order_id" % 5 === 4, struct(lit(5L).as("seq"),
+          lit("cancel_request").as("kind"), lit(null).cast("long").as("qty"),
+          lit(null).cast("double").as("price"))),
+        when($"order_id" % 4 === 0, struct(lit(6L).as("seq"),
+          lit("replace_request").as("kind"), lit(null).cast("long").as("qty"),
+          ($"price" * 0.98).as("price"))))))
+      .filter($"col".isNotNull)
+      .select($"order_id", $"col.seq".as("seq"), $"col.kind".as("kind"),
+        $"col.qty".as("qty"), $"col.price".as("price"))
+    graft.operators.OrderLifecycle.finalStates(ev)
+      .orderBy($"order_id")
+  }
+
+  val orderLifecycleSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey AS order_id,
+      |    10 + o_orderkey % 90 AS qty,
+      |    50.0 + CAST(o_orderkey % 200 AS DOUBLE) * 0.5 AS price
+      |  FROM orders WHERE o_orderkey < 3000),
+      |ev AS (
+      |  SELECT order_id, 'create' AS kind, qty, price FROM o
+      |  UNION ALL SELECT order_id, 'fill', qty // 2, NULL FROM o WHERE order_id % 3 = 1
+      |  UNION ALL SELECT order_id, 'fill', qty, NULL FROM o WHERE order_id % 7 = 2
+      |  UNION ALL SELECT order_id, 'reject', NULL, NULL FROM o WHERE order_id % 11 = 3
+      |  UNION ALL SELECT order_id, 'cancel_request', NULL, NULL FROM o WHERE order_id % 5 = 4
+      |  UNION ALL SELECT order_id, 'replace_request', NULL, price * 0.98 FROM o WHERE order_id % 4 = 0),
+      |agg AS (
+      |  SELECT order_id,
+      |    MAX(CASE WHEN kind = 'create' THEN qty END) AS qty,
+      |    MAX(CASE WHEN kind = 'create' THEN price END) AS limit_price,
+      |    CAST(COALESCE(SUM(CASE WHEN kind = 'fill' THEN qty END), 0) AS BIGINT) AS filled_qty,
+      |    MAX(CASE WHEN kind = 'cancel_request' THEN 1 ELSE 0 END) AS has_cancel,
+      |    MAX(CASE WHEN kind = 'reject' THEN 1 ELSE 0 END) AS has_reject,
+      |    MAX(CASE WHEN kind = 'replace_request' THEN price END) AS replace_price
+      |  FROM ev GROUP BY order_id),
+      |st AS (
+      |  SELECT *,
+      |    CASE WHEN filled_qty >= qty THEN 'filled'
+      |         WHEN has_reject = 1 THEN 'rejected'
+      |         WHEN replace_price IS NOT NULL THEN 'canceled'
+      |         WHEN has_cancel = 1 THEN 'canceled'
+      |         WHEN filled_qty > 0 THEN 'partially_filled'
+      |         ELSE 'accepted' END AS status
+      |  FROM agg)
+      |SELECT order_id, qty, limit_price, filled_qty, status,
+      |  CAST(NULL AS BIGINT) AS replaced_from FROM st
+      |UNION ALL
+      |SELECT order_id + 1000000, qty - filled_qty, replace_price,
+      |  CAST(0 AS BIGINT), 'new', order_id
+      |FROM st WHERE status = 'canceled' AND replace_price IS NOT NULL
+      |ORDER BY order_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q78_order_lifecycle" -> (orderLifecycle(_, _)),
     "q40_occ_roundtrip" -> (occRoundtrip(_, _)),
     "q41_ticker_splice" -> (tickerSplice(_, _)),
     "q42_quote_pipeline" -> (quotePipeline(_, _)),
@@ -502,6 +582,7 @@ object FinanceQueries {
     "q67_list_contracts" -> (apiListContracts(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q78_order_lifecycle" -> orderLifecycleSql,
     "q40_occ_roundtrip" -> occRoundtripSql,
     "q41_ticker_splice" -> tickerSpliceSql,
     "q42_quote_pipeline" -> quotePipelineSql,

@@ -62,4 +62,53 @@ class NativeExpressionsSpec extends AnyFunSuite {
       .select(NativeFunctions.rollingHash64($"t")).collect()
     assert(r(0).isNullAt(0))
   }
+
+  test("trading_day_roll: weekends and holidays roll forward") {
+    val holidays = Seq("2024-01-01", "2024-01-15")
+    val out = Seq(
+      "2024-01-01", // Mon holiday -> Tue Jan 2
+      "2024-01-02", // Tue         -> itself
+      "2024-01-06", // Sat         -> Mon Jan 8
+      "2024-01-13", // Sat, Mon 15 holiday -> Tue Jan 16
+      "2024-01-15"  // Mon holiday -> Tue Jan 16
+    ).toDF("d")
+      .select(NativeFunctions.tradingDayRoll(to_date($"d"), holidays).as("r"))
+      .collect().map(_.getDate(0).toString).toSeq
+    assert(out == Seq("2024-01-02", "2024-01-02", "2024-01-08",
+      "2024-01-16", "2024-01-16"))
+  }
+
+  test("busRange via trading_day_roll equals the anti-join formulation") {
+    val holidays = Seq("2024-01-01", "2024-01-15")
+    val viaExpr = graft.operators.CalendarOps
+      .busRange(spark, "2024-01-01", "2024-01-31", holidays)
+    val viaJoin = {
+      val days = spark.range(1)
+        .select(explode(sequence(
+          lit(java.sql.Date.valueOf("2024-01-01")),
+          lit(java.sql.Date.valueOf("2024-01-31")),
+          expr("interval 1 day"))).as("day"))
+        .filter(graft.operators.CalendarOps.isWeekday($"day"))
+      val hol = holidays.toDF("holiday").select(to_date($"holiday").as("day"))
+      days.join(broadcast(hol), Seq("day"), "left_anti")
+    }
+    assert(viaExpr.except(viaJoin).count() == 0)
+    assert(viaJoin.except(viaExpr).count() == 0)
+    // the plan carries the holiday set inside the expression: no join
+    val p = viaExpr.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(300))
+  }
+
+  test("trading_day_roll generates code (no interpreted fallback)") {
+    // non-literal child: a literal would constant-fold at plan time
+    val df = spark.range(3)
+      .select(NativeFunctions.tradingDayRoll(
+        date_add(to_date(lit("2024-01-06")), $"id".cast("int")),
+        Seq("2024-01-08")).as("r"))
+      .filter($"r".isNotNull)
+    df.collect()
+    val gen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(gen.contains(".roll("), gen.take(400))
+  }
 }

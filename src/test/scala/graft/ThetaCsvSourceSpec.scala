@@ -1,11 +1,15 @@
 package graft
 
+import java.io.File
+import java.nio.file.Files
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The DSv2 CSV-endpoint source: schema, per-day input splits,
-  * date-filter pushdown pruning partitions before any fetch, and the
-  * CSV parse itself.
+/** The DSv2 CSV-endpoint connector: read side (schema, per-day input
+  * splits, date-filter pushdown pruning partitions before any fetch,
+  * the CSV parse itself) and write side (staged-commit sink,
+  * append/overwrite modes).
   */
 class ThetaCsvSourceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -44,5 +48,36 @@ class ThetaCsvSourceSpec extends AnyFunSuite {
     val one = read(10).filter($"day" === lit("2024-01-05").cast("date"))
     assert(one.rdd.getNumPartitions == 1)
     assert(one.count() == graft.sources.dsv2.ThetaCsvSource.barsPerDay)
+  }
+
+  test("DSv2 sink round-trip: bars write through the connector and read back equal") {
+    val dir = Files.createTempDirectory("graft_csv_sink").toFile.getAbsolutePath
+    val bars = read(3)
+    bars.write.format("graft.sources.dsv2.GraftCsvSink")
+      .option("path", dir).mode("append").save()
+    val back = spark.read.option("header", "true")
+      .schema("day date, ts timestamp, root string, open double, high double, " +
+        "low double, close double, volume bigint")
+      .csv(dir)
+    assert(back.count() == bars.count())
+    assert(back.except(bars).count() == 0)
+    assert(bars.except(back).count() == 0)
+    // no staging residue after commit
+    assert(!new File(dir).listFiles().exists(_.getName.startsWith(".staging")))
+  }
+
+  test("DSv2 sink modes: append accumulates, overwrite truncates (K1 replace)") {
+    val dir = Files.createTempDirectory("graft_csv_sink_modes").toFile.getAbsolutePath
+    val bars = read(2)
+    val fmt = "graft.sources.dsv2.GraftCsvSink"
+    bars.write.format(fmt).option("path", dir).mode("append").save()
+    bars.write.format(fmt).option("path", dir).mode("append").save()
+    def readBack() = spark.read.option("header", "true")
+      .schema("day date, ts timestamp, root string, open double, high double, " +
+        "low double, close double, volume bigint")
+      .csv(dir)
+    assert(readBack().count() == 2 * bars.count())
+    bars.write.format(fmt).option("path", dir).mode("overwrite").save()
+    assert(readBack().count() == bars.count())
   }
 }
