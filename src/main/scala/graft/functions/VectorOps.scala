@@ -49,12 +49,26 @@ object VectorOps {
     * the band primitive for OR-construction LSH: band b of width w is
     * `rhpSignature(q, w, b * w)`, giving each band an independent set
     * of hyperplanes while staying deterministic and engine-portable.
+    *
+    * The ±1 coefficient of plane `p`, dimension `i` is DEFINED as
+    * "first hex digit of md5("p:i") in 0-7" — but it depends only on
+    * (p, i), so the sign vectors are evaluated ONCE here (driver-side
+    * md5) and embedded as literal arrays: the scan does one
+    * multiply-add per (plane, dim) instead of an md5 per (row, plane,
+    * dim), while the DuckDB oracle recomputing md5 per row gets
+    * bit-identical signatures.
     */
   def rhpSignature(q: Column, nPlanes: Int, offset: Int): Column = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val bits = (offset until offset + nPlanes).map { p =>
+      val signs = (0 until 64).map { i =>
+        val h = md.digest(s"$p:$i".getBytes("UTF-8"))
+        // first hex char < '8'  ⇔  top nibble of byte 0 is 0-7
+        if ((h(0) & 0x80) == 0) 1L else -1L
+      }
+      val signArr = array(signs.map(lit): _*)
       val signedSum = aggregate(
-        zip_with(q, sequence(lit(0), lit(63)),
-          (x, i) => when(substring(md5(concat(lit(s"$p:"), i.cast("string"))), 1, 1) < "8", x).otherwise(-x)),
+        zip_with(q, signArr, (x, sgn) => x * sgn),
         lit(0L), (acc, v) => acc + v)
       when(signedSum >= 0, lit("1")).otherwise(lit("0"))
     }

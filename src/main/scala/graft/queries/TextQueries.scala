@@ -220,6 +220,51 @@ object TextQueries {
       |ORDER BY n DESC, bigram
       |LIMIT 50""".stripMargin
 
+  /** Per-document repetition ratio — the Gopher-style repetition
+    * quality signal (fraction of duplicate word bigrams): highly
+    * repetitive documents (boilerplate, template spam, degenerate
+    * generations) show a high duplicate-bigram share and get filtered
+    * before training. Pure codegen column math over each doc's bigram
+    * array — no explode, no shuffle beyond the final sort; at 100 TB
+    * this is a single scan-side projection.
+    */
+  def repetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val w = words($"text")
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select($"doc_id", $"source", bigrams.as("bg"))
+      .select($"doc_id", $"source",
+        size($"bg").cast("long").as("n_bigrams"),
+        size(array_distinct($"bg")).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio",
+        when($"n_bigrams" === 0, lit(0.0))
+          .otherwise(lit(1.0) - $"n_distinct".cast("double") / $"n_bigrams".cast("double")))
+      .withColumn("is_repetitive", $"dup_ratio" > 0.2)
+      .orderBy($"doc_id")
+  }
+
+  val repetitionRatioSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]) AS bg
+      |  FROM documents)
+      |SELECT doc_id, source,
+      |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+      |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+      |  CASE WHEN len(bg) = 0 THEN 0.0
+      |       ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+      |  END AS dup_ratio,
+      |  (CASE WHEN len(bg) = 0 THEN 0.0
+      |        ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+      |   END) > 0.2 AS is_repetitive
+      |FROM b
+      |ORDER BY doc_id""".stripMargin
+
   /** Document-length histogram — the corpus-profiling pass every
     * training-data pipeline runs before filtering: 100-char buckets,
     * count + char mass per bucket. One hash aggregation.
@@ -641,7 +686,8 @@ object TextQueries {
     "q39_pii_scrub" -> (piiScrub(_, _)),
     "q24_minhash_near_dup" -> (minhashNearDup(_, _)),
     "q25_jaccard_pairs" -> (jaccardPairs(_, _)),
-    "q26_simhash_near_dup" -> (simhashNearDup(_, _)))
+    "q26_simhash_near_dup" -> (simhashNearDup(_, _)),
+    "q79_repetition_ratio" -> (repetitionRatio(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q20_token_stats" -> tokenStatsSql,
@@ -657,5 +703,6 @@ object TextQueries {
     "q39_pii_scrub" -> piiScrubSql,
     "q24_minhash_near_dup" -> minhashNearDupSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
-    "q26_simhash_near_dup" -> simhashNearDupSql)
+    "q26_simhash_near_dup" -> simhashNearDupSql,
+    "q79_repetition_ratio" -> repetitionRatioSql)
 }
