@@ -6,21 +6,64 @@ import org.apache.spark.sql.SparkSessionExtensions
   * expressions with any session built with
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`), so cluster users get
-  * `simhash64` / `rolling_hash64` in SQL without code changes.
+  * `simhash64` / `rolling_hash64` / `trading_day_roll` /
+  * `bounded_top_k` in SQL without code changes.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64(exprs.head)))
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
     e.injectFunction((
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash64"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[RollingHash64].getName, "rolling_hash64"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RollingHash64(exprs.head)))
+      new FunctionIdentifier("rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
+      (exprs: Seq[Expression]) => RollingHash64(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("trading_day_roll"),
+      new ExpressionInfo(classOf[TradingDayRoll].getName, "trading_day_roll"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildTradingDayRoll(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("bounded_top_k"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildBoundedTopK(exprs)))
   }
+}
+
+object GraftExtensions {
+
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  /** `trading_day_roll(dateCol, array('yyyy-MM-dd', ...))` — the
+    * holiday argument must be a foldable literal (it parameterizes the
+    * expression, like a format string).
+    */
+  private[plans] def buildTradingDayRoll(exprs: Seq[Expression]): TradingDayRoll = {
+    val holidays: Array[Int] = exprs.lift(1) match {
+      case None => Array.empty
+      case Some(h) if h.foldable =>
+        val arr = h.eval().asInstanceOf[ArrayData]
+        (0 until arr.numElements()).map(i =>
+          java.time.LocalDate.parse(arr.getUTF8String(i).toString)
+            .toEpochDay.toInt).sorted.toArray
+      case Some(_) => throw new IllegalArgumentException(
+        "trading_day_roll holidays must be a literal array of date strings")
+    }
+    TradingDayRoll(exprs.head, holidays)
+  }
+
+  /** `bounded_top_k(struct(sortKeys..., payload...), k)` with literal k. */
+  private[plans] def buildBoundedTopK(exprs: Seq[Expression]): BoundedTopK =
+    exprs(1) match {
+      case Literal(k: Int, _) => BoundedTopK(exprs.head, k)
+      case other if other.foldable =>
+        BoundedTopK(exprs.head, other.eval().asInstanceOf[Number].intValue())
+      case _ => throw new IllegalArgumentException(
+        "bounded_top_k k must be a literal integer")
+    }
 }

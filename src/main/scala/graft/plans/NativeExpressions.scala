@@ -173,11 +173,19 @@ object NativeFunctions {
       holidays.map(d => java.time.LocalDate.parse(d).toEpochDay.toInt)
         .sorted.toArray))
 
-  /** Register both for `spark.sql` use (engine-level function surface). */
+  /** Register the native functions for `spark.sql` use (engine-level
+    * function surface; same builders as [[GraftExtensions]]).
+    */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "trading_day_roll", exprs => GraftExtensions.buildTradingDayRoll(exprs),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bounded_top_k", exprs => GraftExtensions.buildBoundedTopK(exprs),
+      "built-in")
   }
 }

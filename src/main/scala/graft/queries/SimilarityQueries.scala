@@ -190,6 +190,96 @@ object SimilarityQueries {
     topKRank(scored, 5)
   }
 
+  /** IVF with MULTI-PROBE (nprobe = 2): each query searches its TWO
+    * nearest clusters instead of one — the standard IVF recall/cost
+    * knob (recall lost to quantization boundaries comes back at the
+    * price of probing more inverted lists; cost stays nprobe/nlist of
+    * the corpus, still sublinear). The corpus-side inverted file is
+    * identical to q33; only the query side fans out, via the same
+    * [[graft.plans.BoundedTopK]] aggregate that ranks results — here
+    * keeping the 2 nearest centroids per query.
+    */
+  def ivfMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.BoundedTopK.boundedTopK
+    val emb = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"), $"label")
+    val cent = emb
+      .select($"label", posexplode($"q").as(Seq("pos", "qv")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => round(x("c")).cast("long")).as("cvec"))
+      .select($"label".as("clabel"), $"cvec")
+    val dist = emb.crossJoin(broadcast(cent))
+      .select($"vec_id", $"q", $"label", $"clabel",
+        aggregate(zip_with($"q", $"cvec", (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v).as("d2"))
+    // corpus side: one cluster per vector (the inverted file)
+    val assigned = dist.groupBy($"vec_id")
+      .agg(min_by(struct($"q", $"clabel", $"d2"),
+        struct($"d2", $"clabel")).as("r"))
+      .select($"vec_id", $"r.q".as("q"), $"r.clabel".as("cluster"))
+      .withColumn("nsq", intNormSq($"q"))
+    // query side: nprobe=2 nearest clusters per query
+    val probes = dist.filter($"vec_id" < 10)
+      .groupBy($"vec_id")
+      .agg(boundedTopK(struct($"d2", $"clabel"), 2).as("p"))
+      .select($"vec_id".as("qid"), explode($"p.clabel").as("cluster"))
+    val queries = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("qn"))
+      .join(probes, Seq("qid"))
+    val scored = assigned.join(queries, Seq("cluster")).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"), $"cluster",
+        cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
+      // a candidate can surface from both probed clusters of a query —
+      // collapse before ranking so ranks are probe-order independent
+      .groupBy($"qid", $"cid")
+      .agg(min($"cluster").as("cluster"), min($"cos").as("cos"))
+    topKRank(scored.select($"qid", $"cid", $"cluster", $"cos"), 5)
+  }
+
+  val ivfMultiProbeSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, $quantSql AS q FROM embeddings),
+       |centl AS (
+       |  SELECT label AS clabel, r.range AS pos,
+       |    CAST(round(CAST(SUM(q[r.range]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+       |  FROM e, range(1, 65) r GROUP BY label, r.range),
+       |cent AS (
+       |  SELECT clabel, list(cv ORDER BY pos) AS cvec FROM centl GROUP BY clabel),
+       |dist AS (
+       |  SELECT e.vec_id, e.q, e.label, c.clabel,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (q[i] - cvec[i]) * (q[i] - cvec[i]))) AS BIGINT) AS d2
+       |  FROM e, cent c),
+       |assigned AS (
+       |  SELECT vec_id, q, clabel AS cluster,
+       |    ${dotSql("q", "q")} AS nsq
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+       |        FROM dist) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, clabel AS cluster
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+       |        FROM dist WHERE vec_id < 10) t WHERE rn <= 2),
+       |qs AS (
+       |  SELECT a.vec_id AS qid, a.q AS qv, a.nsq AS qn, p.cluster
+       |  FROM assigned a JOIN probes p ON a.vec_id = p.qid WHERE a.vec_id < 10),
+       |scored0 AS (
+       |  SELECT qs.qid, a.vec_id AS cid, a.cluster,
+       |    CAST(${dotSql("qv", "q")} AS DOUBLE)
+       |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nsq AS DOUBLE))) AS cos
+       |  FROM assigned a JOIN qs ON a.cluster = qs.cluster AND a.vec_id != qs.qid),
+       |scored AS (
+       |  SELECT qid, cid, MIN(cluster) AS cluster, MIN(cos) AS cos
+       |  FROM scored0 GROUP BY qid, cid),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, cluster, cos, rank FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   val ivfSearchSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, $quantSql AS q FROM embeddings),
@@ -244,7 +334,7 @@ object SimilarityQueries {
     * widening: a ±0.2% perturbed copy subtends ~0.0016 rad, so a single
     * 8-plane band already retains it with p ≈ 1 - 8·(θ/π) ≈ 0.996, and
     * three independent bands leave miss probability ≈ (1-p)³ < 1e-7
-    * (SimilaritySpec asserts all planted pairs are found). Both engines
+    * (BoundedTopKSpec asserts all planted pairs are found). Both engines
     * replicate the banding bit-identically; exact integer cosine ≥ 0.99
     * verifies candidates, and DISTINCT collapses pairs that collide in
     * multiple bands.
@@ -316,12 +406,14 @@ object SimilarityQueries {
     "q31_ann_lsh_buckets" -> (annLshBuckets(_, _)),
     "q32_label_centroids" -> (labelCentroids(_, _)),
     "q33_ivf_search" -> (ivfSearch(_, _)),
-    "q34_cosine_near_dup" -> (cosineNearDup(_, _)))
+    "q34_cosine_near_dup" -> (cosineNearDup(_, _)),
+    "q80_ivf_multiprobe" -> (ivfMultiProbe(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q30_knn_brute_force" -> knnBruteForceSql,
     "q31_ann_lsh_buckets" -> annLshBucketsSql,
     "q32_label_centroids" -> labelCentroidsSql,
     "q33_ivf_search" -> ivfSearchSql,
-    "q34_cosine_near_dup" -> cosineNearDupSql)
+    "q34_cosine_near_dup" -> cosineNearDupSql,
+    "q80_ivf_multiprobe" -> ivfMultiProbeSql)
 }

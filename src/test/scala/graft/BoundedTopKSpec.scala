@@ -80,6 +80,21 @@ class BoundedTopKSpec extends AnyFunSuite {
     }
   }
 
+  test("q80 multi-probe IVF recall dominates single-probe (superset candidates)") {
+    // probing 2 clusters can only ADD candidates, so for every query
+    // the rank-i cosine under multi-probe is >= the rank-i cosine
+    // under single-probe — the recall/cost knob moves one way.
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"rank", $"cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val single = top(SimilarityQueries.ivfSearch(spark, dir))
+    val multi = top(SimilarityQueries.ivfMultiProbe(spark, dir))
+    assert(single.nonEmpty)
+    for (((qid, rank), cosSingle) <- single; cosMulti <- multi.get((qid, rank)))
+      assert(cosMulti >= cosSingle - 1e-12,
+        s"qid=$qid rank=$rank multi=$cosMulti < single=$cosSingle")
+  }
+
   test("q34 banded LSH finds exactly the planted near-dup pairs") {
     // Recall invariance of the 3×8-plane OR-construction: the planted
     // (v, v+1000000) perturbed copies — and nothing else — survive the

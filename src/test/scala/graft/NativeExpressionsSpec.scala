@@ -99,6 +99,20 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(300))
   }
 
+  test("trading_day_roll and bounded_top_k are SQL-registered") {
+    NativeFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT trading_day_roll(DATE '2024-01-06', array('2024-01-08')) AS d""").head()
+    assert(r.getDate(0).toString == "2024-01-09") // Sat -> Mon(holiday) -> Tue
+    val topk = spark.sql(
+      """SELECT g, bounded_top_k(struct(v, id), 2) AS t
+        |FROM VALUES (0, 5L, 1L), (0, 3L, 2L), (0, 9L, 3L), (1, 1L, 4L)
+        |  AS tbl(g, v, id)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(topk(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(2L, 1L))
+    assert(topk(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(4L))
+  }
+
   test("trading_day_roll generates code (no interpreted fallback)") {
     // non-literal child: a literal would constant-fold at plan time
     val df = spark.range(3)
