@@ -52,6 +52,20 @@ object Store {
       .sortWithinPartitions(col(keyCol), col(tsCol))
       .write.partitionBy(keyCol, "date").mode("overwrite").parquet(path)
 
+  /** Bucketed table write — the co-located-join layout: both sides of
+    * a recurring fact-fact join written with `bucketBy(n, key)` +
+    * within-bucket sort hash-place rows so the join needs NO exchange
+    * at read time (SortMergeJoin consumes the bucket layout directly).
+    * At 100 TB this converts the join's full-data shuffle — typically
+    * the single largest stage — into a metadata property of the
+    * layout, paid once at write. Bucket counts must match on both
+    * sides; `StoreSpec` asserts the exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").format("parquet").saveAsTable(table)
+
   /** S6 — JDBC scan (SQLHelpers.py:408-445 `query_database` /
     * `pd.read_sql`): `spark.read.jdbc` over any JDBC url. With
     * `partition` = (column, lower, upper, n) the scan splits into n

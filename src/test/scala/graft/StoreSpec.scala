@@ -264,4 +264,28 @@ class StoreSpec extends AnyFunSuite {
     assert(pruned.count() == 1)
     assert(scan.contains("PartitionFilters"), scan)
   }
+
+  test("writeBucketed: co-bucketed join plans without a shuffle exchange") {
+    Seq("bkt_orders", "bkt_lineitem").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val dir = "/root/testdata/sf0.001"
+    Store.writeBucketed(
+      Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+      "bkt_orders", "o_orderkey", 8)
+    Store.writeBucketed(
+      Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey".as("o_orderkey"), $"l_quantity"),
+      "bkt_lineitem", "o_orderkey", 8)
+    val joined = spark.table("bkt_orders")
+      .join(spark.table("bkt_lineitem"), "o_orderkey")
+    // the bucket layout satisfies the join's distribution requirement:
+    // no hashpartitioning exchange on either side
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p.take(600))
+    // and the result matches the plain (shuffling) join
+    val plain = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      .join(Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey".as("o_orderkey"), $"l_quantity"), "o_orderkey")
+    assert(joined.count() == plain.count())
+    Seq("bkt_orders", "bkt_lineitem").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
 }
