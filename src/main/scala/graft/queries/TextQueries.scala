@@ -672,7 +672,50 @@ object TextQueries {
        |SELECT i, j, hamming FROM pairs WHERE hamming <= 3
        |ORDER BY i, j""".stripMargin
 
+  /** Near-dup CLUSTER assignment — the step an actual corpus dedup
+    * runs after pair detection: transitively-linked documents
+    * ([[minhashNearDup]] pairs) collapse into one cluster
+    * ([[graft.operators.Components.minLabelComponents]], iterative
+    * min-label propagation with a convergence check), the min-id
+    * member is the canonical survivor, the rest are the drop set. The
+    * oracle computes the same closure with a recursive CTE, so the
+    * distributed iterative plan is checked against an exact
+    * transitive closure.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashNearDup(s, dir).select($"i", $"j")
+    graft.operators.Components.minLabelComponents(pairs, iters = 6)
+      .select($"comp".as("component"), $"id".as("doc_id"))
+      .withColumn("is_canonical", $"doc_id" === $"component")
+      .orderBy($"component", $"doc_id")
+  }
+
+  val dedupClustersSql: String = {
+    // the q24 pair query nests as a CTE; the closure is recursive
+    val pairsSubquery = minhashNearDupSql.linesIterator
+      .map("  " + _).mkString("\n")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSubquery
+       |),
+       |edges AS (
+       |  SELECT i AS a, j AS b FROM pairs
+       |  UNION ALL SELECT j AS a, i AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, reach.r
+       |  FROM reach JOIN edges e ON e.b = reach.id)
+       |SELECT MIN(r) AS component, id AS doc_id,
+       |  (id = MIN(r)) AS is_canonical
+       |FROM reach
+       |GROUP BY id
+       |ORDER BY component, doc_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q82_dedup_clusters" -> (dedupClusters(_, _)),
     "q20_token_stats" -> (tokenStats(_, _)),
     "q21_quality_score" -> (qualityScore(_, _)),
     "q22_lang_id" -> (langId(_, _)),
@@ -690,6 +733,7 @@ object TextQueries {
     "q79_repetition_ratio" -> (repetitionRatio(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q82_dedup_clusters" -> dedupClustersSql,
     "q20_token_stats" -> tokenStatsSql,
     "q21_quality_score" -> qualityScoreSql,
     "q22_lang_id" -> langIdSql,
