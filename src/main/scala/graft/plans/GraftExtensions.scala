@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`), so cluster users get
   * `simhash64` / `rolling_hash64` / `trading_day_roll` /
-  * `bounded_top_k` in SQL without code changes.
+  * `bounded_top_k` in SQL without code changes, plus the
+  * [[RewriteRankLimitToBoundedTopK]] optimizer rule that turns the
+  * `row_number() <= k` window idiom into the bounded aggregate plan.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -15,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RewriteRankLimitToBoundedTopK)
     e.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
