@@ -401,13 +401,133 @@ object SimilarityQueries {
        |SELECT DISTINCT i, j, cos FROM scored WHERE cos >= 0.99
        |ORDER BY i, j""".stripMargin
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    * cluster the corpus with the IVF coarse quantizer (q33's
+    * assignment), generate candidate pairs only WITHIN a cluster and
+    * only where a banded RHP signature collides (q34's 3×8-plane
+    * OR-construction), verify with exact integer cosine ≥ 0.99, and
+    * prune the larger id of every verified pair. Output = survivors.
+    *
+    * Scale shape: cluster count grows with n (k ∝ n keeps cluster
+    * population constant), banding bounds within-cluster candidates
+    * the same way q34 bounds corpus-wide ones, and the prune itself
+    * is one distinct + left-anti join — no global sort, no window.
+    * The same planted ±0.2% copies as q34 must all be pruned (their
+    * band-collision miss probability is < 1e-7, see cosineNearDup).
+    */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"), $"label")
+    val copies = base.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"),
+        transform($"emb", (x, i) =>
+          x * (lit(1.0) + lit(0.001) * ((i % 5) - 2).cast("double"))).as("emb"),
+        $"label")
+    val emb = base.unionByName(copies)
+      .select($"vec_id", quantize($"emb").as("q"), $"label")
+    val cent = emb
+      .select($"label", posexplode($"q").as(Seq("pos", "qv")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => round(x("c")).cast("long")).as("cvec"))
+      .select($"label".as("clabel"), $"cvec")
+    val dist = emb.crossJoin(broadcast(cent))
+      .select($"vec_id", $"q", $"label", $"clabel",
+        aggregate(zip_with($"q", $"cvec", (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v).as("d2"))
+    val assigned = dist.groupBy($"vec_id")
+      .agg(min_by(struct($"q", $"label", $"clabel", $"d2"),
+        struct($"d2", $"clabel")).as("r"))
+      .select($"vec_id", $"r.q".as("q"), $"r.label".as("label"),
+        $"r.clabel".as("cluster"))
+      .withColumn("nsq", intNormSq($"q"))
+    val banded = assigned.select($"vec_id", $"cluster", $"q", $"nsq",
+        explode(array((0 until 3).map(b =>
+          struct(lit(b).as("band"), rhpSignature($"q", 8, b * 8).as("sig"))): _*)).as("bs"))
+      .select($"vec_id", $"cluster", $"q", $"nsq",
+        $"bs.band".as("band"), $"bs.sig".as("sig"))
+    val pruned = banded
+      .select($"band", $"sig", $"cluster", $"vec_id".as("i"), $"q".as("qi"), $"nsq".as("ni"))
+      .join(banded.select($"band", $"sig", $"cluster",
+        $"vec_id".as("j"), $"q".as("qj"), $"nsq".as("nj")),
+        Seq("band", "sig", "cluster"))
+      .filter($"i" < $"j")
+      .filter(cosine(intDot($"qi", $"qj"), $"ni", $"nj") >= 0.99)
+      .select($"j".as("vec_id")).distinct()
+    assigned.join(pruned, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"label", $"cluster", ($"vec_id" >= 1000000L).as("is_copy"))
+      .orderBy($"vec_id")
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH b AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb, label
+       |  FROM embeddings),
+       |cp AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(range(1, 65),
+       |      i -> emb[i] * (1.0 + 0.001 * CAST((i - 1) % 5 - 2 AS DOUBLE))) AS emb,
+       |    label
+       |  FROM b WHERE vec_id % 50 = 0),
+       |allv AS (SELECT * FROM b UNION ALL SELECT * FROM cp),
+       |e AS (
+       |  SELECT vec_id,
+       |    list_transform(emb, x -> CAST(round(x * 1000000) AS BIGINT)) AS q,
+       |    label
+       |  FROM allv),
+       |centl AS (
+       |  SELECT label AS clabel, r.range AS pos,
+       |    CAST(round(CAST(SUM(q[r.range]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+       |  FROM e, range(1, 65) r GROUP BY label, r.range),
+       |cent AS (
+       |  SELECT clabel, list(cv ORDER BY pos) AS cvec FROM centl GROUP BY clabel),
+       |dist AS (
+       |  SELECT e.vec_id, e.q, e.label, c.clabel,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (q[i] - cvec[i]) * (q[i] - cvec[i]))) AS BIGINT) AS d2
+       |  FROM e, cent c),
+       |assigned AS (
+       |  SELECT vec_id, q, label, clabel AS cluster,
+       |    ${dotSql("q", "q")} AS nsq
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+       |        FROM dist) t WHERE rn = 1),
+       |sig AS (
+       |  SELECT vec_id, cluster, q, nsq,
+       |    ${sigSqlRange(0, 8)} AS s0,
+       |    ${sigSqlRange(8, 16)} AS s1,
+       |    ${sigSqlRange(16, 24)} AS s2
+       |  FROM assigned),
+       |banded AS (
+       |  SELECT vec_id, cluster, q, nsq, 0 AS band, s0 AS sig FROM sig
+       |  UNION ALL SELECT vec_id, cluster, q, nsq, 1 AS band, s1 AS sig FROM sig
+       |  UNION ALL SELECT vec_id, cluster, q, nsq, 2 AS band, s2 AS sig FROM sig),
+       |pairs AS (
+       |  SELECT a.vec_id AS i, bb.vec_id AS j, a.q AS qi, bb.q AS qj,
+       |    a.nsq AS ni, bb.nsq AS nj
+       |  FROM banded a JOIN banded bb
+       |    ON a.band = bb.band AND a.sig = bb.sig AND a.cluster = bb.cluster
+       |   AND a.vec_id < bb.vec_id),
+       |pruned AS (
+       |  SELECT DISTINCT j AS vec_id FROM (
+       |    SELECT j, CAST(${dotSql("qi", "qj")} AS DOUBLE)
+       |      / (sqrt(CAST(ni AS DOUBLE)) * sqrt(CAST(nj AS DOUBLE))) AS cos
+       |    FROM pairs) p
+       |  WHERE cos >= 0.99)
+       |SELECT vec_id, label, cluster, vec_id >= 1000000 AS is_copy
+       |FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM pruned)
+       |ORDER BY vec_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q30_knn_brute_force" -> (knnBruteForce(_, _)),
     "q31_ann_lsh_buckets" -> (annLshBuckets(_, _)),
     "q32_label_centroids" -> (labelCentroids(_, _)),
     "q33_ivf_search" -> (ivfSearch(_, _)),
     "q34_cosine_near_dup" -> (cosineNearDup(_, _)),
-    "q80_ivf_multiprobe" -> (ivfMultiProbe(_, _)))
+    "q80_ivf_multiprobe" -> (ivfMultiProbe(_, _)),
+    "q83_semantic_dedup" -> (semanticDedup(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q30_knn_brute_force" -> knnBruteForceSql,
@@ -415,5 +535,6 @@ object SimilarityQueries {
     "q32_label_centroids" -> labelCentroidsSql,
     "q33_ivf_search" -> ivfSearchSql,
     "q34_cosine_near_dup" -> cosineNearDupSql,
-    "q80_ivf_multiprobe" -> ivfMultiProbeSql)
+    "q80_ivf_multiprobe" -> ivfMultiProbeSql,
+    "q83_semantic_dedup" -> semanticDedupSql)
 }

@@ -220,6 +220,80 @@ object TextQueries {
       |ORDER BY n DESC, bigram
       |LIMIT 50""".stripMargin
 
+  /** Per-document bigram language-model scoring — the classic
+    * KenLM-style fluency signal of data-curation pipelines (score each
+    * document under an n-gram model trained on the corpus itself; the
+    * lowest-scoring tail is boilerplate/garble). Model = add-one
+    * smoothed bigram conditionals c(w1 w2)+1 / c(w1)+V.
+    *
+    * Determinism: log-likelihoods are the textbook score but libm
+    * `ln` is not correctly-rounded and differs between engines, so the
+    * score is the MEAN SMOOTHED PROBABILITY in 1e-9 fixed point —
+    * every step (counts, scaled integer division, integer sum,
+    * integer mean) is exact integer arithmetic, bit-identical on any
+    * cluster size and in the DuckDB oracle; only the final display
+    * cast produces a double. Same monotone ordering signal, engine-
+    * portable.
+    *
+    * Scale shape: model counts are aggregates of the same corpus —
+    * the bigram join is shuffle-on-bigram against the aggregated
+    * model (co-partitioned after the agg), the unigram join
+    * broadcasts when the vocabulary is small, and the vocabulary size
+    * rides along as a broadcast scalar. No windows, no collects.
+    */
+  def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val w = words($"text")
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val docBigrams = docs.select($"doc_id", explode(bigrams).as("bigram"))
+      .withColumn("w1", split($"bigram", " ").getItem(0))
+    val uni = docs.select(explode(w).as("w1"))
+      .groupBy($"w1").agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bg = docBigrams.groupBy($"bigram").agg(count(lit(1)).as("cb"))
+    docBigrams
+      .join(bg, Seq("bigram"))
+      .join(broadcast(uni), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("p_fx",
+        expr("((cb + 1) * CAST(1000000000 AS BIGINT)) DIV (cu + v)"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"p_fx").as("sfx"))
+      .withColumn("avg_p",
+        expr("sfx DIV n_bigrams").cast("double") / lit(1000000000.0))
+      .select($"doc_id", $"n_bigrams", $"avg_p")
+      .orderBy($"doc_id")
+  }
+
+  val bigramLmScoreSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |db AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      |  FROM w),
+      |db2 AS (
+      |  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM db),
+      |ucnt AS (
+      |  SELECT u AS w1, COUNT(*) AS cu
+      |  FROM (SELECT unnest(ws) AS u FROM w) GROUP BY u),
+      |vocab AS (SELECT COUNT(*) AS v FROM ucnt),
+      |bcnt AS (SELECT bigram, COUNT(*) AS cb FROM db GROUP BY bigram),
+      |pfx AS (
+      |  SELECT d.doc_id,
+      |    ((b.cb + 1) * CAST(1000000000 AS BIGINT)) // (u.cu + vocab.v) AS p_fx
+      |  FROM db2 d
+      |  JOIN bcnt b USING (bigram)
+      |  JOIN ucnt u USING (w1), vocab)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(CAST(SUM(p_fx) AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000000.0 AS avg_p
+      |FROM pfx GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-document repetition ratio — the Gopher-style repetition
     * quality signal (fraction of duplicate word bigrams): highly
     * repetitive documents (boilerplate, template spam, degenerate
@@ -342,6 +416,196 @@ object TextQueries {
       |  CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
       |       THEN '19' ELSE '4c' END
       |ORDER BY doc_id""".stripMargin
+
+  /** Paragraph-level deduplication (the CCNet/RefinedWeb pass that
+    * removes boilerplate shared across pages while keeping the
+    * documents themselves). The corpus has no paragraph markers, so
+    * paragraphs are fixed 16-word chunks; each chunk occurrence
+    * survives iff it is the corpus-wide FIRST occurrence of that
+    * chunk text (order = doc_id, then position), and documents are
+    * reassembled from their surviving chunks.
+    *
+    * Scale shape: one explode → one groupBy(chunk) min-aggregate →
+    * one co-partitioned join back — no windows, no driver state. The
+    * first-occurrence key packs (doc_id, idx) into one long (idx <
+    * 1024 at any plausible document length ÷ 16), so the min is a
+    * plain long min with map-side partial combine.
+    */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val w = words($"text")
+    val chunkArr = transform(
+      sequence(lit(0L), expr("CAST((size(split(text, ' ')) + 15) DIV 16 - 1 AS BIGINT)")),
+      i => array_join(slice(w, (i * 16 + 1).cast("int"), lit(16)), " "))
+    val chunks = docs
+      .select($"doc_id", posexplode(chunkArr).as(Seq("idx", "chunk")))
+      .withColumn("pos_key", $"doc_id" * 1024 + $"idx")
+    val firsts = chunks.groupBy($"chunk").agg(min($"pos_key").as("mk"))
+    chunks.join(firsts, Seq("chunk"))
+      .withColumn("kept", $"pos_key" === $"mk")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum($"kept".cast("long")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when($"kept", struct($"idx", $"chunk")))),
+          x => x("chunk")), " ").as("text_dedup"))
+      .orderBy($"doc_id")
+  }
+
+  val paragraphDedupSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ci AS (
+      |  SELECT doc_id, ws, unnest(range(0, (len(ws) + 15) // 16)) AS idx FROM w),
+      |ch AS (
+      |  SELECT doc_id, idx, doc_id * 1024 + idx AS pos_key,
+      |    array_to_string(ws[(idx * 16 + 1):(idx * 16 + 16)], ' ') AS chunk
+      |  FROM ci),
+      |f AS (SELECT chunk, MIN(pos_key) AS mk FROM ch GROUP BY chunk),
+      |fl AS (
+      |  SELECT c.doc_id, c.idx, c.chunk, c.pos_key = f.mk AS kept
+      |  FROM ch c JOIN f USING (chunk))
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CAST(kept AS BIGINT)) AS BIGINT) AS n_kept,
+      |  coalesce(array_to_string(list(chunk ORDER BY idx) FILTER (WHERE kept), ' '), '') AS text_dedup
+      |FROM fl GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** BM25 top-k retrieval over an inverted index — the search-side
+    * text operator (used in curation for quality-by-retrievability
+    * and nearest-benchmark analyses). Query terms are the corpus's 3
+    * most frequent words (deterministic, computed in-engine); each
+    * retrieves its top-10 documents under BM25 (k1 = 1.2, b = 0.75).
+    *
+    * Determinism: BM25's idf is logarithmic, and libm log is not
+    * bit-reproducible across engines — the idf here is the raw
+    * (N+1)/(df+1) variant (log-damping omitted; identical for the
+    * single-term queries used here, which only need per-term monotone
+    * scores), and ALL arithmetic is 1e6 fixed-point integer division
+    * mirrored exactly by DuckDB `//`.
+    *
+    * Scale shape: postings = one explode + one (doc_id, term) count
+    * agg; query terms broadcast against the postings; per-term top-10
+    * via the BoundedTopK aggregate — no low-cardinality window, ≤10
+    * rows per term per partition on the wire.
+    */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.BoundedTopK.boundedTopK
+    val S = 1000000L
+    val docs = Tables.load(s, dir, "documents")
+    val w = words($"text")
+    val postings = docs.select($"doc_id", size(w).cast("long").as("dl"), explode(w).as("term"))
+      .groupBy($"doc_id", $"term", $"dl").agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(w).cast("long")).as("total_len"))
+    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    // top-3 corpus terms by total frequency: aggregate term frequency,
+    // bounded top-3 (single global group), no window
+    val termFreq = docs.select(explode(w).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+    val top3 = termFreq
+      .agg(boundedTopK(struct((-$"n").as("negn"), $"term"), 3).as("t"))
+      .select(explode($"t.term").as("term"))
+    val scored = postings
+      .join(broadcast(top3), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl_fx", expr(s"(total_len * ${S}L) DIV n_docs"))
+      .withColumn("norm_fx", expr(s"250000 + (750000 * dl * ${S}L) DIV avgdl_fx"))
+      .withColumn("tf_comp_fx",
+        expr(s"(tf * 2200 * ${S}L * ${S}L) DIV (tf * 1000 * ${S}L + 1200 * norm_fx)"))
+      .withColumn("idf_fx", expr(s"((n_docs + 1) * ${S}L) DIV (df + 1)"))
+      .withColumn("score_fx", expr(s"(idf_fx * tf_comp_fx) DIV ${S}L"))
+    scored.groupBy($"term")
+      .agg(boundedTopK(struct((-$"score_fx").as("negs"), $"doc_id", $"tf", $"score_fx"), 10).as("top"))
+      .select($"term", posexplode($"top").as(Seq("pos", "r")))
+      .select($"term", $"r.doc_id".as("doc_id"), $"r.tf".as("tf"),
+        ($"r.score_fx".cast("double") / 1000000.0).as("score"),
+        ($"pos" + 1).cast("long").as("rank"))
+      .orderBy($"term", $"rank")
+  }
+
+  val bm25TopKSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |p0 AS (
+      |  SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w),
+      |postings AS (
+      |  SELECT doc_id, term, dl, COUNT(*) AS tf FROM p0 GROUP BY doc_id, term, dl),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(len(ws)) AS BIGINT) AS total_len FROM w),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+      |tf3 AS (
+      |  SELECT term FROM (
+      |    SELECT term, COUNT(*) AS n, row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rn
+      |    FROM p0 GROUP BY term) t
+      |  WHERE rn <= 3),
+      |scored AS (
+      |  SELECT p.term, p.doc_id, p.tf,
+      |    ((((s.n_docs + 1) * 1000000) // (d.df + 1))
+      |      * ((p.tf * 2200 * 1000000 * 1000000)
+      |         // (p.tf * 1000 * 1000000
+      |             + 1200 * (250000 + (750000 * p.dl * 1000000)
+      |                                // ((s.total_len * 1000000) // s.n_docs)))))
+      |    // 1000000 AS score_fx
+      |  FROM postings p
+      |  JOIN tf3 USING (term)
+      |  JOIN dfreq d USING (term), stats s),
+      |ranked AS (
+      |  SELECT term, doc_id, tf, score_fx,
+      |    row_number() OVER (PARTITION BY term ORDER BY score_fx DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT term, doc_id, tf, CAST(score_fx AS DOUBLE) / 1000000.0 AS score,
+      |  rank
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY term, rank""".stripMargin
+
+  /** Bloom-filter decontamination — the scale path for benchmark
+    * decontamination when the contamination set is too large to ship
+    * as literals (q36's broadcast phrase list): the benchmark shingle
+    * set is compressed into a fixed-size Bloom filter (no false
+    * negatives), every training shingle is prefiltered against it
+    * map-side, and only the surviving sliver pays the exact semi-join
+    * verify. The final answer is EXACT (false positives die in the
+    * verify), which is why the DuckDB oracle is the plain exact
+    * overlap — the Bloom stage changes the plan, never the result.
+    *
+    * Benchmark set = every 100th document's 3-word shingles (the
+    * held-out eval set); output = training documents that share at
+    * least one shingle, with the exact overlap count.
+    */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val sh = shingles(words($"text"))
+    val bench = docs.filter($"doc_id" % 100 === 0)
+      .select(explode(sh).as("sh")).distinct()
+    val bf = bench.stat.bloomFilter("sh", 100000L, 0.01)
+    val mightContain = udf((x: String) => x != null && bf.mightContain(x))
+    val trainShingles = docs.filter($"doc_id" % 100 =!= 0)
+      .select($"doc_id", explode(sh).as("sh"))
+    trainShingles
+      .filter(mightContain($"sh"))
+      .join(bench, Seq("sh"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count_distinct($"sh").as("n_overlap"))
+      .withColumn("is_contaminated", lit(true))
+      .orderBy($"doc_id")
+  }
+
+  val bloomDecontaminateSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($shinglesSqlExpr) AS sh
+       |  FROM documents),
+       |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0),
+       |tr AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 100 != 0)
+       |SELECT doc_id, COUNT(*) AS n_overlap, TRUE AS is_contaminated
+       |FROM tr JOIN bench USING (sh)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Training-mixture accounting — per-source share of documents,
     * characters and whitespace tokens (the weights a data recipe
@@ -730,7 +994,11 @@ object TextQueries {
     "q24_minhash_near_dup" -> (minhashNearDup(_, _)),
     "q25_jaccard_pairs" -> (jaccardPairs(_, _)),
     "q26_simhash_near_dup" -> (simhashNearDup(_, _)),
-    "q79_repetition_ratio" -> (repetitionRatio(_, _)))
+    "q79_repetition_ratio" -> (repetitionRatio(_, _)),
+    "q84_bigram_lm_score" -> (bigramLmScore(_, _)),
+    "q85_paragraph_dedup" -> (paragraphDedup(_, _)),
+    "q86_bm25_topk" -> (bm25TopK(_, _)),
+    "q87_bloom_decontaminate" -> (bloomDecontaminate(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q82_dedup_clusters" -> dedupClustersSql,
@@ -748,5 +1016,9 @@ object TextQueries {
     "q24_minhash_near_dup" -> minhashNearDupSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
     "q26_simhash_near_dup" -> simhashNearDupSql,
-    "q79_repetition_ratio" -> repetitionRatioSql)
+    "q79_repetition_ratio" -> repetitionRatioSql,
+    "q84_bigram_lm_score" -> bigramLmScoreSql,
+    "q85_paragraph_dedup" -> paragraphDedupSql,
+    "q86_bm25_topk" -> bm25TopKSql,
+    "q87_bloom_decontaminate" -> bloomDecontaminateSql)
 }
