@@ -282,6 +282,49 @@ object TimeSeriesQueries {
       |GROUP BY 1, 2
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** Stream-stream interval join run in batch mode (the q48 pattern:
+    * the SAME transform is streaming-legal — StreamOpsSpec asserts
+    * stream==batch parity through MemoryStream): signup events joined
+    * with the same user's purchases within the following 30 minutes,
+    * aggregated per user. Delays are exact integer microseconds;
+    * money sums use the exact-decimal pattern.
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val a = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("a_ts"), $"event_id".as("a_id"))
+    val b = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("b_user"), $"ts".as("b_ts"),
+        $"event_id".as("b_id"), $"value".as("b_value"))
+    graft.streaming.StreamOps.intervalJoin(
+        a, b, Seq("user_id" -> "b_user"), "a_ts", "b_ts", "10 minutes", "30 minutes")
+      .withColumn("delay_us", unix_micros($"b_ts") - unix_micros($"a_ts"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min($"delay_us").as("min_delay_us"),
+        max($"delay_us").as("max_delay_us"),
+        graft.operators.CoreOps.dsum($"b_value").as("total_purchase"))
+      .orderBy($"user_id")
+  }
+
+  val streamStreamJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |  FROM events),
+      |a AS (SELECT user_id, ts AS a_ts, event_id AS a_id FROM e WHERE event_type = 'signup'),
+      |b AS (SELECT user_id AS b_user, ts AS b_ts, event_id AS b_id, value AS b_value
+      |      FROM e WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT a.user_id, epoch_us(b_ts) - epoch_us(a_ts) AS delay_us, b_value
+      |  FROM a JOIN b ON a.user_id = b.b_user
+      |   AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 30 MINUTE)
+      |SELECT user_id, COUNT(*) AS n_pairs,
+      |  MIN(delay_us) AS min_delay_us, MAX(delay_us) AS max_delay_us,
+      |  CAST(SUM(CAST(b_value AS DECIMAL(30,4))) AS DOUBLE) AS total_purchase
+      |FROM j GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
     "q11_dedup_keep_last" -> (dedupKeepLastQ(_, _)),
@@ -290,7 +333,8 @@ object TimeSeriesQueries {
     "q14_business_hours_daily" -> (businessHoursDaily(_, _)),
     "q15_closest_to_mean" -> (closestToMean(_, _)),
     "q47_resample_with_gaps" -> (resampleWithGapsQ(_, _)),
-    "q48_streaming_windowed_agg" -> (streamingWindowedAgg(_, _)))
+    "q48_streaming_windowed_agg" -> (streamingWindowedAgg(_, _)),
+    "q88_stream_stream_join" -> (streamStreamJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
@@ -300,5 +344,6 @@ object TimeSeriesQueries {
     "q14_business_hours_daily" -> businessHoursDailySql,
     "q15_closest_to_mean" -> closestToMeanSql,
     "q47_resample_with_gaps" -> resampleWithGapsSql,
-    "q48_streaming_windowed_agg" -> streamingWindowedAggSql)
+    "q48_streaming_windowed_agg" -> streamingWindowedAggSql,
+    "q88_stream_stream_join" -> streamStreamJoinSql)
 }

@@ -58,6 +58,42 @@ object StreamOps {
       .drop("window")
   }
 
+  /** T3 variant — dedup by key ONLY (no ts in the key): duplicates of
+    * a key arriving within the watermark delay of the kept row are
+    * dropped even when their timestamps differ (retry storms, at-least
+    * -once replays with re-stamped times). State per key expires once
+    * the watermark passes the kept row's event time + delay — bounded,
+    * unlike a bare `dropDuplicates(keys)` whose state grows forever on
+    * a stream.
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, lateness: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** T6 — stream-stream interval join: each left event matched with
+    * right events of the same key whose timestamp falls in
+    * [leftTs, leftTs + maxDelay]. Both sides carry watermarks and the
+    * range predicate is the state-eviction bound — an unbounded
+    * stream-stream inner join would hold both sides' state forever;
+    * with the bound, Spark drops left state once the right watermark
+    * passes leftTs + maxDelay (and vice versa), so state is
+    * O(rate × (lateness + maxDelay)) regardless of stream length. On
+    * batch frames the watermarks are no-ops and this is a plain
+    * interval join. Caller supplies disjoint column names (rename
+    * before joining); `keys` are equality-compared across sides.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[(String, String)],
+      leftTs: String, rightTs: String, lateness: String, maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    val keyCond = keys.map { case (lk, rk) => col(lk) === col(rk) }
+      .reduce(_ && _)
+    l.join(r, keyCond &&
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+  }
+
   /** T1/T2 — snapshot semantics: latest row per key "as of now".
     * In foreachBatch this is the micro-batch refresh of the snapshot
     * table; same expression works on a batch frame.

@@ -11,6 +11,10 @@ import graft.streaming.StreamOps
 
 case class Tick(ts: Timestamp, contract: String, value: Double, seq: Long)
 
+case class SignupEv(user_id: Long, a_ts: Timestamp, a_id: Long)
+
+case class PurchaseEv(b_user: Long, b_ts: Timestamp, b_id: Long, b_value: Double)
+
 class StreamOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -151,6 +155,78 @@ class StreamOpsSpec extends AnyFunSuite {
       val rows = snapshot.orderBy("contract").collect()
         .map(r => (r.getAs[String]("contract"), r.getAs[Double]("value")))
       assert(rows.toSeq == Seq(("A", 9.0), ("B", 2.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    val signups = Seq(
+      SignupEv(1L, ts("2024-01-01 10:00:00"), 100L),
+      SignupEv(2L, ts("2024-01-01 10:00:00"), 101L))
+    val purchases = Seq(
+      PurchaseEv(1L, ts("2024-01-01 10:10:00"), 200L, 5.0),  // within 30m
+      PurchaseEv(1L, ts("2024-01-01 10:50:00"), 201L, 7.0),  // outside 30m
+      PurchaseEv(2L, ts("2024-01-01 09:50:00"), 202L, 9.0),  // before signup
+      PurchaseEv(2L, ts("2024-01-01 10:29:00"), 203L, 3.0))  // within 30m
+    val lIn = MemoryStream[SignupEv]
+    val rIn = MemoryStream[PurchaseEv]
+    val joined = StreamOps.intervalJoin(
+      lIn.toDF(), rIn.toDF(), Seq("user_id" -> "b_user"),
+      "a_ts", "b_ts", "10 minutes", "30 minutes")
+    val q = joined.writeStream
+      .format("memory").queryName("ssj_out").outputMode(OutputMode.Append)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_ssj").toString)
+      .start()
+    try {
+      lIn.addData(signups: _*)
+      rIn.addData(purchases: _*)
+      q.processAllAvailable()
+      // advance both watermarks so every matchable pair is final
+      lIn.addData(SignupEv(9L, ts("2024-01-01 14:00:00"), 999L))
+      rIn.addData(PurchaseEv(9L, ts("2024-01-01 13:00:00"), 998L, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("ssj_out")
+        .select($"user_id", $"a_id", $"b_id", $"b_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = StreamOps.intervalJoin(
+          signups.toDF(), purchases.toDF(), Seq("user_id" -> "b_user"),
+          "a_ts", "b_ts", "10 minutes", "30 minutes")
+        .select($"user_id", $"a_id", $"b_id", $"b_value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(batch == Set((1L, 100L, 200L, 5.0), (2L, 101L, 203L, 3.0)))
+      assert(out == batch)
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark collapses same-key rows with DIFFERENT timestamps") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    val dd = StreamOps.dedupWithinWatermark(input.toDF(), "ts", "10 minutes",
+      Seq("contract"))
+    val q = dd.writeStream
+      .format("memory").queryName("ddw_out").outputMode(OutputMode.Append)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_ddw").toString)
+      .start()
+    try {
+      // one micro-batch: every A replay (distinct timestamps) arrives
+      // while A's dedup state is live → single A row survives
+      input.addData(
+        Tick(ts("2024-01-01 10:00:00"), "A", 1.0, 1),
+        Tick(ts("2024-01-01 10:03:00"), "A", 1.0, 2), // replay, new ts
+        Tick(ts("2024-01-01 10:07:00"), "A", 1.0, 3), // replay, new ts
+        Tick(ts("2024-01-01 10:02:00"), "B", 5.0, 4))
+      q.processAllAvailable()
+      assert(spark.table("ddw_out").count() == 2) // one A, one B
+      // next batch: watermark (10:07 - 10m) has passed A's kept ts +
+      // delay? no — state expires at kept-ts + delay = 10:10; advance
+      // the watermark beyond it, then a fresh A must pass through
+      input.addData(Tick(ts("2024-01-01 12:00:00"), "C", 0.0, 5))
+      q.processAllAvailable()
+      input.addData(Tick(ts("2024-01-01 12:01:00"), "A", 2.0, 6))
+      q.processAllAvailable()
+      val contracts = spark.table("ddw_out").groupBy("contract").count()
+        .as[(String, Long)].collect().toMap
+      assert(contracts("A") == 2 && contracts("B") == 1 && contracts("C") == 1)
     } finally q.stop()
   }
 
