@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, NumericType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType}
 
 /** Optimizer rule: rewrites the `row_number() <= k` window-filter
   * idiom into the [[BoundedTopK]] aggregate.
@@ -33,7 +33,11 @@ import org.apache.spark.sql.types.{IntegerType, NumericType}
   *     `rn = 1`, or the mirrored literal-first forms) with literal k;
   *   - every ORDER BY key is either ascending NULLS FIRST (matches
   *     the aggregate's native struct order) or descending NULLS LAST
-  *     on a non-nullable numeric column (expressed by negation);
+  *     on a non-nullable decimal column (expressed by negation —
+  *     exact for decimals; Float/Double are excluded because NaN
+  *     sorts greatest under BOTH directions so negation reverses its
+  *     rank, and integral types because `-MIN_VALUE` wraps under
+  *     non-ANSI negation and throws under ANSI);
   *   - all carried columns are of orderable types, and k is small
   *     enough that a k-row heap per group is trivially safe.
   *
@@ -92,8 +96,13 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
   private def ascendingKeys(order: Seq[SortOrder]): Option[Seq[Expression]] = {
     val mapped = order.map {
       case SortOrder(c, Ascending, NullsFirst, _) => Some(c)
+      // Negation is only order-reversing AND total on decimals: Float/
+      // Double NaN sorts greatest under both directions (so -NaN would
+      // demote a rank-1 row to last and drop it from the top-k), and
+      // integral MIN_VALUE wraps to itself under non-ANSI negation
+      // (wrongly promoted to rank 1) or throws under ANSI.
       case SortOrder(c, Descending, NullsLast, _)
-          if !c.nullable && c.dataType.isInstanceOf[NumericType] => Some(UnaryMinus(c))
+          if !c.nullable && c.dataType.isInstanceOf[DecimalType] => Some(UnaryMinus(c))
       case _ => None
     }
     if (mapped.forall(_.isDefined)) Some(mapped.flatten) else None

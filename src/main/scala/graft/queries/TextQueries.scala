@@ -237,9 +237,11 @@ object TextQueries {
     *
     * Scale shape: model counts are aggregates of the same corpus —
     * the bigram join is shuffle-on-bigram against the aggregated
-    * model (co-partitioned after the agg), the unigram join
-    * broadcasts when the vocabulary is small, and the vocabulary size
-    * rides along as a broadcast scalar. No windows, no collects.
+    * model (co-partitioned after the agg), and the unigram join
+    * shuffles on w1 with no hint: the vocabulary grows with the
+    * corpus, so AQE decides at runtime whether that side is small
+    * enough to broadcast. Only the single-row vocabulary count rides
+    * along as a broadcast scalar. No windows, no collects.
     */
   def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -257,7 +259,7 @@ object TextQueries {
     val bg = docBigrams.groupBy($"bigram").agg(count(lit(1)).as("cb"))
     docBigrams
       .join(bg, Seq("bigram"))
-      .join(broadcast(uni), Seq("w1"))
+      .join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("p_fx",
         expr("((cb + 1) * CAST(1000000000 AS BIGINT)) DIV (cu + v)"))
@@ -427,9 +429,11 @@ object TextQueries {
     *
     * Scale shape: one explode → one groupBy(chunk) min-aggregate →
     * one co-partitioned join back — no windows, no driver state. The
-    * first-occurrence key packs (doc_id, idx) into one long (idx <
-    * 1024 at any plausible document length ÷ 16), so the min is a
-    * plain long min with map-side partial combine.
+    * first-occurrence key is `min(struct(doc_id, idx))` — struct min
+    * is lexicographic, collision-free for ANY document length (a
+    * packed `doc_id*K + idx` long would alias into the next doc's
+    * keyspace once idx ≥ K), and still a plain orderable min with
+    * map-side partial combine.
     */
   def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -440,10 +444,10 @@ object TextQueries {
       i => array_join(slice(w, (i * 16 + 1).cast("int"), lit(16)), " "))
     val chunks = docs
       .select($"doc_id", posexplode(chunkArr).as(Seq("idx", "chunk")))
-      .withColumn("pos_key", $"doc_id" * 1024 + $"idx")
-    val firsts = chunks.groupBy($"chunk").agg(min($"pos_key").as("mk"))
+    val firsts = chunks.groupBy($"chunk")
+      .agg(min(struct($"doc_id", $"idx")).as("mk"))
     chunks.join(firsts, Seq("chunk"))
-      .withColumn("kept", $"pos_key" === $"mk")
+      .withColumn("kept", $"doc_id" === $"mk.doc_id" && $"idx" === $"mk.idx")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -460,12 +464,16 @@ object TextQueries {
       |ci AS (
       |  SELECT doc_id, ws, unnest(range(0, (len(ws) + 15) // 16)) AS idx FROM w),
       |ch AS (
-      |  SELECT doc_id, idx, doc_id * 1024 + idx AS pos_key,
+      |  SELECT doc_id, idx,
       |    array_to_string(ws[(idx * 16 + 1):(idx * 16 + 16)], ' ') AS chunk
       |  FROM ci),
-      |f AS (SELECT chunk, MIN(pos_key) AS mk FROM ch GROUP BY chunk),
+      |f AS (
+      |  SELECT chunk, MIN(struct_pack(d := doc_id, i := idx)) AS mk
+      |  FROM ch GROUP BY chunk),
       |fl AS (
-      |  SELECT c.doc_id, c.idx, c.chunk, c.pos_key = f.mk AS kept
+      |  SELECT c.doc_id, c.idx, c.chunk,
+      |    c.doc_id = struct_extract(f.mk, 'd')
+      |      AND c.idx = struct_extract(f.mk, 'i') AS kept
       |  FROM ch c JOIN f USING (chunk))
       |SELECT doc_id, COUNT(*) AS n_chunks,
       |  CAST(SUM(CAST(kept AS BIGINT)) AS BIGINT) AS n_kept,
@@ -484,12 +492,21 @@ object TextQueries {
     * (N+1)/(df+1) variant (log-damping omitted; identical for the
     * single-term queries used here, which only need per-term monotone
     * scores), and ALL arithmetic is 1e6 fixed-point integer division
-    * mirrored exactly by DuckDB `//`.
+    * mirrored exactly by DuckDB `//`. Every intermediate is bounded
+    * independently of tf: the tf component divides numerator and
+    * denominator by tf up front (`2200·S²` is a constant; the old
+    * `tf·2200·S²` overflowed Long at tf ≈ 4,200), and the final
+    * idf×tf product is split quotient/remainder so it stays in range
+    * even for df=1 terms on a 10^10-document corpus.
     *
     * Scale shape: postings = one explode + one (doc_id, term) count
-    * agg; query terms broadcast against the postings; per-term top-10
-    * via the BoundedTopK aggregate — no low-cardinality window, ≤10
-    * rows per term per partition on the wire.
+    * agg; the 3 query terms and the 2-column stats row broadcast
+    * against the postings; the per-term document-frequency side is an
+    * unbounded vocabulary-sized aggregate, so it joins by shuffle on
+    * term (AQE may still broadcast it when it turns out small);
+    * per-term top-10 via the BoundedTopK aggregate — no
+    * low-cardinality window, ≤10 rows per term per partition on the
+    * wire.
     */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -511,14 +528,21 @@ object TextQueries {
       .select(explode($"t.term").as("term"))
     val scored = postings
       .join(broadcast(top3), Seq("term"))
-      .join(broadcast(dfreq), Seq("term"))
+      .join(dfreq, Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl_fx", expr(s"(total_len * ${S}L) DIV n_docs"))
       .withColumn("norm_fx", expr(s"250000 + (750000 * dl * ${S}L) DIV avgdl_fx"))
+      // tf·(k1+1)/(tf + k1·norm) with num and den divided by tf: the
+      // numerator is the CONSTANT 2200·S² (the tf-scaled form
+      // overflowed Long at tf ≈ 4,200).
       .withColumn("tf_comp_fx",
-        expr(s"(tf * 2200 * ${S}L * ${S}L) DIV (tf * 1000 * ${S}L + 1200 * norm_fx)"))
+        expr(s"(2200 * ${S}L * ${S}L) DIV (1000 * ${S}L + (1200 * norm_fx) DIV tf)"))
       .withColumn("idf_fx", expr(s"((n_docs + 1) * ${S}L) DIV (df + 1)"))
-      .withColumn("score_fx", expr(s"(idf_fx * tf_comp_fx) DIV ${S}L"))
+      // floor(idf·tf_comp/S) split exactly as q·tf_comp + floor(r·tf_comp/S)
+      // with idf = q·S + r, so neither factor pair can overflow even
+      // for df=1 terms at 10^10 docs.
+      .withColumn("score_fx",
+        expr(s"(idf_fx DIV ${S}L) * tf_comp_fx + ((idf_fx % ${S}L) * tf_comp_fx) DIV ${S}L"))
     scored.groupBy($"term")
       .agg(boundedTopK(struct((-$"score_fx").as("negs"), $"doc_id", $"tf", $"score_fx"), 10).as("top"))
       .select($"term", posexplode($"top").as(Seq("pos", "r")))
@@ -543,17 +567,27 @@ object TextQueries {
       |    SELECT term, COUNT(*) AS n, row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rn
       |    FROM p0 GROUP BY term) t
       |  WHERE rn <= 3),
-      |scored AS (
-      |  SELECT p.term, p.doc_id, p.tf,
-      |    ((((s.n_docs + 1) * 1000000) // (d.df + 1))
-      |      * ((p.tf * 2200 * 1000000 * 1000000)
-      |         // (p.tf * 1000 * 1000000
-      |             + 1200 * (250000 + (750000 * p.dl * 1000000)
-      |                                // ((s.total_len * 1000000) // s.n_docs)))))
-      |    // 1000000 AS score_fx
+      |sc0 AS (
+      |  SELECT p.term, p.doc_id, p.tf, p.dl, d.df, s.n_docs,
+      |    (s.total_len * CAST(1000000 AS BIGINT)) // s.n_docs AS avgdl_fx
       |  FROM postings p
       |  JOIN tf3 USING (term)
       |  JOIN dfreq d USING (term), stats s),
+      |sc1 AS (
+      |  SELECT *,
+      |    250000 + (750000 * dl * CAST(1000000 AS BIGINT)) // avgdl_fx AS norm_fx
+      |  FROM sc0),
+      |sc2 AS (
+      |  SELECT *,
+      |    (2200 * CAST(1000000 AS BIGINT) * 1000000)
+      |      // (1000 * CAST(1000000 AS BIGINT) + (1200 * norm_fx) // tf) AS tf_comp_fx,
+      |    ((n_docs + 1) * CAST(1000000 AS BIGINT)) // (df + 1) AS idf_fx
+      |  FROM sc1),
+      |scored AS (
+      |  SELECT term, doc_id, tf,
+      |    (idf_fx // 1000000) * tf_comp_fx
+      |      + ((idf_fx % 1000000) * tf_comp_fx) // 1000000 AS score_fx
+      |  FROM sc2),
       |ranked AS (
       |  SELECT term, doc_id, tf, score_fx,
       |    row_number() OVER (PARTITION BY term ORDER BY score_fx DESC, doc_id) AS rank

@@ -31,15 +31,18 @@ class TopKRewriteSpec extends AnyFunSuite {
     ("b", 5L, 5.0), ("b", 6L, 15.0),
     ("c", 7L, 1.0))
 
+  // Decimal sort key: the only numeric type whose negation is exact,
+  // so the only one the descending rewrite path may touch.
   private def idiom(k: Int): DataFrame =
     rows.toDF("seg", "id", "price")
+      .withColumn("price", $"price".cast("decimal(10,2)"))
       .withColumn("rn", row_number().over(W.partitionBy($"seg").orderBy($"price".desc)))
       .filter($"rn" <= k)
 
   private def hasWindow(df: DataFrame): Boolean =
     df.queryExecution.optimizedPlan.collect { case w: Window => w }.nonEmpty
 
-  test("rewrites desc-numeric top-k: no Window left, BoundedTopK in plan") {
+  test("rewrites desc-decimal top-k: no Window left, BoundedTopK in plan") {
     withRule {
       val df = idiom(2)
       assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
@@ -49,16 +52,45 @@ class TopKRewriteSpec extends AnyFunSuite {
 
   test("rewritten result equals the window result (unique order keys)") {
     val expected = idiom(2).select("seg", "id", "price", "rn")
-      .as[(String, Long, Double, Int)].collect().toSet
+      .as[(String, Long, BigDecimal, Int)].collect().toSet
     val got = withRule {
       idiom(2).select("seg", "id", "price", "rn")
-        .as[(String, Long, Double, Int)].collect().toSet
+        .as[(String, Long, BigDecimal, Int)].collect().toSet
     }
     assert(got == expected)
-    assert(got == Set(
+    assert(got.map { case (s, i, p, r) => (s, i, p.toDouble, r) } == Set(
       ("a", 4L, 40.0, 1), ("a", 2L, 30.0, 2),
       ("b", 6L, 15.0, 1), ("b", 5L, 5.0, 2),
       ("c", 7L, 1.0, 1)))
+  }
+
+  test("desc double stands down: NaN row keeps its window rank") {
+    withRule {
+      // NaN sorts greatest under BOTH sort directions in Spark, so a
+      // negation-based rewrite would demote the window's rank-1 row to
+      // last and silently drop it. The rule must not touch this plan.
+      val df = Seq(("a", 1L, Double.NaN), ("a", 2L, 30.0), ("a", 3L, 20.0))
+        .toDF("seg", "id", "price")
+        .withColumn("rn", row_number().over(W.partitionBy($"seg").orderBy($"price".desc)))
+        .filter($"rn" <= 1)
+      assert(hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      val top = df.select("id").as[Long].collect().toSeq
+      assert(top == Seq(1L), s"NaN row must rank first under desc, got ids $top")
+    }
+  }
+
+  test("desc long stands down: Long.MinValue keeps its window rank") {
+    withRule {
+      // -Long.MinValue wraps to Long.MinValue under non-ANSI negation
+      // (and throws under ANSI), so the rewrite would wrongly promote
+      // it to rank 1. The rule must not touch integral desc keys.
+      val df = Seq(("a", 1L, Long.MinValue), ("a", 2L, 5L), ("a", 3L, -3L))
+        .toDF("seg", "id", "v")
+        .withColumn("rn", row_number().over(W.partitionBy($"seg").orderBy($"v".desc)))
+        .filter($"rn" <= 1)
+      assert(hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      assert(df.select("id").as[Long].collect().toSeq == Seq(2L))
+    }
   }
 
   test("rn = 1 argmax form rewrites and downstream projection still works") {
