@@ -6,14 +6,14 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, InterpretedOrdering, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, Expression, InterpretedOrdering, NullsFirst, NullsLast, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
-/** Bounded top-k aggregate: keeps the k SMALLEST struct rows under the
-  * struct's field-by-field ascending order, with a ≤k buffer at every
-  * stage of aggregation.
+/** Bounded top-k aggregate: keeps the k FIRST struct rows under a
+  * per-field sort order (ascending nulls-first by default), with a ≤k
+  * buffer at every stage of aggregation.
   *
   * This is the scale-correct replacement for the
   * `row_number().over(Window.partitionBy(lowCardKey))` top-k idiom:
@@ -23,14 +23,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   * combine keeps at most k rows per map task, shuffles ≤k rows per
   * (group, partition), and never materializes or sorts a full group.
   *
-  * Descending keys are expressed by negating the column (caller-side),
-  * exactly like ORDER BY -x; payload columns ride behind the sort keys
-  * in the same struct. Output is the k rows as an ascending-sorted
-  * array of structs — `posexplode` yields (rank-1, row).
+  * Descending keys: `descFields(i) = true` marks struct field i as
+  * `DESC NULLS LAST`; the comparator is built from the same Catalyst
+  * [[SortOrder]] semantics a window sort uses, so NaN placement,
+  * -0.0 == 0.0, and null ordering agree with ORDER BY by construction
+  * — no negation, so integral MIN_VALUE and Float/Double NaN are safe
+  * and any orderable type (string, date, decimal…) may sort desc.
+  * Fields beyond `descFields.length` (the payload, riding behind the
+  * sort keys in the same struct) compare ascending as a deterministic
+  * tie-break. Output is the k rows as a sorted array of structs —
+  * `posexplode` yields (rank-1, row).
   */
 case class BoundedTopK(
     child: Expression,
     k: Int,
+    descFields: Seq[Boolean] = Nil,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[InternalRow]] {
@@ -38,10 +45,21 @@ case class BoundedTopK(
   require(k > 0, s"bounded_top_k requires k > 0, got $k")
 
   private lazy val childSchema: StructType = child.dataType.asInstanceOf[StructType]
-  // Field-by-field ascending order over the struct — the total order
-  // the caller encodes in the struct's leading fields.
-  private lazy val rowOrdering: Ordering[InternalRow] =
-    InterpretedOrdering.forSchema(childSchema.map(_.dataType))
+  // Field-by-field order over the struct — the total order the caller
+  // encodes in the struct's leading fields, honoring per-field
+  // direction. Same SortOrder machinery as SortExec, so it agrees
+  // with window ORDER BY on every edge (NaN, -0.0, nulls).
+  private lazy val rowOrdering: Ordering[InternalRow] = {
+    val orders = childSchema.zipWithIndex.map { case (f, i) =>
+      val desc = i < descFields.length && descFields(i)
+      SortOrder(
+        BoundReference(i, f.dataType, f.nullable),
+        if (desc) Descending else Ascending,
+        if (desc) NullsLast else NullsFirst,
+        Seq.empty)
+    }
+    new InterpretedOrdering(orders.toSeq)
+  }
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DecimalType, IntegerType}
+import org.apache.spark.sql.types.IntegerType
 
 /** Optimizer rule: rewrites the `row_number() <= k` window-filter
   * idiom into the [[BoundedTopK]] aggregate.
@@ -31,13 +31,14 @@ import org.apache.spark.sql.types.{DecimalType, IntegerType}
   *     `row_number()` over `ROWS UNBOUNDED PRECEDING .. CURRENT ROW`;
   *   - the filter is a sole rank bound (`rn <= k`, `rn < k`,
   *     `rn = 1`, or the mirrored literal-first forms) with literal k;
-  *   - every ORDER BY key is either ascending NULLS FIRST (matches
-  *     the aggregate's native struct order) or descending NULLS LAST
-  *     on a non-nullable decimal column (expressed by negation —
-  *     exact for decimals; Float/Double are excluded because NaN
-  *     sorts greatest under BOTH directions so negation reverses its
-  *     rank, and integral types because `-MIN_VALUE` wraps under
-  *     non-ANSI negation and throws under ANSI);
+  *   - every ORDER BY key uses a DEFAULT null placement — ascending
+  *     NULLS FIRST or descending NULLS LAST, exactly what `.asc` /
+  *     `.desc` / SQL `ASC`/`DESC` produce. Both directions map onto
+  *     [[BoundedTopK]]'s per-field [[SortOrder]] comparator natively
+  *     (no negation), so nullable keys and every orderable type —
+  *     including Float/Double NaN and integral MIN_VALUE — rank
+  *     exactly as the window would. The non-default placements
+  *     (`asc_nulls_last`, `desc_nulls_first`) stand down;
   *   - all carried columns are of orderable types, and k is small
   *     enough that a k-row heap per group is trivially safe.
   *
@@ -63,10 +64,10 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
       (rnAlias, part, order) <- rowNumberWindow(w)
       k <- rankBound(cond, rnAlias.exprId)
       if k >= 1 && k <= MaxK
-      keys <- ascendingKeys(order)
+      (keys, desc) <- sortKeys(order)
       if keys.forall(_.deterministic) && part.forall(_.deterministic)
       if w.child.output.forall(a => RowOrdering.isOrderable(a.dataType))
-    } yield rewrite(stripGroupLimit(w.child), part, keys, k, w.child.output, rnAlias)
+    } yield rewrite(stripGroupLimit(w.child), part, keys, desc, k, w.child.output, rnAlias)
 
   /** Matches a single plain row_number() window expression. */
   private def rowNumberWindow(w: Window): Option[(Alias, Seq[Expression], Seq[SortOrder])] =
@@ -89,23 +90,20 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Maps each ORDER BY key onto the aggregate's ascending struct
-    * order, or None when a key's direction/null placement can't be
-    * expressed that way.
+  /** Maps each ORDER BY key onto the aggregate's per-field struct
+    * order, or None when a key uses a non-default null placement.
+    * The aggregate's comparator is built from the same [[SortOrder]]
+    * semantics the window sort uses, so both default directions are
+    * exact for every orderable type — no negation, hence no NaN /
+    * MIN_VALUE / nullability hazard.
     */
-  private def ascendingKeys(order: Seq[SortOrder]): Option[Seq[Expression]] = {
+  private def sortKeys(order: Seq[SortOrder]): Option[(Seq[Expression], Seq[Boolean])] = {
     val mapped = order.map {
-      case SortOrder(c, Ascending, NullsFirst, _) => Some(c)
-      // Negation is only order-reversing AND total on decimals: Float/
-      // Double NaN sorts greatest under both directions (so -NaN would
-      // demote a rank-1 row to last and drop it from the top-k), and
-      // integral MIN_VALUE wraps to itself under non-ANSI negation
-      // (wrongly promoted to rank 1) or throws under ANSI.
-      case SortOrder(c, Descending, NullsLast, _)
-          if !c.nullable && c.dataType.isInstanceOf[DecimalType] => Some(UnaryMinus(c))
+      case SortOrder(c, Ascending, NullsFirst, _) => Some((c, false))
+      case SortOrder(c, Descending, NullsLast, _) => Some((c, true))
       case _ => None
     }
-    if (mapped.forall(_.isDefined)) Some(mapped.flatten) else None
+    if (mapped.forall(_.isDefined)) Some(mapped.flatten.unzip) else None
   }
 
   /** `InferWindowGroupLimit` may already have bounded the child; the
@@ -120,16 +118,17 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
       child: LogicalPlan,
       part: Seq[Expression],
       keys: Seq[Expression],
+      desc: Seq[Boolean],
       k: Int,
       payload: Seq[Attribute],
       rnAlias: Alias): LogicalPlan = {
-    // Sort keys lead the struct (they define the top-k order); the
-    // full child row rides behind them and doubles as a deterministic
-    // tie-break.
+    // Sort keys lead the struct (they define the top-k order, each
+    // with its own direction); the full child row rides behind them
+    // and doubles as a deterministic ascending tie-break.
     val struct = CreateNamedStruct(
       keys.zipWithIndex.flatMap { case (e, i) => Seq(Literal(s"k$i"), e) } ++
       payload.zipWithIndex.flatMap { case (a, i) => Seq(Literal(s"p$i"), a) })
-    val topk = Alias(BoundedTopK(struct, k).toAggregateExpression(), "graft_topk")()
+    val topk = Alias(BoundedTopK(struct, k, desc).toAggregateExpression(), "graft_topk")()
     val agg = Aggregate(part, Seq(topk), child)
 
     val pos = AttributeReference("graft_pos", IntegerType, nullable = false)()

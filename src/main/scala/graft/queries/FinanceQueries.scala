@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.analytics.RiskKernels
+import graft.analytics.{BlackScholes, RiskKernels}
 import graft.functions.OccSymbol
 import graft.operators.CoreOps._
 import graft.operators.{Patches, TickerSplice}
@@ -238,6 +238,88 @@ object FinanceQueries {
       |  TRUE AS delta_in_range, TRUE AS gamma_nonneg, TRUE AS vega_nonneg,
       |  TRUE AS dollar_delta_exact
       |FROM p
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** When the final IV is nonzero, pricing it back must recover the
+    * price the solve actually used (the fallback for rescued rows) —
+    * the same roundtrip contract [[RiskKernels.verifyRisk]] applies
+    * to the primary pass.
+    */
+  private val rescueRoundtripUdf = udf(
+    (right: String, iv: Double, px: Double, s: Double, k: Double,
+     t: Double, r: Double, q: Double) => {
+      val isCall = right != null && right.nonEmpty &&
+        Character.toUpperCase(right.charAt(0)) == 'C'
+      iv == 0.0 || math.abs(BlackScholes.bsPrice(isCall, s, k, t, r, q, iv) - px) < 1e-6
+    })
+
+  /** U4 — missing-vol rescue (Organizers.py:172-185): rows whose
+    * primary-price IV solved to 0 are re-solved from the midpoint via
+    * [[RiskKernels.rescueMissingVol]] — a declarative `when` over a
+    * second kernel call on the same row, no second pass and no union.
+    * Here the broken primary is a dead price of 0.0 (the reference's
+    * missing-quote case) on every o_orderkey % 4 == 0 row; contracts
+    * are strictly OTM with pure-time-value midpoints in (0, f(σ=5)),
+    * so the fallback solve provably succeeds. The oracle reproduces
+    * the contract arithmetic exactly and asserts the four
+    * self-verification booleans TRUE (q43/q75 pattern):
+    * primary IV was 0 where rescued, rescued rows solved, untouched
+    * rows kept their IV bit-for-bit, and the final IV roundtrips
+    * through bsPrice at whichever price the solve used.
+    */
+  def missingVolRescue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = contracts(s, dir).filter($"o_orderkey" < 2000)
+      .withColumn("underlier_price", lit(100.0) + ($"o_orderkey" % 50).cast("double"))
+      .withColumn("strike",
+        $"underlier_price" * (when($"right" === "C",
+          lit(1.05) + ($"o_orderkey" % 4).cast("double") / 20.0)
+          .otherwise(lit(0.95) - ($"o_orderkey" % 4).cast("double") / 20.0)))
+      .withColumn("year_frac", lit(0.05) + ($"o_orderkey" % 24).cast("double") / 24.0)
+      .withColumn("rf_rate", lit(0.045))
+      .withColumn("div_yield", lit(0.012))
+      .withColumn("mid_price",
+        $"underlier_price" * (lit(0.02) + ($"o_orderkey" % 11).cast("double") / 200.0))
+      .withColumn("needs_rescue", $"o_orderkey" % 4 === 0)
+      .withColumn("price", when($"needs_rescue", lit(0.0)).otherwise($"mid_price"))
+    val enriched = RiskKernels.calcRisks(c, Map("" -> "price"))
+      .withColumn("iv_before", $"bs_iv")
+    RiskKernels.rescueMissingVol(enriched, "bs_iv", "mid_price")
+      .withColumn("primary_zero_ok", !$"needs_rescue" || $"iv_before" === 0.0)
+      .withColumn("rescued_solved_ok", !$"needs_rescue" || $"bs_iv" > 0.0)
+      .withColumn("untouched_ok", $"needs_rescue" || $"bs_iv" === $"iv_before")
+      .withColumn("rescue_roundtrip_ok",
+        rescueRoundtripUdf($"right", $"bs_iv",
+          when($"needs_rescue", $"mid_price").otherwise($"price"),
+          $"underlier_price", $"strike", $"year_frac", $"rf_rate", $"div_yield"))
+      .select($"o_orderkey", $"right", $"underlier_price", $"strike",
+        $"year_frac", $"price", $"mid_price", $"needs_rescue",
+        $"primary_zero_ok", $"rescued_solved_ok", $"untouched_ok",
+        $"rescue_roundtrip_ok")
+      .orderBy($"o_orderkey")
+  }
+
+  val missingVolRescueSql: String =
+    """WITH c AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'C' ELSE 'P' END AS "right",
+      |    100.0 + CAST(o_orderkey % 50 AS DOUBLE) AS underlier_price
+      |  FROM orders WHERE o_orderkey < 2000),
+      |d AS (
+      |  SELECT *,
+      |    underlier_price * (CASE WHEN "right" = 'C'
+      |        THEN 1.05 + CAST(o_orderkey % 4 AS DOUBLE) / 20.0
+      |        ELSE 0.95 - CAST(o_orderkey % 4 AS DOUBLE) / 20.0 END) AS strike,
+      |    0.05 + CAST(o_orderkey % 24 AS DOUBLE) / 24.0 AS year_frac,
+      |    underlier_price * (0.02 + CAST(o_orderkey % 11 AS DOUBLE) / 200.0) AS mid_price,
+      |    (o_orderkey % 4 = 0) AS needs_rescue
+      |  FROM c)
+      |SELECT o_orderkey, "right", underlier_price, strike, year_frac,
+      |  CASE WHEN needs_rescue THEN CAST(0.0 AS DOUBLE) ELSE mid_price END AS price,
+      |  mid_price, needs_rescue,
+      |  TRUE AS primary_zero_ok, TRUE AS rescued_solved_ok,
+      |  TRUE AS untouched_ok, TRUE AS rescue_roundtrip_ok
+      |FROM d
       |ORDER BY o_orderkey""".stripMargin
 
   /** §3.1 end-to-end through the public API surface
@@ -576,6 +658,7 @@ object FinanceQueries {
     "q41_ticker_splice" -> (tickerSplice(_, _)),
     "q42_quote_pipeline" -> (quotePipeline(_, _)),
     "q43_risk_enrichment" -> (riskEnrichment(_, _)),
+    "q89_missing_vol_rescue" -> (missingVolRescue(_, _)),
     "q46_api_retrieve_quote" -> (apiRetrieveQuote(_, _)),
     "q52_api_retrieve_eod" -> (apiRetrieveEod(_, _)),
     "q66_patch_rules" -> (patchRules(_, _)),
@@ -587,6 +670,7 @@ object FinanceQueries {
     "q41_ticker_splice" -> tickerSpliceSql,
     "q42_quote_pipeline" -> quotePipelineSql,
     "q43_risk_enrichment" -> riskEnrichmentSql,
+    "q89_missing_vol_rescue" -> missingVolRescueSql,
     "q46_api_retrieve_quote" -> apiRetrieveQuoteSql,
     "q52_api_retrieve_eod" -> apiRetrieveEodSql,
     "q66_patch_rules" -> patchRulesSql,

@@ -31,8 +31,8 @@ class TopKRewriteSpec extends AnyFunSuite {
     ("b", 5L, 5.0), ("b", 6L, 15.0),
     ("c", 7L, 1.0))
 
-  // Decimal sort key: the only numeric type whose negation is exact,
-  // so the only one the descending rewrite path may touch.
+  // Decimal sort key, descending; cast-derived decimals are nullable
+  // in Spark, which the per-field-direction aggregate handles natively.
   private def idiom(k: Int): DataFrame =
     rows.toDF("seg", "id", "price")
       .withColumn("price", $"price".cast("decimal(10,2)"))
@@ -64,29 +64,53 @@ class TopKRewriteSpec extends AnyFunSuite {
       ("c", 7L, 1.0, 1)))
   }
 
-  test("desc double stands down: NaN row keeps its window rank") {
+  test("desc double rewrites: NaN row keeps its window rank") {
     withRule {
-      // NaN sorts greatest under BOTH sort directions in Spark, so a
-      // negation-based rewrite would demote the window's rank-1 row to
-      // last and silently drop it. The rule must not touch this plan.
+      // NaN sorts greatest under BOTH sort directions in Spark; the
+      // aggregate compares via the same SortOrder semantics the window
+      // sort uses (no negation), so the NaN row must still rank first.
       val df = Seq(("a", 1L, Double.NaN), ("a", 2L, 30.0), ("a", 3L, 20.0))
         .toDF("seg", "id", "price")
         .withColumn("rn", row_number().over(W.partitionBy($"seg").orderBy($"price".desc)))
         .filter($"rn" <= 1)
-      assert(hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
       val top = df.select("id").as[Long].collect().toSeq
       assert(top == Seq(1L), s"NaN row must rank first under desc, got ids $top")
     }
   }
 
-  test("desc long stands down: Long.MinValue keeps its window rank") {
+  test("desc long rewrites: Long.MinValue keeps its window rank") {
     withRule {
-      // -Long.MinValue wraps to Long.MinValue under non-ANSI negation
-      // (and throws under ANSI), so the rewrite would wrongly promote
-      // it to rank 1. The rule must not touch integral desc keys.
+      // No negation in the comparator, so Long.MinValue can't wrap
+      // (non-ANSI) or throw (ANSI): it must rank LAST under desc.
       val df = Seq(("a", 1L, Long.MinValue), ("a", 2L, 5L), ("a", 3L, -3L))
         .toDF("seg", "id", "v")
         .withColumn("rn", row_number().over(W.partitionBy($"seg").orderBy($"v".desc)))
+        .filter($"rn" <= 1)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      assert(df.select("id").as[Long].collect().toSeq == Seq(2L))
+    }
+  }
+
+  test("desc key with nulls: NULLS LAST placement matches the window") {
+    withRule {
+      val df = Seq(("a", 1L, Some(3.0)), ("a", 2L, None), ("a", 3L, Some(7.0)))
+        .toDF("seg", "id", "price")
+        .withColumn("rn", row_number().over(W.partitionBy($"seg").orderBy($"price".desc)))
+        .filter($"rn" <= 2)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      // desc = NULLS LAST by default: 7.0, 3.0, then the null row.
+      assert(df.select("id", "rn").as[(Long, Int)].collect().toSet ==
+        Set((3L, 1), (1L, 2)))
+    }
+  }
+
+  test("non-default null placement stands down (desc_nulls_first)") {
+    withRule {
+      val df = Seq(("a", 1L, Some(3.0)), ("a", 2L, None))
+        .toDF("seg", "id", "price")
+        .withColumn("rn",
+          row_number().over(W.partitionBy($"seg").orderBy($"price".desc_nulls_first)))
         .filter($"rn" <= 1)
       assert(hasWindow(df), df.queryExecution.optimizedPlan.treeString)
       assert(df.select("id").as[Long].collect().toSeq == Seq(2L))
@@ -105,21 +129,42 @@ class TopKRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("ascending string keys rewrite; nullable desc string keys do not") {
+  test("ascending and descending string keys both rewrite") {
     withRule {
       val asc = rows.toDF("seg", "id", "price")
         .withColumn("rn", row_number().over(W.partitionBy($"seg").orderBy($"id")))
         .filter($"rn" <= 1)
       assert(!hasWindow(asc))
 
-      // desc on a string column can't be expressed by negation → rule
-      // must stand down, window plan preserved, result still correct.
+      // desc on a string column has no arithmetic trick at all — the
+      // per-field SortOrder comparator is the only way to express it,
+      // and it must agree with the window.
       val descStr = Seq(("a", "x"), ("a", "y")).toDF("seg", "name")
         .withColumn("rn", row_number().over(W.partitionBy($"seg").orderBy($"name".desc)))
         .filter($"rn" <= 1)
-      assert(hasWindow(descStr))
+      assert(!hasWindow(descStr), descStr.queryExecution.optimizedPlan.treeString)
       assert(descStr.select("name").as[String].collect().toSeq == Seq("y"))
     }
+  }
+
+  test("mixed-direction keys rewrite and match the window ranks") {
+    val base = Seq(
+      ("a", 1L, 10.0, "u"), ("a", 2L, 10.0, "v"), ("a", 3L, 5.0, "w"),
+      ("b", 4L, 1.0, "z"))
+    def mixed(ruleOn: Boolean): Set[(String, Long, Int)] = {
+      val run = () => {
+        val df = base.toDF("seg", "id", "price", "name")
+          .withColumn("rn", row_number().over(
+            W.partitionBy($"seg").orderBy($"price".desc, $"name".asc)))
+          .filter($"rn" <= 2)
+        if (ruleOn) assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+        df.select("seg", "id", "rn").as[(String, Long, Int)].collect().toSet
+      }
+      if (ruleOn) withRule(run()) else run()
+    }
+    val expected = mixed(ruleOn = false)
+    assert(mixed(ruleOn = true) == expected)
+    assert(expected == Set(("a", 1L, 1), ("a", 2L, 2), ("b", 4L, 1)))
   }
 
   test("rank() filters are not touched") {
