@@ -69,7 +69,15 @@ object Bench {
       "\"" + name + "\":[" + passes.map(_(name)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}"""
+    println(json)
+    // The console line can be lost to log-tail truncation (one line per
+    // 89 queries is long); persist the identical JSON where the driver
+    // and later rounds can always read it.
+    val out = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -408,10 +408,15 @@ object SimilarityQueries {
     * OR-construction), verify with exact integer cosine ≥ 0.99, and
     * prune the larger id of every verified pair. Output = survivors.
     *
-    * Scale shape: cluster count grows with n (k ∝ n keeps cluster
-    * population constant), banding bounds within-cluster candidates
-    * the same way q34 bounds corpus-wide ones, and the prune itself
-    * is one distinct + left-anti join — no global sort, no window.
+    * Scale shape: the coarse quantizer here clusters on the corpus's
+    * fixed-cardinality `label` column (centroid count = label count,
+    * NOT ∝ n — broadcastable for the same reason q33's fixed-k
+    * centroids are), so per-cluster population grows with n and it is
+    * the banded RHP signature that bounds within-cluster candidates,
+    * the same way q34 bounds corpus-wide ones. At 100 TB one would
+    * raise k like q33's parameterized IVF to restore k ∝ n; the prune
+    * itself is one distinct + left-anti join — no global sort, no
+    * window — at any k.
     * The same planted ±0.2% copies as q34 must all be pruned (their
     * band-collision miss probability is < 1e-7, see cosineNearDup).
     */

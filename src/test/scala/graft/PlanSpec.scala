@@ -126,4 +126,92 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(300))
   }
+
+  test("every broadcast() hint sits on a bounded-cardinality side") {
+    // The q84/q86 regression class: a broadcast hint on a
+    // vocabulary-sized aggregate works at sf0.1 and OOMs the driver at
+    // 100 TB. This walks EVERY registered query's analyzed plan and
+    // requires each BROADCAST-hinted subtree to be bounded under rules
+    // that encode the audited justifications:
+    //  - literal/local data; scans of the region/nation dims;
+    //  - global aggregates (≤1 row) and anything built on bounded
+    //    input (grouped agg, explode of a ≤k bounded_top_k array);
+    //  - groupings whose key domain is fixed: pmod(_, k), the
+    //    corpus's fixed-cardinality `label`, calendar days;
+    //  - threshold filters directly over an aggregate (the q25
+    //    hot-shingle cap / patch-rule qualifying-keys shape);
+    //  - unique-id range caps (`vec_id < 10` query sets).
+    // Anything else — in ANY current or future query — fails here
+    // with the query name and offending subtree.
+    import org.apache.spark.sql.catalyst.expressions.{And, Attribute, BinaryComparison, Cast, Expression, Literal, Pmod}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.types.DateType
+
+    def stripCast(e: Expression): Expression = e match {
+      case Cast(c, _, _, _) => stripCast(c)
+      case other => other
+    }
+    def litThresholds(e: Expression): Boolean = e match {
+      case And(l, r) => litThresholds(l) && litThresholds(r)
+      case c: BinaryComparison =>
+        stripCast(c.right).isInstanceOf[Literal] || stripCast(c.left).isInstanceOf[Literal]
+      case _ => false
+    }
+    def idRangeCap(e: Expression): Boolean = e.exists {
+      case c: BinaryComparison => (stripCast(c.left), stripCast(c.right)) match {
+        case (a: Attribute, _: Literal) => a.name.endsWith("id")
+        case (_: Literal, a: Attribute) => a.name.endsWith("id")
+        case _ => false
+      }
+      case _ => false
+    }
+    def boundedKey(e: Expression): Boolean = e match {
+      // `label` is the corpus's fixed class-label column; *nationkey/
+      // *regionkey are FKs into the 25/5-row dims; calendar days are
+      // bounded by the range scanned.
+      case a: Attribute =>
+        a.name == "label" || a.name.endsWith("nationkey") ||
+          a.name.endsWith("regionkey") || a.dataType == DateType
+      case _: Literal => true
+      case Pmod(_, _: Literal, _) => true
+      case _ => false
+    }
+    def throughProjections(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, c) => throughProjections(c)
+      case SubqueryAlias(_, c) => throughProjections(c)
+      case other => other
+    }
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: LocalRelation => true
+      case _: OneRowRelation => true
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.forall(rp =>
+          rp.toString.endsWith("region.parquet") || rp.toString.endsWith("nation.parquet"))
+        case _ => false
+      }
+      case _: GlobalLimit | _: LocalLimit => true
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(boundedKey) ||
+          bounded(a.child)
+      case Filter(cond, child) =>
+        bounded(child) ||
+          (throughProjections(child).isInstanceOf[Aggregate] && litThresholds(cond)) ||
+          idRangeCap(cond)
+      case g: Generate => bounded(g.child)
+      case j: Join => bounded(j.left) && bounded(j.right)
+      case u: UnaryNode => bounded(u.child)
+      case _ => false
+    }
+
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val hinted = fn(spark, dir).queryExecution.analyzed.collect {
+        case ResolvedHint(child, hints) if hints.strategy.contains(BROADCAST) => child
+      }
+      hinted.filterNot(bounded).map(t => s"$name:\n${t.treeString.take(1500)}")
+    }
+    assert(violations.isEmpty,
+      s"unbounded broadcast side(s):\n${violations.mkString("\n---\n")}")
+  }
 }

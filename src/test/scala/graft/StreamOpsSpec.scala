@@ -15,6 +15,10 @@ case class SignupEv(user_id: Long, a_ts: Timestamp, a_id: Long)
 
 case class PurchaseEv(b_user: Long, b_ts: Timestamp, b_id: Long, b_value: Double)
 
+case class QuoteRow(root: Long, expiration: java.sql.Date, right: String,
+    strike: Double, ts: Timestamp, seq: Long, bid: Double, ask: Double,
+    bid_size: Long, ask_size: Long)
+
 class StreamOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -156,6 +160,55 @@ class StreamOpsSpec extends AnyFunSuite {
         .map(r => (r.getAs[String]("contract"), r.getAs[Double]("value")))
       assert(rows.toSeq == Seq(("A", 9.0), ("B", 2.0)))
     } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow snapshot refresh converges to the batch snapshot") {
+    // T1 live refresh (v2.py:456-524 "as of now") end-to-end through a
+    // REAL trigger: the full quote tick stream replayed under
+    // Trigger.AvailableNow, foreachBatch upserting latest-per-contract
+    // into a snapshot table; when the query self-terminates, the API's
+    // snapshotQuote over that table must equal the one-shot batch
+    // snapshot over the original frame.
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.api.{BulkApi, SyntheticContractMarket}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val quotesDf = SyntheticContractMarket.quotes(spark, dir)
+    val trades = SyntheticContractMarket.trades(spark, dir)
+    val oi = SyntheticContractMarket.oi(spark, dir)
+    val expected = new BulkApi(quotesDf, trades, oi).snapshotQuote(1L)
+      .orderBy("expiration", "right", "strike").collect()
+    assert(expected.nonEmpty)
+
+    val rows: Seq[QuoteRow] = quotesDf.as[QuoteRow].collect().toSeq
+    val input = MemoryStream[QuoteRow]
+    val (first, second) = rows.splitAt(rows.length / 2)
+    input.addData(first: _*)
+    input.addData(second: _*)
+
+    val keys = Seq("root", "expiration", "right", "strike")
+    var snapshot = Seq.empty[QuoteRow].toDF()
+    val q = input.toDF().writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val latest = StreamOps.latestSnapshot(batch, "ts", keys, Seq("seq"))
+        snapshot =
+          if (snapshot.isEmpty) latest
+          else StreamOps.latestSnapshot(
+            snapshot.unionByName(latest), "ts", keys, Seq("seq"))
+        snapshot = snapshot.localCheckpoint()
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_an").toString)
+      .start()
+    // AvailableNow drains everything queued, then stops on its own —
+    // that self-termination IS the trigger semantics under test.
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+
+    val streamed = new BulkApi(snapshot, trades, oi).snapshotQuote(1L)
+      .orderBy("expiration", "right", "strike").collect()
+    assert(streamed.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq,
+      s"streamed snapshot (${streamed.length} rows) != batch snapshot (${expected.length})")
   }
 
   test("stream-stream interval join matches the batch interval join") {
