@@ -3,10 +3,11 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
-/** Optimizer rule: rewrites the `row_number() <= k` window-filter
-  * idiom into the [[BoundedTopK]] aggregate.
+/** Optimizer rule: rewrites the `row_number()/rank()/dense_rank() <= k`
+  * window-filter idiom into the [[BoundedTopK]] / [[BoundedRankTopK]]
+  * aggregates.
   *
   * The window plan is the classic 100 TB anti-pattern this engine
   * bans from its own queries (see DESIGN.md): every row of a group is
@@ -27,10 +28,17 @@ import org.apache.spark.sql.types.IntegerType
   * `spark.experimental.extraOptimizations`.
   *
   * The rewrite is attempted only when it is provably safe:
-  *   - the window has exactly one window expression, a plain
-  *     `row_number()` over `ROWS UNBOUNDED PRECEDING .. CURRENT ROW`;
+  *   - the window has exactly one window expression: a plain
+  *     `row_number()` over `ROWS UNBOUNDED PRECEDING .. CURRENT ROW`,
+  *     or `rank()`/`dense_rank()` over the default RANGE frame. The
+  *     rank-like functions keep boundary ties, so they map onto the
+  *     tie-aware [[BoundedRankTopK]] (whole key groups retained /
+  *     evicted, rank precomputed in the emitted struct) instead of the
+  *     fixed-k-heap [[BoundedTopK]];
   *   - the filter is a sole rank bound (`rn <= k`, `rn < k`,
-  *     `rn = 1`, or the mirrored literal-first forms) with literal k;
+  *     `rn = 1`, or the mirrored literal-first forms) with an INT or
+  *     BIGINT literal k — integer-widening casts Spark inserts around
+  *     the rank column (`cast(rn AS bigint) <= 5L`) are seen through;
   *   - every ORDER BY key uses a DEFAULT null placement — ascending
   *     NULLS FIRST or descending NULLS LAST, exactly what `.asc` /
   *     `.desc` / SQL `ASC`/`DESC` produce. Both directions map onto
@@ -55,38 +63,75 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
     */
   private val MaxK = 10000
 
+  /** Which rank-like function drives the window; rank/dense_rank keep
+    * boundary ties and so route to [[BoundedRankTopK]].
+    */
+  private sealed trait RankKind
+  private case object RowNum extends RankKind
+  private case object RankTies extends RankKind
+  private case object DenseRankTies extends RankKind
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, w: Window) => attempt(cond, w).getOrElse(f)
   }
 
   private def attempt(cond: Expression, w: Window): Option[LogicalPlan] =
     for {
-      (rnAlias, part, order) <- rowNumberWindow(w)
+      (rnAlias, part, order, kind) <- rankWindow(w)
       k <- rankBound(cond, rnAlias.exprId)
-      if k >= 1 && k <= MaxK
+      if k >= 1L && k <= MaxK
       (keys, desc) <- sortKeys(order)
+      if keys.nonEmpty
       if keys.forall(_.deterministic) && part.forall(_.deterministic)
       if w.child.output.forall(a => RowOrdering.isOrderable(a.dataType))
-    } yield rewrite(stripGroupLimit(w.child), part, keys, desc, k, w.child.output, rnAlias)
+    } yield rewrite(stripGroupLimit(w.child), part, keys, desc, k.toInt,
+      w.child.output, rnAlias, kind)
 
-  /** Matches a single plain row_number() window expression. */
-  private def rowNumberWindow(w: Window): Option[(Alias, Seq[Expression], Seq[SortOrder])] =
+  /** Matches a single rank-like window expression over its default
+    * frame — `ROWS UNBOUNDED PRECEDING .. CURRENT ROW`, which is what
+    * `RankLike.frame` pins for all three functions (the analyzer
+    * rejects user-specified frames on them outright).
+    */
+  private def rankWindow(
+      w: Window): Option[(Alias, Seq[Expression], Seq[SortOrder], RankKind)] =
     w.windowExpressions match {
-      case Seq(a @ Alias(WindowExpression(RowNumber(),
+      case Seq(a @ Alias(WindowExpression(fn,
           WindowSpecDefinition(p, o,
             SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)) =>
-        Some((a, p, o))
+        fn match {
+          case RowNumber() => Some((a, p, o, RowNum))
+          case Rank(_) => Some((a, p, o, RankTies))
+          case DenseRank(_) => Some((a, p, o, DenseRankTies))
+          case _ => None
+        }
       case _ => None
     }
 
+  /** The rank column with any integer-widening cast stripped: binary
+    * comparison against a BIGINT literal makes Spark wrap the INT rank
+    * output in `cast(rn AS bigint)`, which is lossless.
+    */
+  private def rankAttr(e: Expression, rn: ExprId): Boolean = e match {
+    case a: AttributeReference => a.exprId == rn
+    case Cast(a: AttributeReference, LongType, _, _) =>
+      a.dataType == IntegerType && a.exprId == rn
+    case _ => false
+  }
+
+  private def intBound(l: Literal): Option[Long] = l match {
+    case Literal(k: Int, IntegerType) => Some(k.toLong)
+    case Literal(k: Long, LongType) => Some(k)
+    case _ => None
+  }
+
   /** Extracts k from a sole rank-bound predicate on the rank column. */
-  private def rankBound(cond: Expression, rn: ExprId): Option[Int] = cond match {
-    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId == rn => Some(k)
-    case LessThan(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId == rn => Some(k - 1)
-    case EqualTo(a: AttributeReference, Literal(1, IntegerType)) if a.exprId == rn => Some(1)
-    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference) if a.exprId == rn => Some(k)
-    case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference) if a.exprId == rn => Some(k - 1)
-    case EqualTo(Literal(1, IntegerType), a: AttributeReference) if a.exprId == rn => Some(1)
+  private def rankBound(cond: Expression, rn: ExprId): Option[Long] = cond match {
+    case LessThanOrEqual(a, l: Literal) if rankAttr(a, rn) => intBound(l)
+    case LessThan(a, l: Literal) if rankAttr(a, rn) => intBound(l).map(_ - 1L)
+    case EqualTo(a, l: Literal) if rankAttr(a, rn) => intBound(l).filter(_ == 1L)
+    case GreaterThanOrEqual(l: Literal, a) if rankAttr(a, rn) => intBound(l)
+    case GreaterThan(l: Literal, a) if rankAttr(a, rn) => intBound(l).map(_ - 1L)
+    case EqualTo(l: Literal, a) if rankAttr(a, rn) => intBound(l).filter(_ == 1L)
     case _ => None
   }
 
@@ -121,29 +166,54 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
       desc: Seq[Boolean],
       k: Int,
       payload: Seq[Attribute],
-      rnAlias: Alias): LogicalPlan = {
+      rnAlias: Alias,
+      kind: RankKind): LogicalPlan = {
     // Sort keys lead the struct (they define the top-k order, each
     // with its own direction); the full child row rides behind them
     // and doubles as a deterministic ascending tie-break.
     val struct = CreateNamedStruct(
       keys.zipWithIndex.flatMap { case (e, i) => Seq(Literal(s"k$i"), e) } ++
       payload.zipWithIndex.flatMap { case (a, i) => Seq(Literal(s"p$i"), a) })
-    val topk = Alias(BoundedTopK(struct, k, desc).toAggregateExpression(), "graft_topk")()
-    val agg = Aggregate(part, Seq(topk), child)
 
-    val pos = AttributeReference("graft_pos", IntegerType, nullable = false)()
-    val row = AttributeReference("graft_row", struct.dataType, nullable = false)()
-    val gen = Generate(PosExplode(topk.toAttribute), unrequiredChildIndex = Seq(0),
-      outer = false, qualifier = None, generatorOutput = Seq(pos, row), agg)
+    kind match {
+      case RowNum =>
+        val topk = Alias(BoundedTopK(struct, k, desc).toAggregateExpression(), "graft_topk")()
+        val agg = Aggregate(part, Seq(topk), child)
 
-    // Restore the original output attributes (same ExprIds) from the
-    // struct, and the rank column from the explode position.
-    val restored: Seq[NamedExpression] = payload.zipWithIndex.map { case (a, i) =>
-      Alias(GetStructField(row, keys.length + i, Some(s"p$i")), a.name)(
-        exprId = a.exprId, qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+        val pos = AttributeReference("graft_pos", IntegerType, nullable = false)()
+        val row = AttributeReference("graft_row", struct.dataType, nullable = false)()
+        val gen = Generate(PosExplode(topk.toAttribute), unrequiredChildIndex = Seq(0),
+          outer = false, qualifier = None, generatorOutput = Seq(pos, row), agg)
+
+        // Restore the original output attributes (same ExprIds) from the
+        // struct, and the rank column from the explode position.
+        val restored: Seq[NamedExpression] = payload.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(row, keys.length + i, Some(s"p$i")), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+        }
+        val rn = Alias(Add(pos, Literal(1)), rnAlias.name)(
+          exprId = rnAlias.exprId, qualifier = rnAlias.qualifier)
+        Project(restored :+ rn, gen)
+
+      case RankTies | DenseRankTies =>
+        // Ties share a rank, so position can't reproduce it: the
+        // aggregate precomputes each row's rank as struct field 0.
+        val fn = BoundedRankTopK(struct, k, keys.length,
+          dense = kind == DenseRankTies, descFields = desc)
+        val topk = Alias(fn.toAggregateExpression(), "graft_topk")()
+        val agg = Aggregate(part, Seq(topk), child)
+
+        val row = AttributeReference("graft_row", fn.outputSchema, nullable = false)()
+        val gen = Generate(Explode(topk.toAttribute), unrequiredChildIndex = Seq(0),
+          outer = false, qualifier = None, generatorOutput = Seq(row), agg)
+
+        val restored: Seq[NamedExpression] = payload.zipWithIndex.map { case (a, i) =>
+          Alias(GetStructField(row, 1 + keys.length + i, Some(s"p$i")), a.name)(
+            exprId = a.exprId, qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+        }
+        val rn = Alias(GetStructField(row, 0, Some("r")), rnAlias.name)(
+          exprId = rnAlias.exprId, qualifier = rnAlias.qualifier)
+        Project(restored :+ rn, gen)
     }
-    val rn = Alias(Add(pos, Literal(1)), rnAlias.name)(
-      exprId = rnAlias.exprId, qualifier = rnAlias.qualifier)
-    Project(restored :+ rn, gen)
   }
 }

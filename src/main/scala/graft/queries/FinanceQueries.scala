@@ -652,7 +652,123 @@ object FinanceQueries {
       |FROM st WHERE status = 'canceled' AND replace_price IS NOT NULL
       |ORDER BY order_id""".stripMargin
 
+  /** Order creation/replacement parameter validation
+    * ([[graft.operators.OrderValidation]]; Alpaca.py:99-120, :193-202,
+    * :776-860): every reference `ValueError` branch re-expressed as a
+    * classification column over a deterministic synthetic order batch
+    * that exercises each branch — mleg/simple/oco/bracket/unknown
+    * classes, simple-with-legs, missing symbol, off-domain type and
+    * time-in-force, missing limit price, zero remaining quantity, the
+    * min(requested, remaining) clamp, and the 128-char client-order-id
+    * truncation. Pure codegen column math, one scan, no UDFs.
+    */
+  def orderValidation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shaped = Tables.loadSpread(s, dir, "orders")
+      .filter($"o_orderkey" < 4000)
+      .select($"o_orderkey".as("order_id"))
+      .withColumn("order_class",
+        when($"order_id" % 13 === 0, "oco")
+          .when($"order_id" % 13 === 1, "bracket")
+          .when($"order_id" % 13 === 2, "unknown")
+          .when($"order_id" % 3 === 0, "mleg")
+          .otherwise("simple"))
+      .withColumn("n_legs",
+        when($"order_class" === "mleg", lit(1L) + $"order_id" % 4)
+          .when($"order_class" === "simple" && $"order_id" % 17 === 0, lit(1L))
+          .when($"order_class" === "unknown", $"order_id" % 2)
+          .otherwise(lit(0L)))
+      .withColumn("symbol",
+        when($"order_id" % 19 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("SYM"), ($"order_id" % 50).cast("string"))))
+      .withColumn("otype",
+        when($"order_id" % 23 === 0, "twap")
+          .otherwise(element_at(
+            array(lit("market"), lit("limit"), lit("stop"),
+              lit("stop_limit"), lit("trailing_stop")),
+            ($"order_id" % 5).cast("int") + 1)))
+      .withColumn("tif",
+        when($"order_id" % 29 === 0, "until_close")
+          .when($"order_id" % 6 === 5, lit(null).cast("string"))
+          .otherwise(element_at(
+            array(lit("gtc"), lit("ioc"), lit("fok"), lit("day"), lit("opg")),
+            ($"order_id" % 6).cast("int") + 1)))
+      .withColumn("limit_price",
+        when($"order_id" % 7 === 0, lit(null).cast("double"))
+          .otherwise(lit(50.0) + ($"order_id" % 100).cast("double") * 0.25))
+      .withColumn("order_qty", lit(10L) + $"order_id" % 90)
+      .withColumn("filled_qty", least($"order_qty", ($"order_id" % 6) * 10))
+      .withColumn("qty_requested", lit(1L) + $"order_id" % 150)
+      .withColumn("client_order_id_len", lit(1L) + $"order_id" % 200)
+    graft.operators.OrderValidation.validate(shaped)
+      .select($"order_id", $"order_class", $"recreate_kind", $"otype",
+        $"tif_eff", $"type_ok", $"tif_ok", $"limit_price_ok", $"remaining",
+        $"remaining_ok", $"new_qty", $"qty_clamped", $"coid_len", $"replace_ok")
+      .orderBy($"order_id")
+  }
+
+  val orderValidationSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS order_id FROM orders WHERE o_orderkey < 4000),
+      |c1 AS (
+      |  SELECT order_id,
+      |    CASE WHEN order_id % 13 = 0 THEN 'oco'
+      |         WHEN order_id % 13 = 1 THEN 'bracket'
+      |         WHEN order_id % 13 = 2 THEN 'unknown'
+      |         WHEN order_id % 3 = 0 THEN 'mleg'
+      |         ELSE 'simple' END AS order_class,
+      |    CASE WHEN order_id % 19 = 0 THEN NULL
+      |         ELSE 'SYM' || CAST(order_id % 50 AS VARCHAR) END AS symbol,
+      |    CASE WHEN order_id % 23 = 0 THEN 'twap'
+      |         ELSE CASE order_id % 5 WHEN 0 THEN 'market' WHEN 1 THEN 'limit'
+      |              WHEN 2 THEN 'stop' WHEN 3 THEN 'stop_limit'
+      |              ELSE 'trailing_stop' END END AS otype,
+      |    CASE WHEN order_id % 29 = 0 THEN 'until_close'
+      |         WHEN order_id % 6 = 5 THEN NULL
+      |         ELSE CASE order_id % 6 WHEN 0 THEN 'gtc' WHEN 1 THEN 'ioc'
+      |              WHEN 2 THEN 'fok' WHEN 3 THEN 'day' ELSE 'opg' END END AS tif,
+      |    CASE WHEN order_id % 7 = 0 THEN NULL
+      |         ELSE 50.0 + CAST(order_id % 100 AS DOUBLE) * 0.25 END AS limit_price,
+      |    10 + order_id % 90 AS order_qty,
+      |    1 + order_id % 150 AS qty_requested,
+      |    1 + order_id % 200 AS client_order_id_len
+      |  FROM base),
+      |c2 AS (
+      |  SELECT *,
+      |    CASE WHEN order_class = 'mleg' THEN 1 + order_id % 4
+      |         WHEN order_class = 'simple' AND order_id % 17 = 0 THEN 1
+      |         WHEN order_class = 'unknown' THEN order_id % 2
+      |         ELSE 0 END AS n_legs,
+      |    LEAST(order_qty, (order_id % 6) * 10) AS filled_qty
+      |  FROM c1),
+      |v AS (
+      |  SELECT *,
+      |    CASE WHEN order_class = 'mleg' THEN 'mleg'
+      |         WHEN order_class IN ('oco', 'bracket') THEN 'reject_oco_bracket'
+      |         WHEN order_class = 'simple' AND n_legs > 0 THEN 'reject_simple_with_legs'
+      |         WHEN order_class = 'simple' THEN 'simple'
+      |         WHEN symbol IS NOT NULL AND n_legs = 0 THEN 'simple'
+      |         ELSE 'reject_unsupported' END AS recreate_kind,
+      |    COALESCE(tif, 'day') AS tif_eff,
+      |    order_qty - filled_qty AS remaining
+      |  FROM c2)
+      |SELECT order_id, order_class, recreate_kind, otype, tif_eff,
+      |  otype IN ('market', 'limit', 'stop', 'stop_limit', 'trailing_stop') AS type_ok,
+      |  tif_eff IN ('gtc', 'ioc', 'fok', 'day', 'opg') AS tif_ok,
+      |  limit_price IS NOT NULL AS limit_price_ok,
+      |  remaining,
+      |  remaining > 0 AS remaining_ok,
+      |  CASE WHEN remaining > 0 THEN LEAST(qty_requested, remaining) END AS new_qty,
+      |  remaining > 0 AND qty_requested > remaining AS qty_clamped,
+      |  LEAST(client_order_id_len, 128) AS coid_len,
+      |  (limit_price IS NOT NULL AND remaining > 0
+      |    AND tif_eff IN ('gtc', 'ioc', 'fok', 'day', 'opg')
+      |    AND (recreate_kind = 'mleg' OR (recreate_kind = 'simple'
+      |         AND otype = 'limit' AND symbol IS NOT NULL))) AS replace_ok
+      |FROM v ORDER BY order_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q90_order_validation" -> (orderValidation(_, _)),
     "q78_order_lifecycle" -> (orderLifecycle(_, _)),
     "q40_occ_roundtrip" -> (occRoundtrip(_, _)),
     "q41_ticker_splice" -> (tickerSplice(_, _)),
@@ -665,6 +781,7 @@ object FinanceQueries {
     "q67_list_contracts" -> (apiListContracts(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q90_order_validation" -> orderValidationSql,
     "q78_order_lifecycle" -> orderLifecycleSql,
     "q40_occ_roundtrip" -> occRoundtripSql,
     "q41_ticker_splice" -> tickerSpliceSql,

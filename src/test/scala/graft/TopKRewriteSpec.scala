@@ -167,12 +167,102 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(expected == Set(("a", 1L, 1), ("a", 2L, 2), ("b", 4L, 1)))
   }
 
-  test("rank() filters are not touched") {
+  test("bigint literal bound rewrites (cast(rn AS bigint) <= 2L)") {
     withRule {
       val df = rows.toDF("seg", "id", "price")
+        .withColumn("rn", row_number().over(W.partitionBy($"seg").orderBy($"price")))
+        .filter($"rn" <= lit(2L))
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      assert(df.select("seg", "id").as[(String, Long)].collect().toSet ==
+        Set(("a", 1L), ("a", 3L), ("b", 5L), ("b", 6L), ("c", 7L)))
+    }
+  }
+
+  // Ties on price within segment "a": rank() must keep BOTH tied rows
+  // and assign them the same rank; the tie-aware aggregate keeps whole
+  // key groups, so the boundary group survives intact.
+  private val tied = Seq(
+    ("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+    ("b", 5L, 5.0), ("b", 6L, 5.0), ("b", 7L, 9.0))
+
+  test("rank() <= k rewrites with ties kept and window-identical ranks") {
+    def run(ruleOn: Boolean): Set[(String, Long, Int)] = {
+      val go = () => {
+        val df = tied.toDF("seg", "id", "price").repartition(4)
+          .withColumn("r", rank().over(W.partitionBy($"seg").orderBy($"price")))
+          .filter($"r" <= 2)
+        if (ruleOn) {
+          assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+          assert(df.queryExecution.optimizedPlan.treeString.contains("bounded_rank_top_k"))
+        }
+        df.select("seg", "id", "r").as[(String, Long, Int)].collect().toSet
+      }
+      if (ruleOn) withRule(go()) else go()
+    }
+    val expected = run(ruleOn = false)
+    assert(run(ruleOn = true) == expected)
+    // seg a: ids 1,2 tie at rank 1 — rank 2 is skipped, so NOTHING else
+    // qualifies under r <= 2; seg b: 5,6 tie at 1, id 7 is rank 3 (out).
+    assert(expected == Set(
+      ("a", 1L, 1), ("a", 2L, 1),
+      ("b", 5L, 1), ("b", 6L, 1)))
+  }
+
+  test("rank() = 1 keeps the whole tied head group") {
+    withRule {
+      val df = tied.toDF("seg", "id", "price").repartition(3)
+        .withColumn("r", rank().over(W.partitionBy($"seg").orderBy($"price".desc)))
+        .filter($"r" === 1)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      assert(df.select("seg", "id").as[(String, Long)].collect().toSet ==
+        Set(("a", 4L), ("b", 7L)))
+    }
+  }
+
+  test("dense_rank() <= k rewrites: k distinct key values, ties kept") {
+    def run(ruleOn: Boolean): Set[(String, Long, Int)] = {
+      val go = () => {
+        val df = tied.toDF("seg", "id", "price").repartition(4)
+          .withColumn("r", dense_rank().over(W.partitionBy($"seg").orderBy($"price")))
+          .filter($"r" <= 2)
+        if (ruleOn) assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+        df.select("seg", "id", "r").as[(String, Long, Int)].collect().toSet
+      }
+      if (ruleOn) withRule(go()) else go()
+    }
+    val expected = run(ruleOn = false)
+    assert(run(ruleOn = true) == expected)
+    // dense_rank does NOT skip after ties: seg a keeps 10.0 (r=1, two
+    // rows) and 20.0 (r=2); seg b keeps 5.0 (r=1, two rows) and 9.0.
+    assert(expected == Set(
+      ("a", 1L, 1), ("a", 2L, 1), ("a", 3L, 2),
+      ("b", 5L, 1), ("b", 6L, 1), ("b", 7L, 2)))
+  }
+
+  test("rank() with an oversized head tie group keeps it all (r=1 only)") {
+    withRule {
+      // 5 rows tie at the minimum with k=3: all share rank 1; the next
+      // key's rank is 6 > 3, so exactly the tie group survives.
+      val df = (Seq.tabulate(5)(i => ("a", i.toLong, 1.0)) ++
+          Seq(("a", 90L, 2.0), ("a", 91L, 3.0)))
+        .toDF("seg", "id", "price").repartition(4)
         .withColumn("r", rank().over(W.partitionBy($"seg").orderBy($"price")))
-        .filter($"r" <= 2)
-      assert(hasWindow(df))
+        .filter($"r" <= 3)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      assert(df.select("id", "r").as[(Long, Int)].collect().toSet ==
+        (0L until 5L).map(i => (i, 1)).toSet)
+    }
+  }
+
+  test("rank() with non-default null placement stands down") {
+    withRule {
+      val df = Seq(("a", 1L, Some(3.0)), ("a", 2L, None))
+        .toDF("seg", "id", "price")
+        .withColumn("r", rank().over(
+          W.partitionBy($"seg").orderBy($"price".asc_nulls_last)))
+        .filter($"r" <= 1)
+      assert(hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      assert(df.select("id").as[Long].collect().toSeq == Seq(1L))
     }
   }
 }
