@@ -265,4 +265,57 @@ class TopKRewriteSpec extends AnyFunSuite {
       assert(df.select("id").as[Long].collect().toSeq == Seq(1L))
     }
   }
+
+  test("SQL window idiom rewrites (subquery + WHERE r <= 2)") {
+    withRule {
+      tied.toDF("seg", "id", "price").createOrReplaceTempView("t_topk_sql")
+      val df = spark.sql(
+        """SELECT seg, id, r FROM (
+          |  SELECT seg, id,
+          |    rank() OVER (PARTITION BY seg ORDER BY price DESC) AS r
+          |  FROM t_topk_sql)
+          |WHERE r <= 2""".stripMargin)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      // desc: seg a: 30.0 r=1, 20.0 r=2 (the 10.0 tie pair is r=3, out);
+      // seg b: 9.0 r=1, then the 5.0 pair ties at r=2.
+      assert(df.as[(String, Long, Int)].collect().toSet == Set(
+        ("a", 4L, 1), ("a", 3L, 2),
+        ("b", 7L, 1), ("b", 5L, 2), ("b", 6L, 2)))
+    }
+  }
+
+  test("randomized parity: all three rank functions match the window") {
+    // Heavy ties on purpose: 8 distinct prices over 400 rows in 4
+    // segments, so every boundary case (tie at k, tie group spanning
+    // partial-aggregation partitions) occurs. Seeded → reproducible.
+    val rnd = new scala.util.Random(42)
+    val data = Seq.tabulate(400)(i =>
+      (s"s${rnd.nextInt(4)}", i.toLong, rnd.nextInt(8).toDouble))
+    def run(fn: String, k: Int, ruleOn: Boolean): Set[(String, Long, Double, Int)] = {
+      val go = () => {
+        val c = fn match {
+          case "rank" => rank()
+          case "dense_rank" => dense_rank()
+          case _ => row_number()
+        }
+        // rank/dense_rank order by price alone so ties actually occur;
+        // row_number needs the unique id tie-break or its selection
+        // among tied rows is arbitrary and the parity check ill-posed.
+        val order = if (fn == "row_number") Seq($"price".desc, $"id".asc)
+          else Seq($"price".desc)
+        val df = data.toDF("seg", "id", "price").repartition(7)
+          .withColumn("r", c.over(W.partitionBy($"seg").orderBy(order: _*)))
+          .filter($"r" <= k)
+        if (ruleOn) assert(!hasWindow(df), s"$fn k=$k kept its Window")
+        df.select("seg", "id", "price", "r")
+          .as[(String, Long, Double, Int)].collect().toSet
+      }
+      if (ruleOn) withRule(go()) else go()
+    }
+    for (fn <- Seq("rank", "dense_rank", "row_number"); k <- Seq(1, 3, 7)) {
+      val expected = run(fn, k, ruleOn = false)
+      val got = run(fn, k, ruleOn = true)
+      assert(got == expected, s"$fn k=$k: rewrite diverged from window")
+    }
+  }
 }
