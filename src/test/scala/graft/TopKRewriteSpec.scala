@@ -266,6 +266,34 @@ class TopKRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rank() over null keys: tied nulls share a rank, default placement") {
+    withRule {
+      // asc NULLS FIRST (the default): the two null rows tie at rank 1,
+      // 3.0 is rank 3 — so r <= 2 keeps exactly the null pair.
+      val df = Seq(("a", 1L, Some(3.0)), ("a", 2L, None), ("a", 3L, None))
+        .toDF("seg", "id", "price").repartition(3)
+        .withColumn("r", rank().over(W.partitionBy($"seg").orderBy($"price")))
+        .filter($"r" <= 2)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      assert(df.select("id", "r").as[(Long, Int)].collect().toSet ==
+        Set((2L, 1), (3L, 1)))
+    }
+  }
+
+  test("dense_rank() desc with nulls: NULLS LAST group counts as one rank") {
+    withRule {
+      val df = Seq(("a", 1L, Some(3.0)), ("a", 2L, None), ("a", 3L, None),
+          ("a", 4L, Some(7.0)))
+        .toDF("seg", "id", "price").repartition(3)
+        .withColumn("r", dense_rank().over(W.partitionBy($"seg").orderBy($"price".desc)))
+        .filter($"r" <= 3)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      // desc NULLS LAST: 7.0 r=1, 3.0 r=2, the null pair shares r=3.
+      assert(df.select("id", "r").as[(Long, Int)].collect().toSet ==
+        Set((4L, 1), (1L, 2), (2L, 3), (3L, 3)))
+    }
+  }
+
   test("SQL window idiom rewrites (subquery + WHERE r <= 2)") {
     withRule {
       tied.toDF("seg", "id", "price").createOrReplaceTempView("t_topk_sql")
