@@ -1012,7 +1012,47 @@ object TextQueries {
        |ORDER BY component, doc_id""".stripMargin
   }
 
+  /** Corpus-wide heavy-hitter vocabulary via the Misra–Gries sketch
+    * ([[graft.plans.MisraGries]]): tokens with frequency > n/(m+1)
+    * over the whole corpus. The sketch pass keeps O(m) state per map
+    * task and ships ≤ m candidate (token, lower-bound) pairs per
+    * partition — no full-vocabulary shuffle — and its output is a
+    * guaranteed SUPERSET of the answer; the exact recount join over
+    * the ≤ m candidates (broadcast: provably bounded by the sketch
+    * width) plus the `cnt * (m+1) > n` predicate makes the result
+    * exact and merge-order-independent, the same
+    * propose-then-verify-exactly shape as q24/q25/q87. The DuckDB
+    * oracle computes the exact definition directly.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = 48
+    val toks = Tables.load(s, dir, "documents")
+      .select(explode(words($"text")).as("tok"))
+    val cand = toks
+      .agg(graft.plans.MisraGries.misraGries($"tok", m).as("cands"))
+      .select(explode($"cands").as("c"))
+      .select($"c.item".as("tok"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    toks.join(broadcast(cand), Seq("tok"), "left_semi")
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(total)
+      .filter($"cnt" * (m + 1) > $"n")
+      .select($"tok", $"cnt", $"n".as("total_tokens"))
+      .orderBy($"tok")
+  }
+
+  val heavyHittersSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM t),
+      |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
+      |SELECT tok, cnt, n AS total_tokens
+      |FROM c, n WHERE cnt * 49 > n
+      |ORDER BY tok""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q91_heavy_hitters" -> (heavyHitters(_, _)),
     "q82_dedup_clusters" -> (dedupClusters(_, _)),
     "q20_token_stats" -> (tokenStats(_, _)),
     "q21_quality_score" -> (qualityScore(_, _)),
@@ -1035,6 +1075,7 @@ object TextQueries {
     "q87_bloom_decontaminate" -> (bloomDecontaminate(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q91_heavy_hitters" -> heavyHittersSql,
     "q82_dedup_clusters" -> dedupClustersSql,
     "q20_token_stats" -> tokenStatsSql,
     "q21_quality_score" -> qualityScoreSql,
