@@ -1051,8 +1051,59 @@ object TextQueries {
       |FROM c, n WHERE cnt * 49 > n
       |ORDER BY tok""".stripMargin
 
+  /** Training-sequence packing: documents are concatenated in doc_id
+    * order and split every L tokens into fixed-budget training
+    * sequences — each doc is assigned the sequence containing its
+    * first token, plus a spans-boundary flag (it would be split
+    * across two packed sequences).
+    *
+    * Packing is cumulative (inherently sequential), so the 100 TB
+    * design bounds the sequential unit instead of pretending it away:
+    * docs pack within (source, block) groups of B=64 docs, making the
+    * window partition count grow as n/B with corpus size — thousands
+    * of independent packing tasks per shard, no low-cardinality window
+    * funnel. Block-local packing is the standard practice (packing
+    * quality only needs locality, not a global order), and the
+    * assignment is deterministic for the oracle: the same cumulative
+    * sum in DuckDB reproduces it bit-for-bit.
+    */
+  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val L = 512
+    val w = Window.partitionBy($"source", $"block").orderBy($"doc_id")
+    Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(words($"text")).cast("long").as("n_tokens"))
+      .withColumn("block", expr("doc_id div 64"))
+      .withColumn("tok_start", sum($"n_tokens").over(w) - $"n_tokens")
+      .withColumn("seq_in_block", expr(s"tok_start div $L"))
+      .withColumn("spans_boundary",
+        expr(s"tok_start div $L") =!= expr(s"(tok_start + n_tokens - 1) div $L"))
+      .select($"doc_id", $"source", $"block", $"n_tokens", $"tok_start",
+        $"seq_in_block", $"spans_boundary")
+      .orderBy($"doc_id")
+  }
+
+  val sequencePackingSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    doc_id // 64 AS block
+      |  FROM documents),
+      |c AS (
+      |  SELECT *,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source, block ORDER BY doc_id)
+      |      AS BIGINT) - n_tokens AS tok_start
+      |  FROM d)
+      |SELECT doc_id, source, block, n_tokens, tok_start,
+      |  tok_start // 512 AS seq_in_block,
+      |  tok_start // 512 <> (tok_start + n_tokens - 1) // 512 AS spans_boundary
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q91_heavy_hitters" -> (heavyHitters(_, _)),
+    "q92_sequence_packing" -> (sequencePacking(_, _)),
     "q82_dedup_clusters" -> (dedupClusters(_, _)),
     "q20_token_stats" -> (tokenStats(_, _)),
     "q21_quality_score" -> (qualityScore(_, _)),
@@ -1076,6 +1127,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q91_heavy_hitters" -> heavyHittersSql,
+    "q92_sequence_packing" -> sequencePackingSql,
     "q82_dedup_clusters" -> dedupClustersSql,
     "q20_token_stats" -> tokenStatsSql,
     "q21_quality_score" -> qualityScoreSql,
