@@ -35,10 +35,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *     tie-aware [[BoundedRankTopK]] (whole key groups retained /
   *     evicted, rank precomputed in the emitted struct) instead of the
   *     fixed-k-heap [[BoundedTopK]];
-  *   - the filter is a sole rank bound (`rn <= k`, `rn < k`,
-  *     `rn = 1`, or the mirrored literal-first forms) with an INT or
-  *     BIGINT literal k — integer-widening casts Spark inserts around
-  *     the rank column (`cast(rn AS bigint) <= 5L`) are seen through;
+  *   - at least one filter conjunct bounds the rank (`rn <= k`,
+  *     `rn < k`, `rn = c`, or the mirrored literal-first forms) with
+  *     an INT or BIGINT literal — integer-widening casts Spark
+  *     inserts around the rank column (`cast(rn AS bigint) <= 5L`)
+  *     are seen through. The tightest bound caps the aggregate; every
+  *     conjunct the cap does not fully subsume (non-rank predicates,
+  *     and `rn = c` for c > 1, which caps at c but still has to pick
+  *     rank c) survives as a residual Filter above the rewrite —
+  *     sound because every original column and the rank are restored
+  *     under their original ExprIds;
   *   - every ORDER BY key uses a DEFAULT null placement — ascending
   *     NULLS FIRST or descending NULLS LAST, exactly what `.asc` /
   *     `.desc` / SQL `ASC`/`DESC` produce. Both directions map onto
@@ -75,17 +81,40 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
     case f @ Filter(cond, w: Window) => attempt(cond, w).getOrElse(f)
   }
 
+  /** The rewritten Project restores every child column AND the rank
+    * column under their original ExprIds, so only ONE conjunct — the
+    * tightest rank bound — is consumed by the rewrite; every other
+    * conjunct survives verbatim as a residual Filter on top
+    * (`rn <= 3 AND price > 100` rewrites with `price > 100` kept).
+    */
   private def attempt(cond: Expression, w: Window): Option[LogicalPlan] =
     for {
       (rnAlias, part, order, kind) <- rankWindow(w)
-      k <- rankBound(cond, rnAlias.exprId)
+      conjuncts = splitConjunctivePredicates(cond)
+      bounds = conjuncts.flatMap(c => rankBound(c, rnAlias.exprId))
+      if bounds.nonEmpty
+      k = bounds.map(_._1).min
       if k >= 1L && k <= MaxK
       (keys, desc) <- sortKeys(order)
       if keys.nonEmpty
       if keys.forall(_.deterministic) && part.forall(_.deterministic)
       if w.child.output.forall(a => RowOrdering.isOrderable(a.dataType))
-    } yield rewrite(stripGroupLimit(w.child), part, keys, desc, k.toInt,
-      w.child.output, rnAlias, kind)
+    } yield {
+      val top = rewrite(stripGroupLimit(w.child), part, keys, desc, k.toInt,
+        w.child.output, rnAlias, kind)
+      // Keep every conjunct the bound did not fully consume: non-bound
+      // predicates, and partially-consumed bounds like `rn = c` (the
+      // rewrite caps at c; the equality still has to pick rank c).
+      // Redundant looser bounds (rn <= 5 beside rn <= 3) drop out.
+      val residual = conjuncts.filter(c =>
+        rankBound(c, rnAlias.exprId).forall(!_._2))
+      if (residual.isEmpty) top else Filter(residual.reduce(And), top)
+    }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => Seq(other)
+  }
 
   /** Matches a single rank-like window expression over its default
     * frame — `ROWS UNBOUNDED PRECEDING .. CURRENT ROW`, which is what
@@ -124,14 +153,19 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Extracts k from a sole rank-bound predicate on the rank column. */
-  private def rankBound(cond: Expression, rn: ExprId): Option[Long] = cond match {
-    case LessThanOrEqual(a, l: Literal) if rankAttr(a, rn) => intBound(l)
-    case LessThan(a, l: Literal) if rankAttr(a, rn) => intBound(l).map(_ - 1L)
-    case EqualTo(a, l: Literal) if rankAttr(a, rn) => intBound(l).filter(_ == 1L)
-    case GreaterThanOrEqual(l: Literal, a) if rankAttr(a, rn) => intBound(l)
-    case GreaterThan(l: Literal, a) if rankAttr(a, rn) => intBound(l).map(_ - 1L)
-    case EqualTo(l: Literal, a) if rankAttr(a, rn) => intBound(l).filter(_ == 1L)
+  /** Extracts an upper bound on the rank column from one conjunct:
+    * `(k, consumed)` where `consumed` says the rewrite's `<= k` cap
+    * fully subsumes the predicate. `rn = c` bounds at c but is only
+    * consumed for c = 1 (`rank >= 1` always holds); for c > 1 the
+    * equality must survive as a residual filter over the capped rows.
+    */
+  private def rankBound(cond: Expression, rn: ExprId): Option[(Long, Boolean)] = cond match {
+    case LessThanOrEqual(a, l: Literal) if rankAttr(a, rn) => intBound(l).map((_, true))
+    case LessThan(a, l: Literal) if rankAttr(a, rn) => intBound(l).map(k => (k - 1L, true))
+    case GreaterThanOrEqual(l: Literal, a) if rankAttr(a, rn) => intBound(l).map((_, true))
+    case GreaterThan(l: Literal, a) if rankAttr(a, rn) => intBound(l).map(k => (k - 1L, true))
+    case EqualTo(a, l: Literal) if rankAttr(a, rn) => intBound(l).map(k => (k, k == 1L))
+    case EqualTo(l: Literal, a) if rankAttr(a, rn) => intBound(l).map(k => (k, k == 1L))
     case _ => None
   }
 

@@ -312,6 +312,61 @@ class TopKRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("residual conjuncts survive: rn <= 2 AND price > 5 rewrites") {
+    def run(ruleOn: Boolean): Set[(String, Long, Int)] = {
+      val go = () => {
+        val df = rows.toDF("seg", "id", "price")
+          .withColumn("rn", row_number().over(W.partitionBy($"seg").orderBy($"price")))
+          .filter($"rn" <= 2 && $"price" > 5.0)
+        if (ruleOn) assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+        df.select("seg", "id", "rn").as[(String, Long, Int)].collect().toSet
+      }
+      if (ruleOn) withRule(go()) else go()
+    }
+    val expected = run(ruleOn = false)
+    assert(run(ruleOn = true) == expected)
+    // The residual prunes AFTER ranking: seg b keeps only id 6
+    // (15.0 > 5, rank 2); id 5's price 5.0 fails the residual but its
+    // rank-1 slot is NOT reassigned. seg c's 1.0 fails entirely.
+    assert(expected == Set(("a", 1L, 1), ("a", 3L, 2), ("b", 6L, 2)))
+  }
+
+  test("two rank bounds: the tightest wins, looser is consumed") {
+    withRule {
+      val df = rows.toDF("seg", "id", "price")
+        .withColumn("rn", row_number().over(W.partitionBy($"seg").orderBy($"price")))
+        .filter($"rn" <= 5 && $"rn" <= 1)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      assert(df.select("seg", "id").as[(String, Long)].collect().toSet ==
+        Set(("a", 1L), ("b", 5L), ("c", 7L)))
+    }
+  }
+
+  test("rn = c for c > 1: bounds the aggregate at c, equality kept as residual") {
+    withRule {
+      val df = rows.toDF("seg", "id", "price")
+        .withColumn("rn", row_number().over(W.partitionBy($"seg").orderBy($"price")))
+        .filter($"rn" === 2)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      // exactly the second-cheapest per segment; seg c has no rank 2
+      assert(df.select("seg", "id").as[(String, Long)].collect().toSet ==
+        Set(("a", 3L), ("b", 6L)))
+    }
+  }
+
+  test("rank() = c with a tied group at rank c keeps the whole group") {
+    withRule {
+      val df = tied.toDF("seg", "id", "price").repartition(3)
+        .withColumn("r", rank().over(W.partitionBy($"seg").orderBy($"price".desc)))
+        .filter($"r" === 2)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      // seg a desc: 30(r1), 20(r2), 10,10(r3) → id 3; seg b desc:
+      // 9(r1), then 5.0 ties BOTH at r2 → ids 5 and 6 both kept.
+      assert(df.select("seg", "id").as[(String, Long)].collect().toSet ==
+        Set(("a", 3L), ("b", 5L), ("b", 6L)))
+    }
+  }
+
   test("randomized parity: all three rank functions match the window") {
     // Heavy ties on purpose: 8 distinct prices over 400 rows in 4
     // segments, so every boundary case (tie at k, tie group spanning
