@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `simhash64` / `rolling_hash64` / `trading_day_roll` /
   * `bounded_top_k` in SQL without code changes, plus the
   * [[RewriteRankLimitToBoundedTopK]] optimizer rule that turns the
-  * `row_number() <= k` window idiom into the bounded aggregate plan.
+  * `row_number()/rank()/dense_rank() <= k` window idiom (including
+  * conjunctive filters and `= c` equality bounds) into the bounded
+  * aggregate plans.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
