@@ -1029,14 +1029,16 @@ object TextQueries {
     val m = 48
     val toks = Tables.load(s, dir, "documents")
       .select(explode(words($"text")).as("tok"))
+    // One pass computes BOTH the sketch and the exact total: the
+    // candidate list (≤ m rows, n riding along) is all the recount
+    // pass needs, so the corpus is scanned exactly twice.
     val cand = toks
-      .agg(graft.plans.MisraGries.misraGries($"tok", m).as("cands"))
-      .select(explode($"cands").as("c"))
-      .select($"c.item".as("tok"))
-    val total = toks.agg(count(lit(1)).as("n"))
-    toks.join(broadcast(cand), Seq("tok"), "left_semi")
-      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
-      .crossJoin(total)
+      .agg(count(lit(1)).as("n"),
+        graft.plans.MisraGries.misraGries($"tok", m).as("cands"))
+      .select($"n", explode($"cands").as("c"))
+      .select($"n", $"c.item".as("tok"))
+    toks.join(broadcast(cand), Seq("tok"))
+      .groupBy($"tok", $"n").agg(count(lit(1)).as("cnt"))
       .filter($"cnt" * (m + 1) > $"n")
       .select($"tok", $"cnt", $"n".as("total_tokens"))
       .orderBy($"tok")
