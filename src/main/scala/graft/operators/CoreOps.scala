@@ -217,16 +217,19 @@ object CoreOps {
   // is exactly an as-of join.
   // -------------------------------------------------------------------
 
-  /** For every left row, attach the right-side `valueCols` of the most
-    * recent right row with `right(rightTs) <= left(leftTs)` and equal
-    * join key.
+  /** For every left row, attach the right-side `valueCols` of the
+    * nearest right row with equal join key: `direction = "backward"`
+    * (default, pandas `merge_asof` default) takes the most recent
+    * right row with `right(rightTs) <= left(leftTs)`; `"forward"`
+    * takes the earliest with `right(rightTs) >= left(leftTs)`. Exact
+    * timestamp matches are included in both directions.
     *
-    * Implemented as union + single sort-window pass (tag right rows
-    * before left rows at equal timestamps so the match is inclusive):
-    * one shuffle on the key, linear scan per partition. This is the
-    * scalable plan — a correlated subquery or a range-join would be
-    * O(n·m) or need an interval index; the union trick is O((n+m) log)
-    * and streams.
+    * Implemented as union + single sort-window pass (at equal
+    * timestamps, right rows are ordered on the lookup side of left
+    * rows so the match is inclusive): one shuffle on the key, linear
+    * scan per partition. This is the scalable plan — a correlated
+    * subquery or a range-join would be O(n·m) or need an interval
+    * index; the union trick is O((n+m) log) and streams.
     *
     * Right side must be unique per (key, ts); pre-dedup with
     * [[dedupKeepLast]] if not.
@@ -238,30 +241,47 @@ object CoreOps {
       rightKey: String,
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case other => throw new IllegalArgumentException(
+        s"asofJoin direction must be backward|forward, got $other")
+    }
+    // Equal-ts tie order: the right row must fall inside the left
+    // row's frame — BEFORE it when looking back, AFTER it when
+    // looking forward.
+    val (leftTag, rightTag) = if (forward) (0, 1) else (1, 0)
     val leftCols = left.columns
     val l = left
       .withColumn("__k", col(leftKey))
       .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(leftTag))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
         leftCols.map(col) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
     val r = right
       .withColumn("__k", col(rightKey))
       .withColumn("__ts", col(rightTs))
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(rightTag))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(c => col(c).as(s"__v_$c")): _*)
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
+    val fill: String => Column =
+      if (forward) {
+        val w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        c => first(col(s"__v_$c"), ignoreNulls = true).over(w)
+      } else {
+        val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        c => last(col(s"__v_$c"), ignoreNulls = true).over(w)
+      }
     val filled = l.unionByName(r)
       .select(
         (leftCols.map(col) :+ col("__side")) ++
-          valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w).as(c)): _*)
-    filled.filter(col("__side") === 1).drop("__side")
+          valueCols.map(c => fill(c).as(c)): _*)
+    filled.filter(col("__side") === leftTag).drop("__side")
   }
 
   // -------------------------------------------------------------------

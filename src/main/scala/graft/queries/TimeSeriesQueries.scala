@@ -106,6 +106,42 @@ object TimeSeriesQueries {
       |  ON c.user_id = p.p_user AND c.ts >= p.pts
       |ORDER BY c.event_id""".stripMargin
 
+  /** J3, forward direction — pandas `merge_asof(direction="forward")`:
+    * each click attributed to the NEXT purchase at-or-after it per
+    * user (conversion attribution), the mirror of q12's LOCF
+    * backward match. Same union + single sort-window plan, frame
+    * flipped to `CURRENT ROW .. UNBOUNDED FOLLOWING`; DuckDB's ASOF
+    * `ON c.ts <= p.pts` is the oracle.
+    */
+  def asofNextPurchase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"ts", $"user_id", $"value")
+    val purchases = dedupKeepLast(
+      ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value", $"event_id"),
+      Seq("user_id", "ts"), Seq("event_id"))
+      .select($"user_id".as("p_user"), $"ts".as("pts"), $"value".as("next_purchase_value"))
+    asofJoin(clicks, purchases, "user_id", "p_user", "ts", "pts",
+        Seq("next_purchase_value"), direction = "forward")
+      .select($"event_id", $"ts", $"user_id", $"value", $"next_purchase_value")
+      .orderBy($"event_id")
+  }
+
+  val asofNextPurchaseSql: String =
+    """WITH p AS (
+      |  SELECT user_id AS p_user, ts AS pts, value AS next_purchase_value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+      |                                 ORDER BY event_id DESC) AS rn
+      |    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'purchase') t WHERE rn = 1),
+      |c AS (
+      |  SELECT event_id, ts, user_id, value FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'click')
+      |SELECT c.event_id, c.ts, c.user_id, c.value, p.next_purchase_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.p_user AND c.ts <= p.pts
+      |ORDER BY c.event_id""".stripMargin
+
   /** W3 + A3 — forward-fill and per-group windowed transform
     * (v2.py:2063 `groupby("date").transform("mean")`;
     * Organizers.py:118 ffill): per user ordered by (ts, event_id),
@@ -329,6 +365,7 @@ object TimeSeriesQueries {
     "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
     "q11_dedup_keep_last" -> (dedupKeepLastQ(_, _)),
     "q12_asof_join" -> (asofClickPurchase(_, _)),
+    "q93_asof_forward" -> (asofNextPurchase(_, _)),
     "q13_ffill_running" -> (ffillRunning(_, _)),
     "q14_business_hours_daily" -> (businessHoursDaily(_, _)),
     "q15_closest_to_mean" -> (closestToMean(_, _)),
@@ -340,6 +377,7 @@ object TimeSeriesQueries {
     "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
     "q11_dedup_keep_last" -> dedupKeepLastSql,
     "q12_asof_join" -> asofClickPurchaseSql,
+    "q93_asof_forward" -> asofNextPurchaseSql,
     "q13_ffill_running" -> ffillRunningSql,
     "q14_business_hours_daily" -> businessHoursDailySql,
     "q15_closest_to_mean" -> closestToMeanSql,

@@ -71,6 +71,24 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == Seq(Some(2.0), Some(3.0), None, None))
   }
 
+  test("asofJoin forward matches earliest right row at-or-after, else null") {
+    val left = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")), // exact match at 10:00
+      (2L, "A", ts("2024-01-01 10:30:00")), // next is 11:00
+      (3L, "A", ts("2024-01-01 12:00:00")), // nothing after -> null
+      (4L, "B", ts("2024-01-01 10:00:00")) // no right key -> null
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:00:00"), 2.0),
+      ("A", ts("2024-01-01 11:00:00"), 3.0)
+    ).toDF("rkey", "rt", "rv")
+    val out = asofJoin(left, right, "key", "rkey", "t", "rt", Seq("rv"),
+        direction = "forward")
+      .orderBy("id").as[(Long, String, Timestamp, Option[Double])].collect()
+    assert(out.map(_._4).toSeq == Seq(Some(2.0), Some(3.0), None, None))
+  }
+
   test("resampleOhlc applies the per-column agg map deterministically") {
     val df = Seq(
       ("X", ts("2024-01-01 10:05:00"), 1L, 10.0),
