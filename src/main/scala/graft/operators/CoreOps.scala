@@ -224,6 +224,11 @@ object CoreOps {
     * takes the earliest with `right(rightTs) >= left(leftTs)`. Exact
     * timestamp matches are included in both directions.
     *
+    * `toleranceSeconds` bounds the match distance (pandas
+    * `tolerance`): a nearest row farther than the bound yields null,
+    * applied as a post-predicate on the matched timestamp — the plan
+    * is unchanged.
+    *
     * Implemented as union + single sort-window pass (at equal
     * timestamps, right rows are ordered on the lookup side of left
     * rows so the match is inclusive): one shuffle on the key, linear
@@ -242,13 +247,20 @@ object CoreOps {
       leftTs: String,
       rightTs: String,
       valueCols: Seq[String],
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val forward = direction match {
       case "backward" => false
       case "forward" => true
       case other => throw new IllegalArgumentException(
         s"asofJoin direction must be backward|forward, got $other")
     }
+    // The matched right timestamp rides along as one more filled
+    // column when a tolerance has to be checked.
+    val rightIn =
+      if (toleranceSeconds.isDefined) right.withColumn("__rts", col(rightTs))
+      else right
+    val fillCols = if (toleranceSeconds.isDefined) valueCols :+ "__rts" else valueCols
     // Equal-ts tie order: the right row must fall inside the left
     // row's frame — BEFORE it when looking back, AFTER it when
     // looking forward.
@@ -260,14 +272,14 @@ object CoreOps {
       .withColumn("__side", lit(leftTag))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
         leftCols.map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
-    val r = right
+        fillCols.map(c => lit(null).cast(rightIn.schema(c).dataType).as(s"__v_$c")): _*)
+    val r = rightIn
       .withColumn("__k", col(rightKey))
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(rightTag))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        fillCols.map(c => col(c).as(s"__v_$c")): _*)
     val base = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
     val fill: String => Column =
       if (forward) {
@@ -280,8 +292,19 @@ object CoreOps {
     val filled = l.unionByName(r)
       .select(
         (leftCols.map(col) :+ col("__side")) ++
-          valueCols.map(c => fill(c).as(c)): _*)
-    filled.filter(col("__side") === leftTag).drop("__side")
+          fillCols.map(c => fill(c).as(c)): _*)
+    val matched = filled.filter(col("__side") === leftTag).drop("__side")
+    toleranceSeconds match {
+      case None => matched
+      case Some(tol) =>
+        // signed seconds from left to matched right (fractional-second
+        // exact via epoch doubles); out-of-bound matches null out
+        val dt = col("__rts").cast("double") - col(leftTs).cast("double")
+        val ok = if (forward) dt <= tol else -dt <= tol
+        valueCols.foldLeft(matched) { (df, c) =>
+          df.withColumn(c, when(ok, col(c)))
+        }.drop("__rts")
+    }
   }
 
   // -------------------------------------------------------------------

@@ -142,6 +142,47 @@ object TimeSeriesQueries {
       |  ON c.user_id = p.p_user AND c.ts <= p.pts
       |ORDER BY c.event_id""".stripMargin
 
+  /** J3 with a match-distance bound — pandas
+    * `merge_asof(direction="forward", tolerance=...)`: the q93
+    * attribution, but a purchase more than 2 hours after the click no
+    * longer counts. Same one-shuffle plan; the tolerance is a
+    * post-predicate on the matched timestamp. The oracle states the
+    * definition directly as a bounded correlated subquery (DuckDB
+    * decorrelates it); ASOF JOIN has no tolerance, which is exactly
+    * why the operator carries it.
+    */
+  def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"ts", $"user_id", $"value")
+    val purchases = dedupKeepLast(
+      ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value", $"event_id"),
+      Seq("user_id", "ts"), Seq("event_id"))
+      .select($"user_id".as("p_user"), $"ts".as("pts"), $"value".as("next_purchase_value"))
+    asofJoin(clicks, purchases, "user_id", "p_user", "ts", "pts",
+        Seq("next_purchase_value"), direction = "forward",
+        toleranceSeconds = Some(7200L))
+      .select($"event_id", $"ts", $"user_id", $"value", $"next_purchase_value")
+      .orderBy($"event_id")
+  }
+
+  val asofToleranceSql: String =
+    """WITH p AS (
+      |  SELECT user_id AS p_user, ts AS pts, value AS next_purchase_value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+      |                                 ORDER BY event_id DESC) AS rn
+      |    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'purchase') t WHERE rn = 1),
+      |c AS (
+      |  SELECT event_id, ts, user_id, value FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'click')
+      |SELECT c.event_id, c.ts, c.user_id, c.value,
+      |  (SELECT p.next_purchase_value FROM p
+      |   WHERE p.p_user = c.user_id AND p.pts >= c.ts
+      |     AND p.pts <= c.ts + INTERVAL 2 HOUR
+      |   ORDER BY p.pts LIMIT 1) AS next_purchase_value
+      |FROM c ORDER BY c.event_id""".stripMargin
+
   /** W3 + A3 — forward-fill and per-group windowed transform
     * (v2.py:2063 `groupby("date").transform("mean")`;
     * Organizers.py:118 ffill): per user ordered by (ts, event_id),
@@ -366,6 +407,7 @@ object TimeSeriesQueries {
     "q11_dedup_keep_last" -> (dedupKeepLastQ(_, _)),
     "q12_asof_join" -> (asofClickPurchase(_, _)),
     "q93_asof_forward" -> (asofNextPurchase(_, _)),
+    "q94_asof_tolerance" -> (asofTolerance(_, _)),
     "q13_ffill_running" -> (ffillRunning(_, _)),
     "q14_business_hours_daily" -> (businessHoursDaily(_, _)),
     "q15_closest_to_mean" -> (closestToMean(_, _)),
@@ -378,6 +420,7 @@ object TimeSeriesQueries {
     "q11_dedup_keep_last" -> dedupKeepLastSql,
     "q12_asof_join" -> asofClickPurchaseSql,
     "q93_asof_forward" -> asofNextPurchaseSql,
+    "q94_asof_tolerance" -> asofToleranceSql,
     "q13_ffill_running" -> ffillRunningSql,
     "q14_business_hours_daily" -> businessHoursDailySql,
     "q15_closest_to_mean" -> closestToMeanSql,

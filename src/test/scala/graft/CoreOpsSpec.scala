@@ -89,6 +89,29 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == Seq(Some(2.0), Some(3.0), None, None))
   }
 
+  test("asofJoin tolerance nulls matches beyond the bound, keeps the boundary") {
+    val left = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")), // exact match: dt=0
+      (2L, "A", ts("2024-01-01 10:30:00")), // next at 11:00, dt=30min == bound
+      (3L, "A", ts("2024-01-01 07:00:00")) // next at 09:00, dt=2h > bound
+    ).toDF("id", "key", "t")
+    val right = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 1.0),
+      ("A", ts("2024-01-01 10:00:00"), 2.0),
+      ("A", ts("2024-01-01 11:00:00"), 3.0)
+    ).toDF("rkey", "rt", "rv")
+    val out = asofJoin(left, right, "key", "rkey", "t", "rt", Seq("rv"),
+        direction = "forward", toleranceSeconds = Some(1800L))
+      .orderBy("id").as[(Long, String, Timestamp, Option[Double])].collect()
+    assert(out.map(_._4).toSeq == Seq(Some(2.0), Some(3.0), None))
+    // backward with the same bound: 10:30 looks back to 10:00 (30 min,
+    // kept); 07:00 has 09:00 only ahead of it -> null either way
+    val back = asofJoin(left, right, "key", "rkey", "t", "rt", Seq("rv"),
+        toleranceSeconds = Some(1800L))
+      .orderBy("id").as[(Long, String, Timestamp, Option[Double])].collect()
+    assert(back.map(_._4).toSeq == Seq(Some(2.0), Some(2.0), None))
+  }
+
   test("resampleOhlc applies the per-column agg map deterministically") {
     val df = Seq(
       ("X", ts("2024-01-01 10:05:00"), 1L, 10.0),
