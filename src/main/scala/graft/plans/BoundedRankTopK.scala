@@ -209,3 +209,20 @@ case class BoundedRankTopK(
       newChildren: IndexedSeq[Expression]): BoundedRankTopK =
     copy(child = newChildren.head)
 }
+
+object BoundedRankTopK {
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  /** Column API: `boundedRankTopK(struct(sortKeys..., payload...), k,
+    * keyCount)` → array of `struct(r, keys..., payload...)` holding
+    * every row with rank (`dense = false`) or dense_rank (`true`)
+    * ≤ k, rank precomputed as field `r`.
+    */
+  def boundedRankTopK(c: Column, k: Int, keyCount: Int,
+      dense: Boolean = false): Column =
+    ColumnShim.column(
+      BoundedRankTopK(ColumnShim.expression(c), k, keyCount, dense)
+        .toAggregateExpression())
+}

@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bounded_top_k"),
       new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
       (exprs: Seq[Expression]) => GraftExtensions.buildBoundedTopK(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("bounded_rank_top_k"),
+      new ExpressionInfo(classOf[BoundedRankTopK].getName, "bounded_rank_top_k"),
+      (exprs: Seq[Expression]) => GraftExtensions.buildBoundedRankTopK(exprs)))
   }
 }
 
@@ -71,4 +75,23 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         "bounded_top_k k must be a literal integer")
     }
+
+  /** `bounded_rank_top_k(struct(keys..., payload...), k, keyCount
+    * [, dense])` with literal arguments — the tie-aware rank/dense_rank
+    * form of bounded_top_k.
+    */
+  private[plans] def buildBoundedRankTopK(exprs: Seq[Expression]): BoundedRankTopK = {
+    def intArg(i: Int, name: String): Int = exprs.lift(i) match {
+      case Some(e) if e.foldable => e.eval().asInstanceOf[Number].intValue()
+      case _ => throw new IllegalArgumentException(
+        s"bounded_rank_top_k $name must be a literal integer")
+    }
+    val dense = exprs.lift(3) match {
+      case None => false
+      case Some(e) if e.foldable => e.eval().asInstanceOf[Boolean]
+      case _ => throw new IllegalArgumentException(
+        "bounded_rank_top_k dense must be a literal boolean")
+    }
+    BoundedRankTopK(exprs.head, intArg(1, "k"), intArg(2, "keyCount"), dense)
+  }
 }

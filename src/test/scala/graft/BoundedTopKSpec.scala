@@ -95,6 +95,29 @@ class BoundedTopKSpec extends AnyFunSuite {
         s"qid=$qid rank=$rank multi=$cosMulti < single=$cosSingle")
   }
 
+  test("boundedRankTopK column API: tie groups kept, ranks precomputed") {
+    import graft.plans.BoundedRankTopK.boundedRankTopK
+    val df = Seq(("a", 1.0, "x"), ("a", 1.0, "y"), ("a", 2.0, "z"),
+        ("b", 5.0, "w"))
+      .toDF("g", "k", "p").repartition(3)
+    val out = df.groupBy($"g")
+      .agg(boundedRankTopK(struct($"k", $"p"), 1, 1).as("t"))
+      .select($"g", explode($"t").as("e"))
+      .select($"g", $"e.r".as("r"), $"e.k".as("k"), $"e.p".as("p"))
+      .as[(String, Int, Double, String)].collect().toSet
+    // k=1 with a tie at the head: BOTH 1.0 rows share rank 1; 2.0 out.
+    assert(out == Set(("a", 1, 1.0, "x"), ("a", 1, 1.0, "y"), ("b", 1, 5.0, "w")))
+
+    val dense = df.groupBy($"g")
+      .agg(boundedRankTopK(struct($"k", $"p"), 2, 1, dense = true).as("t"))
+      .select($"g", explode($"t").as("e"))
+      .select($"g", $"e.r".as("r"), $"e.p".as("p"))
+      .as[(String, Int, String)].collect().toSet
+    // dense k=2 keeps both distinct key values of group a
+    assert(dense == Set(("a", 1, "x"), ("a", 1, "y"), ("a", 2, "z"),
+      ("b", 1, "w")))
+  }
+
   test("q34 banded LSH finds exactly the planted near-dup pairs") {
     // Recall invariance of the 3×8-plane OR-construction: the planted
     // (v, v+1000000) perturbed copies — and nothing else — survive the
