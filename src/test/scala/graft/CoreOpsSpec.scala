@@ -89,6 +89,42 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(out.map(_._4).toSeq == Seq(Some(2.0), Some(3.0), None, None))
   }
 
+  test("asofJoin randomized differential vs brute force (both directions, tolerance)") {
+    // The union + sort-window trick has subtle tie/frame edges; check
+    // it against the O(n*m) definition on seeded random data with
+    // heavy timestamp collisions (20 distinct seconds, 5 keys).
+    val rnd = new scala.util.Random(11)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val leftRows = Seq.tabulate(120)(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", new Timestamp(base + rnd.nextInt(20) * 1000L)))
+    // unique (key, ts) on the right, as the operator contract requires
+    val rightRows = rnd.shuffle(
+      (for (k <- 0 until 5; t <- 0 until 20) yield (s"k$k", t)).toSeq)
+      .take(60)
+      .map { case (k, t) => (k, new Timestamp(base + t * 1000L), rnd.nextDouble()) }
+    val left = leftRows.toDF("id", "key", "t").repartition(5)
+    val right = rightRows.toDF("rkey", "rt", "rv").repartition(3)
+
+    def brute(forward: Boolean, tol: Option[Long]): Map[Long, Option[Double]] =
+      leftRows.map { case (id, k, t) =>
+        val cands = rightRows.filter { case (rk, rt, _) =>
+          rk == k &&
+            (if (forward) rt.getTime >= t.getTime else rt.getTime <= t.getTime) &&
+            tol.forall(s => math.abs(rt.getTime - t.getTime) <= s * 1000L)
+        }
+        id -> (if (cands.isEmpty) None
+          else Some((if (forward) cands.minBy(_._2.getTime) else cands.maxBy(_._2.getTime))._3))
+      }.toMap
+
+    for (forward <- Seq(false, true); tol <- Seq(None, Some(4L), Some(0L))) {
+      val got = asofJoin(left, right, "key", "rkey", "t", "rt", Seq("rv"),
+          direction = if (forward) "forward" else "backward",
+          toleranceSeconds = tol)
+        .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+      assert(got == brute(forward, tol), s"forward=$forward tol=$tol")
+    }
+  }
+
   test("asofJoin tolerance nulls matches beyond the bound, keeps the boundary") {
     val left = Seq(
       (1L, "A", ts("2024-01-01 10:00:00")), // exact match: dt=0

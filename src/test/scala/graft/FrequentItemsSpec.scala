@@ -57,6 +57,23 @@ class FrequentItemsSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped aggregation: per-group sketches are independent") {
+    // Per-language vocabularies: each group gets its own m-counter
+    // buffer, so one group's flood cannot evict another's heavy hitter.
+    val rnd3 = new scala.util.Random(3)
+    val rows = Seq.fill(3000)(("en", s"e${rnd3.nextInt(300)}")) ++
+      Seq.fill(400)(("en", "hot_en")) ++
+      Seq.fill(40)(("fr", "hot_fr")) ++ Seq.tabulate(30)(i => ("fr", s"f$i"))
+    val got = rows.toDF("lang", "tok").repartition(6)
+      .groupBy($"lang").agg(misraGries($"tok", m).as("c"))
+      .select($"lang", explode($"c").as("p"))
+      .select($"lang", $"p.item".as("item"))
+      .as[(String, String)].collect().toSet
+    assert(got.contains(("en", "hot_en")), "en heavy hitter lost")
+    assert(got.contains(("fr", "hot_fr")), "fr heavy hitter lost")
+    assert(got.count(_._1 == "fr") <= m && got.count(_._1 == "en") <= m)
+  }
+
   test("propose-then-recount equals the exact heavy-hitter set") {
     val expected = exact.collect {
       case (t, c) if c * (m + 1) > n => (t, c)
