@@ -51,10 +51,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "keep-last dedup must use max_by aggregation")
   }
 
-  test("q12 as-of join: one shuffle on the key, no cartesian/range join") {
-    val p = plan(TimeSeriesQueries.asofClickPurchase(spark, dir))
-    assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin"))
+  test("q12/q93/q94 as-of joins: one shuffle on the key, no cartesian/range join") {
+    for (q <- Seq(TimeSeriesQueries.asofClickPurchase(spark, dir),
+        TimeSeriesQueries.asofNextPurchase(spark, dir),
+        TimeSeriesQueries.asofTolerance(spark, dir))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p.take(300))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(300))
+      // direction flip and tolerance must not add a join: the as-of
+      // stays a union + ONE window pass
+      assert(!p.contains("SortMergeJoin"), p.take(300))
+    }
   }
 
   test("whole-stage codegen covers the scan+filter+project hot path") {
