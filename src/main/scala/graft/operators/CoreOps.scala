@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StructField, StructType}
 
 /** Core relational/time-series operators of the engine.
   *
@@ -234,8 +234,18 @@ object CoreOps {
     * rows so the match is inclusive): one shuffle on the key, linear
     * scan per partition. This is the scalable plan — a correlated
     * subquery or a range-join would be O(n·m) or need an interval
-    * index; the union trick is O((n+m) log) and streams.
+    * index; the union trick is O((n+m) log) and streams. BOTH
+    * directions use the incremental `[UNBOUNDED PRECEDING, CURRENT
+    * ROW]` frame — forward simply scans the partition in descending
+    * timestamp order (Spark's `UnboundedFollowing` frame re-aggregates
+    * the whole tail per row, O(n²) on a hot key, and is never used
+    * here). All filled columns travel in one struct so every value —
+    * and the tolerance bound's timestamp — comes from the same matched
+    * right row, matching pandas row semantics even when the matched
+    * row carries nulls.
     *
+    * Output row order is not defined (the forward path scans
+    * descending); apply an `orderBy` downstream if order matters.
     * Right side must be unique per (key, ts); pre-dedup with
     * [[dedupKeepLast]] if not.
     */
@@ -256,44 +266,44 @@ object CoreOps {
         s"asofJoin direction must be backward|forward, got $other")
     }
     // The matched right timestamp rides along as one more filled
-    // column when a tolerance has to be checked.
+    // field when a tolerance has to be checked.
     val rightIn =
       if (toleranceSeconds.isDefined) right.withColumn("__rts", col(rightTs))
       else right
     val fillCols = if (toleranceSeconds.isDefined) valueCols :+ "__rts" else valueCols
-    // Equal-ts tie order: the right row must fall inside the left
-    // row's frame — BEFORE it when looking back, AFTER it when
-    // looking forward.
-    val (leftTag, rightTag) = if (forward) (0, 1) else (1, 0)
+    // One struct carries every filled field, so the fill picks a
+    // whole matched ROW at once — a null value inside the matched row
+    // stays null instead of being replaced by a farther row's value.
+    val matchType = StructType(fillCols.map(c =>
+      StructField(c, rightIn.schema(c).dataType, nullable = true)))
     val leftCols = left.columns
     val l = left
       .withColumn("__k", col(leftKey))
       .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(leftTag))
+      .withColumn("__side", lit(1))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
-        leftCols.map(col) ++
-        fillCols.map(c => lit(null).cast(rightIn.schema(c).dataType).as(s"__v_$c")): _*)
+        leftCols.map(col) :+ lit(null).cast(matchType).as("__m"): _*)
     val r = rightIn
       .withColumn("__k", col(rightKey))
       .withColumn("__ts", col(rightTs))
-      .withColumn("__side", lit(rightTag))
+      .withColumn("__side", lit(0))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        fillCols.map(c => col(c).as(s"__v_$c")): _*)
-    val base = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__side"))
-    val fill: String => Column =
-      if (forward) {
-        val w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        c => first(col(s"__v_$c"), ignoreNulls = true).over(w)
-      } else {
-        val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        c => last(col(s"__v_$c"), ignoreNulls = true).over(w)
-      }
-    val filled = l.unionByName(r)
-      .select(
-        (leftCols.map(col) :+ col("__side")) ++
-          fillCols.map(c => fill(c).as(c)): _*)
-    val matched = filled.filter(col("__side") === leftTag).drop("__side")
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(fillCols.map(col): _*).as("__m"): _*)
+    // Scan direction puts the match BEHIND the current row in both
+    // modes: ascending ts for backward, descending for forward. The
+    // fill is then always last(...) over [UNBOUNDED PRECEDING,
+    // CURRENT ROW] — the frame Spark evaluates incrementally, O(n)
+    // per partition. Right rows sort before left rows at equal __ts
+    // (side 0 < 1) so exact-timestamp matches are inclusive.
+    val ord = if (forward) col("__ts").desc else col("__ts").asc
+    val w = Window.partitionBy(col("__k")).orderBy(ord, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r)
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        fillCols.map(c => col("__m").getField(c).as(c)): _*)
     toleranceSeconds match {
       case None => matched
       case Some(tol) =>

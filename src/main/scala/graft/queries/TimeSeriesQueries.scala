@@ -109,9 +109,11 @@ object TimeSeriesQueries {
   /** J3, forward direction — pandas `merge_asof(direction="forward")`:
     * each click attributed to the NEXT purchase at-or-after it per
     * user (conversion attribution), the mirror of q12's LOCF
-    * backward match. Same union + single sort-window plan, frame
-    * flipped to `CURRENT ROW .. UNBOUNDED FOLLOWING`; DuckDB's ASOF
-    * `ON c.ts <= p.pts` is the oracle.
+    * backward match. Same union + single sort-window plan, scanned in
+    * DESCENDING timestamp order so the fill stays on the incremental
+    * `UNBOUNDED PRECEDING .. CURRENT ROW` frame (never the quadratic
+    * `UNBOUNDED FOLLOWING` one); DuckDB's ASOF `ON c.ts <= p.pts` is
+    * the oracle.
     */
   def asofNextPurchase(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

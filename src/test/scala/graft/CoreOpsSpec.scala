@@ -148,6 +148,28 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(back.map(_._4).toSeq == Seq(Some(2.0), Some(2.0), None))
   }
 
+  test("asofJoin keeps the matched row's nulls (no fill from farther rows)") {
+    // pandas merge_asof picks ONE nearest row and takes all its
+    // values — including its nulls. A per-column ignoreNulls fill
+    // would instead pull rv from 09:00 while rw comes from 10:00,
+    // mixing rows; the struct fill must not.
+    val left = Seq((1L, "A", ts("2024-01-01 10:30:00"))).toDF("id", "key", "t")
+    val right = Seq(
+      ("A", ts("2024-01-01 09:00:00"), Some(7.0), Some(70.0)),
+      ("A", ts("2024-01-01 10:00:00"), None: Option[Double], Some(80.0))
+    ).toDF("rkey", "rt", "rv", "rw")
+    val out = asofJoin(left, right, "key", "rkey", "t", "rt", Seq("rv", "rw"))
+      .select("rv", "rw").as[(Option[Double], Option[Double])].collect()
+    assert(out.toSeq == Seq((None, Some(80.0))))
+    // with a tolerance, the bound is judged against the SAME matched
+    // row's timestamp: 10:00 is within 1h of 10:30, so rw survives
+    // and rv stays null — never 7.0 from the out-of-window 09:00 row
+    val tol = asofJoin(left, right, "key", "rkey", "t", "rt", Seq("rv", "rw"),
+        toleranceSeconds = Some(3600L))
+      .select("rv", "rw").as[(Option[Double], Option[Double])].collect()
+    assert(tol.toSeq == Seq((None, Some(80.0))))
+  }
+
   test("resampleOhlc applies the per-column agg map deterministically") {
     val df = Seq(
       ("X", ts("2024-01-01 10:05:00"), 1L, 10.0),

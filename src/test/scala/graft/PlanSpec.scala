@@ -61,6 +61,13 @@ class PlanSpec extends AnyFunSuite {
       // direction flip and tolerance must not add a join: the as-of
       // stays a union + ONE window pass
       assert(!p.contains("SortMergeJoin"), p.take(300))
+      // ... and that one pass must run on the INCREMENTAL frame:
+      // Spark evaluates [CURRENT ROW, UNBOUNDED FOLLOWING] by
+      // re-aggregating the tail for every row — O(n²) on a hot key —
+      // so the forward direction must scan descending instead of
+      // flipping the frame
+      assert(!p.toLowerCase.contains("unboundedfollowing"),
+        "as-of join must never use the quadratic UnboundedFollowing frame")
     }
   }
 
