@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Generate a ~10x scale-probe dataset (sf1) from the driver's sf0.1
+tables, for benchmarking only (never correctness: the oracle gate stays
+on driver data).
+
+Design: each scaled table gets R=10 replicas. Replicas must look like
+NEW data, not exact clones — exact-duplicate documents/embeddings would
+put identical items in the same LSH buckets and quadratically inflate
+candidate pairs, probing a data artifact instead of plan scaling. So:
+
+- events: new unique event_ids (shifted by replica stride); user_id,
+  ts, type, value kept — root = user_id % 5 keeps its distribution and
+  every derived contract key space grows with event_id.
+- documents: new doc_ids; text is a seeded word-shuffle of the source
+  doc — same vocabulary, token counts and length distribution, fresh
+  shingle sets (near-dup rate stays at the corpus's natural level).
+- embeddings: new vec_ids; each replica adds small seeded N(0, 0.02)
+  jitter per component — same cluster geometry, no exact duplicate
+  points. Query sets keyed on vec_id < 10 keep their original rows.
+
+Unscaled tables are symlinked from the source directory.
+"""
+import os
+import sys
+import random
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/sf1"
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+STRIDE = 10_000_000
+
+os.makedirs(DST, exist_ok=True)
+
+def write(name, table):
+    pq.write_table(table, os.path.join(DST, name + ".parquet"))
+    print(f"[gen_sf1] {name}: {table.num_rows} rows")
+
+# --- events ---------------------------------------------------------
+ev = pq.read_table(os.path.join(SRC, "events.parquet"))
+eid = ev.column("event_id").to_numpy()
+parts = []
+for i in range(R):
+    t = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
+                      pa.array(eid + i * STRIDE, type=ev.schema.field("event_id").type))
+    parts.append(t)
+write("events", pa.concat_tables(parts))
+
+# --- documents ------------------------------------------------------
+doc = pq.read_table(os.path.join(SRC, "documents.parquet"))
+did = doc.column("doc_id").to_numpy()
+texts = doc.column("text").to_pylist()
+parts = []
+for i in range(R):
+    if i == 0:
+        t = doc
+    else:
+        rnd = random.Random(1000 + i)
+        shuffled = []
+        for s in texts:
+            w = s.split(" ")
+            rnd.shuffle(w)
+            shuffled.append(" ".join(w))
+        t = doc.set_column(doc.schema.get_field_index("text"), "text",
+                           pa.array(shuffled, type=doc.schema.field("text").type))
+        nchars = pa.array([len(s) for s in shuffled],
+                          type=doc.schema.field("n_chars").type)
+        t = t.set_column(doc.schema.get_field_index("n_chars"), "n_chars", nchars)
+    t = t.set_column(doc.schema.get_field_index("doc_id"), "doc_id",
+                     pa.array(did + i * STRIDE, type=doc.schema.field("doc_id").type))
+    parts.append(t)
+write("documents", pa.concat_tables(parts))
+
+# --- embeddings -----------------------------------------------------
+emb = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+vid = emb.column("vec_id").to_numpy()
+vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+parts = []
+for i in range(R):
+    if i == 0:
+        v = vecs
+    else:
+        rng = np.random.default_rng(2000 + i)
+        v = vecs + rng.normal(0.0, 0.02, size=vecs.shape).astype(np.float32)
+    t = emb.set_column(emb.schema.get_field_index("vec_id"), "vec_id",
+                       pa.array(vid + i * STRIDE, type=emb.schema.field("vec_id").type))
+    t = t.set_column(emb.schema.get_field_index("embedding"), "embedding",
+                     pa.array(v.tolist(), type=emb.schema.field("embedding").type))
+    parts.append(t)
+write("embeddings", pa.concat_tables(parts))
+
+# --- the rest: symlink ----------------------------------------------
+for f in os.listdir(SRC):
+    dst = os.path.join(DST, f)
+    if not os.path.exists(dst):
+        os.symlink(os.path.join(SRC, f), dst)
+        print(f"[gen_sf1] {f}: symlinked")
