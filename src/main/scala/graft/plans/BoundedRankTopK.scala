@@ -45,8 +45,9 @@ final class RankTopKBuffer(keyOrdering: Ordering[InternalRow]) {
   * (group, map task); any correct plan for the same filter must retain
   * those rows, and the window plan retains strictly more. Comparisons
   * use the same Catalyst [[SortOrder]] machinery as a window sort
-  * (per-field direction, default null placement), so NaN, -0.0, nulls
-  * and integral extremes rank exactly as ORDER BY would.
+  * (per-field direction via `descFields`, null placement via
+  * `nullsLastFields` — direction default when absent), so NaN, -0.0,
+  * nulls and integral extremes rank exactly as ORDER BY would.
   *
   * Output: array of `struct(r, k0.., p0..)` sorted by key then full
   * row; `explode` + `GetStructField(0)` restores the rank column.
@@ -57,6 +58,7 @@ case class BoundedRankTopK(
     keyCount: Int,
     dense: Boolean,
     descFields: Seq[Boolean] = Nil,
+    nullsLastFields: Seq[Boolean] = Nil,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[RankTopKBuffer] {
@@ -71,10 +73,12 @@ case class BoundedRankTopK(
   private def fieldOrders(n: Int): Seq[SortOrder] =
     childSchema.take(n).zipWithIndex.map { case (f, i) =>
       val desc = i < descFields.length && descFields(i)
+      val nullsLast =
+        if (i < nullsLastFields.length) nullsLastFields(i) else desc
       SortOrder(
         BoundReference(i, f.dataType, f.nullable),
         if (desc) Descending else Ascending,
-        if (desc) NullsLast else NullsFirst,
+        if (nullsLast) NullsLast else NullsFirst,
         Seq.empty)
     }.toSeq
 
@@ -218,11 +222,15 @@ object BoundedRankTopK {
   /** Column API: `boundedRankTopK(struct(sortKeys..., payload...), k,
     * keyCount)` → array of `struct(r, keys..., payload...)` holding
     * every row with rank (`dense = false`) or dense_rank (`true`)
-    * ≤ k, rank precomputed as field `r`.
+    * ≤ k, rank precomputed as field `r`. `descFields` /
+    * `nullsLastFields` give each key field its direction and null
+    * placement (direction default when absent).
     */
   def boundedRankTopK(c: Column, k: Int, keyCount: Int,
-      dense: Boolean = false): Column =
+      dense: Boolean = false, descFields: Seq[Boolean] = Nil,
+      nullsLastFields: Seq[Boolean] = Nil): Column =
     ColumnShim.column(
-      BoundedRankTopK(ColumnShim.expression(c), k, keyCount, dense)
+      BoundedRankTopK(ColumnShim.expression(c), k, keyCount, dense,
+        descFields, nullsLastFields)
         .toAggregateExpression())
 }

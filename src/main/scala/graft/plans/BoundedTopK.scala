@@ -24,20 +24,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   * (group, partition), and never materializes or sorts a full group.
   *
   * Descending keys: `descFields(i) = true` marks struct field i as
-  * `DESC NULLS LAST`; the comparator is built from the same Catalyst
-  * [[SortOrder]] semantics a window sort uses, so NaN placement,
-  * -0.0 == 0.0, and null ordering agree with ORDER BY by construction
-  * — no negation, so integral MIN_VALUE and Float/Double NaN are safe
-  * and any orderable type (string, date, decimal…) may sort desc.
-  * Fields beyond `descFields.length` (the payload, riding behind the
-  * sort keys in the same struct) compare ascending as a deterministic
-  * tie-break. Output is the k rows as a sorted array of structs —
-  * `posexplode` yields (rank-1, row).
+  * descending; `nullsLastFields(i)` overrides the direction's default
+  * null placement (asc→NULLS FIRST, desc→NULLS LAST) — together they
+  * express all four `ASC|DESC NULLS FIRST|LAST` combinations. The
+  * comparator is built from the same Catalyst [[SortOrder]] semantics
+  * a window sort uses, so NaN placement, -0.0 == 0.0, and null
+  * ordering agree with ORDER BY by construction — no negation, so
+  * integral MIN_VALUE and Float/Double NaN are safe and any orderable
+  * type (string, date, decimal…) may sort desc. Fields beyond
+  * `descFields.length` (the payload, riding behind the sort keys in
+  * the same struct) compare ascending as a deterministic tie-break.
+  * Output is the k rows as a sorted array of structs — `posexplode`
+  * yields (rank-1, row).
   */
 case class BoundedTopK(
     child: Expression,
     k: Int,
     descFields: Seq[Boolean] = Nil,
+    nullsLastFields: Seq[Boolean] = Nil,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[InternalRow]] {
@@ -52,10 +56,12 @@ case class BoundedTopK(
   private lazy val rowOrdering: Ordering[InternalRow] = {
     val orders = childSchema.zipWithIndex.map { case (f, i) =>
       val desc = i < descFields.length && descFields(i)
+      val nullsLast =
+        if (i < nullsLastFields.length) nullsLastFields(i) else desc
       SortOrder(
         BoundReference(i, f.dataType, f.nullable),
         if (desc) Descending else Ascending,
-        if (desc) NullsLast else NullsFirst,
+        if (nullsLast) NullsLast else NullsFirst,
         Seq.empty)
     }
     new InterpretedOrdering(orders.toSeq)
@@ -153,9 +159,13 @@ object BoundedTopK {
   import org.apache.spark.sql.graftshim.ColumnShim
 
   /** Column API: `boundedTopK(struct(sortKeys..., payload...), k)` →
-    * array of the k smallest structs, ascending.
+    * array of the k first structs under the per-field order
+    * (ascending nulls-first unless `descFields` / `nullsLastFields`
+    * override a field's direction or null placement).
     */
-  def boundedTopK(c: Column, k: Int): Column =
+  def boundedTopK(c: Column, k: Int, descFields: Seq[Boolean] = Nil,
+      nullsLastFields: Seq[Boolean] = Nil): Column =
     ColumnShim.column(
-      BoundedTopK(ColumnShim.expression(c), k).toAggregateExpression())
+      BoundedTopK(ColumnShim.expression(c), k, descFields, nullsLastFields)
+        .toAggregateExpression())
 }

@@ -66,19 +66,43 @@ object GraftExtensions {
     TradingDayRoll(exprs.head, holidays)
   }
 
-  /** `bounded_top_k(struct(sortKeys..., payload...), k)` with literal k. */
-  private[plans] def buildBoundedTopK(exprs: Seq[Expression]): BoundedTopK =
-    exprs(1) match {
-      case Literal(k: Int, _) => BoundedTopK(exprs.head, k)
-      case other if other.foldable =>
-        BoundedTopK(exprs.head, other.eval().asInstanceOf[Number].intValue())
+  /** An optional literal `array(bool, ...)` argument — per-field sort
+    * flags for the SQL surfaces below.
+    */
+  private def boolArrayArg(
+      exprs: Seq[Expression], i: Int, fn: String, name: String): Seq[Boolean] =
+    exprs.lift(i) match {
+      case None => Nil
+      case Some(e) if e.foldable =>
+        val arr = e.eval().asInstanceOf[ArrayData]
+        (0 until arr.numElements()).map(arr.getBoolean)
+      case Some(_) => throw new IllegalArgumentException(
+        s"$fn $name must be a literal array of booleans")
+    }
+
+  /** `bounded_top_k(struct(sortKeys..., payload...), k[, descFlags
+    * [, nullsLastFlags]])` with literal arguments; the flag arrays give
+    * struct field i its sort direction / null placement (direction
+    * default when absent), so SQL reaches everything the Column API
+    * does.
+    */
+  private[plans] def buildBoundedTopK(exprs: Seq[Expression]): BoundedTopK = {
+    val k = exprs(1) match {
+      case Literal(k: Int, _) => k
+      case other if other.foldable => other.eval().asInstanceOf[Number].intValue()
       case _ => throw new IllegalArgumentException(
         "bounded_top_k k must be a literal integer")
     }
+    BoundedTopK(exprs.head, k,
+      boolArrayArg(exprs, 2, "bounded_top_k", "descFlags"),
+      boolArrayArg(exprs, 3, "bounded_top_k", "nullsLastFlags"))
+  }
 
   /** `bounded_rank_top_k(struct(keys..., payload...), k, keyCount
-    * [, dense])` with literal arguments — the tie-aware rank/dense_rank
-    * form of bounded_top_k.
+    * [, dense[, descFlags[, nullsLastFlags]]])` with literal arguments
+    * — the tie-aware rank/dense_rank form of bounded_top_k. The flag
+    * arrays address the leading key fields exactly as in
+    * `bounded_top_k`.
     */
   private[plans] def buildBoundedRankTopK(exprs: Seq[Expression]): BoundedRankTopK = {
     def intArg(i: Int, name: String): Int = exprs.lift(i) match {
@@ -92,6 +116,8 @@ object GraftExtensions {
       case _ => throw new IllegalArgumentException(
         "bounded_rank_top_k dense must be a literal boolean")
     }
-    BoundedRankTopK(exprs.head, intArg(1, "k"), intArg(2, "keyCount"), dense)
+    BoundedRankTopK(exprs.head, intArg(1, "k"), intArg(2, "keyCount"), dense,
+      boolArrayArg(exprs, 4, "bounded_rank_top_k", "descFlags"),
+      boolArrayArg(exprs, 5, "bounded_rank_top_k", "nullsLastFlags"))
   }
 }

@@ -187,5 +187,8 @@ object NativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bounded_top_k", exprs => GraftExtensions.buildBoundedTopK(exprs),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bounded_rank_top_k", exprs => GraftExtensions.buildBoundedRankTopK(exprs),
+      "built-in")
   }
 }

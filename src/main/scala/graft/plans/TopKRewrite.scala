@@ -29,8 +29,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   * The rewrite is attempted only when it is provably safe:
   *   - the window has exactly one window expression: a plain
-  *     `row_number()` over `ROWS UNBOUNDED PRECEDING .. CURRENT ROW`,
-  *     or `rank()`/`dense_rank()` over the default RANGE frame. The
+  *     `row_number()`, `rank()` or `dense_rank()` over the `ROWS
+  *     UNBOUNDED PRECEDING .. CURRENT ROW` frame that Catalyst's
+  *     `RankLike`/`AggregateWindowFunction.frame` pins for all three
+  *     (the analyzer rejects user-specified frames on them). The
   *     rank-like functions keep boundary ties, so they map onto the
   *     tie-aware [[BoundedRankTopK]] (whole key groups retained /
   *     evicted, rank precomputed in the emitted struct) instead of the
@@ -45,14 +47,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *     rank c) survives as a residual Filter above the rewrite —
   *     sound because every original column and the rank are restored
   *     under their original ExprIds;
-  *   - every ORDER BY key uses a DEFAULT null placement — ascending
-  *     NULLS FIRST or descending NULLS LAST, exactly what `.asc` /
-  *     `.desc` / SQL `ASC`/`DESC` produce. Both directions map onto
-  *     [[BoundedTopK]]'s per-field [[SortOrder]] comparator natively
-  *     (no negation), so nullable keys and every orderable type —
-  *     including Float/Double NaN and integral MIN_VALUE — rank
-  *     exactly as the window would. The non-default placements
-  *     (`asc_nulls_last`, `desc_nulls_first`) stand down;
+  *   - every ORDER BY key maps onto [[BoundedTopK]]'s per-field
+  *     [[SortOrder]] comparator natively — both directions and BOTH
+  *     null placements (`asc_nulls_last` / `desc_nulls_first`
+  *     included), since the comparator is built from the same
+  *     SortOrder the window sort would use. No negation, so nullable
+  *     keys and every orderable type — including Float/Double NaN and
+  *     integral MIN_VALUE — rank exactly as the window would;
   *   - all carried columns are of orderable types, and k is small
   *     enough that a k-row heap per group is trivially safe.
   *
@@ -95,13 +96,13 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
       if bounds.nonEmpty
       k = bounds.map(_._1).min
       if k >= 1L && k <= MaxK
-      (keys, desc) <- sortKeys(order)
+      (keys, desc, nullsLast) = sortKeys(order)
       if keys.nonEmpty
       if keys.forall(_.deterministic) && part.forall(_.deterministic)
       if w.child.output.forall(a => RowOrdering.isOrderable(a.dataType))
     } yield {
-      val top = rewrite(stripGroupLimit(w.child), part, keys, desc, k.toInt,
-        w.child.output, rnAlias, kind)
+      val top = rewrite(stripGroupLimit(w.child), part, keys, desc, nullsLast,
+        k.toInt, w.child.output, rnAlias, kind)
       // Keep every conjunct the bound did not fully consume: non-bound
       // predicates, and partially-consumed bounds like `rn = c` (the
       // rewrite caps at c; the equality still has to pick rank c).
@@ -170,20 +171,17 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
   }
 
   /** Maps each ORDER BY key onto the aggregate's per-field struct
-    * order, or None when a key uses a non-default null placement.
-    * The aggregate's comparator is built from the same [[SortOrder]]
-    * semantics the window sort uses, so both default directions are
-    * exact for every orderable type — no negation, hence no NaN /
-    * MIN_VALUE / nullability hazard.
+    * order: (child, descending?, nullsLast?). All four
+    * direction/placement combinations are exact — the aggregate's
+    * comparator is built from the same [[SortOrder]] semantics the
+    * window sort uses, so every orderable type ranks identically (no
+    * negation, hence no NaN / MIN_VALUE / nullability hazard).
     */
-  private def sortKeys(order: Seq[SortOrder]): Option[(Seq[Expression], Seq[Boolean])] = {
-    val mapped = order.map {
-      case SortOrder(c, Ascending, NullsFirst, _) => Some((c, false))
-      case SortOrder(c, Descending, NullsLast, _) => Some((c, true))
-      case _ => None
-    }
-    if (mapped.forall(_.isDefined)) Some(mapped.flatten.unzip) else None
-  }
+  private def sortKeys(
+      order: Seq[SortOrder]): (Seq[Expression], Seq[Boolean], Seq[Boolean]) =
+    order.map { o =>
+      (o.child, o.direction == Descending, o.nullOrdering == NullsLast)
+    }.unzip3
 
   /** `InferWindowGroupLimit` may already have bounded the child; the
     * aggregate subsumes that limit, so drop it.
@@ -198,6 +196,7 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
       part: Seq[Expression],
       keys: Seq[Expression],
       desc: Seq[Boolean],
+      nullsLast: Seq[Boolean],
       k: Int,
       payload: Seq[Attribute],
       rnAlias: Alias,
@@ -211,7 +210,9 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
 
     kind match {
       case RowNum =>
-        val topk = Alias(BoundedTopK(struct, k, desc).toAggregateExpression(), "graft_topk")()
+        val topk = Alias(
+          BoundedTopK(struct, k, desc, nullsLast).toAggregateExpression(),
+          "graft_topk")()
         val agg = Aggregate(part, Seq(topk), child)
 
         val pos = AttributeReference("graft_pos", IntegerType, nullable = false)()
@@ -233,7 +234,8 @@ object RewriteRankLimitToBoundedTopK extends Rule[LogicalPlan] {
         // Ties share a rank, so position can't reproduce it: the
         // aggregate precomputes each row's rank as struct field 0.
         val fn = BoundedRankTopK(struct, k, keys.length,
-          dense = kind == DenseRankTies, descFields = desc)
+          dense = kind == DenseRankTies, descFields = desc,
+          nullsLastFields = nullsLast)
         val topk = Alias(fn.toAggregateExpression(), "graft_topk")()
         val agg = Aggregate(part, Seq(topk), child)
 

@@ -113,6 +113,31 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(topk(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(4L))
   }
 
+  test("SQL desc/nulls flags reach bounded_top_k and bounded_rank_top_k") {
+    NativeFunctions.register(spark)
+    // bounded_top_k(struct, k, descFlags): v desc → 9, 5 lead
+    val desc = spark.sql(
+      """SELECT bounded_top_k(struct(v, id), 2, array(true)) AS t
+        |FROM VALUES (5L, 1L), (3L, 2L), (9L, 3L) AS tbl(v, id)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(desc.map(_.getLong(0)) == Seq(9L, 5L))
+    // nullsLastFlags overrides asc's NULLS FIRST default: the null v
+    // sorts behind both values instead of leading
+    val nl = spark.sql(
+      """SELECT bounded_top_k(struct(v, id), 2, array(false), array(true)) AS t
+        |FROM VALUES (5L, 1L), (CAST(NULL AS BIGINT), 2L), (9L, 3L) AS tbl(v, id)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(nl.map(_.getLong(1)) == Seq(1L, 3L))
+    // bounded_rank_top_k(struct, k, keyCount, dense, descFlags): ties
+    // on the desc key share rank 1
+    val rank = spark.sql(
+      """SELECT bounded_rank_top_k(struct(v, id), 1, 1, false, array(true)) AS t
+        |FROM VALUES (9L, 1L), (9L, 2L), (3L, 3L) AS tbl(v, id)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(rank.map(r => (r.getInt(0), r.getLong(1))) == Seq((1, 9L), (1, 9L)))
+    assert(rank.map(_.getLong(2)).toSet == Set(1L, 2L))
+  }
+
   test("trading_day_roll generates code (no interpreted fallback)") {
     // non-literal child: a literal would constant-fold at plan time
     val df = spark.range(3)

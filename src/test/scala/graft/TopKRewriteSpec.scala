@@ -105,15 +105,36 @@ class TopKRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("non-default null placement stands down (desc_nulls_first)") {
+  test("non-default null placement rewrites (desc_nulls_first)") {
     withRule {
       val df = Seq(("a", 1L, Some(3.0)), ("a", 2L, None))
         .toDF("seg", "id", "price")
         .withColumn("rn",
           row_number().over(W.partitionBy($"seg").orderBy($"price".desc_nulls_first)))
         .filter($"rn" <= 1)
-      assert(hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
       assert(df.select("id").as[Long].collect().toSeq == Seq(2L))
+    }
+  }
+
+  test("non-default null placement rewrites (asc_nulls_last, both orders)") {
+    withRule {
+      val data = Seq(("a", 1L, Some(3.0)), ("a", 2L, None), ("a", 3L, Some(1.0)))
+      val ascLast = data.toDF("seg", "id", "price")
+        .withColumn("rn",
+          row_number().over(W.partitionBy($"seg").orderBy($"price".asc_nulls_last)))
+        .filter($"rn" <= 2)
+      assert(!hasWindow(ascLast), ascLast.queryExecution.optimizedPlan.treeString)
+      // nulls pushed behind the values: 1.0 rn=1, 3.0 rn=2, null rn=3 (out)
+      assert(ascLast.select("id", "rn").as[(Long, Int)].collect().toSet ==
+        Set((3L, 1), (1L, 2)))
+      // mixed placements across two keys in one window
+      val mixed = data.toDF("seg", "id", "price")
+        .withColumn("rn", row_number().over(
+          W.partitionBy($"seg").orderBy($"price".desc_nulls_first, $"id".asc)))
+        .filter($"rn" <= 1)
+      assert(!hasWindow(mixed), mixed.queryExecution.optimizedPlan.treeString)
+      assert(mixed.select("id").as[Long].collect().toSeq == Seq(2L))
     }
   }
 
@@ -254,14 +275,15 @@ class TopKRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("rank() with non-default null placement stands down") {
+  test("rank() with non-default null placement rewrites, ties kept") {
     withRule {
-      val df = Seq(("a", 1L, Some(3.0)), ("a", 2L, None))
-        .toDF("seg", "id", "price")
+      val df = Seq(("a", 1L, Some(3.0)), ("a", 2L, None), ("a", 3L, None))
+        .toDF("seg", "id", "price").repartition(3)
         .withColumn("r", rank().over(
           W.partitionBy($"seg").orderBy($"price".asc_nulls_last)))
         .filter($"r" <= 1)
-      assert(hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      assert(!hasWindow(df), df.queryExecution.optimizedPlan.treeString)
+      // asc NULLS LAST: 3.0 is rank 1; the null tie pair shares rank 2.
       assert(df.select("id").as[Long].collect().toSeq == Seq(1L))
     }
   }
@@ -399,6 +421,37 @@ class TopKRewriteSpec extends AnyFunSuite {
       val expected = run(fn, k, ruleOn = false)
       val got = run(fn, k, ruleOn = true)
       assert(got == expected, s"$fn k=$k: rewrite diverged from window")
+    }
+  }
+
+  test("randomized parity: all four null placements match the window") {
+    // ~25% null keys so null groups hit every boundary; ties via 6
+    // distinct prices. Every direction/placement combination must
+    // produce window-identical rows — none stand down any more.
+    val rnd = new scala.util.Random(7)
+    val data = Seq.tabulate(300)(i => (s"s${rnd.nextInt(3)}", i.toLong,
+      if (rnd.nextInt(4) == 0) None else Some(rnd.nextInt(6).toDouble)))
+    val orders = Seq[(String, org.apache.spark.sql.Column)](
+      ("asc_nulls_first", $"price".asc_nulls_first),
+      ("asc_nulls_last", $"price".asc_nulls_last),
+      ("desc_nulls_first", $"price".desc_nulls_first),
+      ("desc_nulls_last", $"price".desc_nulls_last))
+    def run(fn: String, ord: org.apache.spark.sql.Column,
+        ruleOn: Boolean): Set[(String, Long, Int)] = {
+      val go = () => {
+        val c = if (fn == "rank") rank() else dense_rank()
+        val df = data.toDF("seg", "id", "price").repartition(5)
+          .withColumn("r", c.over(W.partitionBy($"seg").orderBy(ord)))
+          .filter($"r" <= 3)
+        if (ruleOn) assert(!hasWindow(df), s"$fn kept its Window")
+        df.select("seg", "id", "r").as[(String, Long, Int)].collect().toSet
+      }
+      if (ruleOn) withRule(go()) else go()
+    }
+    for (fn <- Seq("rank", "dense_rank"); (name, ord) <- orders) {
+      val expected = run(fn, ord, ruleOn = false)
+      val got = run(fn, ord, ruleOn = true)
+      assert(got == expected, s"$fn over $name: rewrite diverged from window")
     }
   }
 }
