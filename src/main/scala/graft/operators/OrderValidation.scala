@@ -43,12 +43,15 @@ object OrderValidation {
 
   def validate(orders: DataFrame): DataFrame = {
     val oc = col("order_class")
+    // Python truthiness: a missing AND an empty-string symbol both fail
+    // `if symbol` (Alpaca.py:118, :871) — isNotNull alone would accept "".
+    val hasSymbol = col("symbol").isNotNull && col("symbol") =!= ""
     val withKind = orders.withColumn("recreate_kind",
       when(oc === "mleg", "mleg")
         .when(oc === "oco" || oc === "bracket", "reject_oco_bracket")
         .when(oc === "simple" && col("n_legs") > 0, "reject_simple_with_legs")
         .when(oc === "simple", "simple")
-        .when(col("symbol").isNotNull && col("n_legs") === 0, "simple")
+        .when(hasSymbol && col("n_legs") === 0, "simple")
         .otherwise("reject_unsupported"))
     withKind
       .withColumn("type_ok", in(col("otype"), OrderTypes))
@@ -67,6 +70,10 @@ object OrderValidation {
         col("limit_price_ok") && col("remaining_ok") && col("tif_ok") &&
         (col("recreate_kind") === "mleg" ||
           (col("recreate_kind") === "simple" &&
-            col("otype") === "limit" && col("symbol").isNotNull)))
+            // the reference defaults a missing type to limit
+            // (Alpaca.py:865 `ot = ... or "limit"`) and rejects
+            // falsy symbols, so null otype passes and "" fails
+            coalesce(col("otype"), lit("limit")) === "limit" &&
+            col("symbol").isNotNull && col("symbol") =!= "")))
   }
 }

@@ -5,10 +5,11 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, MapType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Misra–Gries frequent-items sketch: `m` counters per aggregation
@@ -45,6 +46,21 @@ case class MisraGries(
 
   require(m >= 1, s"misra_gries requires m >= 1, got $m")
 
+  // Map-keyed counting needs value equality on the JVM object. All
+  // atomic types provide it directly except binary (Array[Byte] is
+  // reference-equal), which is wrapped in [[MisraGries.ByteKey]];
+  // nested struct/array/map values may alias reused input buffers AND
+  // mix value classes with different equals contracts (UnsafeRow vs
+  // GenericInternalRow), so they are rejected at analysis.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StructType | _: ArrayType | _: MapType =>
+      TypeCheckResult.TypeCheckFailure(
+        s"misra_gries supports atomic item types, got ${child.dataType.catalogString}")
+    case _ => TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val isBinary = child.dataType == BinaryType
+
   private lazy val itemOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(child.dataType)
   private lazy val pairSchema: StructType = StructType(Seq(
@@ -59,17 +75,31 @@ case class MisraGries(
   override def createAggregationBuffer(): mutable.HashMap[Any, Long] =
     mutable.HashMap.empty
 
-  // Inputs may hand us buffer-backed values (UTF8String over a reused
-  // row); copy only when an item is actually retained.
-  private def owned(v: Any): Any = v match {
+  // Binary values become value-equal ByteKeys; everything else is its
+  // own map key. Lookup wraps WITHOUT copying (the wrapped array may
+  // be buffer-backed; equality doesn't retain it).
+  private def keyOf(v: Any): Any =
+    if (isBinary) new MisraGries.ByteKey(v.asInstanceOf[Array[Byte]]) else v
+
+  private def unwrap(k: Any): Any = k match {
+    case b: MisraGries.ByteKey => b.bytes
+    case o => o
+  }
+
+  // Inputs may hand us buffer-backed values (UTF8String or a binary
+  // slice over a reused row); copy only when an item is actually
+  // retained.
+  private def owned(k: Any): Any = k match {
     case s: UTF8String => s.copy()
+    case b: MisraGries.ByteKey => new MisraGries.ByteKey(b.bytes.clone())
     case o => o
   }
 
   override def update(
       buf: mutable.HashMap[Any, Long], input: org.apache.spark.sql.catalyst.InternalRow): mutable.HashMap[Any, Long] = {
-    val v = child.eval(input)
-    if (v != null) {
+    val raw = child.eval(input)
+    if (raw != null) {
+      val v = keyOf(raw)
       buf.get(v) match {
         case Some(c) => buf.update(v, c + 1) // existing stored key retained
         case None if buf.size < m => buf.update(owned(v), 1L)
@@ -109,9 +139,10 @@ case class MisraGries(
   }
 
   override def eval(buf: mutable.HashMap[Any, Long]): Any = {
-    val sorted = buf.toArray.sortWith { case ((i1, c1), (i2, c2)) =>
-      if (c1 != c2) c1 > c2 else itemOrdering.lt(i1, i2)
-    }
+    val sorted = buf.toArray.map { case (k, c) => (unwrap(k), c) }
+      .sortWith { case ((i1, c1), (i2, c2)) =>
+        if (c1 != c2) c1 > c2 else itemOrdering.lt(i1, i2)
+      }
     new GenericArrayData(sorted.map { case (item, cnt) =>
       new GenericInternalRow(Array[Any](item, cnt))
     }.toArray[Any])
@@ -123,7 +154,7 @@ case class MisraGries(
     val dos = new DataOutputStream(out)
     dos.writeInt(buf.size)
     buf.foreach { case (item, cnt) =>
-      val u = proj(new GenericInternalRow(Array[Any](item, cnt)))
+      val u = proj(new GenericInternalRow(Array[Any](unwrap(item), cnt)))
       dos.writeInt(u.getSizeInBytes)
       u.writeToStream(dos, null)
     }
@@ -143,7 +174,8 @@ case class MisraGries(
       val row = new UnsafeRow(pairSchema.length)
       row.pointTo(rowBytes, len)
       // each row owns its byte array, so the item slice stays valid
-      buf.update(row.get(0, child.dataType), row.getLong(1))
+      // (and UnsafeRow.getBinary already returns a fresh copy)
+      buf.update(keyOf(row.get(0, child.dataType)), row.getLong(1))
       i += 1
     }
     buf
@@ -159,6 +191,17 @@ case class MisraGries(
 }
 
 object MisraGries {
+
+  /** Value-equality wrapper for binary map keys: raw `Array[Byte]`
+    * compares by reference, so counters would never merge.
+    */
+  private[plans] final class ByteKey(val bytes: Array[Byte]) {
+    override def hashCode: Int = java.util.Arrays.hashCode(bytes)
+    override def equals(o: Any): Boolean = o match {
+      case b: ByteKey => java.util.Arrays.equals(bytes, b.bytes)
+      case _ => false
+    }
+  }
 
   import org.apache.spark.sql.graftshim.ColumnShim
 

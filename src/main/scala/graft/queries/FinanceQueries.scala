@@ -680,9 +680,15 @@ object FinanceQueries {
           .otherwise(lit(0L)))
       .withColumn("symbol",
         when($"order_id" % 19 === 0, lit(null).cast("string"))
+          // empty string: Python-falsy but SQL-non-null — must be
+          // rejected exactly like the missing symbol
+          .when($"order_id" % 19 === 5, lit(""))
           .otherwise(concat(lit("SYM"), ($"order_id" % 50).cast("string"))))
       .withColumn("otype",
         when($"order_id" % 23 === 0, "twap")
+          // missing type: the reference defaults it to 'limit' on the
+          // replace path, so these rows must stay replaceable
+          .when($"order_id" % 23 === 7, lit(null).cast("string"))
           .otherwise(element_at(
             array(lit("market"), lit("limit"), lit("stop"),
               lit("stop_limit"), lit("trailing_stop")),
@@ -718,8 +724,10 @@ object FinanceQueries {
       |         WHEN order_id % 3 = 0 THEN 'mleg'
       |         ELSE 'simple' END AS order_class,
       |    CASE WHEN order_id % 19 = 0 THEN NULL
+      |         WHEN order_id % 19 = 5 THEN ''
       |         ELSE 'SYM' || CAST(order_id % 50 AS VARCHAR) END AS symbol,
       |    CASE WHEN order_id % 23 = 0 THEN 'twap'
+      |         WHEN order_id % 23 = 7 THEN NULL
       |         ELSE CASE order_id % 5 WHEN 0 THEN 'market' WHEN 1 THEN 'limit'
       |              WHEN 2 THEN 'stop' WHEN 3 THEN 'stop_limit'
       |              ELSE 'trailing_stop' END END AS otype,
@@ -747,7 +755,7 @@ object FinanceQueries {
       |         WHEN order_class IN ('oco', 'bracket') THEN 'reject_oco_bracket'
       |         WHEN order_class = 'simple' AND n_legs > 0 THEN 'reject_simple_with_legs'
       |         WHEN order_class = 'simple' THEN 'simple'
-      |         WHEN symbol IS NOT NULL AND n_legs = 0 THEN 'simple'
+      |         WHEN symbol IS NOT NULL AND symbol <> '' AND n_legs = 0 THEN 'simple'
       |         ELSE 'reject_unsupported' END AS recreate_kind,
       |    COALESCE(tif, 'day') AS tif_eff,
       |    order_qty - filled_qty AS remaining
@@ -764,7 +772,8 @@ object FinanceQueries {
       |  (limit_price IS NOT NULL AND remaining > 0
       |    AND tif_eff IN ('gtc', 'ioc', 'fok', 'day', 'opg')
       |    AND (recreate_kind = 'mleg' OR (recreate_kind = 'simple'
-      |         AND otype = 'limit' AND symbol IS NOT NULL))) AS replace_ok
+      |         AND COALESCE(otype, 'limit') = 'limit'
+      |         AND symbol IS NOT NULL AND symbol <> ''))) AS replace_ok
       |FROM v ORDER BY order_id""".stripMargin
 
   val defs: Map[String, Q] = Map(

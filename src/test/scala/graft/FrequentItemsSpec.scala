@@ -74,6 +74,31 @@ class FrequentItemsSpec extends AnyFunSuite {
     assert(got.count(_._1 == "fr") <= m && got.count(_._1 == "en") <= m)
   }
 
+  test("binary items count by value, not reference (heavy hitter survives)") {
+    // Array[Byte] map keys would compare by reference and never merge
+    // counters — the ByteKey wrapper must make each distinct byte
+    // sequence ONE counter across rows and across partition merges.
+    for (parts <- Seq(1, 5)) {
+      val got = tokens.toDF("tok").repartition(parts)
+        .agg(misraGries(encode($"tok", "UTF-8"), m).as("c"))
+        .select(explode($"c").as("p"))
+        .select(decode($"p.item", "UTF-8").as("item"), $"p.cnt".as("cnt"))
+        .as[(String, Long)].collect().toMap
+      assert(Set("alpha", "beta", "gamma").subsetOf(got.keySet),
+        s"parts=$parts lost a binary heavy hitter: ${got.keySet}")
+      assert(got.size <= m)
+      got.foreach { case (item, cnt) => assert(cnt <= exact(item)) }
+    }
+  }
+
+  test("nested item types are rejected up front") {
+    val e = intercept[Exception] {
+      tokens.toDF("tok")
+        .agg(misraGries(struct($"tok"), m).as("c")).collect()
+    }
+    assert(e.getMessage.contains("atomic item types"), e.getMessage)
+  }
+
   test("propose-then-recount equals the exact heavy-hitter set") {
     val expected = exact.collect {
       case (t, c) if c * (m + 1) > n => (t, c)
