@@ -211,6 +211,55 @@ class StreamOpsSpec extends AnyFunSuite {
       s"streamed snapshot (${streamed.length} rows) != batch snapshot (${expected.length})")
   }
 
+  test("Trigger.ProcessingTime snapshot advances across live trigger cycles") {
+    // The reference's realtime mode (v2.py:456-524) polls "as of now"
+    // repeatedly against a LIVE feed — unlike AvailableNow, the query
+    // must stay up and pick up data that arrives AFTER it starts, each
+    // trigger cycle advancing the snapshot table. Two cycles with data
+    // arriving between them: the snapshot must show cycle-1 state
+    // first, then advance (newer A wins, stale B ignored), and the
+    // query must still be running at the end (no self-termination).
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tick]
+    var snapshot = Seq.empty[Tick].toDF()
+    val q = input.toDF().writeStream
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val latest = StreamOps.latestSnapshot(batch, "ts", Seq("contract"), Seq("seq"))
+        snapshot =
+          if (snapshot.isEmpty) latest
+          else StreamOps.latestSnapshot(
+            snapshot.unionByName(latest), "ts", Seq("contract"), Seq("seq"))
+        snapshot = snapshot.localCheckpoint()
+        ()
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ckpt_pt").toString)
+      .start()
+    try {
+      def snap(): Seq[(String, Double)] = snapshot.orderBy("contract").collect()
+        .map(r => (r.getAs[String]("contract"), r.getAs[Double]("value"))).toSeq
+      // cycle 1: initial state
+      input.addData(
+        Tick(ts("2024-01-01 10:00:00"), "A", 1.0, 1),
+        Tick(ts("2024-01-01 10:05:00"), "B", 2.0, 2))
+      q.processAllAvailable()
+      assert(snap() == Seq(("A", 1.0), ("B", 2.0)))
+      // data arrives while the query is live; a later cycle must fold
+      // it in: newer A replaces, older B is ignored
+      input.addData(
+        Tick(ts("2024-01-01 10:10:00"), "A", 9.0, 3),
+        Tick(ts("2024-01-01 09:00:00"), "B", 0.0, 4))
+      q.processAllAvailable()
+      assert(snap() == Seq(("A", 9.0), ("B", 2.0)))
+      // the live semantics under test: still polling, not terminated,
+      // and the two arrivals were processed by more than one batch
+      assert(q.isActive, "ProcessingTime query must keep running")
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "data arriving between trigger cycles must be processed by a later batch")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     implicit val sqlCtx = spark.sqlContext
     val signups = Seq(
