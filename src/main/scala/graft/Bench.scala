@@ -35,9 +35,10 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
 
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String = sfDir): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
@@ -69,8 +70,39 @@ object Bench {
       "\"" + name + "\":[" + passes.map(_(name)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // 10x scale-probe section: when the sf1 dataset exists (generated
+    // by tools/gen_sf1.py into target/sf1) and this run isn't already
+    // at sf1, re-bench the heavy subset there so every bench JSON
+    // carries a second scale point — a superlinear plan shows up as a
+    // ratio far above the 10x input growth instead of hiding until an
+    // audit. Skipped for filtered (arg-driven A/B) runs.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+    val probeNames = Seq("q80_ivf_multiprobe", "q81_option_data_to_save",
+      "q82_dedup_clusters", "q83_semantic_dedup", "q86_bm25_topk",
+      "q87_bloom_decontaminate", "q93_asof_forward", "q94_asof_tolerance")
+    val sf1Section =
+      if (wanted.nonEmpty || !new java.io.File(sf1Dir, "documents.parquet").exists() ||
+          new java.io.File(sfDir).getCanonicalPath ==
+            new java.io.File(sf1Dir).getCanonicalPath) ""
+      else {
+        val probe = SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (n, _) => probeNames.contains(n) }
+        probe.foreach { case (_, fn) => runOnce(fn, sf1Dir); spark.catalog.clearCache() }
+        val pPasses = Seq.fill(3)(probe.map { case (name, fn) =>
+          val sec = runOnce(fn, sf1Dir)
+          spark.catalog.clearCache()
+          name -> sec
+        }.toMap)
+        val pq = probe.map { case (name, _) =>
+          val ok = pPasses.map(_(name)).filter(_ >= 0)
+          "\"" + name + "\":" + (if (ok.isEmpty) -1.0 else ok.min)
+        }.mkString("{", ",", "}")
+        s""","sf1":{"dir":"$sf1Dir","queries":$pq}"""
+      }
+
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"$sf1Section}"""
     println(json)
     // The console line can be lost to log-tail truncation (one line per
     // 89 queries is long); persist the identical JSON where the driver

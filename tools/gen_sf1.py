@@ -39,15 +39,25 @@ def write(name, table):
     pq.write_table(table, os.path.join(DST, name + ".parquet"))
     print(f"[gen_sf1] {name}: {table.num_rows} rows")
 
-# --- events ---------------------------------------------------------
-ev = pq.read_table(os.path.join(SRC, "events.parquet"))
-eid = ev.column("event_id").to_numpy()
-parts = []
-for i in range(R):
-    t = ev.set_column(ev.schema.get_field_index("event_id"), "event_id",
-                      pa.array(eid + i * STRIDE, type=ev.schema.field("event_id").type))
-    parts.append(t)
-write("events", pa.concat_tables(parts))
+def replicate_shifted(name, id_cols):
+    """R replicas with the given id columns stride-shifted — unique ids
+    per replica; shifting l_orderkey and o_orderkey by the SAME stride
+    preserves the lineitem-orders join across replicas."""
+    t0 = pq.read_table(os.path.join(SRC, name + ".parquet"))
+    cols = {c: t0.column(c).to_numpy() for c in id_cols}
+    parts = []
+    for i in range(R):
+        t = t0
+        for c, vals in cols.items():
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pa.array(vals + i * STRIDE, type=t0.schema.field(c).type))
+        parts.append(t)
+    write(name, pa.concat_tables(parts))
+
+# --- events / lineitem / orders ------------------------------------
+replicate_shifted("events", ["event_id"])
+replicate_shifted("lineitem", ["l_orderkey"])
+replicate_shifted("orders", ["o_orderkey"])
 
 # --- documents ------------------------------------------------------
 doc = pq.read_table(os.path.join(SRC, "documents.parquet"))
