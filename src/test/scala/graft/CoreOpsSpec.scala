@@ -148,6 +148,49 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(back.map(_._4).toSeq == Seq(Some(2.0), Some(2.0), None))
   }
 
+  test("asofJoin randomized differential: multi-column fills with random nulls") {
+    // The struct-fill contract under fire: with a second value column
+    // that is null on ~1/3 of right rows, every output row must carry
+    // BOTH values from the single matched row — any per-column
+    // ignoreNulls fill would mix rows whenever the matched row has a
+    // null. Brute force picks the matched row then projects it.
+    val rnd = new scala.util.Random(23)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val leftRows = Seq.tabulate(100)(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", new Timestamp(base + rnd.nextInt(16) * 1000L)))
+    val rightRows = rnd.shuffle(
+      (for (k <- 0 until 4; t <- 0 until 16) yield (s"k$k", t)).toSeq)
+      .take(40)
+      .map { case (k, t) => (k, new Timestamp(base + t * 1000L), rnd.nextDouble(),
+        if (rnd.nextInt(3) == 0) None else Some(rnd.nextDouble())) }
+    val left = leftRows.toDF("id", "key", "t").repartition(4)
+    val right = rightRows.toDF("rkey", "rt", "rv", "rw").repartition(3)
+
+    def brute(forward: Boolean, tol: Option[Long]): Map[Long, (Option[Double], Option[Double])] =
+      leftRows.map { case (id, k, t) =>
+        val cands = rightRows.filter { case (rk, rt, _, _) =>
+          rk == k &&
+            (if (forward) rt.getTime >= t.getTime else rt.getTime <= t.getTime) &&
+            tol.forall(s => math.abs(rt.getTime - t.getTime) <= s * 1000L)
+        }
+        id -> (if (cands.isEmpty) (None, None)
+          else {
+            val m = if (forward) cands.minBy(_._2.getTime) else cands.maxBy(_._2.getTime)
+            (Some(m._3), m._4) // the matched row's values, nulls included
+          })
+      }.toMap
+
+    for (forward <- Seq(false, true); tol <- Seq(None, Some(3L))) {
+      val got = asofJoin(left, right, "key", "rkey", "t", "rt", Seq("rv", "rw"),
+          direction = if (forward) "forward" else "backward",
+          toleranceSeconds = tol)
+        .select("id", "rv", "rw")
+        .as[(Long, Option[Double], Option[Double])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == brute(forward, tol), s"forward=$forward tol=$tol")
+    }
+  }
+
   test("asofJoin keeps the matched row's nulls (no fill from farther rows)") {
     // pandas merge_asof picks ONE nearest row and takes all its
     // values — including its nulls. A per-column ignoreNulls fill
