@@ -265,6 +265,11 @@ object CoreOps {
       case other => throw new IllegalArgumentException(
         s"asofJoin direction must be backward|forward, got $other")
     }
+    require(valueCols.distinct == valueCols,
+      s"asofJoin valueCols must be distinct, got $valueCols")
+    val reserved = Seq("__k", "__ts", "__side", "__m", "__rts")
+    require(!(valueCols ++ left.columns).exists(reserved.contains),
+      s"asofJoin reserves column names ${reserved.mkString(", ")}")
     // The matched right timestamp rides along as one more filled
     // field when a tolerance has to be checked.
     val rightIn =

@@ -74,8 +74,11 @@ object GraftExtensions {
     exprs.lift(i) match {
       case None => Nil
       case Some(e) if e.foldable =>
-        val arr = e.eval().asInstanceOf[ArrayData]
-        (0 until arr.numElements()).map(arr.getBoolean)
+        e.eval() match {
+          case arr: ArrayData => (0 until arr.numElements()).map(arr.getBoolean)
+          case _ => throw new IllegalArgumentException(
+            s"$fn $name must be a literal array of booleans")
+        }
       case Some(_) => throw new IllegalArgumentException(
         s"$fn $name must be a literal array of booleans")
     }
@@ -87,9 +90,10 @@ object GraftExtensions {
     * does.
     */
   private[plans] def buildBoundedTopK(exprs: Seq[Expression]): BoundedTopK = {
-    val k = exprs(1) match {
-      case Literal(k: Int, _) => k
-      case other if other.foldable => other.eval().asInstanceOf[Number].intValue()
+    val k = exprs.lift(1) match {
+      case Some(Literal(k: Int, _)) => k
+      case Some(other) if other.foldable =>
+        other.eval().asInstanceOf[Number].intValue()
       case _ => throw new IllegalArgumentException(
         "bounded_top_k k must be a literal integer")
     }
