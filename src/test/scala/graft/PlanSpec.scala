@@ -68,6 +68,13 @@ class PlanSpec extends AnyFunSuite {
       // flipping the frame
       assert(!p.toLowerCase.contains("unboundedfollowing"),
         "as-of join must never use the quadratic UnboundedFollowing frame")
+      // the as-of itself contributes exactly ONE key shuffle (the
+      // union partitioned on __k); the dedup prep and the final ORDER
+      // BY have their own exchanges, so count only the operator's key
+      val asofExchanges = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(__k"))
+      assert(asofExchanges == 1,
+        s"as-of join must shuffle once on its key, saw $asofExchanges:\n${p.take(800)}")
     }
   }
 
