@@ -172,7 +172,7 @@ object CoreOps {
     * the shuffled data after map-side combine).
     */
   def dedupKeepLast(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ord = struct(orderCols.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, ord).as("__row"))
@@ -181,7 +181,7 @@ object CoreOps {
 
   /** Keep-first variant (Organizers.py:126 dedups keep="first"). */
   def dedupKeepFirst(df: DataFrame, keys: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     val ord = struct(orderCols.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(min_by(payload, ord).as("__row"))
@@ -307,7 +307,7 @@ object CoreOps {
     val matched = l.unionByName(r)
       .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
+      .select(leftCols.toIndexedSeq.map(col) ++
         fillCols.map(c => col("__m").getField(c).as(c)): _*)
     toleranceSeconds match {
       case None => matched

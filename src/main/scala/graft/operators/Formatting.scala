@@ -29,14 +29,14 @@ object Formatting {
 
   /** Canonical frame → legacy-dialect view. */
   def toLegacy(df: DataFrame): DataFrame =
-    df.select(df.columns.map(c => col(c).as(legacyName(c))): _*)
+    df.select(df.columns.toIndexedSeq.map(c => col(c).as(legacyName(c))): _*)
 
   /** Legacy frame → canonical lowercase schema (the normalization
     * direction of v3/utils.py:297-299).
     */
   def toCanonical(df: DataFrame): DataFrame = {
     val inverse = special.map(_.swap)
-    df.select(df.columns.map(c =>
+    df.select(df.columns.toIndexedSeq.map(c =>
       col(c).as(inverse.getOrElse(c, c.toLowerCase))): _*)
   }
 }

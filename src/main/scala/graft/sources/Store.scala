@@ -105,14 +105,14 @@ object Store {
     * full-row duplicates, drop repeated column names (keep first).
     */
   def presaveFilter(df: DataFrame): DataFrame = {
-    val lowered = df.toDF(df.columns.map(_.toLowerCase): _*)
+    val lowered = df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     val keepIdx = lowered.columns.zipWithIndex.collect {
       case (c, i) if seen.add(c) => i
     }
     val uniqueCols = keepIdx.map(i => lowered.columns(i))
     val pruned = lowered.toDF(
-      lowered.columns.zipWithIndex.map { case (c, i) => s"${c}__$i" }: _*)
+      lowered.columns.toIndexedSeq.zipWithIndex.map { case (c, i) => s"${c}__$i" }: _*)
       .select(keepIdx.map(i => col(s"${lowered.columns(i)}__$i").as(lowered.columns(i))).toSeq: _*)
     val notAllNull = uniqueCols.map(c => col(c).isNotNull)
       .reduceOption(_ || _).getOrElse(lit(true))
