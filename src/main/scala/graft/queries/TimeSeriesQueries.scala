@@ -83,11 +83,16 @@ object TimeSeriesQueries {
     val ev = Tables.load(s, dir, "events")
     val clicks = ev.filter($"event_type" === "click")
       .select($"event_id", $"ts", $"user_id", $"value")
+    // ~tenth of purchase values planted NULL: the matched row's null
+    // must SURVIVE the fill (pandas merge_asof row semantics) — this
+    // makes the DuckDB differential sensitive to any per-column
+    // ignoreNulls fill that would pull a farther row's value instead
     val purchases = dedupKeepLast(
       ev.filter($"event_type" === "purchase")
         .select($"user_id", $"ts", $"value", $"event_id"),
       Seq("user_id", "ts"), Seq("event_id"))
-      .select($"user_id".as("p_user"), $"ts".as("pts"), $"value".as("purchase_value"))
+      .select($"user_id".as("p_user"), $"ts".as("pts"),
+        when($"value" >= 10.0, $"value").as("purchase_value"))
     asofJoin(clicks, purchases, "user_id", "p_user", "ts", "pts", Seq("purchase_value"))
       .select($"event_id", $"ts", $"user_id", $"value", $"purchase_value")
       .orderBy($"event_id")
@@ -95,7 +100,8 @@ object TimeSeriesQueries {
 
   val asofClickPurchaseSql: String =
     """WITH p AS (
-      |  SELECT user_id AS p_user, ts AS pts, value AS purchase_value FROM (
+      |  SELECT user_id AS p_user, ts AS pts,
+      |    CASE WHEN value >= 10 THEN value END AS purchase_value FROM (
       |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
       |                                 ORDER BY event_id DESC) AS rn
       |    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'purchase') t WHERE rn = 1),
@@ -124,7 +130,8 @@ object TimeSeriesQueries {
       ev.filter($"event_type" === "purchase")
         .select($"user_id", $"ts", $"value", $"event_id"),
       Seq("user_id", "ts"), Seq("event_id"))
-      .select($"user_id".as("p_user"), $"ts".as("pts"), $"value".as("next_purchase_value"))
+      .select($"user_id".as("p_user"), $"ts".as("pts"),
+        when($"value" >= 10.0, $"value").as("next_purchase_value"))
     asofJoin(clicks, purchases, "user_id", "p_user", "ts", "pts",
         Seq("next_purchase_value"), direction = "forward")
       .select($"event_id", $"ts", $"user_id", $"value", $"next_purchase_value")
@@ -133,7 +140,8 @@ object TimeSeriesQueries {
 
   val asofNextPurchaseSql: String =
     """WITH p AS (
-      |  SELECT user_id AS p_user, ts AS pts, value AS next_purchase_value FROM (
+      |  SELECT user_id AS p_user, ts AS pts,
+      |    CASE WHEN value >= 10 THEN value END AS next_purchase_value FROM (
       |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
       |                                 ORDER BY event_id DESC) AS rn
       |    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'purchase') t WHERE rn = 1),
@@ -162,7 +170,8 @@ object TimeSeriesQueries {
       ev.filter($"event_type" === "purchase")
         .select($"user_id", $"ts", $"value", $"event_id"),
       Seq("user_id", "ts"), Seq("event_id"))
-      .select($"user_id".as("p_user"), $"ts".as("pts"), $"value".as("next_purchase_value"))
+      .select($"user_id".as("p_user"), $"ts".as("pts"),
+        when($"value" >= 10.0, $"value").as("next_purchase_value"))
     asofJoin(clicks, purchases, "user_id", "p_user", "ts", "pts",
         Seq("next_purchase_value"), direction = "forward",
         toleranceSeconds = Some(7200L))
@@ -172,7 +181,8 @@ object TimeSeriesQueries {
 
   val asofToleranceSql: String =
     """WITH p AS (
-      |  SELECT user_id AS p_user, ts AS pts, value AS next_purchase_value FROM (
+      |  SELECT user_id AS p_user, ts AS pts,
+      |    CASE WHEN value >= 10 THEN value END AS next_purchase_value FROM (
       |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
       |                                 ORDER BY event_id DESC) AS rn
       |    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'purchase') t WHERE rn = 1),
