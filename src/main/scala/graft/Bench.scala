@@ -72,12 +72,13 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // 10x scale-probe section: when the sf1 dataset exists (generated
-    // by tools/gen_sf1.py into target/sf1) and this run isn't already
-    // at sf1, re-bench the heavy subset there so every bench JSON
-    // carries a second scale point — a superlinear plan shows up as a
-    // ratio far above the 10x input growth instead of hiding until an
-    // audit. Skipped for filtered (arg-driven A/B) runs.
-    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+    // by tools/gen_sf1.py into probe_data/sf1 — NOT under target/,
+    // which sbt clean wipes) and this run isn't already at sf1,
+    // re-bench the heavy subset there so every bench JSON carries a
+    // second scale point — a superlinear plan shows up as a ratio far
+    // above the 10x input growth instead of hiding until an audit.
+    // Skipped for filtered (arg-driven A/B) runs.
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "probe_data/sf1")
     val probeNames = Seq("q80_ivf_multiprobe", "q81_option_data_to_save",
       "q82_dedup_clusters", "q83_semantic_dedup", "q86_bm25_topk",
       "q87_bloom_decontaminate", "q93_asof_forward", "q94_asof_tolerance")

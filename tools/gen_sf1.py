@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Generate a ~10x scale-probe dataset (sf1) from the driver's sf0.1
-tables, for benchmarking only (never correctness: the oracle gate stays
+tables (gitignored probe_data/, NOT target/ — sbt clean wipes target), for benchmarking only (never correctness: the oracle gate stays
 on driver data).
 
 Design: each scaled table gets R=10 replicas. Replicas must look like
@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/sf1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/probe_data/sf1"
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 STRIDE = 10_000_000
 
