@@ -191,6 +191,35 @@ class CoreOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("forward as-of survives a single hot key (300k left + 300k right, one partition)") {
+    // The scale contract behind the round-9 rewrite: ALL rows share
+    // one join key, so the whole dataset lands in one window
+    // partition. On the incremental frame this is a sort + linear
+    // scan (~seconds); on the old [CURRENT ROW, UNBOUNDED FOLLOWING]
+    // frame it is 300k × 300k aggregate rebuilds and this test would
+    // not return. Interleaved timestamps: left i at 2i matches right
+    // i at 2i+1... except the last left row, whose match is exact-ts
+    // only if present — right covers [1, 2n-1], so every left i<n has
+    // nearest-after right at 2i+1 with value i.
+    val n = 300000
+    val spark2 = spark
+    import spark2.implicits._
+    val left = spark.range(n).select(
+      $"id", lit("hot").as("key"),
+      timestamp_micros($"id" * 2000000L).as("t"))
+    val right = spark.range(n).select(
+      lit("hot").as("rkey"),
+      timestamp_micros($"id" * 2000000L + 1000000L).as("rt"),
+      $"id".cast("double").as("rv"))
+    val out = asofJoin(left, right, "key", "rkey", "t", "rt", Seq("rv"),
+        direction = "forward")
+    assert(out.count() == n)
+    val sampled = out.filter($"id".isin(0L, 1L, 149999L, 299999L))
+      .select("id", "rv").as[(Long, Double)].collect().toMap
+    assert(sampled == Map(0L -> 0.0, 1L -> 1.0,
+      149999L -> 149999.0, 299999L -> 299999.0))
+  }
+
   test("asofJoin keeps the matched row's nulls (no fill from farther rows)") {
     // pandas merge_asof picks ONE nearest row and takes all its
     // values — including its nulls. A per-column ignoreNulls fill
