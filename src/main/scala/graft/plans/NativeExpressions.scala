@@ -173,6 +173,33 @@ object NativeFunctions {
       holidays.map(d => java.time.LocalDate.parse(d).toEpochDay.toInt)
         .sorted.toArray))
 
+  /** Native bloom-filter pair — the exact mechanism Spark's runtime
+    * row-level filtering injects, exposed as columns: build the
+    * sketch with an aggregate over `xxhash64(col)` values, probe with
+    * the codegen [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * on a binary literal. Unlike `df.stat.bloomFilter` + a Scala UDF,
+    * the probe stays inside whole-stage codegen — no closure
+    * serialization per row on a path that sees one row per shingle.
+    */
+  def bloomAgg(hashed: Column, expectedItems: Long, fpp: Double): Column = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    ColumnShim.column(new BloomFilterAggregate(ColumnShim.expression(hashed),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Codegen membership probe against a driver-built bloom binary;
+    * `hashed` must be the same `xxhash64(col)` used to build.
+    */
+  def bloomMightContain(bloom: Array[Byte], hashed: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    ColumnShim.column(BloomFilterMightContain(
+      Literal(bloom, org.apache.spark.sql.types.BinaryType),
+      ColumnShim.expression(hashed)))
+  }
+
   /** Register the native functions for `spark.sql` use (engine-level
     * function surface; same builders as [[GraftExtensions]]).
     */

@@ -617,12 +617,17 @@ object TextQueries {
     val sh = shingles(words($"text"))
     val bench = docs.filter($"doc_id" % 100 === 0)
       .select(explode(sh).as("sh")).distinct()
-    val bf = bench.stat.bloomFilter("sh", 100000L, 0.01)
-    val mightContain = udf((x: String) => x != null && bf.mightContain(x))
+    // driver-built sketch (~100 KB binary), probed with the native
+    // codegen might_contain — the Spark-runtime-filter mechanism, not
+    // a per-row Scala UDF closure
+    val bf = bench
+      .agg(graft.plans.NativeFunctions
+        .bloomAgg(xxhash64($"sh"), 100000L, 0.01).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
     val trainShingles = docs.filter($"doc_id" % 100 =!= 0)
       .select($"doc_id", explode(sh).as("sh"))
     trainShingles
-      .filter(mightContain($"sh"))
+      .filter(graft.plans.NativeFunctions.bloomMightContain(bf, xxhash64($"sh")))
       .join(bench, Seq("sh"), "left_semi")
       .groupBy($"doc_id")
       .agg(count_distinct($"sh").as("n_overlap"))

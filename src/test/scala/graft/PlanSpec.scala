@@ -142,6 +142,14 @@ class PlanSpec extends AnyFunSuite {
     assert(sim.contains("graft.plans.Kernels.simhash"), sim.take(400))
   }
 
+  test("q87 bloom probe is the native codegen might_contain, not a UDF") {
+    val p = plan(TextQueries.bloomDecontaminate(spark, dir))
+    assert(p.contains("might_contain"), p.take(500))
+    // the per-shingle hot path must not drop out of codegen into a
+    // Scala closure
+    assert(!p.contains("UDF"), p.take(500))
+  }
+
   test("q34 cosine near-dup: bucket equi-join, no cross product") {
     val p = plan(SimilarityQueries.cosineNearDup(spark, dir))
     assert(!p.contains("CartesianProduct"))
