@@ -519,10 +519,11 @@ object TextQueries {
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(size(w).cast("long")).as("total_len"))
     val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
-    // top-3 corpus terms by total frequency: aggregate term frequency,
-    // bounded top-3 (single global group), no window
-    val termFreq = docs.select(explode(w).as("term"))
-      .groupBy($"term").agg(count(lit(1)).as("n"))
+    // top-3 corpus terms by total frequency: derived from postings
+    // (sum of per-doc tf == corpus frequency) instead of re-exploding
+    // the corpus — one less full explode+shuffle, and the postings
+    // aggregation's exchange is reused across all three consumers
+    val termFreq = postings.groupBy($"term").agg(sum($"tf").as("n"))
     val top3 = termFreq
       .agg(boundedTopK(struct((-$"n").as("negn"), $"term"), 3).as("t"))
       .select(explode($"t.term").as("term"))
