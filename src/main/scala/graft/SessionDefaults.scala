@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared local-session hygiene applied by every entry point (tests,
+  * [[Verify]], [[Bench]]): Derby — the embedded Hive-metastore
+  * database — and the SQL warehouse both live under `target/`, so a
+  * test or bench run leaves no `derby.log` / `metastore_db/` /
+  * `spark-warehouse/` droppings in the repo root that would
+  * eventually be committed by accident. Derby resolves both its log
+  * and relative database names against the `derby.system.home` JVM
+  * property, so one property covers both artifacts.
+  */
+object SessionDefaults {
+  def apply(b: SparkSession.Builder): SparkSession.Builder = {
+    val derby = new java.io.File("target/derby")
+    derby.mkdirs()
+    System.setProperty("derby.system.home", derby.getAbsolutePath)
+    b.config("spark.sql.warehouse.dir",
+      new java.io.File("target/spark-warehouse").toURI.toString)
+  }
+}

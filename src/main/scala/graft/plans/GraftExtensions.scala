@@ -67,21 +67,34 @@ object GraftExtensions {
   }
 
   /** An optional literal `array(bool, ...)` argument — per-field sort
-    * flags for the SQL surfaces below.
+    * flags for the SQL surfaces below. The element type and null-ness
+    * are checked explicitly: `ArrayData.getBoolean` would happily
+    * reinterpret `array(1, 0)` bytes as booleans and read a null slot
+    * as `false`, silently inverting a sort direction.
     */
   private def boolArrayArg(
-      exprs: Seq[Expression], i: Int, fn: String, name: String): Seq[Boolean] =
+      exprs: Seq[Expression], i: Int, fn: String, name: String): Seq[Boolean] = {
+    def fail(): Nothing = throw new IllegalArgumentException(
+      s"$fn $name must be a literal array of non-null booleans")
     exprs.lift(i) match {
       case None => Nil
       case Some(e) if e.foldable =>
-        e.eval() match {
-          case arr: ArrayData => (0 until arr.numElements()).map(arr.getBoolean)
-          case _ => throw new IllegalArgumentException(
-            s"$fn $name must be a literal array of booleans")
+        e.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.BooleanType, _) =>
+            e.eval() match {
+              case arr: ArrayData =>
+                (0 until arr.numElements()).map { j =>
+                  if (arr.isNullAt(j)) fail()
+                  arr.getBoolean(j)
+                }
+              case _ => fail()
+            }
+          case _ => fail()
         }
-      case Some(_) => throw new IllegalArgumentException(
-        s"$fn $name must be a literal array of booleans")
+      case Some(_) => fail()
     }
+  }
 
   /** `bounded_top_k(struct(sortKeys..., payload...), k[, descFlags
     * [, nullsLastFlags]])` with literal arguments; the flag arrays give

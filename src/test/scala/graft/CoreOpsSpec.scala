@@ -9,8 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.CoreOps._
 
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  lazy val spark: SparkSession = SessionDefaults(SparkSession.builder()
+    .master("local[4]"))
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

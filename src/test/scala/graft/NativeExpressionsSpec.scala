@@ -138,6 +138,33 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(rank.map(_.getLong(2)).toSet == Set(1L, 2L))
   }
 
+  test("SQL flag arrays reject non-boolean elements and null slots") {
+    NativeFunctions.register(spark)
+    // array(1, 0) would be byte-reinterpreted as booleans by a naive
+    // ArrayData.getBoolean read; must raise instead
+    val intArr = intercept[Exception] {
+      spark.sql(
+        """SELECT bounded_top_k(struct(v, id), 2, array(1, 0)) AS t
+          |FROM VALUES (5L, 1L) AS tbl(v, id)""".stripMargin).collect()
+    }
+    assert(intArr.getMessage.contains("array of non-null booleans"))
+    // a null slot would silently read as false (ascending)
+    val nullSlot = intercept[Exception] {
+      spark.sql(
+        """SELECT bounded_top_k(struct(v, id), 2,
+          |  array(true, CAST(NULL AS BOOLEAN))) AS t
+          |FROM VALUES (5L, 1L) AS tbl(v, id)""".stripMargin).collect()
+    }
+    assert(nullSlot.getMessage.contains("array of non-null booleans"))
+    // same guard on the rank surface
+    val rankBad = intercept[Exception] {
+      spark.sql(
+        """SELECT bounded_rank_top_k(struct(v, id), 1, 1, false, array(1)) AS t
+          |FROM VALUES (9L, 1L) AS tbl(v, id)""".stripMargin).collect()
+    }
+    assert(rankBad.getMessage.contains("array of non-null booleans"))
+  }
+
   test("trading_day_roll generates code (no interpreted fallback)") {
     // non-literal child: a literal would constant-fold at plan time
     val df = spark.range(3)
