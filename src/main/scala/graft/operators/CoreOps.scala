@@ -258,15 +258,43 @@ object CoreOps {
       rightTs: String,
       valueCols: Seq[String],
       direction: String = "backward",
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None): DataFrame =
+    asofJoin(left, right, Seq(leftKey), Seq(rightKey), leftTs, rightTs,
+      valueCols, direction, toleranceSeconds)
+
+  /** Composite-key as-of join — pandas `merge_asof(by=[...])`. The key
+    * columns are packed into ONE struct (`__k`), so the plan shape is
+    * identical to the single-key form: one hash shuffle on `__k`, one
+    * incremental-frame window scan per partition. Rows align when every
+    * key field is null-safe-equal (struct grouping treats nulls as
+    * equal, like `groupBy`).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      direction: String,
+      toleranceSeconds: Option[Long]): DataFrame = {
     val forward = direction match {
       case "backward" => false
       case "forward" => true
       case other => throw new IllegalArgumentException(
         s"asofJoin direction must be backward|forward, got $other")
     }
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      s"asofJoin needs matching non-empty key lists, got $leftKeys vs $rightKeys")
     require(valueCols.distinct == valueCols,
       s"asofJoin valueCols must be distinct, got $valueCols")
+    // A filled column that shadows a left column would emit two
+    // same-named output columns — ambiguous downstream. Fail fast.
+    val shadowed = valueCols.intersect(left.columns.toSeq)
+    require(shadowed.isEmpty,
+      s"asofJoin valueCols collide with left columns: ${shadowed.mkString(", ")}" +
+        " — rename on one side first")
     val reserved = Seq("__k", "__ts", "__side", "__m", "__rts")
     require(!(valueCols ++ left.columns).exists(reserved.contains),
       s"asofJoin reserves column names ${reserved.mkString(", ")}")
@@ -282,14 +310,18 @@ object CoreOps {
     val matchType = StructType(fillCols.map(c =>
       StructField(c, rightIn.schema(c).dataType, nullable = true)))
     val leftCols = left.columns
+    // Keys pack into one struct column regardless of arity; right-side
+    // fields are renamed to the left names so the structs are
+    // type-compatible for the union and hash identically.
     val l = left
-      .withColumn("__k", col(leftKey))
+      .withColumn("__k", struct(leftKeys.map(col): _*))
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++
         leftCols.map(col) :+ lit(null).cast(matchType).as("__m"): _*)
     val r = rightIn
-      .withColumn("__k", col(rightKey))
+      .withColumn("__k", struct(
+        rightKeys.zip(leftKeys).map { case (rk, lk) => col(rk).as(lk) }: _*))
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(Seq(col("__k"), col("__ts"), col("__side")) ++

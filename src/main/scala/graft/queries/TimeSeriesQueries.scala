@@ -195,6 +195,54 @@ object TimeSeriesQueries {
       |   ORDER BY p.pts LIMIT 1) AS next_purchase_value
       |FROM c ORDER BY c.event_id""".stripMargin
 
+  /** J3, composite key — pandas `merge_asof(by=["user_id", "channel"])`:
+    * the q12 LOCF attribution, but aligned per (user, channel) where
+    * `channel` is derived from the event's props payload — a purchase
+    * on channel 2 never fills a click on channel 1 even for the same
+    * user. Exercises the Seq-keys asofJoin surface: both key columns
+    * pack into one `__k` struct, so the plan is still one hash shuffle
+    * + one incremental-frame window scan.
+    */
+  def asofByChannel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("channel",
+        regexp_extract($"props", "[0-9]+", 0).cast("int") % 4)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"ts", $"user_id", $"channel", $"value")
+    val purchases = dedupKeepLast(
+      ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"channel", $"ts", $"value", $"event_id"),
+      Seq("user_id", "channel", "ts"), Seq("event_id"))
+      .select($"user_id".as("p_user"), $"channel".as("p_channel"),
+        $"ts".as("pts"),
+        when($"value" >= 10.0, $"value").as("purchase_value"))
+    asofJoin(clicks, purchases, Seq("user_id", "channel"),
+        Seq("p_user", "p_channel"), "ts", "pts", Seq("purchase_value"),
+        "backward", None)
+      .select($"event_id", $"ts", $"user_id", $"channel", $"value",
+        $"purchase_value")
+      .orderBy($"event_id")
+  }
+
+  val asofByChannelSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+      |    CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 4 AS channel
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id AS p_user, channel AS p_channel, ts AS pts,
+      |    CASE WHEN value >= 10 THEN value END AS purchase_value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, channel, ts
+      |                                 ORDER BY event_id DESC) AS rn
+      |    FROM e WHERE event_type = 'purchase') t WHERE rn = 1),
+      |c AS (
+      |  SELECT event_id, ts, user_id, channel, value FROM e WHERE event_type = 'click')
+      |SELECT c.event_id, c.ts, c.user_id, c.channel, c.value, p.purchase_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.p_user AND c.channel = p.p_channel AND c.ts >= p.pts
+      |ORDER BY c.event_id""".stripMargin
+
   /** W3 + A3 — forward-fill and per-group windowed transform
     * (v2.py:2063 `groupby("date").transform("mean")`;
     * Organizers.py:118 ffill): per user ordered by (ts, event_id),
@@ -420,6 +468,7 @@ object TimeSeriesQueries {
     "q12_asof_join" -> (asofClickPurchase(_, _)),
     "q93_asof_forward" -> (asofNextPurchase(_, _)),
     "q94_asof_tolerance" -> (asofTolerance(_, _)),
+    "q95_asof_by_channel" -> (asofByChannel(_, _)),
     "q13_ffill_running" -> (ffillRunning(_, _)),
     "q14_business_hours_daily" -> (businessHoursDaily(_, _)),
     "q15_closest_to_mean" -> (closestToMean(_, _)),
@@ -433,6 +482,7 @@ object TimeSeriesQueries {
     "q12_asof_join" -> asofClickPurchaseSql,
     "q93_asof_forward" -> asofNextPurchaseSql,
     "q94_asof_tolerance" -> asofToleranceSql,
+    "q95_asof_by_channel" -> asofByChannelSql,
     "q13_ffill_running" -> ffillRunningSql,
     "q14_business_hours_daily" -> businessHoursDailySql,
     "q15_closest_to_mean" -> closestToMeanSql,

@@ -191,6 +191,58 @@ class CoreOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin composite keys: randomized differential vs brute force with null keys") {
+    // pandas merge_asof(by=["instrument", "venue"]) analog: rows align
+    // only when BOTH key fields are (null-safe) equal. One key field is
+    // null on ~1/4 of rows on each side — struct grouping must treat
+    // null==null as a match, like groupBy, and never cross-match
+    // distinct venues at the same instrument.
+    val rnd = new scala.util.Random(47)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def venue(): Option[String] =
+      if (rnd.nextInt(4) == 0) None else Some(s"v${rnd.nextInt(3)}")
+    val leftRows = Seq.tabulate(150)(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", venue(),
+        new Timestamp(base + rnd.nextInt(16) * 1000L)))
+    val rightRows = rnd.shuffle(
+      (for (k <- 0 until 4; v <- -1 until 3; t <- 0 until 16)
+        yield (s"k$k", if (v < 0) None else Some(s"v$v"), t)).toSeq)
+      .take(90)
+      .map { case (k, v, t) =>
+        (k, v, new Timestamp(base + t * 1000L), rnd.nextDouble()) }
+    val left = leftRows.toDF("id", "key", "ven", "t").repartition(5)
+    val right = rightRows.toDF("rkey", "rven", "rt", "rv").repartition(3)
+
+    def brute(forward: Boolean, tol: Option[Long]): Map[Long, Option[Double]] =
+      leftRows.map { case (id, k, v, t) =>
+        val cands = rightRows.filter { case (rk, rv2, rt, _) =>
+          rk == k && rv2 == v &&
+            (if (forward) rt.getTime >= t.getTime else rt.getTime <= t.getTime) &&
+            tol.forall(s => math.abs(rt.getTime - t.getTime) <= s * 1000L)
+        }
+        id -> (if (cands.isEmpty) None
+          else Some((if (forward) cands.minBy(_._3.getTime)
+            else cands.maxBy(_._3.getTime))._4))
+      }.toMap
+
+    for (forward <- Seq(false, true); tol <- Seq(None, Some(3L))) {
+      val got = asofJoin(left, right, Seq("key", "ven"), Seq("rkey", "rven"),
+          "t", "rt", Seq("rv"),
+          if (forward) "forward" else "backward", tol)
+        .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+      assert(got == brute(forward, tol), s"forward=$forward tol=$tol")
+    }
+  }
+
+  test("asofJoin rejects valueCols that collide with left columns") {
+    val left = Seq((1L, "A", ts("2024-01-01 10:00:00"), 9.0)).toDF("id", "key", "t", "rv")
+    val right = Seq(("A", ts("2024-01-01 09:00:00"), 1.0)).toDF("rkey", "rt", "rv")
+    val e = intercept[IllegalArgumentException] {
+      asofJoin(left, right, "key", "rkey", "t", "rt", Seq("rv"))
+    }
+    assert(e.getMessage.contains("collide with left columns"))
+  }
+
   test("forward as-of survives a single hot key (300k left + 300k right, one partition)") {
     // The scale contract behind the round-9 rewrite: ALL rows share
     // one join key, so the whole dataset lands in one window
