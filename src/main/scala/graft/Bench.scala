@@ -11,6 +11,17 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the computation being measured).
   */
 object Bench {
+  /** sf1 probe set: the most expensive queries AND the fastest-growing
+    * ones from the full SCALE_PROBE audit (q88 9.2x, q26 8.5x on 10x
+    * data) — a superlinear drift shows here first. BenchSpec asserts
+    * every entry resolves against SparkEntry.queries so a rename can't
+    * silently shrink the probe.
+    */
+  val probeNames: Seq[String] = Seq("q26_simhash_near_dup",
+    "q80_ivf_multiprobe", "q81_option_data_to_save", "q82_dedup_clusters",
+    "q83_semantic_dedup", "q86_bm25_topk", "q87_bloom_decontaminate",
+    "q88_stream_stream_join", "q93_asof_forward", "q94_asof_tolerance")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,28 +57,35 @@ object Bench {
     // warmup (cache cleared per query so persists don't accumulate)
     queries.foreach { case (_, fn) => runOnce(fn); spark.catalog.clearCache() }
 
-    // three timed passes, keep the per-query minimum: robust against
-    // transient co-tenant load and GC pauses (observed swings >40%
-    // between whole runs on this box)
-    def timedPass(): Map[String, Double] = queries.map { case (name, fn) =>
-      val sec = runOnce(fn)
+    // Three timed passes keep the per-query minimum (robust against
+    // transient co-tenant load and GC pauses; observed swings >40%
+    // between whole runs on this box), and BenchCore re-measures any
+    // query whose pass spread exceeds 3x its min — so a future
+    // regression flag must survive a clean re-measure before anyone
+    // bisects it.
+    val fns = queries.toMap
+    def timedRun(name: String): Double = {
+      val sec = runOnce(fns(name))
       spark.catalog.clearCache()
-      name -> sec
-    }.toMap
-    val passes = Seq.fill(3)(timedPass())
-    val results = queries.map { case (name, _) =>
-      val ok = passes.map(_(name)).filter(_ >= 0)
-      name -> (if (ok.isEmpty) -1.0 else ok.min)
+      sec
     }
+    val measured = BenchCore.measure(queries.map(_._1), timedRun)
+    val results = queries.map { case (name, _) => name -> measured(name).min }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // All three raw pass times per query, so a reader can see run-to-run
-    // noise directly instead of inferring it from the min — a loaded box
-    // shows uniform inflation across the array, a plan regression shows
-    // consistent slowness.
+    // Every raw sample per query (3 passes + any outlier reruns), so a
+    // reader can see run-to-run noise directly instead of inferring it
+    // from the min — a loaded box shows one inflated slot, a plan
+    // regression shows consistent slowness; spread/reruns summarize it.
     val ps = queries.map { case (name, _) =>
-      "\"" + name + "\":[" + passes.map(_(name)).mkString(",") + "]"
+      "\"" + name + "\":[" + measured(name).samples.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val spreads = queries.map { case (name, _) =>
+      "\"" + name + "\":" + f"${measured(name).spread}%.3f"
+    }.mkString("{", ",", "}")
+    val reruns = queries.collect { case (name, _) if measured(name).reruns > 0 =>
+      "\"" + name + "\":" + measured(name).reruns
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
@@ -79,9 +97,12 @@ object Bench {
     // above the 10x input growth instead of hiding until an audit.
     // Skipped for filtered (arg-driven A/B) runs.
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "probe_data/sf1")
-    val probeNames = Seq("q80_ivf_multiprobe", "q81_option_data_to_save",
-      "q82_dedup_clusters", "q83_semantic_dedup", "q86_bm25_topk",
-      "q87_bloom_decontaminate", "q93_asof_forward", "q94_asof_tolerance")
+    // A renamed/removed query must fail loudly, not silently shrink the
+    // probe (BenchSpec enforces the same invariant at test time).
+    val missingProbe = probeNames.filterNot(SparkEntry.queries.keySet)
+    require(missingProbe.isEmpty,
+      s"sf1 probe names not registered in SparkEntry.queries: " +
+        missingProbe.mkString(", "))
     val sf1Section =
       if (wanted.nonEmpty || !new java.io.File(sf1Dir, "documents.parquet").exists() ||
           new java.io.File(sfDir).getCanonicalPath ==
@@ -90,20 +111,22 @@ object Bench {
         val probe = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (n, _) => probeNames.contains(n) }
         probe.foreach { case (_, fn) => runOnce(fn, sf1Dir); spark.catalog.clearCache() }
-        val pPasses = Seq.fill(3)(probe.map { case (name, fn) =>
-          val sec = runOnce(fn, sf1Dir)
+        val pFns = probe.toMap
+        def probeRun(name: String): Double = {
+          val sec = runOnce(pFns(name), sf1Dir)
           spark.catalog.clearCache()
-          name -> sec
-        }.toMap)
+          sec
+        }
+        val pMeasured = BenchCore.measure(probe.map(_._1), probeRun)
         val pq = probe.map { case (name, _) =>
-          val ok = pPasses.map(_(name)).filter(_ >= 0)
-          "\"" + name + "\":" + (if (ok.isEmpty) -1.0 else ok.min)
+          "\"" + name + "\":" + pMeasured(name).min
         }.mkString("{", ",", "}")
         s""","sf1":{"dir":"$sf1Dir","queries":$pq}"""
       }
 
+    val rerunsField = if (reruns == "{}") "" else s""","reruns":$reruns"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"sf":"$sfDir"$sf1Section}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"spread":$spreads$rerunsField,"sf":"$sfDir"$sf1Section}"""
     println(json)
     // The console line can be lost to log-tail truncation (one line per
     // 89 queries is long); persist the identical JSON where the driver

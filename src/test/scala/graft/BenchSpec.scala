@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's noise defenses, exercised with injected fake
+  * runners — no Spark session needed.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("a synthetic spike is detected and re-measured; min survives") {
+    // "spiky" hits a 50x load spike on pass 1 (the q70 pattern:
+    // 52 s vs a 1.1 s min), then measures clean. BenchCore must flag
+    // the spread, re-run, and confirm the clean min.
+    val script = collection.mutable.Map(
+      "spiky" -> List(5.0, 0.1, 0.1, 0.1), // 3 passes + 1 rerun
+      "steady" -> List(0.2, 0.2, 0.2))
+    def run(name: String): Double = {
+      val t :: rest = script(name): @unchecked
+      script(name) = rest
+      t
+    }
+    val out = BenchCore.measure(Seq("spiky", "steady"), run)
+    val spiky = out("spiky")
+    assert(spiky.spread > 3.0) // detected
+    assert(spiky.reruns == 1) // first rerun was clean -> stopped
+    assert(spiky.min == 0.1)
+    assert(spiky.samples == Seq(5.0, 0.1, 0.1, 0.1))
+    val steady = out("steady")
+    assert(steady.spread == 1.0 && steady.reruns == 0 && steady.min == 0.2)
+    assert(script.values.forall(_.isEmpty)) // exactly the scripted calls
+  }
+
+  test("reruns cap even when the noise never clears") {
+    // Every sample disagrees wildly: rerun budget (2) must bound the
+    // extra work, and the min still takes the best sample seen.
+    var calls = 0
+    def run(name: String): Double = {
+      calls += 1
+      Seq(9.0, 1.0, 8.0, 7.0, 6.0)(calls - 1)
+    }
+    val out = BenchCore.measure(Seq("wild"), run)
+    assert(calls == 5) // 3 passes + 2 reruns, no more
+    assert(out("wild").reruns == 2)
+    assert(out("wild").min == 1.0)
+    assert(out("wild").spread == 9.0)
+  }
+
+  test("a rerun can improve the min") {
+    val script = collection.mutable.Map(
+      "late" -> List(10.0, 2.0, 9.0, 1.0, 1.2))
+    def run(name: String): Double = {
+      val t :: rest = script(name): @unchecked
+      script(name) = rest
+      t
+    }
+    val out = BenchCore.measure(Seq("late"), run)
+    // passes 10,2,9 -> spread 5 -> rerun 1.0 (better min, but 1.0 <=
+    // 2.0*1.5 so it is itself the clean confirmation)
+    assert(out("late").min == 1.0)
+    assert(out("late").reruns == 1)
+    assert(script("late") == List(1.2)) // second rerun never taken
+  }
+
+  test("failed passes don't poison the spread or the min") {
+    val script = collection.mutable.Map("flaky" -> List(-1.0, 0.5, 0.6))
+    def run(name: String): Double = {
+      val t :: rest = script(name): @unchecked
+      script(name) = rest
+      t
+    }
+    val out = BenchCore.measure(Seq("flaky"), run)
+    assert(out("flaky").min == 0.5)
+    assert(out("flaky").spread == 1.2)
+    assert(out("flaky").reruns == 0)
+  }
+
+  test("every sf1 probe name resolves to a registered query") {
+    val missing = Bench.probeNames.filterNot(SparkEntry.queries.keySet)
+    assert(missing.isEmpty,
+      s"probe names without a registered query: ${missing.mkString(", ")}")
+  }
+}
