@@ -63,6 +63,52 @@ object PipelineQueries {
       |  CAST(SUM(n_frames) AS BIGINT) AS total_frames
       |FROM g GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** Real image decode end-to-end: every document is packed with a
+    * planted solid-gray PNG whose gray value and dimensions are
+    * arithmetic in `doc_id` (every 5th row instead carries its raw
+    * UTF-8 text — not an image), then the batch extract stage decodes
+    * REAL pixels via `javax.imageio`. Because PNG is lossless and the
+    * plant is parameterized, a DuckDB oracle predicts every decoded
+    * feature (width, height, brightness = gray/255) from `doc_id`
+    * alone, and the text rows prove the no-codec fallback path inside
+    * the same run.
+    */
+  def imageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents").select($"doc_id", $"text")
+    val mediaEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(MultimodalOps.mediaSchema)
+    val media = docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 5 == 0) r.getString(1).getBytes("UTF-8")
+          else MultimodalOps.syntheticPng((id % 256).toInt,
+            (id % 24 + 8).toInt, (id % 16 + 8).toInt)
+        org.apache.spark.sql.Row(id, "image", payload,
+          org.apache.spark.sql.Row(payload.length.toLong, 0, 0, 0L))
+      }
+    }(mediaEnc)
+    MultimodalOps.extractFeatures(media)
+      .select($"media_id".as("doc_id"), $"width", $"height", $"decoded",
+        $"brightness")
+      .orderBy($"doc_id")
+  }
+
+  val imageDecodeSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN 0
+      |       ELSE CAST(doc_id % 24 + 8 AS INTEGER) END AS width,
+      |  CASE WHEN doc_id % 5 = 0 THEN 0
+      |       ELSE CAST(doc_id % 16 + 8 AS INTEGER) END AS height,
+      |  doc_id % 5 <> 0 AS decoded,
+      |  CASE WHEN doc_id % 5 <> 0 THEN CAST(doc_id % 256 AS DOUBLE) / 255.0
+      |       WHEN len(text) = 0 THEN 0.0
+      |       ELSE CAST(list_aggregate(
+      |         list_transform(range(1, len(text) + 1), i -> ord(text[i])),
+      |         'sum') AS DOUBLE) / len(text) / 255.0 END AS brightness
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** §3.3 — ad-hoc SQL over the registered catalog: the engine's
     * `spark.sql` surface, written in the ANSI subset both engines
     * parse, so the SAME string is the oracle.
@@ -214,11 +260,13 @@ object PipelineQueries {
     "q44_multimodal_features" -> (multimodalFeatures(_, _)),
     "q45_sql_surface" -> (sqlSurface(_, _)),
     "q65_catalog_lifecycle" -> (catalogLifecycle(_, _)),
-    "q71_dsv2_endpoint_scan" -> (dsv2EndpointScan(_, _)))
+    "q71_dsv2_endpoint_scan" -> (dsv2EndpointScan(_, _)),
+    "q96_image_decode" -> (imageDecode(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q44_multimodal_features" -> multimodalFeaturesSql,
     "q45_sql_surface" -> sqlSurfaceText,
     "q65_catalog_lifecycle" -> catalogLifecycleSql,
-    "q71_dsv2_endpoint_scan" -> dsv2EndpointScanSql)
+    "q71_dsv2_endpoint_scan" -> dsv2EndpointScanSql,
+    "q96_image_decode" -> imageDecodeSql)
 }

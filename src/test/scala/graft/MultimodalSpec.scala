@@ -52,6 +52,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.groupBy("media_id").count().collect().forall(_.getLong(1) == 4))
   }
 
+  test("planted PNG decodes to real width/height/brightness") {
+    val png = MultimodalOps.syntheticPng(gray = 120, width = 17, height = 9)
+    // a real PNG signature, produced by ImageIO itself
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+    val media = Seq((5L, "image", png))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(
+        length($"payload").cast("long").as("n_bytes"), lit(17).as("width"),
+        lit(9).as("height"), lit(0L).as("duration_ms")))
+    val f = MultimodalOps.extractFeatures(media).head()
+    assert(f.getAs[Boolean]("decoded"))
+    assert(f.getAs[Int]("width") == 17 && f.getAs[Int]("height") == 9)
+    // solid gray 120: mean luminance exactly 120/255 (PNG is lossless)
+    assert(f.getAs[Double]("brightness") == 120.0 / 255.0)
+  }
+
+  test("corrupt image payload falls back to the stub, never throws") {
+    val png = MultimodalOps.syntheticPng(gray = 10, width = 12, height = 12)
+    val corrupt = png.take(20) // valid magic, truncated body
+    val media = Seq(
+      (1L, "image", corrupt),
+      (2L, "image", "not an image at all".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(
+        length($"payload").cast("long").as("n_bytes"), lit(0).as("width"),
+        lit(0).as("height"), lit(0L).as("duration_ms")))
+    val f = MultimodalOps.extractFeatures(media).orderBy("media_id").collect()
+    assert(f.forall(r => !r.getAs[Boolean]("decoded")))
+    assert(f.forall(r => r.getAs[Int]("width") == 0 && r.getAs[Int]("height") == 0))
+    // stub features still produced from the raw bytes
+    assert(f(0).getAs[Long]("checksum") == corrupt.map(_ & 0xff).sum.toLong)
+    assert(f.forall(r => {
+      val b = r.getAs[Double]("brightness"); b >= 0.0 && b <= 1.0
+    }))
+  }
+
   test("media round-trips through parquet (binary + nested meta)") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     val m = MultimodalOps.packMedia(docs, "doc_id", "text")
