@@ -19,6 +19,25 @@ candidate pairs, probing a data artifact instead of plan scaling. So:
   points. Query sets keyed on vec_id < 10 keep their original rows.
 
 Unscaled tables are symlinked from the source directory.
+
+--skew mode (default DST probe_data/sf1skew): same 10x volume, but the
+key distribution is deliberately pathological — the hot-key probe the
+uniform sf1 can't provide:
+
+- events: every 5th event (20% of 1M rows) is reassigned to ONE user
+  (user_id 0), so every per-user operator (as-of join, sessionize,
+  keep-last dedup, interval join) funnels a 200k-row partition through
+  a single key.
+- documents: every 5th doc gets a fixed 16-word boilerplate paragraph
+  PREPENDED (chunk-aligned, so q85's fixed 16-word chunking sees one
+  chunk text shared by 20% of the corpus — a hot groupBy group and a
+  hot join key). Whole-doc shingle sets stay dominated by the original
+  text, so MinHash near-dup rates stay natural (no quadratic
+  candidate artifact); this is the realistic "shared boilerplate"
+  skew, not an exact-clone explosion.
+
+Compare per-query against the uniform sf1 run: a skew-tolerant plan
+holds ~1x; a funneling plan shows the hot partition directly.
 """
 import os
 import sys
@@ -28,10 +47,18 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/probe_data/sf1"
-R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+SKEW = "--skew" in sys.argv
+argv = [a for a in sys.argv[1:] if a != "--skew"]
+SRC = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+DST = argv[1] if len(argv) > 1 else (
+    "/root/repo/probe_data/sf1skew" if SKEW else "/root/repo/probe_data/sf1")
+R = int(argv[2]) if len(argv) > 2 else 10
 STRIDE = 10_000_000
+
+# 16 words exactly: one full q85 chunk, shared verbatim by every
+# skewed document.
+BOILER = ("terms of service apply to all content on this site "
+          "please review our privacy policy carefully")
 
 os.makedirs(DST, exist_ok=True)
 
@@ -52,7 +79,16 @@ def replicate_shifted(name, id_cols):
             t = t.set_column(t.schema.get_field_index(c), c,
                              pa.array(vals + i * STRIDE, type=t0.schema.field(c).type))
         parts.append(t)
-    write(name, pa.concat_tables(parts))
+    out = pa.concat_tables(parts)
+    if SKEW and name == "events":
+        eid = out.column("event_id").to_numpy()
+        uid = out.column("user_id").to_numpy().copy()
+        hot = eid % 5 == 0
+        uid[hot] = 0
+        out = out.set_column(out.schema.get_field_index("user_id"), "user_id",
+                             pa.array(uid, type=out.schema.field("user_id").type))
+        print(f"[gen_sf1] events skew: user 0 owns {hot.mean():.0%} of rows")
+    write(name, out)
 
 # --- events / lineitem / orders ------------------------------------
 replicate_shifted("events", ["event_id"])
@@ -82,7 +118,21 @@ for i in range(R):
     t = t.set_column(doc.schema.get_field_index("doc_id"), "doc_id",
                      pa.array(did + i * STRIDE, type=doc.schema.field("doc_id").type))
     parts.append(t)
-write("documents", pa.concat_tables(parts))
+docs_out = pa.concat_tables(parts)
+if SKEW:
+    ids = docs_out.column("doc_id").to_numpy()
+    txt = docs_out.column("text").to_pylist()
+    hot = ids % 5 == 0
+    txt = [BOILER + " " + s if h else s for s, h in zip(txt, hot)]
+    docs_out = docs_out.set_column(
+        docs_out.schema.get_field_index("text"), "text",
+        pa.array(txt, type=docs_out.schema.field("text").type))
+    docs_out = docs_out.set_column(
+        docs_out.schema.get_field_index("n_chars"), "n_chars",
+        pa.array([len(s) for s in txt],
+                 type=docs_out.schema.field("n_chars").type))
+    print(f"[gen_sf1] documents skew: boilerplate chunk in {hot.mean():.0%} of docs")
+write("documents", docs_out)
 
 # --- embeddings -----------------------------------------------------
 emb = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
