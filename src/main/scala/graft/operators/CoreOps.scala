@@ -258,9 +258,10 @@ object CoreOps {
       rightTs: String,
       valueCols: Seq[String],
       direction: String = "backward",
-      toleranceSeconds: Option[Long] = None): DataFrame =
+      toleranceSeconds: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame =
     asofJoin(left, right, Seq(leftKey), Seq(rightKey), leftTs, rightTs,
-      valueCols, direction, toleranceSeconds)
+      valueCols, direction, toleranceSeconds, allowExactMatches)
 
   /** Composite-key as-of join — pandas `merge_asof(by=[...])`. The key
     * columns are packed into ONE struct (`__k`), so the plan shape is
@@ -268,6 +269,17 @@ object CoreOps {
     * incremental-frame window scan per partition. Rows align when every
     * key field is null-safe-equal (struct grouping treats nulls as
     * equal, like `groupBy`).
+    *
+    * `direction = "nearest"` (pandas `direction="nearest"`) takes the
+    * closer of the backward and forward matches (ties prefer the
+    * backward one); it runs BOTH incremental-frame fills inside the
+    * same single key shuffle — two sorts, one exchange — never a
+    * second shuffle or a quadratic frame. `allowExactMatches = false`
+    * (pandas `allow_exact_matches=False`) makes the comparison strict:
+    * an equal-timestamp right row no longer matches, implemented
+    * purely by flipping the side order at equal timestamps (left rows
+    * sort before right rows, so the fill can't see them) — the plan
+    * is unchanged.
     */
   def asofJoin(
       left: DataFrame,
@@ -278,13 +290,12 @@ object CoreOps {
       rightTs: String,
       valueCols: Seq[String],
       direction: String,
-      toleranceSeconds: Option[Long]): DataFrame = {
-    val forward = direction match {
-      case "backward" => false
-      case "forward" => true
-      case other => throw new IllegalArgumentException(
-        s"asofJoin direction must be backward|forward, got $other")
-    }
+      toleranceSeconds: Option[Long],
+      allowExactMatches: Boolean): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asofJoin direction must be backward|forward|nearest, got $direction")
+    val nearest = direction == "nearest"
+    val forward = direction == "forward"
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       s"asofJoin needs matching non-empty key lists, got $leftKeys vs $rightKeys")
     require(valueCols.distinct == valueCols,
@@ -295,15 +306,16 @@ object CoreOps {
     require(shadowed.isEmpty,
       s"asofJoin valueCols collide with left columns: ${shadowed.mkString(", ")}" +
         " — rename on one side first")
-    val reserved = Seq("__k", "__ts", "__side", "__m", "__rts")
+    val reserved = Seq("__k", "__ts", "__side", "__m", "__mb", "__mf", "__rts")
     require(!(valueCols ++ left.columns).exists(reserved.contains),
       s"asofJoin reserves column names ${reserved.mkString(", ")}")
     // The matched right timestamp rides along as one more filled
-    // field when a tolerance has to be checked.
+    // field when a tolerance or nearest-pick needs the distance.
+    val needRts = toleranceSeconds.isDefined || nearest
     val rightIn =
-      if (toleranceSeconds.isDefined) right.withColumn("__rts", col(rightTs))
+      if (needRts) right.withColumn("__rts", col(rightTs))
       else right
-    val fillCols = if (toleranceSeconds.isDefined) valueCols :+ "__rts" else valueCols
+    val fillCols = if (needRts) valueCols :+ "__rts" else valueCols
     // One struct carries every filled field, so the fill picks a
     // whole matched ROW at once — a null value inside the matched row
     // stays null instead of being replaced by a farther row's value.
@@ -331,26 +343,57 @@ object CoreOps {
     // modes: ascending ts for backward, descending for forward. The
     // fill is then always last(...) over [UNBOUNDED PRECEDING,
     // CURRENT ROW] — the frame Spark evaluates incrementally, O(n)
-    // per partition. Right rows sort before left rows at equal __ts
-    // (side 0 < 1) so exact-timestamp matches are inclusive.
-    val ord = if (forward) col("__ts").desc else col("__ts").asc
-    val w = Window.partitionBy(col("__k")).orderBy(ord, col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l.unionByName(r)
-      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(leftCols.toIndexedSeq.map(col) ++
-        fillCols.map(c => col("__m").getField(c).as(c)): _*)
-    toleranceSeconds match {
-      case None => matched
-      case Some(tol) =>
-        // signed seconds from left to matched right (fractional-second
-        // exact via epoch doubles); out-of-bound matches null out
-        val dt = col("__rts").cast("double") - col(leftTs).cast("double")
-        val ok = if (forward) dt <= tol else -dt <= tol
-        valueCols.foldLeft(matched) { (df, c) =>
-          df.withColumn(c, when(ok, col(c)))
-        }.drop("__rts")
+    // per partition. At equal __ts, right rows (side 0) sort before
+    // left rows when exact matches are allowed — inclusive — and
+    // AFTER them when they aren't, so the fill can't see them.
+    val sideOrd =
+      if (allowExactMatches) col("__side").asc else col("__side").desc
+    def fill(ord: Column) =
+      last(col("__m"), ignoreNulls = true).over(
+        Window.partitionBy(col("__k")).orderBy(ord, sideOrd)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val union = l.unionByName(r)
+    if (nearest) {
+      // Both directional fills inside the SAME key shuffle (the two
+      // windows share the hash partitioning — Spark plans one
+      // Exchange and two sorts), then pick per row by distance.
+      val both = union
+        .withColumn("__mb", fill(col("__ts").asc))
+        .withColumn("__mf", fill(col("__ts").desc))
+        .filter(col("__side") === 1)
+      val db = col(leftTs).cast("double") -
+        col("__mb").getField("__rts").cast("double")
+      val df = col("__mf").getField("__rts").cast("double") -
+        col(leftTs).cast("double")
+      val bOk = col("__mb").isNotNull &&
+        toleranceSeconds.map(t => db <= t.toDouble).getOrElse(lit(true))
+      val fOk = col("__mf").isNotNull &&
+        toleranceSeconds.map(t => df <= t.toDouble).getOrElse(lit(true))
+      // tie (db == df) prefers the backward match
+      val chosen = when(bOk && (!fOk || db <= df), col("__mb"))
+        .when(fOk, col("__mf"))
+      both.withColumn("__m", chosen)
+        .select(leftCols.toIndexedSeq.map(col) ++
+          valueCols.map(c => col("__m").getField(c).as(c)): _*)
+    } else {
+      val ord = if (forward) col("__ts").desc else col("__ts").asc
+      val matched = union
+        .withColumn("__m", fill(ord))
+        .filter(col("__side") === 1)
+        .select(leftCols.toIndexedSeq.map(col) ++
+          fillCols.map(c => col("__m").getField(c).as(c)): _*)
+      toleranceSeconds match {
+        case None => matched
+        case Some(tol) =>
+          // signed seconds from left to matched right (fractional-
+          // second exact via epoch doubles); out-of-bound matches
+          // null out
+          val dt = col("__rts").cast("double") - col(leftTs).cast("double")
+          val ok = if (forward) dt <= tol else -dt <= tol
+          valueCols.foldLeft(matched) { (df, c) =>
+            df.withColumn(c, when(ok, col(c)))
+          }.drop("__rts")
+      }
     }
   }
 

@@ -195,6 +195,65 @@ object TimeSeriesQueries {
       |   ORDER BY p.pts LIMIT 1) AS next_purchase_value
       |FROM c ORDER BY c.event_id""".stripMargin
 
+  /** J3, nearest direction — pandas `merge_asof(direction="nearest",
+    * tolerance=...)`: each click attributed to the CLOSEST purchase
+    * within ±2 hours, whichever side it falls on (ties prefer the
+    * backward match). Both directional fills run inside ONE key
+    * shuffle (two sorts, same exchange — PlanSpec holds the as-of
+    * one-shuffle contract on this query too). DuckDB ASOF JOIN has no
+    * nearest mode, so the oracle states the definition directly with
+    * bounded correlated subqueries for both sides and picks by
+    * distance.
+    */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"ts", $"user_id", $"value")
+    val purchases = dedupKeepLast(
+      ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value", $"event_id"),
+      Seq("user_id", "ts"), Seq("event_id"))
+      .select($"user_id".as("p_user"), $"ts".as("pts"),
+        when($"value" >= 10.0, $"value").as("nearest_purchase_value"))
+    asofJoin(clicks, purchases, Seq("user_id"), Seq("p_user"), "ts", "pts",
+        Seq("nearest_purchase_value"), "nearest", Some(7200L),
+        allowExactMatches = true)
+      .select($"event_id", $"ts", $"user_id", $"value",
+        $"nearest_purchase_value")
+      .orderBy($"event_id")
+  }
+
+  val asofNearestSql: String =
+    """WITH p AS (
+      |  SELECT user_id AS p_user, ts AS pts,
+      |    CASE WHEN value >= 10 THEN value END AS pv FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, ts
+      |                                 ORDER BY event_id DESC) AS rn
+      |    FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'purchase') t WHERE rn = 1),
+      |c AS (
+      |  SELECT event_id, ts, user_id, value FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT c.event_id, c.ts, c.user_id, c.value,
+      |    (SELECT p.pts FROM p WHERE p.p_user = c.user_id AND p.pts <= c.ts
+      |     ORDER BY p.pts DESC LIMIT 1) AS bts,
+      |    (SELECT p.pv FROM p WHERE p.p_user = c.user_id AND p.pts <= c.ts
+      |     ORDER BY p.pts DESC LIMIT 1) AS bv,
+      |    (SELECT p.pts FROM p WHERE p.p_user = c.user_id AND p.pts >= c.ts
+      |     ORDER BY p.pts LIMIT 1) AS fts,
+      |    (SELECT p.pv FROM p WHERE p.p_user = c.user_id AND p.pts >= c.ts
+      |     ORDER BY p.pts LIMIT 1) AS fv
+      |  FROM c),
+      |d AS (
+      |  SELECT *,
+      |    bts IS NOT NULL AND epoch(ts) - epoch(bts) <= 7200 AS bok,
+      |    fts IS NOT NULL AND epoch(fts) - epoch(ts) <= 7200 AS fok
+      |  FROM m)
+      |SELECT event_id, ts, user_id, value,
+      |  CASE WHEN bok AND (NOT fok OR epoch(ts) - epoch(bts) <= epoch(fts) - epoch(ts)) THEN bv
+      |       WHEN fok THEN fv END AS nearest_purchase_value
+      |FROM d ORDER BY event_id""".stripMargin
+
   /** J3, composite key — pandas `merge_asof(by=["user_id", "channel"])`:
     * the q12 LOCF attribution, but aligned per (user, channel) where
     * `channel` is derived from the event's props payload — a purchase
@@ -219,7 +278,7 @@ object TimeSeriesQueries {
         when($"value" >= 10.0, $"value").as("purchase_value"))
     asofJoin(clicks, purchases, Seq("user_id", "channel"),
         Seq("p_user", "p_channel"), "ts", "pts", Seq("purchase_value"),
-        "backward", None)
+        "backward", None, allowExactMatches = true)
       .select($"event_id", $"ts", $"user_id", $"channel", $"value",
         $"purchase_value")
       .orderBy($"event_id")
@@ -469,6 +528,7 @@ object TimeSeriesQueries {
     "q93_asof_forward" -> (asofNextPurchase(_, _)),
     "q94_asof_tolerance" -> (asofTolerance(_, _)),
     "q95_asof_by_channel" -> (asofByChannel(_, _)),
+    "q98_asof_nearest" -> (asofNearest(_, _)),
     "q13_ffill_running" -> (ffillRunning(_, _)),
     "q14_business_hours_daily" -> (businessHoursDaily(_, _)),
     "q15_closest_to_mean" -> (closestToMean(_, _)),
@@ -483,6 +543,7 @@ object TimeSeriesQueries {
     "q93_asof_forward" -> asofNextPurchaseSql,
     "q94_asof_tolerance" -> asofToleranceSql,
     "q95_asof_by_channel" -> asofByChannelSql,
+    "q98_asof_nearest" -> asofNearestSql,
     "q13_ffill_running" -> ffillRunningSql,
     "q14_business_hours_daily" -> businessHoursDailySql,
     "q15_closest_to_mean" -> closestToMeanSql,

@@ -191,6 +191,57 @@ class CoreOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoin nearest + strict: randomized differential vs brute force") {
+    // direction="nearest" picks the closer of backward/forward (ties
+    // -> backward); allowExactMatches=false excludes equal-timestamp
+    // rows entirely. Heavy ts collisions (15 distinct seconds) make
+    // both the tie rule and the strictness observable.
+    val rnd = new scala.util.Random(61)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val leftRows = Seq.tabulate(120)(i =>
+      (i.toLong, s"k${rnd.nextInt(4)}", new Timestamp(base + rnd.nextInt(15) * 1000L)))
+    val rightRows = rnd.shuffle(
+      (for (k <- 0 until 4; t <- 0 until 15) yield (s"k$k", t)).toSeq)
+      .take(40)
+      .map { case (k, t) => (k, new Timestamp(base + t * 1000L), rnd.nextDouble()) }
+    val left = leftRows.toDF("id", "key", "t").repartition(5)
+    val right = rightRows.toDF("rkey", "rt", "rv").repartition(3)
+
+    def brute(direction: String, tol: Option[Long], exact: Boolean): Map[Long, Option[Double]] =
+      leftRows.map { case (id, k, t) =>
+        def cands(fwd: Boolean) = rightRows.filter { case (rk, rt, _) =>
+          rk == k &&
+            (if (fwd) rt.getTime > t.getTime || (exact && rt.getTime == t.getTime)
+             else rt.getTime < t.getTime || (exact && rt.getTime == t.getTime)) &&
+            tol.forall(s => math.abs(rt.getTime - t.getTime) <= s * 1000L)
+        }
+        val b = cands(fwd = false).sortBy(_._2.getTime).lastOption
+        val f = cands(fwd = true).sortBy(_._2.getTime).headOption
+        val m = direction match {
+          case "backward" => b
+          case "forward" => f
+          case "nearest" => (b, f) match {
+            case (Some(bm), Some(fm)) =>
+              val db = t.getTime - bm._2.getTime
+              val df = fm._2.getTime - t.getTime
+              if (db <= df) Some(bm) else Some(fm)
+            case _ => b.orElse(f)
+          }
+        }
+        id -> m.map(_._3)
+      }.toMap
+
+    for (direction <- Seq("backward", "forward", "nearest");
+        tol <- Seq(None, Some(3L));
+        exact <- Seq(true, false)) {
+      val got = asofJoin(left, right, Seq("key"), Seq("rkey"), "t", "rt",
+          Seq("rv"), direction, tol, allowExactMatches = exact)
+        .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+      assert(got == brute(direction, tol, exact),
+        s"direction=$direction tol=$tol exact=$exact")
+    }
+  }
+
   test("asofJoin composite keys: randomized differential vs brute force with null keys") {
     // pandas merge_asof(by=["instrument", "venue"]) analog: rows align
     // only when BOTH key fields are (null-safe) equal. One key field is
@@ -228,7 +279,7 @@ class CoreOpsSpec extends AnyFunSuite {
     for (forward <- Seq(false, true); tol <- Seq(None, Some(3L))) {
       val got = asofJoin(left, right, Seq("key", "ven"), Seq("rkey", "rven"),
           "t", "rt", Seq("rv"),
-          if (forward) "forward" else "backward", tol)
+          if (forward) "forward" else "backward", tol, allowExactMatches = true)
         .select("id", "rv").as[(Long, Option[Double])].collect().toMap
       assert(got == brute(forward, tol), s"forward=$forward tol=$tol")
     }

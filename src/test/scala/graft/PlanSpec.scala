@@ -54,7 +54,9 @@ class PlanSpec extends AnyFunSuite {
   test("q12/q93/q94 as-of joins: one shuffle on the key, no cartesian/range join") {
     for (q <- Seq(TimeSeriesQueries.asofClickPurchase(spark, dir),
         TimeSeriesQueries.asofNextPurchase(spark, dir),
-        TimeSeriesQueries.asofTolerance(spark, dir))) {
+        TimeSeriesQueries.asofTolerance(spark, dir),
+        TimeSeriesQueries.asofByChannel(spark, dir),
+        TimeSeriesQueries.asofNearest(spark, dir))) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), p.take(300))
       assert(!p.contains("BroadcastNestedLoopJoin"), p.take(300))
