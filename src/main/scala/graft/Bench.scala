@@ -20,7 +20,8 @@ object Bench {
   val probeNames: Seq[String] = Seq("q26_simhash_near_dup",
     "q80_ivf_multiprobe", "q81_option_data_to_save", "q82_dedup_clusters",
     "q83_semantic_dedup", "q86_bm25_topk", "q87_bloom_decontaminate",
-    "q88_stream_stream_join", "q93_asof_forward", "q94_asof_tolerance")
+    "q88_stream_stream_join", "q93_asof_forward", "q94_asof_tolerance",
+    "q96_image_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

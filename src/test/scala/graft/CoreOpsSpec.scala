@@ -323,6 +323,33 @@ class CoreOpsSpec extends AnyFunSuite {
       149999L -> 149999.0, 299999L -> 299999.0))
   }
 
+  test("nearest as-of survives a single hot key (300k + 300k, one partition)") {
+    // nearest runs BOTH directional fills on the hot partition — two
+    // incremental-frame scans, one shuffle. Right i sits at 2i+1,
+    // between left i (2i) and left i+1 (2i+2): forward distance from
+    // left i is 1s, backward distance 1s from right i-1 — a pure tie
+    // landscape where every left i>0 has backward right i-1 at -1s
+    // and forward right i at +1s; the tie rule picks backward (i-1),
+    // while left 0 has only the forward match (0).
+    val n = 300000
+    val spark2 = spark
+    import spark2.implicits._
+    val left = spark.range(n).select(
+      $"id", lit("hot").as("key"),
+      timestamp_micros($"id" * 2000000L).as("t"))
+    val right = spark.range(n).select(
+      lit("hot").as("rkey"),
+      timestamp_micros($"id" * 2000000L + 1000000L).as("rt"),
+      $"id".cast("double").as("rv"))
+    val out = asofJoin(left, right, Seq("key"), Seq("rkey"), "t", "rt",
+      Seq("rv"), "nearest", None, allowExactMatches = true)
+    assert(out.count() == n)
+    val sampled = out.filter($"id".isin(0L, 1L, 149999L, 299999L))
+      .select("id", "rv").as[(Long, Double)].collect().toMap
+    assert(sampled == Map(0L -> 0.0, 1L -> 0.0,
+      149999L -> 149998.0, 299999L -> 299998.0))
+  }
+
   test("asofJoin keeps the matched row's nulls (no fill from farther rows)") {
     // pandas merge_asof picks ONE nearest row and takes all its
     // values — including its nulls. A per-column ignoreNulls fill
