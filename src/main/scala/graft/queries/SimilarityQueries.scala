@@ -352,26 +352,60 @@ object SimilarityQueries {
       .select($"vec_id", transform($"q0", x =>
         round(x.cast("double") / sqrt($"nsq0".cast("double")) * lit(1e6))
           .cast("long")).as("q"))
-    val sample = emb.filter(pmod($"vec_id", lit(4)) === 0)
+    // The training sample is re-read by every seed step and Lloyd
+    // iteration (~k + iters small jobs): materialize it ONCE instead
+    // of re-scanning parquet and re-quantizing each time — at 100 TB
+    // this is "stage the ≤100k-vector sample", the standard IVF
+    // training shape.
+    val sample = emb.filter(pmod($"vec_id", lit(4)) === 0).localCheckpoint()
     def d2(q: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
       aggregate(zip_with(q, c, (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v)
-    // farthest-first seeds; localCheckpoint keeps the k-step loop's
-    // plan shallow (the seed set is ≤ k rows)
-    var seeds = sample
+    // Farthest-first seeds, computed in ONE task over the staged
+    // sample (k sequential Spark jobs of ~500 rows each would pay
+    // ~k job launches for no parallelism — the sample is single-node
+    // by design). Tie rules match the SQL oracle exactly: first seed
+    // = min (md5(vec_id), vec_id); each next = max min-distance to
+    // the chosen set, smallest vec_id on ties.
+    val kSeeds = k
+    val seeds = sample
       .withColumn("h", md5($"vec_id".cast("string")))
-      .orderBy($"h", $"vec_id").limit(1)
-      .select(lit(1).as("ccid"), $"q".as("cvec"))
+      .select($"h", $"vec_id", $"q")
+      .as[(String, Long, Array[Long])]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          def dist(a: Array[Long], b: Array[Long]): Long = {
+            var s = 0L; var i = 0
+            while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+            s
+          }
+          val first = rows.minBy(t => (t._1, t._2))
+          val chosen = scala.collection.mutable.ArrayBuffer(first)
+          val minD = rows.map(r => dist(r._3, first._3))
+          while (chosen.size < kSeeds) {
+            var best = 0
+            var i = 1
+            while (i < rows.length) {
+              if (minD(i) > minD(best) ||
+                  (minD(i) == minD(best) && rows(i)._2 < rows(best)._2)) best = i
+              i += 1
+            }
+            val nxt = rows(best)
+            chosen += nxt
+            var j = 0
+            while (j < rows.length) {
+              val d = dist(rows(j)._3, nxt._3)
+              if (d < minD(j)) minD(j) = d
+              j += 1
+            }
+          }
+          chosen.iterator.zipWithIndex.map { case (r, i) => (i + 1, r._3) }
+        }
+      }
+      .toDF("ccid", "cvec")
       .localCheckpoint()
-    for (t <- 2 to k) {
-      val next = sample.crossJoin(broadcast(seeds))
-        .select($"vec_id", $"q", d2($"q", $"cvec").as("d2"))
-        .groupBy($"vec_id")
-        .agg(min($"d2").as("mind2"), first($"q").as("q"))
-        .orderBy($"mind2".desc, $"vec_id")
-        .limit(1)
-        .select(lit(t).as("ccid"), $"q".as("cvec"))
-      seeds = seeds.unionByName(next).localCheckpoint()
-    }
     // Lloyd: assign sample to nearest centroid, recenter, repeat
     var cent = seeds
     for (_ <- 1 to iters) {
