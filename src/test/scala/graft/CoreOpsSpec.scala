@@ -323,6 +323,50 @@ class CoreOpsSpec extends AnyFunSuite {
       149999L -> 149999.0, 299999L -> 299999.0))
   }
 
+  test("asofJoin composite keys + nearest compose (randomized differential)") {
+    // The two new surfaces used together: (key, venue) struct keys
+    // with the nearest distance pick and a tolerance bound.
+    val rnd = new scala.util.Random(83)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val leftRows = Seq.tabulate(100)(i =>
+      (i.toLong, s"k${rnd.nextInt(3)}", s"v${rnd.nextInt(2)}",
+        new Timestamp(base + rnd.nextInt(12) * 1000L)))
+    val rightRows = rnd.shuffle(
+      (for (k <- 0 until 3; v <- 0 until 2; t <- 0 until 12)
+        yield (s"k$k", s"v$v", t)).toSeq)
+      .take(40)
+      .map { case (k, v, t) =>
+        (k, v, new Timestamp(base + t * 1000L), rnd.nextDouble()) }
+    val left = leftRows.toDF("id", "key", "ven", "t").repartition(4)
+    val right = rightRows.toDF("rkey", "rven", "rt", "rv").repartition(3)
+
+    def brute(tol: Option[Long]): Map[Long, Option[Double]] =
+      leftRows.map { case (id, k, v, t) =>
+        val cands = rightRows.filter { case (rk, rv2, rt, _) =>
+          rk == k && rv2 == v &&
+            tol.forall(s => math.abs(rt.getTime - t.getTime) <= s * 1000L)
+        }
+        val b = cands.filter(_._3.getTime <= t.getTime)
+          .sortBy(_._3.getTime).lastOption
+        val f = cands.filter(_._3.getTime >= t.getTime)
+          .sortBy(_._3.getTime).headOption
+        val m = (b, f) match {
+          case (Some(bm), Some(fm)) =>
+            if (t.getTime - bm._3.getTime <= fm._3.getTime - t.getTime) Some(bm)
+            else Some(fm)
+          case _ => b.orElse(f)
+        }
+        id -> m.map(_._4)
+      }.toMap
+
+    for (tol <- Seq(None, Some(2L))) {
+      val got = asofJoin(left, right, Seq("key", "ven"), Seq("rkey", "rven"),
+          "t", "rt", Seq("rv"), "nearest", tol, allowExactMatches = true)
+        .select("id", "rv").as[(Long, Option[Double])].collect().toMap
+      assert(got == brute(tol), s"tol=$tol")
+    }
+  }
+
   test("nearest as-of survives a single hot key (300k + 300k, one partition)") {
     // nearest runs BOTH directional fills on the hot partition — two
     // incremental-frame scans, one shuffle. Right i sits at 2i+1,
