@@ -423,6 +423,63 @@ object CoreOps {
   }
 
   // -------------------------------------------------------------------
+  // Range joins — bucketized rewrite of the no-equi-key interval join.
+  // -------------------------------------------------------------------
+
+  /** Floor time bucket of `ts` at `widthUs` microseconds, as an exact
+    * long. Built as `(us - pmod(us, w)) / w`: the numerator is an
+    * exact multiple of `w`, so the division is exact in double and the
+    * cast is lossless — no floating-point boundary flicker at any
+    * epoch, unlike `floor(us / w)` on raw micros. Works for negative
+    * (pre-1970) timestamps because `pmod` returns the positive
+    * remainder.
+    */
+  def timeBucket(ts: Column, widthUs: Long): Column = {
+    require(widthUs > 0, s"timeBucket width must be positive, got $widthUs")
+    val us = unix_micros(ts)
+    ((us - pmod(us, lit(widthUs))) / lit(widthUs)).cast("long")
+  }
+
+  /** Point-in-interval join WITHOUT an equality key — `point.ts ∈
+    * [interval.start, interval.end]` and nothing else to hash on.
+    * Spark plans that predicate as BroadcastNestedLoopJoin (every
+    * point compared with every interval — O(P×I) and a broadcast of
+    * one whole side), which is exactly the shape that dies first at
+    * 100 TB. The bucketized rewrite turns it into an equi-join:
+    * each interval explodes to the `span/width + 1` time buckets it
+    * covers, each point maps to exactly ONE bucket, both sides
+    * hash-partition on the bucket, and the exact containment check
+    * survives as a cheap post-filter on the matched pairs. Cost is
+    * O(P + I·⌈span/width⌉ + bucket-local pairs): pick `widthUs` near
+    * the typical interval span so the explode factor stays ~2 and a
+    * bucket holds only genuinely-near rows.
+    *
+    * Intervals are typically derived aggregates (maintenance windows,
+    * error bursts, trading halts), so the exploded side stays small;
+    * Catalyst still broadcasts it when it fits, but unlike the nested
+    * loop the fallback is a shuffled hash/sort-merge join on the
+    * bucket — linear, partitioned, AQE-splittable.
+    */
+  def pointInIntervalJoin(points: DataFrame, pointTs: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      widthUs: Long): DataFrame = {
+    val reserved = Seq("__b", "__bs", "__be")
+    require(reserved.forall(c => !points.columns.contains(c) &&
+      !intervals.columns.contains(c)),
+      s"columns ${reserved.mkString(", ")} are reserved by pointInIntervalJoin")
+    require(points.columns.intersect(intervals.columns).isEmpty,
+      "pointInIntervalJoin requires disjoint column names; rename before joining: " +
+        points.columns.intersect(intervals.columns).mkString(", "))
+    val exploded = intervals
+      .withColumn("__b", explode(sequence(
+        timeBucket(col(startCol), widthUs), timeBucket(col(endCol), widthUs))))
+    points.withColumn("__b", timeBucket(col(pointTs), widthUs))
+      .join(exploded, Seq("__b"))
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("__b")
+  }
+
+  // -------------------------------------------------------------------
   // F7-F9 — quote arithmetic.
   // Reference: v2.py:889 (midpoint), v3/utils.py:355-357 (weighted
   // midpoint), utils.py:278-300 (bootstrap_ohlc).

@@ -521,6 +521,99 @@ object TimeSeriesQueries {
       |FROM j GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Point-in-interval join with NO equality key: purchases that fall
+    * inside per-hour error-burst windows (each window = [first, last]
+    * error timestamp of an hour with ≥2 errors). Runs through
+    * [[graft.operators.CoreOps.pointInIntervalJoin]] — the bucketized
+    * rewrite — so the physical plan is an equi-join on the time
+    * bucket, never a BroadcastNestedLoopJoin (PlanSpec asserts this):
+    * the shape that survives 100 TB of points against a derived
+    * window table.
+    */
+  def errorWindowJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val windows = ev.filter($"event_type" === "error")
+      .groupBy(date_trunc("hour", $"ts").as("w_hour"))
+      .agg(count(lit(1)).as("n_errors"),
+        min($"ts").as("w_start"), max($"ts").as("w_end"))
+      .filter($"n_errors" >= 2)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"ts".as("p_ts"), $"value".as("p_value"))
+    graft.operators.CoreOps.pointInIntervalJoin(
+        purchases, "p_ts", windows, "w_start", "w_end", 3600L * 1000000L)
+      .groupBy($"w_hour", $"n_errors")
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.operators.CoreOps.dsum($"p_value").as("purchase_value"))
+      .orderBy($"w_hour")
+  }
+
+  val errorWindowJoinSql: String =
+    """WITH e AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |w AS (
+      |  SELECT date_trunc('hour', ts) AS w_hour, COUNT(*) AS n_errors,
+      |    MIN(ts) AS w_start, MAX(ts) AS w_end
+      |  FROM e WHERE event_type = 'error'
+      |  GROUP BY 1 HAVING COUNT(*) >= 2),
+      |p AS (SELECT ts AS p_ts, value AS p_value FROM e WHERE event_type = 'purchase')
+      |SELECT w_hour, n_errors, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CAST(p_value AS DECIMAL(30,4))) AS DOUBLE) AS purchase_value
+      |FROM p JOIN w ON p_ts >= w_start AND p_ts <= w_end
+      |GROUP BY w_hour, n_errors
+      |ORDER BY w_hour""".stripMargin
+
+  /** The q88 skew mitigation made real: same signup→purchase funnel,
+    * but purchases are PRE-AGGREGATED per (user, 15-minute bucket)
+    * before the join, and each signup joins its ≤3 covered buckets
+    * (bucket-aligned window semantics: buckets b..b+2 cover
+    * [signup_ts, signup_ts + 30 min] and never reach past 45 min).
+    * Where q88 must emit every (signup, purchase) pair — output
+    * quadratic in hot-key density (34× under the sf1skew probe) —
+    * this plan's join input AND output per key are bounded by the
+    * key's distinct buckets, so a hot user costs what a cold user
+    * costs per unit time. This is the semantic rewrite SCALE_PROBE.md
+    * names for q88-shaped pipelines.
+    */
+  def bucketedIntervalCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = 15L * 60 * 1000000
+    val ev = Tables.load(s, dir, "events")
+    def bucket(c: org.apache.spark.sql.Column) =
+      graft.operators.CoreOps.timeBucket(c, w)
+    val p = ev.filter($"event_type" === "purchase")
+      .groupBy($"user_id".as("p_user"), bucket($"ts").as("p_b"))
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(30,4)")).as("v"))
+    val a = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"event_id", bucket($"ts").as("a_b"))
+    a.join(p, $"user_id" === $"p_user" &&
+        $"p_b" >= $"a_b" && $"p_b" <= $"a_b" + 2)
+      .groupBy($"user_id")
+      .agg(countDistinct($"event_id").as("n_signups"),
+        sum($"n").as("n_bucket_purchases"),
+        sum($"v").cast("double").as("total_purchase"))
+      .orderBy($"user_id")
+  }
+
+  val bucketedIntervalCountSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id AS p_user, epoch_us(ts) // 900000000 AS p_b,
+      |    COUNT(*) AS n, SUM(CAST(value AS DECIMAL(30,4))) AS v
+      |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |a AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 900000000 AS a_b
+      |  FROM e WHERE event_type = 'signup')
+      |SELECT user_id, COUNT(DISTINCT event_id) AS n_signups,
+      |  CAST(SUM(n) AS BIGINT) AS n_bucket_purchases,
+      |  CAST(SUM(v) AS DOUBLE) AS total_purchase
+      |FROM a JOIN p ON user_id = p_user AND p_b BETWEEN a_b AND a_b + 2
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
     "q11_dedup_keep_last" -> (dedupKeepLastQ(_, _)),
@@ -534,7 +627,9 @@ object TimeSeriesQueries {
     "q15_closest_to_mean" -> (closestToMean(_, _)),
     "q47_resample_with_gaps" -> (resampleWithGapsQ(_, _)),
     "q48_streaming_windowed_agg" -> (streamingWindowedAgg(_, _)),
-    "q88_stream_stream_join" -> (streamStreamJoin(_, _)))
+    "q88_stream_stream_join" -> (streamStreamJoin(_, _)),
+    "q99_error_window_join" -> (errorWindowJoin(_, _)),
+    "q100_bucketed_interval_count" -> (bucketedIntervalCount(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
@@ -549,5 +644,7 @@ object TimeSeriesQueries {
     "q15_closest_to_mean" -> closestToMeanSql,
     "q47_resample_with_gaps" -> resampleWithGapsSql,
     "q48_streaming_windowed_agg" -> streamingWindowedAggSql,
-    "q88_stream_stream_join" -> streamStreamJoinSql)
+    "q88_stream_stream_join" -> streamStreamJoinSql,
+    "q99_error_window_join" -> errorWindowJoinSql,
+    "q100_bucketed_interval_count" -> bucketedIntervalCountSql)
 }

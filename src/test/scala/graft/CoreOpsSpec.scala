@@ -443,6 +443,59 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(out(1).getDouble(1) == 11.0) // zero sizes fall back to midpoint
   }
 
+  test("timeBucket floors exactly, including pre-1970 timestamps") {
+    val hour = 3600L * 1000000L
+    val df = Seq(
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 10:59:59"),
+      ts("2024-01-01 11:00:00"), ts("1960-06-15 00:30:00")
+    ).toDF("t")
+    val out = df.select(timeBucket($"t", hour).as("b")).collect().map(_.getLong(0))
+    assert(out(0) == out(1), "same hour, same bucket")
+    assert(out(2) == out(0) + 1, "next hour, next bucket")
+    // floor semantics for negative epochs: -1960 bucket * width <= us
+    val us1960 = java.time.LocalDateTime.of(1960, 6, 15, 0, 30)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(out(3) * hour <= us1960 && us1960 < (out(3) + 1) * hour)
+  }
+
+  test("pointInIntervalJoin matches the naive range join (randomized)") {
+    val rnd = new scala.util.Random(911)
+    val base = ts("2024-03-01 00:00:00").getTime
+    val points = (1 to 400).map { i =>
+      (i.toLong, new Timestamp(base + rnd.nextInt(48 * 3600) * 1000L))
+    }.toDF("p_id", "p_ts")
+    // interval spans 0s..3h: some cross multiple 1h buckets, some empty
+    val intervals = (1 to 60).map { i =>
+      val s = base + rnd.nextInt(48 * 3600) * 1000L
+      (i.toLong, new Timestamp(s), new Timestamp(s + rnd.nextInt(3 * 3600) * 1000L))
+    }.toDF("i_id", "i_start", "i_end")
+    val got = pointInIntervalJoin(points, "p_ts", intervals,
+        "i_start", "i_end", 3600L * 1000000L)
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.join(intervals,
+        $"p_ts" >= $"i_start" && $"p_ts" <= $"i_end")
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "differential vacuous — widen the fixture")
+  }
+
+  test("pointInIntervalJoin keeps boundary-equal points and rejects clashes") {
+    val points = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("p_id", "p_ts")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 09:00:00"), ts("2024-01-01 10:00:00")),
+      (11L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (12L, ts("2024-01-01 10:00:01"), ts("2024-01-01 11:00:00"))
+    ).toDF("i_id", "i_start", "i_end")
+    val got = pointInIntervalJoin(points, "p_ts", intervals,
+        "i_start", "i_end", 3600L * 1000000L)
+      .select("i_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(10L, 11L), "closed [start, end] containment")
+    val clash = points.withColumnRenamed("p_id", "i_id")
+    intercept[IllegalArgumentException] {
+      pointInIntervalJoin(clash, "p_ts", intervals, "i_start", "i_end", 1000000L)
+    }
+  }
+
   test("businessHours keeps [09:30, 16:00] inclusive") {
     val df = Seq(
       ts("2024-01-01 09:29:59"), ts("2024-01-01 09:30:00"),

@@ -158,6 +158,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(300))
   }
 
+  test("q99: bucketized interval join never plans a nested loop") {
+    val p = plan(TimeSeriesQueries.errorWindowJoin(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // and the naive formulation of the SAME predicate does — the
+    // rewrite is what changes the join class, not the data
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, dir, "events")
+    val w = ev.filter(col("event_type") === "error")
+      .groupBy(date_trunc("hour", col("ts")).as("w_hour"))
+      .agg(min(col("ts")).as("w_start"), max(col("ts")).as("w_end"))
+    val naive = ev.filter(col("event_type") === "purchase")
+      .select(col("ts").as("p_ts"))
+      .join(w, col("p_ts") >= col("w_start") && col("p_ts") <= col("w_end"))
+    assert(plan(naive).contains("BroadcastNestedLoopJoin"), plan(naive))
+  }
+
+  test("q100: purchases are pre-aggregated BELOW the join (skew-proof shape)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val qe = TimeSeriesQueries.bucketedIntervalCount(spark, dir).queryExecution
+    val joins = qe.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, qe.optimizedPlan.treeString)
+    val preAgg = joins.exists(j =>
+      j.left.collectFirst { case a: Aggregate => a }.isDefined ||
+        j.right.collectFirst { case a: Aggregate => a }.isDefined)
+    assert(preAgg, "per-(user, bucket) aggregate must sit below the join:\n" +
+      qe.optimizedPlan.treeString)
+    val p = qe.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("every broadcast() hint sits on a bounded-cardinality side") {
     // The q84/q86 regression class: a broadcast hint on a
     // vocabulary-sized aggregate works at sf0.1 and OOMs the driver at
