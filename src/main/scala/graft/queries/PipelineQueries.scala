@@ -109,6 +109,67 @@ object PipelineQueries {
       |         'sum') AS DOUBLE) / len(text) / 255.0 END AS brightness
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Real audio decode end-to-end, the q96 pattern for the second
+    * modality: every document is packed with a planted PCM16 WAV
+    * (alternating ±amp square wave) whose rate/channels/frames/
+    * amplitude are arithmetic in `doc_id` (every 5th row instead
+    * carries raw UTF-8 text — not audio), then the batch extract
+    * stage decodes REAL samples via the pure-JVM RIFF parser. The
+    * square wave makes every decoded feature closed-form — RMS and
+    * peak exactly amp/32768, mean amp/(frames·32768) only for odd
+    * frame counts — so a DuckDB oracle predicts the whole decode from
+    * `doc_id` alone, and the text rows prove the no-codec fallback in
+    * the same run.
+    */
+  def audioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents").select($"doc_id", $"text")
+    val mediaEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(MultimodalOps.mediaSchema)
+    val media = docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 5 == 0) r.getString(1).getBytes("UTF-8")
+          else MultimodalOps.syntheticWav(
+            (id % 30000 + 1000).toInt, (id % 400 + 50).toInt,
+            Seq(8000, 16000, 44100)((id % 3).toInt), (1 + id % 2).toInt)
+        org.apache.spark.sql.Row(id, "audio", payload,
+          org.apache.spark.sql.Row(payload.length.toLong, 0, 0, 0L))
+      }
+    }(mediaEnc)
+    MultimodalOps.extractAudioFeatures(media)
+      .select($"media_id".as("doc_id"), $"n_bytes", $"decoded",
+        $"sample_rate", $"n_channels", $"n_frames", $"duration_ms",
+        $"rms", $"peak_norm", $"mean_norm")
+      .orderBy($"doc_id")
+  }
+
+  val audioDecodeSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    doc_id % 5 <> 0 AS decoded,
+      |    ([8000, 16000, 44100])[CAST(doc_id % 3 + 1 AS INTEGER)] AS rate,
+      |    CAST(1 + doc_id % 2 AS INTEGER) AS ch,
+      |    doc_id % 400 + 50 AS frames,
+      |    doc_id % 30000 + 1000 AS amp,
+      |    text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN decoded THEN CAST(44 + frames * ch * 2 AS BIGINT)
+      |       ELSE CAST(len(text) AS BIGINT) END AS n_bytes,
+      |  decoded,
+      |  CASE WHEN decoded THEN CAST(rate AS INTEGER) ELSE 0 END AS sample_rate,
+      |  CASE WHEN decoded THEN ch ELSE 0 END AS n_channels,
+      |  CASE WHEN decoded THEN CAST(frames AS BIGINT) ELSE 0 END AS n_frames,
+      |  CASE WHEN decoded THEN frames * 1000 // rate ELSE 0 END AS duration_ms,
+      |  CASE WHEN decoded THEN CAST(amp AS DOUBLE) / 32768.0 ELSE 0.0 END AS rms,
+      |  CASE WHEN decoded THEN CAST(amp AS DOUBLE) / 32768.0 ELSE 0.0 END AS peak_norm,
+      |  CASE WHEN decoded AND frames % 2 = 1
+      |       THEN CAST(ch * amp AS DOUBLE) / (ch * frames) / 32768.0
+      |       ELSE 0.0 END AS mean_norm
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** §3.3 — ad-hoc SQL over the registered catalog: the engine's
     * `spark.sql` surface, written in the ANSI subset both engines
     * parse, so the SAME string is the oracle.
@@ -261,12 +322,14 @@ object PipelineQueries {
     "q45_sql_surface" -> (sqlSurface(_, _)),
     "q65_catalog_lifecycle" -> (catalogLifecycle(_, _)),
     "q71_dsv2_endpoint_scan" -> (dsv2EndpointScan(_, _)),
-    "q96_image_decode" -> (imageDecode(_, _)))
+    "q96_image_decode" -> (imageDecode(_, _)),
+    "q101_audio_decode" -> (audioDecode(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q44_multimodal_features" -> multimodalFeaturesSql,
     "q45_sql_surface" -> sqlSurfaceText,
     "q65_catalog_lifecycle" -> catalogLifecycleSql,
     "q71_dsv2_endpoint_scan" -> dsv2EndpointScanSql,
-    "q96_image_decode" -> imageDecodeSql)
+    "q96_image_decode" -> imageDecodeSql,
+    "q101_audio_decode" -> audioDecodeSql)
 }

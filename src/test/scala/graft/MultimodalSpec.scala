@@ -88,6 +88,47 @@ class MultimodalSpec extends AnyFunSuite {
     }))
   }
 
+  test("synthetic WAV decodes to closed-form features") {
+    // odd frame count → non-zero mean; stereo duplicates channels
+    val f = MultimodalOps.decodeWav(
+      MultimodalOps.syntheticWav(1200, 101, 16000, 2)).get
+    assert(f.sampleRate == 16000 && f.nChannels == 2 && f.nFrames == 101L)
+    assert(f.durationMs == 101L * 1000 / 16000)
+    assert(f.rms == 1200.0 / 32768.0)
+    assert(f.peak == 1200.0 / 32768.0)
+    assert(f.mean == (2.0 * 1200) / (2 * 101) / 32768.0)
+    // even frame count → the ±amp wave cancels exactly
+    val even = MultimodalOps.decodeWav(
+      MultimodalOps.syntheticWav(900, 64, 8000, 1)).get
+    assert(even.mean == 0.0 && even.rms == 900.0 / 32768.0)
+  }
+
+  test("corrupt or non-PCM WAV payloads fall back, never throw") {
+    val good = MultimodalOps.syntheticWav(500, 40, 8000, 1)
+    val truncated = good.take(50) // data chunk cut mid-way
+    val nonPcm = good.clone(); nonPcm(20) = 3 // format code != 1 (float)
+    val oddLen = good.clone(); {
+      // shrink declared data length to a non-multiple of blockAlign
+      val b = java.nio.ByteBuffer.wrap(oddLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40, 39)
+    }
+    assert(MultimodalOps.decodeWav(truncated).isEmpty)
+    assert(MultimodalOps.decodeWav(nonPcm).isEmpty)
+    assert(MultimodalOps.decodeWav(oddLen).isEmpty)
+    assert(MultimodalOps.decodeWav("not audio at all".getBytes("UTF-8")).isEmpty)
+    // and through the batch stage: corrupt rows emit the zeroed
+    // fallback with decoded=false instead of failing the task
+    import spark.implicits._
+    val media = Seq((1L, good), (2L, truncated)).toDF("media_id", "payload")
+    val out = MultimodalOps.extractAudioFeatures(media)
+      .orderBy("media_id").collect()
+    assert(out(0).getAs[Boolean]("decoded") &&
+      out(0).getAs[Double]("rms") == 500.0 / 32768.0)
+    assert(!out(1).getAs[Boolean]("decoded") &&
+      out(1).getAs[Long]("n_bytes") == 50L &&
+      out(1).getAs[Double]("rms") == 0.0)
+  }
+
   test("media round-trips through parquet (binary + nested meta)") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     val m = MultimodalOps.packMedia(docs, "doc_id", "text")
