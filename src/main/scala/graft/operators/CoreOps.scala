@@ -422,6 +422,43 @@ object CoreOps {
         sum(col("__pcnt")).as("n"))
   }
 
+  /** Deterministic per-key downsample: keep at most `k` rows per key,
+    * chosen by a seeded multiplicative hash of `idCol` — the
+    * "cap matches per key" mitigation for hot-key joins whose OUTPUT
+    * grows quadratically in key density (the q88 shape: no plan can
+    * emit a hot user's million pairs faster than linearly, so the fix
+    * is to bound what a single key may contribute).
+    *
+    * The Knuth multiplier is odd, hence invertible mod 2^32: distinct
+    * ids map to distinct hash values, so the selection is a fixed
+    * pseudo-random subset — stable across runs, partitionings and
+    * engines (the arithmetic stays below 2^63, so an oracle replays
+    * it exactly; a non-modular 64-bit mix would overflow-error in
+    * engines with checked BIGINT arithmetic). Runs on the
+    * [[graft.plans.BoundedTopK]] k-heap aggregate — O(n log k)
+    * map-side, ≤k rows per (key, task) on the wire, groups spread
+    * across reducers — never the single-reducer window sort the
+    * equivalent row_number idiom would plan without the rewrite rule
+    * installed.
+    */
+  def capPerKey(df: DataFrame, keys: Seq[String], idCol: String, k: Int,
+      seed: Long = 2654435761L): DataFrame = {
+    require(k >= 1, s"capPerKey k must be >= 1, got $k")
+    require(!df.columns.contains("__h") && !df.columns.contains("__e"),
+      "columns __h, __e are reserved by capPerKey")
+    require(keys.nonEmpty && keys.forall(df.columns.contains) &&
+      df.columns.contains(idCol) && !keys.contains(idCol),
+      s"capPerKey needs key columns and a non-key id column in ${df.columns.mkString(", ")}")
+    val nonKeys = df.columns.filterNot(keys.contains).toSeq
+    val st = struct((pmod(col(idCol) * lit(seed), lit(4294967296L)).as("__h") +:
+      col(idCol) +: nonKeys.filterNot(_ == idCol).map(col)): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.plans.BoundedTopK.boundedTopK(st, k).as("__e"))
+      .select((keys.map(col) :+ explode(col("__e")).as("__e")): _*)
+      .select(df.columns.toSeq.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__e.$c").as(c)): _*)
+  }
+
   // -------------------------------------------------------------------
   // Range joins — bucketized rewrite of the no-equi-key interval join.
   // -------------------------------------------------------------------

@@ -614,6 +614,52 @@ object TimeSeriesQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** The OTHER q88 mitigation: cap what a single key may contribute.
+    * Purchases are downsampled to ≤8 per user by
+    * [[graft.operators.CoreOps.capPerKey]] (seeded multiplicative
+    * hash — a fixed pseudo-random subset both engines replay exactly)
+    * BEFORE the interval join, so a hot user's pair count is bounded
+    * by 8 × its signups instead of signups × purchases. Training-data
+    * pipelines use the same operator to cap documents per domain.
+    */
+  def cappedIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val a = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("a_ts"))
+    val b = graft.operators.CoreOps.capPerKey(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"event_id", $"ts", $"value"),
+        Seq("user_id"), "event_id", 8)
+      .select($"user_id".as("b_user"), $"ts".as("b_ts"), $"value".as("b_value"))
+    graft.streaming.StreamOps.intervalJoin(
+        a, b, Seq("user_id" -> "b_user"), "a_ts", "b_ts", "10 minutes", "30 minutes")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.operators.CoreOps.dsum($"b_value").as("total_purchase"))
+      .orderBy($"user_id")
+  }
+
+  val cappedIntervalJoinSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |  FROM events),
+      |a AS (SELECT user_id, ts AS a_ts FROM e WHERE event_type = 'signup'),
+      |b AS (
+      |  SELECT user_id AS b_user, ts AS b_ts, value AS b_value
+      |  FROM e WHERE event_type = 'purchase'
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY (event_id * 2654435761) % 4294967296, event_id) <= 8),
+      |j AS (
+      |  SELECT a.user_id, b_value
+      |  FROM a JOIN b ON a.user_id = b_user
+      |   AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL 30 MINUTE)
+      |SELECT user_id, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CAST(b_value AS DECIMAL(30,4))) AS DOUBLE) AS total_purchase
+      |FROM j GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
     "q11_dedup_keep_last" -> (dedupKeepLastQ(_, _)),
@@ -629,7 +675,8 @@ object TimeSeriesQueries {
     "q48_streaming_windowed_agg" -> (streamingWindowedAgg(_, _)),
     "q88_stream_stream_join" -> (streamStreamJoin(_, _)),
     "q99_error_window_join" -> (errorWindowJoin(_, _)),
-    "q100_bucketed_interval_count" -> (bucketedIntervalCount(_, _)))
+    "q100_bucketed_interval_count" -> (bucketedIntervalCount(_, _)),
+    "q103_capped_interval_join" -> (cappedIntervalJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
@@ -646,5 +693,6 @@ object TimeSeriesQueries {
     "q48_streaming_windowed_agg" -> streamingWindowedAggSql,
     "q88_stream_stream_join" -> streamStreamJoinSql,
     "q99_error_window_join" -> errorWindowJoinSql,
-    "q100_bucketed_interval_count" -> bucketedIntervalCountSql)
+    "q100_bucketed_interval_count" -> bucketedIntervalCountSql,
+    "q103_capped_interval_join" -> cappedIntervalJoinSql)
 }

@@ -496,6 +496,28 @@ class CoreOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerKey matches the row_number idiom and ignores partitioning") {
+    val rnd = new scala.util.Random(27)
+    val df = (1 to 500).map { i =>
+      (s"k${rnd.nextInt(5)}", i.toLong, rnd.nextDouble())
+    }.toDF("key", "id", "v")
+    val got = capPerKey(df, Seq("key"), "id", 7)
+    // reference: the window idiom over the same seeded hash
+    val h = pmod($"id" * lit(2654435761L), lit(4294967296L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"key").orderBy(h.asc, $"id".asc)
+    val want = df.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" <= 7).drop("__rn")
+    assert(got.collect().toSet == want.collect().toSet)
+    assert(got.count() == 35, "cap must bind: 5 keys x 7")
+    assert(got.columns.toSeq == df.columns.toSeq, "column order preserved")
+    // partitioning-independence: same subset from any layout
+    assert(capPerKey(df.repartition(13), Seq("key"), "id", 7).collect().toSet ==
+      got.collect().toSet)
+    // under the cap, everything is kept
+    assert(capPerKey(df, Seq("key"), "id", 1000).count() == 500)
+  }
+
   test("businessHours keeps [09:30, 16:00] inclusive") {
     val df = Seq(
       ts("2024-01-01 09:29:59"), ts("2024-01-01 09:30:00"),

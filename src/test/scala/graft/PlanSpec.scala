@@ -189,6 +189,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q103: per-key cap is the bounded-heap aggregate, not a window sort") {
+    val p = plan(TimeSeriesQueries.cappedIntervalJoin(spark, dir))
+    assert(!p.contains("Window"), "capPerKey must not plan a window sort:\n" + p)
+    assert(p.contains("bounded_top_k"), p)
+  }
+
   test("every broadcast() hint sits on a bounded-cardinality side") {
     // The q84/q86 regression class: a broadcast hint on a
     // vocabulary-sized aggregate works at sf0.1 and OOMs the driver at
