@@ -21,7 +21,12 @@ object Bench {
     "q80_ivf_multiprobe", "q81_option_data_to_save", "q82_dedup_clusters",
     "q83_semantic_dedup", "q86_bm25_topk", "q87_bloom_decontaminate",
     "q88_stream_stream_join", "q93_asof_forward", "q94_asof_tolerance",
-    "q96_image_decode")
+    "q96_image_decode",
+    // the q88 mitigation pair and the bucketized range join: cheap at
+    // sf1, and a superlinear drift in any of them means the skew story
+    // (SCALE_PROBE.md round-11 table) no longer holds
+    "q99_error_window_join", "q100_bucketed_interval_count",
+    "q103_capped_interval_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -18,5 +18,13 @@ object SessionDefaults {
     System.setProperty("derby.system.home", derby.getAbsolutePath)
     b.config("spark.sql.warehouse.dir",
       new java.io.File("target/spark-warehouse").toURI.toString)
+      // The engine's own extensions are on by default in every entry
+      // point, exactly as a cluster deploy would set
+      // `spark.sql.extensions`: the native SQL functions
+      // (trading_day_roll, bounded_top_k, bounded_rank_top_k) resolve,
+      // and the rank-limit rewrite turns the SQL row_number idiom into
+      // the bounded-heap aggregate — the same plan contract the Column
+      // API gets, now also for plain-SQL users of Verify/Bench/tests.
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
   }
 }

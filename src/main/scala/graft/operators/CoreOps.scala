@@ -499,7 +499,7 @@ object CoreOps {
     */
   def pointInIntervalJoin(points: DataFrame, pointTs: String,
       intervals: DataFrame, startCol: String, endCol: String,
-      widthUs: Long): DataFrame = {
+      widthUs: Long, maxBucketsPerInterval: Int = 1 << 14): DataFrame = {
     val reserved = Seq("__b", "__bs", "__be")
     require(reserved.forall(c => !points.columns.contains(c) &&
       !intervals.columns.contains(c)),
@@ -507,9 +507,22 @@ object CoreOps {
     require(points.columns.intersect(intervals.columns).isEmpty,
       "pointInIntervalJoin requires disjoint column names; rename before joining: " +
         points.columns.intersect(intervals.columns).mkString(", "))
+    // A width far below the interval span multiplies the exploded side
+    // by span/width. At 100 TB that's the silent way this operator
+    // OOMs a stage, so a pathological (interval, width) pairing fails
+    // the task loudly with the offending span instead — the caller
+    // picks a width near the typical span, or raises the cap knowingly.
+    val bs = timeBucket(col(startCol), widthUs)
+    val be = timeBucket(col(endCol), widthUs)
+    val guarded = when(be - bs >= maxBucketsPerInterval,
+      raise_error(concat(
+        lit(s"pointInIntervalJoin: interval spans >= $maxBucketsPerInterval " +
+          s"buckets of $widthUs us (start="), col(startCol).cast("string"),
+        lit(", end="), col(endCol).cast("string"),
+        lit("); widen widthUs or raise maxBucketsPerInterval"))))
+      .otherwise(be)
     val exploded = intervals
-      .withColumn("__b", explode(sequence(
-        timeBucket(col(startCol), widthUs), timeBucket(col(endCol), widthUs))))
+      .withColumn("__b", explode(sequence(bs, guarded)))
     points.withColumn("__b", timeBucket(col(pointTs), widthUs))
       .join(exploded, Seq("__b"))
       .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))

@@ -496,6 +496,23 @@ class CoreOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pointInIntervalJoin fails loudly on a pathological span/width pairing") {
+    val points = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("p_id", "p_ts")
+    val yearLong = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-12-31 00:00:00")))
+      .toDF("i_id", "i_start", "i_end")
+    // one-second buckets over a year-long interval: ~31M exploded rows
+    val bad = pointInIntervalJoin(points, "p_ts", yearLong,
+      "i_start", "i_end", 1000000L)
+    val e = intercept[Exception] { bad.count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pointInIntervalJoin")), e.toString)
+    // the same pairing passes when the caller raises the cap knowingly
+    val ok = pointInIntervalJoin(points, "p_ts", yearLong,
+      "i_start", "i_end", 3600L * 1000000L * 24 * 40)
+    assert(ok.count() == 1)
+  }
+
   test("capPerKey matches the row_number idiom and ignores partitioning") {
     val rnd = new scala.util.Random(27)
     val df = (1 to 500).map { i =>

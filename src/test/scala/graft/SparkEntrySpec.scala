@@ -20,7 +20,7 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("query names follow the qNN_snake convention") {
-    val bad = SparkEntry.queries.keys.filterNot(_.matches("^q[0-9]{2}_[a-z0-9_]+$"))
+    val bad = SparkEntry.queries.keys.filterNot(_.matches("^q[0-9]{2,3}_[a-z0-9_]+$"))
     assert(bad.isEmpty, s"non-conforming names: $bad")
   }
 }
