@@ -21,9 +21,16 @@ object VectorOps {
   def quantize(v: Column, scale: Double = 1e6): Column =
     transform(v, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact int64 dot product of two quantized vectors. */
-  def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact int64 dot product of two quantized vectors — the native
+    * codegen [[graft.plans.IntDotProduct]] (one fused multiply-add
+    * loop per row; the `aggregate(zip_with(...))` formulation was a
+    * CodegenFallback materializing an intermediate array per pair).
+    */
+  def intDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.IntDotProduct(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
 
   /** Exact squared L2 norm of a quantized vector. */
   def intNormSq(v: Column): Column = intDot(v, v)
@@ -59,19 +66,19 @@ object VectorOps {
     * bit-identical signatures.
     */
   def rhpSignature(q: Column, nPlanes: Int, offset: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
     val md = java.security.MessageDigest.getInstance("MD5")
-    val bits = (offset until offset + nPlanes).map { p =>
-      val signs = (0 until 64).map { i =>
-        val h = md.digest(s"$p:$i".getBytes("UTF-8"))
-        // first hex char < '8'  ⇔  top nibble of byte 0 is 0-7
-        if ((h(0) & 0x80) == 0) 1L else -1L
-      }
-      val signArr = array(signs.map(lit): _*)
-      val signedSum = aggregate(
-        zip_with(q, signArr, (x, sgn) => x * sgn),
-        lit(0L), (acc, v) => acc + v)
-      when(signedSum >= 0, lit("1")).otherwise(lit("0"))
+    val signs = new Array[Long](nPlanes * 64)
+    var j = 0
+    for (p <- offset until offset + nPlanes; i <- 0 until 64) {
+      val h = md.digest(s"$p:$i".getBytes("UTF-8"))
+      // first hex char < '8'  ⇔  top nibble of byte 0 is 0-7
+      signs(j) = if ((h(0) & 0x80) == 0) 1L else -1L
+      j += 1
     }
-    concat(bits: _*)
+    // One native codegen call emits the whole bit-string
+    // (graft.plans.RhpSignature) instead of an interpreted
+    // aggregate(zip_with) + when chain per plane.
+    ColumnShim.column(graft.plans.RhpSignature(ColumnShim.expression(q), signs))
   }
 }

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the two text-fingerprint kernels
@@ -73,6 +73,50 @@ object Kernels {
     }
     h
   }
+
+  /** Exact int64 dot product of two quantized vectors. Boxed return so
+    * the null contract mirrors the higher-order formulation it
+    * replaced (`aggregate(zip_with(a, b, _*_), 0, _+_)`): a length
+    * mismatch or a null element yields NULL, never a partial sum.
+    */
+  def intDot(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  /** Random-hyperplane LSH signature: one '0'/'1' byte per plane,
+    * plane p's bit = (Σ_i q_i · signs[p·64 + i] >= 0). `signs` is the
+    * flattened nPlanes×64 ±1 matrix. Mirrors the `when(sum >= 0, "1")
+    * .otherwise("0")` per-plane formulation exactly, including its
+    * degenerate case: a non-64-dim or null-element vector summed to
+    * NULL, and `when` sent NULL to the otherwise branch — bit '0'.
+    */
+  def rhp(q: ArrayData, signs: Array[Long]): UTF8String = {
+    val nPlanes = signs.length / 64
+    val out = new Array[Byte](nPlanes)
+    val ok0 = q.numElements() == 64
+    var p = 0
+    while (p < nPlanes) {
+      var s = 0L
+      var ok = ok0
+      var i = 0
+      while (ok && i < 64) {
+        if (q.isNullAt(i)) ok = false
+        else { s += q.getLong(i) * signs(p * 64 + i); i += 1 }
+      }
+      out(p) = if (ok && s >= 0) '1' else '0'
+      p += 1
+    }
+    UTF8String.fromBytes(out)
+  }
 }
 
 case class SimHash64(child: Expression) extends UnaryExpression {
@@ -138,6 +182,73 @@ case class TradingDayRoll(child: Expression, holidays: Array[Int])
   }
   override def hashCode(): Int =
     31 * child.hashCode() + java.util.Arrays.hashCode(holidays)
+}
+
+/** Exact int64 dot product over two quantized `array<bigint>` vectors
+  * — the ANN-family hot kernel (every brute-force scan, IVF assign /
+  * search and near-dup verify computes it per candidate pair). The
+  * higher-order `aggregate(zip_with(...))` formulation it replaces is
+  * a `CodegenFallback` that materializes the zipped array and walks it
+  * with interpreted lambdas per row; this runs one fused multiply-add
+  * loop inside whole-stage codegen.
+  */
+case class IntDotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.intDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""
+         |java.lang.Long $tmp = graft.plans.Kernels.intDot($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH signature over a quantized 64-dim vector:
+  * the whole `nPlanes`-bit '0'/'1' string in ONE codegen call, vs one
+  * interpreted `aggregate(zip_with(...))` + `when` chain PER PLANE in
+  * the formulation it replaces. The ±1 sign matrix (flattened
+  * nPlanes×64) rides into generated code as a codegen reference
+  * object, exactly like [[TradingDayRoll]]'s holiday set.
+  */
+case class RhpSignature(child: Expression, signs: Array[Long])
+  extends UnaryExpression {
+  require(signs.length % 64 == 0, "signs must be nPlanes x 64")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "rhp_signature"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.rhp(input.asInstanceOf[ArrayData], signs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rhpSigns", signs, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.rhp($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RhpSignature =
+    copy(child = newChild)
+
+  // Array[Long] equality is by reference; compare sign contents so
+  // plan canonicalization treats equal plane sets as equal.
+  override def equals(other: Any): Boolean = other match {
+    case r: RhpSignature =>
+      child == r.child && java.util.Arrays.equals(signs, r.signs)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(signs)
 }
 
 case class RollingHash64(child: Expression) extends UnaryExpression {

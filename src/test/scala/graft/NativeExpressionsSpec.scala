@@ -165,6 +165,77 @@ class NativeExpressionsSpec extends AnyFunSuite {
     assert(rankBad.getMessage.contains("array of non-null booleans"))
   }
 
+  test("int_dot matches the higher-order formulation on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextLong() % 1000000L),
+        Seq.fill(64)(rnd.nextLong() % 1000000L))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select($"id",
+      graft.functions.VectorOps.intDot($"a", $"b").as("native"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("hof"))
+    assert(out.filter($"native" =!= $"hof").count() == 0)
+  }
+
+  test("int_dot null contract mirrors aggregate(zip_with): mismatch/null-element -> NULL") {
+    val df = Seq(
+      (1L, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L, 4L)),
+      (2L, Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L)), // length mismatch
+      (3L, Seq[java.lang.Long](1L, null), Seq[java.lang.Long](3L, 4L)) // null element
+    ).toDF("id", "a", "b")
+    val out = df.select($"id",
+      graft.functions.VectorOps.intDot($"a", $"b").as("d"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 11L)
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+    // top-level null array -> null
+    val nullArr = df.select(graft.functions.VectorOps.intDot(
+      lit(null).cast("array<bigint>"), $"b").as("d")).collect()
+    assert(nullArr.forall(_.isNullAt(0)))
+  }
+
+  test("rhp_signature matches the per-plane when-chain formulation, incl. degenerate dims") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 100).map(i => (i.toLong, Seq.fill(64)(rnd.nextLong() % 1000000L))) :+
+      (101L, Seq.fill(32)(rnd.nextLong() % 1000000L)) // non-64-dim -> all-'0' bits
+    val df = rows.toDF("id", "q")
+    // reference formulation: per-plane interpreted aggregate + when
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val offset = 3
+    val nPlanes = 8
+    val bits = (offset until offset + nPlanes).map { p =>
+      val signs = (0 until 64).map { i =>
+        val h = md.digest(s"$p:$i".getBytes("UTF-8"))
+        if ((h(0) & 0x80) == 0) 1L else -1L
+      }
+      val signedSum = aggregate(zip_with($"q", array(signs.map(lit): _*),
+        (x, sgn) => x * sgn), lit(0L), (acc, v) => acc + v)
+      when(signedSum >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val out = df.select($"id",
+      graft.functions.VectorOps.rhpSignature($"q", nPlanes, offset).as("native"),
+      concat(bits: _*).as("hof"))
+    assert(out.filter($"native" =!= $"hof").count() == 0)
+    assert(out.filter($"id" === 101L).select($"native").head().getString(0)
+      == "0" * nPlanes)
+  }
+
+  test("int_dot and rhp_signature generate code (no interpreted fallback)") {
+    // non-literal input: a local relation would fold at plan time
+    val df = spark.range(4)
+      .select(transform(sequence(lit(1L), lit(64L)), x => x + $"id").as("a"),
+        transform(sequence(lit(1L), lit(64L)), x => x * 2L).as("b"))
+      .select(graft.functions.VectorOps.intDot($"a", $"b").as("d"),
+        graft.functions.VectorOps.rhpSignature($"a", 4).as("sig"))
+    df.collect()
+    val gen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(gen.contains("Kernels.intDot("), gen.take(400))
+    assert(gen.contains("Kernels.rhp("), gen.take(400))
+  }
+
   test("trading_day_roll generates code (no interpreted fallback)") {
     // non-literal child: a literal would constant-fold at plan time
     val df = spark.range(3)
