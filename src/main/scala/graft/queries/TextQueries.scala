@@ -1109,7 +1109,218 @@ object TextQueries {
       |  tok_start // 512 <> (tok_start + n_tokens - 1) // 512 AS spans_boundary
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Deterministic corpus shuffle + train/val/test split + hash-bucket
+    * sharding — the reproducible "shuffle and shard" step every
+    * training run starts with. All three assignments derive from ONE
+    * seeded md5 per document:
+    *
+    *  - `h`      = md5("42:" + doc_id) — the shuffle key (sorting by
+    *               it IS the seeded global shuffle, reproducible on
+    *               any engine / partitioning / run);
+    *  - `split`  = hash-range on the first two hex chars (~5.1% test,
+    *               ~5.1% val, rest train) — range membership, so the
+    *               split is stable under corpus growth (a doc never
+    *               migrates when new docs arrive);
+    *  - `shard`  = 3rd hex char → one of 16 training shards. Sharding
+    *               by hash bucket instead of a global row_number keeps
+    *               the operator STATELESS — no global sort, no
+    *               single-partition window, nothing to coordinate at
+    *               100 TB; shard sizes concentrate tightly by hash
+    *               uniformity.
+    *
+    * Scale shape: a pure per-row map over the scan — the only shuffle
+    * in the plan is the output ORDER BY.
+    */
+  def corpusShuffleSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val p2 = substring($"h", 1, 2)
+    docs.select($"doc_id", $"source",
+        md5(concat(lit("42:"), $"doc_id".cast("string"))).as("h"))
+      .withColumn("split",
+        when(p2 < "0d", lit("test")).when(p2 < "1a", lit("val"))
+          .otherwise(lit("train")))
+      .withColumn("shard",
+        expr("instr('0123456789abcdef', substring(h, 3, 1)) - 1").cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  val corpusShuffleSplitSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source, md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents)
+      |SELECT doc_id, source, h,
+      |  CASE WHEN substr(h, 1, 2) < '0d' THEN 'test'
+      |       WHEN substr(h, 1, 2) < '1a' THEN 'val'
+      |       ELSE 'train' END AS split,
+      |  CAST(instr('0123456789abcdef', substr(h, 3, 1)) - 1 AS BIGINT) AS shard
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
+
+  /** Temperature-scaled mixture resampling — the α-temperature
+    * upweighting of small sources (α = 0.5: weight ∝ √tokens, the
+    * multilingual-sampling standard) followed by a deterministic
+    * per-document keep decision, targeting a 40%-of-corpus token
+    * budget.
+    *
+    * Determinism across engines: the per-source weight is computed
+    * from `floor(sqrt(tokens)·1e6)` quantized to int64, so the weight
+    * SUM is exact integer arithmetic (a double Σ√ would be
+    * order-dependent); the keep decision compares a 24-bit md5 prefix
+    * against `floor(rate·2^24)` rendered in hex — pure string
+    * comparison, no RNG, replayed bit-identically by the oracle.
+    *
+    * Scale shape: per-source aggregate (5 rows) → broadcast back over
+    * the corpus → per-source aggregate. Two scans, no wide shuffle.
+    */
+  def temperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val perDoc = docs.select($"doc_id", $"source",
+      size(words($"text")).cast("long").as("n_tok"),
+      substring(md5(concat(lit("mix:"), $"doc_id".cast("string"))), 1, 6).as("h6"))
+    val per = perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .withColumn("qs", floor(sqrt($"n_tokens".cast("double")) * 1e6).cast("long"))
+    val tot = per.agg(sum($"qs").as("t_qs"), sum($"n_tokens").as("t_tokens"))
+    val rates = per.crossJoin(broadcast(tot))
+      .withColumn("weight", $"qs".cast("double") / $"t_qs".cast("double"))
+      .withColumn("target_tokens",
+        floor($"t_tokens".cast("double") * 0.4).cast("long"))
+      .withColumn("rate", least(lit(1.0),
+        $"target_tokens".cast("double") * $"weight" / $"n_tokens".cast("double")))
+      .withColumn("th",
+        lpad(lower(hex(floor($"rate" * 16777216.0).cast("long"))), 7, "0"))
+    val kept = perDoc
+      .join(broadcast(rates.select($"source", $"th")), Seq("source"))
+      .filter(concat(lit("0"), $"h6") < $"th")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum($"n_tok").as("n_tokens_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select($"source", $"n_docs", $"n_tokens", $"weight", $"rate",
+        coalesce($"n_docs_kept", lit(0L)).as("n_docs_kept"),
+        coalesce($"n_tokens_kept", lit(0L)).as("n_tokens_kept"))
+      .orderBy($"source")
+  }
+
+  val temperatureMixtureSql: String =
+    """WITH pd AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6) AS h6
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |  FROM pd GROUP BY source),
+      |q AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS qs
+      |  FROM per),
+      |tot AS (SELECT CAST(SUM(qs) AS BIGINT) AS t_qs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS t_tokens FROM q),
+      |r AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(qs AS DOUBLE) / CAST(t_qs AS DOUBLE) AS weight,
+      |    least(1.0,
+      |      CAST(CAST(floor(CAST(t_tokens AS DOUBLE) * 0.4) AS BIGINT) AS DOUBLE)
+      |        * (CAST(qs AS DOUBLE) / CAST(t_qs AS DOUBLE))
+      |        / CAST(n_tokens AS DOUBLE)) AS rate
+      |  FROM q, tot),
+      |r2 AS (
+      |  SELECT source, n_docs, n_tokens, weight, rate,
+      |    lpad(lower(to_hex(CAST(floor(rate * 16777216.0) AS BIGINT))), 7, '0') AS th
+      |  FROM r),
+      |k AS (
+      |  SELECT pd.source, COUNT(*) AS n_docs_kept,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
+      |  FROM pd JOIN r2 ON pd.source = r2.source
+      |  WHERE '0' || h6 < th
+      |  GROUP BY pd.source)
+      |SELECT r2.source, n_docs, n_tokens, weight, rate,
+      |  COALESCE(n_docs_kept, 0) AS n_docs_kept,
+      |  COALESCE(n_tokens_kept, 0) AS n_tokens_kept
+      |FROM r2 LEFT JOIN k ON r2.source = k.source
+      |ORDER BY r2.source""".stripMargin
+
+  /** Gopher-style quality gate — the rule-based document filter
+    * (Rae et al. 2021 §A1.1 family) with per-rule booleans and a
+    * FIRST-FAILING drop reason, so curation can account for exactly
+    * why each document died (the audit trail Dolma/RefinedWeb keep):
+    *
+    *  - `r_len`      word count in [15, 90]
+    *  - `r_word_len` mean word length in [3.9, 5.1]
+    *  - `r_stop`     at least one stopword
+    *  - `r_rep`      duplicate-bigram share ≤ 0.10
+    *
+    * Thresholds tuned to the synthetic corpus so every rule fires on
+    * a real slice (word counts span 10–99, dup ratio up to 0.13).
+    * Unlike q21 (a linear quality SCORE), this is the hard gate:
+    * verdict + reason, one stateless scan.
+    */
+  def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val w = words($"text")
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1),
+      slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val base = docs.select($"doc_id", $"source",
+      size(w).cast("long").as("n_words"),
+      (($"n_chars" - (size(w) - 1)).cast("double") /
+        size(w).cast("double")).as("mean_word_len"),
+      (markerCount(w, stop).cast("double") /
+        size(w).cast("double")).as("stopword_ratio"),
+      (lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+        (size(w) - 1).cast("double")).as("dup_ratio"))
+    base
+      .withColumn("r_len", $"n_words".between(15, 90))
+      .withColumn("r_word_len", $"mean_word_len".between(3.9, 5.1))
+      .withColumn("r_stop", $"stopword_ratio" > 0.0)
+      .withColumn("r_rep", $"dup_ratio" <= 0.10)
+      .withColumn("kept", $"r_len" && $"r_word_len" && $"r_stop" && $"r_rep")
+      .withColumn("drop_reason",
+        when(!$"r_len", lit("len"))
+          .when(!$"r_word_len", lit("word_len"))
+          .when(!$"r_stop", lit("stopword"))
+          .when(!$"r_rep", lit("repetition")))
+      .orderBy($"doc_id")
+  }
+
+  val qualityGateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, n_chars, string_split(text, ' ') AS w
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(w) AS BIGINT) AS n_words,
+      |    CAST(n_chars - (len(w) - 1) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_word_len,
+      |    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
+      |      / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+      |    1.0 - CAST(len(list_distinct(list_transform(range(1, len(w)),
+      |        i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+      |      / CAST(len(w) - 1 AS DOUBLE) AS dup_ratio
+      |  FROM t)
+      |SELECT doc_id, source, n_words, mean_word_len, stopword_ratio, dup_ratio,
+      |  n_words BETWEEN 15 AND 90 AS r_len,
+      |  mean_word_len BETWEEN 3.9 AND 5.1 AS r_word_len,
+      |  stopword_ratio > 0.0 AS r_stop,
+      |  dup_ratio <= 0.10 AS r_rep,
+      |  (n_words BETWEEN 15 AND 90) AND (mean_word_len BETWEEN 3.9 AND 5.1)
+      |    AND stopword_ratio > 0.0 AND dup_ratio <= 0.10 AS kept,
+      |  CASE WHEN NOT (n_words BETWEEN 15 AND 90) THEN 'len'
+      |       WHEN NOT (mean_word_len BETWEEN 3.9 AND 5.1) THEN 'word_len'
+      |       WHEN NOT stopword_ratio > 0.0 THEN 'stopword'
+      |       WHEN NOT dup_ratio <= 0.10 THEN 'repetition' END AS drop_reason
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q104_corpus_shuffle_split" -> (corpusShuffleSplit(_, _)),
+    "q105_temperature_mixture" -> (temperatureMixture(_, _)),
+    "q106_quality_gate" -> (qualityGate(_, _)),
     "q91_heavy_hitters" -> (heavyHitters(_, _)),
     "q92_sequence_packing" -> (sequencePacking(_, _)),
     "q82_dedup_clusters" -> (dedupClusters(_, _)),
@@ -1134,6 +1345,9 @@ object TextQueries {
     "q87_bloom_decontaminate" -> (bloomDecontaminate(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q104_corpus_shuffle_split" -> corpusShuffleSplitSql,
+    "q105_temperature_mixture" -> temperatureMixtureSql,
+    "q106_quality_gate" -> qualityGateSql,
     "q91_heavy_hitters" -> heavyHittersSql,
     "q92_sequence_packing" -> sequencePackingSql,
     "q82_dedup_clusters" -> dedupClustersSql,

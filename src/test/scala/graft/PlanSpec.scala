@@ -235,11 +235,15 @@ class PlanSpec extends AnyFunSuite {
       case _ => false
     }
     def boundedKey(e: Expression): Boolean = e match {
-      // `label` is the corpus's fixed class-label column; *nationkey/
-      // *regionkey are FKs into the 25/5-row dims; calendar days are
-      // bounded by the range scanned.
+      // `label` is the corpus's fixed class-label column; `source` is
+      // the mixture recipe's curated sub-corpus enumeration (a data
+      // recipe names its sources explicitly — the domain is the
+      // recipe's length, not the data's); *nationkey/*regionkey are
+      // FKs into the 25/5-row dims; calendar days are bounded by the
+      // range scanned.
       case a: Attribute =>
-        a.name == "label" || a.name.endsWith("nationkey") ||
+        a.name == "label" || a.name == "source" ||
+          a.name.endsWith("nationkey") ||
           a.name.endsWith("regionkey") || a.dataType == DateType
       case _: Literal => true
       case Pmod(_, _: Literal, _) => true
