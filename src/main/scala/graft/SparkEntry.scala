@@ -28,7 +28,8 @@ object SparkEntry {
       (SessionQueries.defs, SessionQueries.oracles),
       (AnalyticsQueries.defs, AnalyticsQueries.oracles),
       (OlapQueries.defs, OlapQueries.oracles),
-      (BulkQueries.defs, BulkQueries.oracles))
+      (BulkQueries.defs, BulkQueries.oracles),
+      (CurationQueries.defs, CurationQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)

@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
       (exprs: Seq[Expression]) => RollingHash64(exprs.head)))
     e.injectFunction((
+      new FunctionIdentifier("byte_entropy"),
+      new ExpressionInfo(classOf[ByteEntropy].getName, "byte_entropy"),
+      (exprs: Seq[Expression]) => ByteEntropy(exprs.head)))
+    e.injectFunction((
       new FunctionIdentifier("trading_day_roll"),
       new ExpressionInfo(classOf[TradingDayRoll].getName, "trading_day_roll"),
       (exprs: Seq[Expression]) => GraftExtensions.buildTradingDayRoll(exprs)))

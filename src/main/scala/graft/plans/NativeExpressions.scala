@@ -62,6 +62,38 @@ object Kernels {
     out
   }
 
+  /** Shannon entropy (bits) of a string's byte distribution — the
+    * classic cheap "is this natural text or noise/boilerplate" quality
+    * signal. One 256-bucket histogram pass + one pass over the
+    * buckets; summation runs in ascending byte order, so the result is
+    * deterministic for a given value regardless of partitioning. On
+    * ASCII text (this corpus) byte entropy equals character entropy.
+    * Empty string → 0.0.
+    */
+  def byteEntropy(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0.0
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < n) {
+      counts(bytes(i) & 0xff) += 1
+      i += 1
+    }
+    val ln2 = java.lang.Math.log(2.0)
+    var h = 0.0
+    var b = 0
+    while (b < 256) {
+      val c = counts(b)
+      if (c > 0) {
+        val p = c.toDouble / n
+        h -= p * (java.lang.Math.log(p) / ln2)
+      }
+      b += 1
+    }
+    h
+  }
+
   /** Polynomial rolling hash (base 1000003) over UTF-8 bytes. */
   def rollingHash(s: UTF8String): Long = {
     val bytes = s.getBytes
@@ -251,6 +283,25 @@ case class RhpSignature(child: Expression, signs: Array[Long])
     31 * child.hashCode() + java.util.Arrays.hashCode(signs)
 }
 
+/** Byte-distribution Shannon entropy of a string, in bits — the
+  * corpus-quality signal (low entropy = repeated/boilerplate text,
+  * high = natural prose or random noise) as a single codegen kernel:
+  * built-ins would need an explode-to-characters + groupBy per row.
+  */
+case class ByteEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "byte_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.byteEntropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.byteEntropy($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteEntropy =
+    copy(child = newChild)
+}
+
 case class RollingHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash64"
@@ -275,6 +326,9 @@ object NativeFunctions {
 
   def rollingHash64(c: Column): Column =
     ColumnShim.column(RollingHash64(ColumnShim.expression(c)))
+
+  def byteEntropy(c: Column): Column =
+    ColumnShim.column(ByteEntropy(ColumnShim.expression(c)))
 
   /** Date → first trading day on-or-after, skipping weekends and the
     * given `yyyy-MM-dd` holidays.
@@ -319,6 +373,8 @@ object NativeFunctions {
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rolling_hash64", exprs => RollingHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_entropy", exprs => ByteEntropy(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "trading_day_roll", exprs => GraftExtensions.buildTradingDayRoll(exprs),
       "built-in")

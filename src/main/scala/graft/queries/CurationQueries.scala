@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.CurationOps
+import graft.plans.NativeFunctions
+
+/** Corpus-curation query family: span-level substring dedup, RAG-style
+  * overlapping chunking, grouped OLS regression, and the byte-entropy
+  * quality signal — the curation operations of a training-data
+  * pipeline beyond the pair/cluster dedup families (q23-q26, q82-q85).
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q107 — per-document duplicated-span fraction via word 8-grams
+    * (Lee et al. 2022 exact-substring signal; CurationOps scale notes).
+    */
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    CurationOps.duplicatedSpans(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
+  val substringDedupSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      |  FROM words, LATERAL UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+      |  WHERE len(w) >= 8),
+      |dup AS (
+      |  SELECT gram FROM (
+      |    SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram)
+      |  WHERE df >= 2),
+      |cov AS (
+      |  SELECT DISTINCT g.doc_id, u.p
+      |  FROM grams g JOIN dup d USING (gram),
+      |       LATERAL UNNEST(generate_series(g.pos, g.pos + 7)) AS u(p))
+      |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+      |  coalesce(c.dup_words, 0) AS dup_words,
+      |  CAST(coalesce(c.dup_words, 0) AS DOUBLE)
+      |    / CAST(len(w.w) AS DOUBLE) AS dup_fraction
+      |FROM words w
+      |LEFT JOIN (SELECT doc_id, count(*) AS dup_words FROM cov GROUP BY doc_id) c
+      |  USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q108 — overlapping 32-word chunks every 24 words (8-word overlap):
+    * the retrieval/context-window corpus preparation step. Map-side
+    * only — no shuffle in the plan beyond the output sort.
+    */
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    CurationOps.chunkDocuments(docs, "doc_id", "text", chunkWords = 32, stride = 24)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val chunkDocumentsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |n AS (
+      |  SELECT doc_id, w,
+      |    CAST(FLOOR((greatest(len(w) - 32, 0) + 23) / 24.0) AS INT) + 1 AS nc
+      |  FROM t)
+      |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+      |  CAST(1 + ci * 24 AS BIGINT) AS start_word,
+      |  CAST(len(w[1 + ci * 24 : ci * 24 + 32]) AS BIGINT) AS chunk_words,
+      |  array_to_string(w[1 + ci * 24 : ci * 24 + 32], ' ') AS chunk_text
+      |FROM n, LATERAL UNNEST(generate_series(0, nc - 1)) AS u(ci)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** q109 — per-nation OLS fit of extendedprice on quantity over
+    * lineitem⨝supplier (ONE partial-aggregable shuffle for the five
+    * exact decimal moment sums; the divisions run in double on
+    * bit-identical inputs — see CurationOps). The supplier join
+    * carries NO broadcast hint: supplier grows with the scale factor,
+    * so the choice belongs to Catalyst's size stats / AQE (which
+    * broadcast it at every test SF); only the 25-row nation dim is
+    * hinted.
+    */
+  def groupRegression(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val sup = Tables.load(s, dir, "supplier")
+    val nat = Tables.load(s, dir, "nation")
+    val joined = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+    CurationOps.groupRegression(
+      joined, Seq("s_nationkey"), "l_quantity", "l_extendedprice")
+      .join(broadcast(nat), col("s_nationkey") === nat("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n"),
+        col("slope"), col("intercept"), col("r2"))
+      .orderBy("nation")
+  }
+
+  val groupRegressionSql: String =
+    """WITH j AS (
+      |  SELECT s.s_nationkey, l.l_quantity AS x, l.l_extendedprice AS y
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |m AS (
+      |  SELECT s_nationkey,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x AS DECIMAL(12,2)) * CAST(y AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x AS DECIMAL(12,2)) * CAST(x AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y AS DECIMAL(12,2)) * CAST(y AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      |  FROM j GROUP BY s_nationkey),
+      |f AS (
+      |  SELECT s_nationkey, n, sx, sy,
+      |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |    ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      |  FROM m)
+      |SELECT nt.n_name AS nation, CAST(f.n AS BIGINT) AS n,
+      |  round(f.slope, 8) AS slope,
+      |  round((f.sy - f.slope * f.sx) / f.n, 8) AS intercept,
+      |  round(f.r2, 8) AS r2
+      |FROM f JOIN nation nt ON f.s_nationkey = nt.n_nationkey
+      |ORDER BY nation""".stripMargin
+
+  /** q110 — byte-entropy quality signal (native codegen
+    * [[graft.plans.ByteEntropy]]; the corpus is ASCII so byte entropy
+    * equals the oracle's character entropy). Rounded to 6 decimals on
+    * BOTH sides before the threshold flag: the entropy sum is the one
+    * value here whose floating summation order differs between
+    * engines, and rounding absorbs the final-ulp drift.
+    */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs.select(
+      col("doc_id"), col("n_chars"),
+      round(NativeFunctions.byteEntropy(col("text")), 6).as("char_entropy"))
+      .withColumn("low_entropy", col("char_entropy") < 3.5)
+      .orderBy("doc_id")
+  }
+
+  val charEntropySql: String =
+    """WITH c AS (
+      |  SELECT doc_id, substr(text, i, 1) AS ch
+      |  FROM documents, LATERAL UNNEST(generate_series(1, length(text))) AS t(i)),
+      |e AS (
+      |  SELECT doc_id, round(entropy(ch), 6) AS char_entropy
+      |  FROM c GROUP BY doc_id)
+      |SELECT d.doc_id, d.n_chars, e.char_entropy,
+      |  e.char_entropy < 3.5 AS low_entropy
+      |FROM documents d JOIN e USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q107_substring_dedup" -> (substringDedup(_, _)),
+    "q108_chunk_documents" -> (chunkDocuments(_, _)),
+    "q109_group_regression" -> (groupRegression(_, _)),
+    "q110_char_entropy" -> (charEntropy(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q107_substring_dedup" -> substringDedupSql,
+    "q108_chunk_documents" -> chunkDocumentsSql,
+    "q109_group_regression" -> groupRegressionSql,
+    "q110_char_entropy" -> charEntropySql)
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CurationOps
+import graft.plans.{Kernels, NativeFunctions}
+import org.apache.spark.unsafe.types.UTF8String
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- duplicatedSpans -------------------------------------------------
+
+  private def doc(words: Int, tag: String): String =
+    (1 to words).map(i => s"$tag$i").mkString(" ")
+
+  test("duplicatedSpans finds a planted cross-document passage exactly") {
+    // Two 30-word docs share the same 12-word passage at DIFFERENT
+    // offsets (positions 5 and 15); a third doc is all-unique.
+    val passage = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val d1 = (doc(4, "a") + " " + passage + " " + doc(14, "b"))
+    val d2 = (doc(14, "c") + " " + passage + " " + doc(4, "d"))
+    val d3 = doc(30, "e")
+    val out = CurationOps.duplicatedSpans(
+      Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"),
+      "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "dup_words", "dup_fraction")
+      .as[(Long, Long, Long, Double)].collect()
+    // Every k-gram fully inside the 12-word passage (5 of them at
+    // k=8) is shared, so exactly the 12 passage words are covered in
+    // both docs regardless of their differing offsets.
+    assert(out(0) == ((1L, 30L, 12L, 12.0 / 30)))
+    assert(out(1) == ((2L, 30L, 12L, 12.0 / 30)))
+    assert(out(2) == ((3L, 30L, 0L, 0.0)))
+  }
+
+  test("duplicatedSpans ignores shared runs shorter than k and short docs") {
+    // 7 shared words < k=8 → no shared k-gram → zero coverage; and a
+    // 5-word doc (< k) must still appear with zero, not crash on
+    // Spark's descending sequence(1, 0).
+    val short7 = (1 to 7).map(i => s"s$i").mkString(" ")
+    val out = CurationOps.duplicatedSpans(
+      Seq(
+        (1L, short7 + " " + doc(10, "x")),
+        (2L, short7 + " " + doc(10, "y")),
+        (3L, doc(5, "z"))).toDF("doc_id", "text"),
+      "doc_id", "text", k = 8)
+      .orderBy("doc_id").select("dup_words").as[Long].collect()
+    assert(out.toSeq == Seq(0L, 0L, 0L))
+  }
+
+  test("duplicatedSpans merges overlapping duplicated spans (coverage, not counts)") {
+    // One doc repeats ANOTHER doc's 20-word passage: the 13 shared
+    // k-grams overlap heavily, but covered words must count each
+    // position once = 20, not 13*8.
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val out = CurationOps.duplicatedSpans(
+      Seq((1L, passage), (2L, passage + " " + doc(10, "t"))).toDF("doc_id", "text"),
+      "doc_id", "text", k = 8)
+      .orderBy("doc_id").select("dup_words").as[Long].collect()
+    assert(out.toSeq == Seq(20L, 20L))
+  }
+
+  // ---- chunkDocuments --------------------------------------------------
+
+  test("chunkDocuments edge sizes: below, at, and just past one chunk") {
+    val df = Seq(
+      (1L, doc(10, "a")), // n < C → 1 chunk of 10
+      (2L, doc(32, "b")), // n = C → 1 chunk of 32
+      (3L, doc(33, "c")), // n = C+1 → 2 chunks, second = words 25..33 (9)
+      (4L, doc(56, "d")), // n = C+S → 2 chunks, second = words 25..56 (32)
+      (5L, doc(57, "e"))  // n = C+S+1 → 3 chunks, third = words 49..57 (9)
+    ).toDF("doc_id", "text")
+    val out = CurationOps.chunkDocuments(df, "doc_id", "text", 32, 24)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_word", "chunk_words")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 1L, 10L),
+      (2L, 0L, 1L, 32L),
+      (3L, 0L, 1L, 32L), (3L, 1L, 25L, 9L),
+      (4L, 0L, 1L, 32L), (4L, 1L, 25L, 32L),
+      (5L, 0L, 1L, 32L), (5L, 1L, 25L, 32L), (5L, 2L, 49L, 9L)))
+  }
+
+  test("chunkDocuments reconstructs the document from strided chunks") {
+    // Dropping each chunk's 8-word overlap (except the first) and
+    // concatenating must reproduce the original word stream exactly.
+    val words = (1 to 101).map(i => s"w$i")
+    val out = CurationOps.chunkDocuments(
+      Seq((1L, words.mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", 32, 24)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text").as[(Long, String)].collect()
+    val rebuilt = out.flatMap { case (ci, text) =>
+      val ws = text.split(" ").toSeq
+      if (ci == 0) ws else ws.drop(32 - 24)
+    }.toSeq
+    assert(rebuilt == words)
+  }
+
+  // ---- groupRegression -------------------------------------------------
+
+  test("groupRegression recovers an exact linear relation per group") {
+    // Group g1: y = 2x + 1 exactly (r2 = 1); g2: constant x → NULL
+    // fit (SQL regr_slope semantics, ANSI-safe).
+    val rows =
+      (1 to 50).map(i => ("g1", i.toDouble, 2.0 * i + 1)) ++
+        (1 to 10).map(i => ("g2", 5.0, i.toDouble))
+    val out = CurationOps.groupRegression(
+      rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .orderBy("g")
+      .select("g", "n", "slope", "intercept", "r2")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(out(0) == (("g1", 50L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(out(1)._2 == 10L)
+    assert(out(1)._3.isEmpty && out(1)._4.isEmpty && out(1)._5.isEmpty)
+  }
+
+  test("groupRegression is partitioning-invariant (exact decimal moments)") {
+    val rows = (1 to 997).map(i => ("g", (i % 37).toDouble + 0.25, (i % 11).toDouble * 3 - 1))
+    val one = CurationOps.groupRegression(
+      rows.toDF("g", "x", "y").coalesce(1), Seq("g"), "x", "y")
+      .select("slope", "intercept", "r2").as[(Double, Double, Double)].head()
+    val many = CurationOps.groupRegression(
+      rows.toDF("g", "x", "y").repartition(13), Seq("g"), "x", "y")
+      .select("slope", "intercept", "r2").as[(Double, Double, Double)].head()
+    assert(one == many)
+  }
+
+  // ---- byteEntropy -----------------------------------------------------
+
+  test("byte_entropy known values and codegen parity") {
+    val out = Seq("aaaa", "ab", "abcd", "").toDF("t")
+      .select(NativeFunctions.byteEntropy($"t")).as[Double].collect()
+    assert(out(0) == 0.0)
+    assert(out(1) == 1.0)
+    assert(out(2) == 2.0)
+    assert(out(3) == 0.0)
+    // codegen path equals the interpreted kernel
+    val s = "the quick brown fox jumps over the lazy dog"
+    val viaSpark = Seq(s).toDF("t")
+      .select(NativeFunctions.byteEntropy($"t")).as[Double].head()
+    assert(viaSpark == Kernels.byteEntropy(UTF8String.fromString(s)))
+  }
+
+  test("byte_entropy is SQL-registered and null-safe") {
+    NativeFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT byte_entropy('abab') AS e, byte_entropy(CAST(NULL AS STRING)) AS n").head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.isNullAt(1))
+  }
+}

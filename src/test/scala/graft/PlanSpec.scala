@@ -195,6 +195,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bounded_top_k"), p)
   }
 
+  test("q108 chunking is map-side only: no hash shuffle, no window") {
+    val p = plan(CurationQueries.chunkDocuments(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunking must not shuffle data:\n" + p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q109 regression: broadcast dims, ONE moment-sum shuffle") {
+    val p = plan(CurationQueries.groupRegression(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"grouped regression must shuffle once (the partial-agg moment sums), saw $exchanges:\n$p")
+  }
+
+  test("q110 byte_entropy runs inside whole-stage codegen, no shuffle") {
+    val df = CurationQueries.charEntropy(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    val codegen = df.queryExecution.executedPlan
+      .asInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec]
+      .initialPlan.toString
+    assert(codegen.contains("byte_entropy"), codegen)
+  }
+
+  test("q107 substring dedup: equi-joins only, no window, no nested loop") {
+    val p = plan(CurationQueries.substringDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("every broadcast() hint sits on a bounded-cardinality side") {
     // The q84/q86 regression class: a broadcast hint on a
     // vocabulary-sized aggregate works at sf0.1 and OOMs the driver at
