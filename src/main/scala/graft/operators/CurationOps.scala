@@ -118,6 +118,59 @@ object CurationOps {
       .select("doc_id", "chunk_id", "start_word", "chunk_words", "chunk_text")
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * *Winnowing: Local Algorithms for Document Fingerprinting*, SIGMOD
+    * — the MOSS algorithm): hash every word `k`-gram, then in each
+    * sliding window of `w` consecutive gram hashes keep the minimum
+    * (rightmost on hash ties, the paper's robust winnowing). The
+    * selected (position, hash) pairs are the document's fingerprint
+    * sketch: ~`2/(w+1)` of the grams, with the GUARANTEE that any two
+    * documents sharing a passage of ≥ `w + k - 1` words share at
+    * least one fingerprint — a bounded-size sketch with a recall
+    * floor, unlike MinHash's probabilistic one.
+    *
+    * The gram hash is the first 16 hex chars of md5 compared
+    * lexicographically — computable bit-identically by any engine, so
+    * the whole selection is oracle-replayable (no engine-private hash
+    * in the algorithm's decision path). Tail windows shorter than `w`
+    * are included (they only ever ADD fingerprints, preserving the
+    * guarantee).
+    *
+    * Plan: one map-side gram explode, ONE shuffle (window partition by
+    * doc), per-doc frames bounded by document length. Returns the
+    * fingerprint rows (doc_id, pos, fp); dedup/aggregate downstream
+    * stays partitioned on doc_id so a per-doc rollup adds no exchange.
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 4,
+      w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints needs k,w >= 1, got $k/$w")
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("__w"))
+      .withColumn("__n", size(col("__w")))
+    val positions = when(col("__n") >= k, sequence(lit(1), col("__n") - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = base.select(
+      col("doc_id"),
+      explode(transform(positions, i => struct(
+        i.as("pos"),
+        substring(md5(array_join(slice(col("__w"), i, lit(k)), " ")), 1, 16)
+          .as("h")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, w - 1)
+    // min over (hash asc, -pos asc) = smallest hash, rightmost tie
+    grams
+      .withColumn("mk", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .select(col("doc_id"), (-col("mk.np")).as("pos"), col("mk.h").as("fp"))
+      .distinct()
+  }
+
   /** Grouped simple least-squares fit of `y = slope·x + intercept`
     * with coefficient of determination r² — per-group corpus/market
     * trend analytics in ONE partial-aggregable shuffle.

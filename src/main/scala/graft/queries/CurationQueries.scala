@@ -149,15 +149,62 @@ object CurationQueries {
       |FROM documents d JOIN e USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q111 — winnowing fingerprint sketch (Schleimer et al. 2003) per
+    * document: k=4 word grams, window w=4, md5-prefix hashes → the
+    * selected-fingerprint count and density (expected ≈ 2/(w+1) of
+    * grams, guaranteed to catch any shared passage of ≥ 7 words).
+    */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val fps = CurationOps.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(fps, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_fp"))
+      .withColumn("n_grams", greatest(col("n_words") - 3, lit(0L)))
+      .withColumn("fp_density",
+        when(col("n_grams") > 0,
+          col("n_fp").cast("double") / col("n_grams").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  val winnowFingerprintsSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i AS pos,
+      |    substr(md5(array_to_string(w[i:i+3], ' ')), 1, 16) AS h
+      |  FROM words, LATERAL UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+      |  WHERE len(w) >= 4),
+      |sel AS (
+      |  SELECT doc_id,
+      |    MIN(struct_pack(h := h, np := -pos))
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+      |  FROM grams),
+      |fp AS (
+      |  SELECT doc_id, count(DISTINCT mk) AS n_fp
+      |  FROM sel GROUP BY doc_id)
+      |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+      |  coalesce(f.n_fp, 0) AS n_fp,
+      |  greatest(CAST(len(w.w) AS BIGINT) - 3, 0) AS n_grams,
+      |  CASE WHEN len(w.w) > 3 THEN
+      |    CAST(coalesce(f.n_fp, 0) AS DOUBLE)
+      |      / CAST(len(w.w) - 3 AS DOUBLE) END AS fp_density
+      |FROM words w LEFT JOIN fp f USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q107_substring_dedup" -> (substringDedup(_, _)),
     "q108_chunk_documents" -> (chunkDocuments(_, _)),
     "q109_group_regression" -> (groupRegression(_, _)),
-    "q110_char_entropy" -> (charEntropy(_, _)))
+    "q110_char_entropy" -> (charEntropy(_, _)),
+    "q111_winnow_fingerprints" -> (winnowFingerprints(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q107_substring_dedup" -> substringDedupSql,
     "q108_chunk_documents" -> chunkDocumentsSql,
     "q109_group_regression" -> groupRegressionSql,
-    "q110_char_entropy" -> charEntropySql)
+    "q110_char_entropy" -> charEntropySql,
+    "q111_winnow_fingerprints" -> winnowFingerprintsSql)
 }

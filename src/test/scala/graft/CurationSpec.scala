@@ -102,6 +102,63 @@ class CurationSpec extends AnyFunSuite {
     assert(rebuilt == words)
   }
 
+  // ---- winnowFingerprints ----------------------------------------------
+
+  private def md5prefix(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(16)
+
+  /** Reference winnowing: all k-gram hashes, min of each w-window with
+    * rightmost tie-break, distinct (pos, hash) set.
+    */
+  private def winnowRef(text: String, k: Int, w: Int): Set[(Int, String)] = {
+    val words = text.split(" ")
+    val hs = (1 to words.length - k + 1)
+      .map(i => (i, md5prefix(words.slice(i - 1, i - 1 + k).mkString(" "))))
+    hs.indices.map { t =>
+      hs.slice(t, t + w).minBy { case (pos, h) => (h, -pos) }
+    }.toSet
+  }
+
+  test("winnowFingerprints matches a brute-force reference implementation") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 5L).map { id =>
+      (id, (1 to 40 + rnd.nextInt(40)).map(_ => s"t${rnd.nextInt(30)}").mkString(" "))
+    }
+    val out = CurationOps.winnowFingerprints(
+      docs.toDF("doc_id", "text"), "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    docs.foreach { case (id, text) =>
+      assert(out(id) == winnowRef(text, 4, 4), s"doc $id")
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a (w+k-1)-word passage share a fingerprint") {
+    // k=4, w=4 → any shared run of >= 7 words must yield a common
+    // (hash) fingerprint even at different positions.
+    val passage = (1 to 7).map(i => s"shared$i").mkString(" ")
+    val d1 = doc(9, "l") + " " + passage + " " + doc(5, "r")
+    val d2 = doc(3, "x") + " " + passage + " " + doc(11, "y")
+    val fps = CurationOps.winnowFingerprints(
+      Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"), "doc_id", "text", 4, 4)
+      .as[(Long, Int, String)].collect()
+    val h1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((h1 & h2).nonEmpty)
+  }
+
+  test("winnowing rightmost tie-break on equal hashes") {
+    // All-identical words → every gram hash equal → each window keeps
+    // its RIGHTMOST position → fingerprints are positions w..n_grams.
+    val n = 12 // words
+    val out = CurationOps.winnowFingerprints(
+      Seq((1L, (1 to n).map(_ => "z").mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 4)
+      .as[(Long, Int, String)].collect().map(_._2).sorted
+    assert(out.toSeq == (4 to n - 3).toSeq) // n_grams = 9 → positions 4..9
+  }
+
   // ---- groupRegression -------------------------------------------------
 
   test("groupRegression recovers an exact linear relation per group") {
