@@ -99,9 +99,13 @@ object CurationOps {
       stride: Int = 24): DataFrame = {
     require(chunkWords >= 1 && stride >= 1 && stride <= chunkWords,
       s"chunkDocuments needs 1 <= stride <= chunkWords, got $stride/$chunkWords")
+    // A null document has no chunks (greatest(NULL - C, 0) would
+    // otherwise resolve to 0 — Spark's greatest skips nulls — and
+    // fabricate one null chunk).
     val base = docs.select(
       col(idCol).as("doc_id"),
       split(col(textCol), " ").as("__w"))
+      .where(col("__w").isNotNull)
       .withColumn("__n", size(col("__w")))
     val nChunks = (floor(
       (greatest(col("__n") - chunkWords, lit(0)) + lit(stride - 1)) /

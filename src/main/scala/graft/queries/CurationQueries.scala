@@ -194,17 +194,143 @@ object CurationQueries {
       |FROM words w LEFT JOIN fp f USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q112 — per-source percentile quality filter: "drop each source's
+    * lowest-entropy 20%". Two-pass global-threshold shape: one grouped
+    * `percentile_disc` aggregate (per-source thresholds — bounded by
+    * source cardinality, safely broadcast), one broadcast join back,
+    * one stateless comparison. The standard curation idiom for
+    * "keep the top X% by quality" at corpus scale — no global sort,
+    * no window over the corpus.
+    */
+  def qualityPercentileFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("score",
+        round(NativeFunctions.byteEntropy(col("text")), 6))
+    val th = docs.groupBy(col("source"))
+      .agg(expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY score)").as("threshold"))
+    docs.join(broadcast(th), "source")
+      .withColumn("kept", col("score") >= col("threshold"))
+      .select("doc_id", "source", "score", "threshold", "kept")
+      .orderBy("doc_id")
+  }
+
+  val qualityPercentileFilterSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, substr(text, i, 1) AS ch
+      |  FROM documents, LATERAL UNNEST(generate_series(1, length(text))) AS t(i)),
+      |e AS (
+      |  SELECT doc_id, round(entropy(ch), 6) AS score FROM c GROUP BY doc_id),
+      |d AS (
+      |  SELECT doc_id, source, score FROM documents JOIN e USING (doc_id)),
+      |th AS (
+      |  SELECT source,
+      |    PERCENTILE_DISC(0.2) WITHIN GROUP (ORDER BY score) AS threshold
+      |  FROM d GROUP BY source)
+      |SELECT doc_id, source, score, threshold, score >= threshold AS kept
+      |FROM d JOIN th USING (source)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q113 — near-duplicate pairs from the winnowing sketch: candidate
+    * generation joins the ~2/(w+1)-density fingerprint sets (with a
+    * df ≤ 50 boilerplate cap, the q25 hot-key discipline) instead of
+    * the full shingle inverted index, then the exact 4-gram Jaccard
+    * verifies each candidate — same candidates→verify shape as
+    * q24/q25, but the candidate stage carries winnowing's recall
+    * GUARANTEE (any ≥7-word shared passage yields a shared
+    * fingerprint) at ~0.4× the index size. All joins are equi-joins
+    * keyed on fingerprint / gram / pair; the verify is restricted to
+    * candidate pairs, never all-pairs.
+    */
+  def winnowNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val fp = CurationOps.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .select("doc_id", "fp").distinct()
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("dfp"))
+      .filter(col("dfp") <= 50).select("fp")
+    val fpk = fp.join(rare, "fp")
+    val cand = fpk.select(col("fp"), col("doc_id").as("i"))
+      .join(fpk.select(col("fp"), col("doc_id").as("j")), "fp")
+      .where(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= 3)
+    val w = split(col("text"), " ")
+    val positions = when(size(w) >= 4, sequence(lit(1), size(w) - 3))
+      .otherwise(array().cast("array<int>"))
+    val gs = docs.select(
+      col("doc_id"),
+      explode(transform(positions, i =>
+        array_join(slice(w, i, lit(4)), " "))).as("gram"))
+      .distinct()
+    val gcnt = gs.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+    val inter = cand
+      .join(gs.select(col("doc_id").as("i"), col("gram")), "i")
+      .join(gs.select(col("doc_id").as("j"), col("gram")), Seq("j", "gram"))
+      .groupBy("i", "j", "n_shared_fp").agg(count(lit(1)).as("inter"))
+    inter
+      .join(gcnt.select(col("doc_id").as("i"), col("ng").as("ni")), "i")
+      .join(gcnt.select(col("doc_id").as("j"), col("ng").as("nj")), "j")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("ni") + col("nj") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select("i", "j", "n_shared_fp", "jaccard")
+      .orderBy("i", "j")
+  }
+
+  val winnowNearDupSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i AS pos, array_to_string(w[i:i+3], ' ') AS gram,
+      |    substr(md5(array_to_string(w[i:i+3], ' ')), 1, 16) AS h
+      |  FROM words, LATERAL UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+      |  WHERE len(w) >= 4),
+      |sel AS (
+      |  SELECT doc_id,
+      |    MIN(struct_pack(h := h, np := -pos))
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk
+      |  FROM grams),
+      |fp AS (SELECT DISTINCT doc_id, struct_extract(mk, 'h') AS fp FROM sel),
+      |rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50),
+      |fpk AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp)),
+      |cand AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared_fp
+      |  FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3),
+      |gs AS (SELECT DISTINCT doc_id, gram FROM grams),
+      |gcnt AS (SELECT doc_id, count(*) AS ng FROM gs GROUP BY doc_id),
+      |iv AS (
+      |  SELECT c.i, c.j, c.n_shared_fp, count(*) AS inter
+      |  FROM cand c
+      |  JOIN gs x ON x.doc_id = c.i
+      |  JOIN gs y ON y.doc_id = c.j AND y.gram = x.gram
+      |  GROUP BY c.i, c.j, c.n_shared_fp)
+      |SELECT iv.i, iv.j, iv.n_shared_fp,
+      |  CAST(iv.inter AS DOUBLE)
+      |    / CAST(gi.ng + gj.ng - iv.inter AS DOUBLE) AS jaccard
+      |FROM iv
+      |JOIN gcnt gi ON gi.doc_id = iv.i
+      |JOIN gcnt gj ON gj.doc_id = iv.j
+      |WHERE CAST(iv.inter AS DOUBLE)
+      |    / CAST(gi.ng + gj.ng - iv.inter AS DOUBLE) >= 0.5
+      |ORDER BY iv.i, iv.j""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q107_substring_dedup" -> (substringDedup(_, _)),
     "q108_chunk_documents" -> (chunkDocuments(_, _)),
     "q109_group_regression" -> (groupRegression(_, _)),
     "q110_char_entropy" -> (charEntropy(_, _)),
-    "q111_winnow_fingerprints" -> (winnowFingerprints(_, _)))
+    "q111_winnow_fingerprints" -> (winnowFingerprints(_, _)),
+    "q112_quality_percentile_filter" -> (qualityPercentileFilter(_, _)),
+    "q113_winnow_near_dup" -> (winnowNearDup(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q107_substring_dedup" -> substringDedupSql,
     "q108_chunk_documents" -> chunkDocumentsSql,
     "q109_group_regression" -> groupRegressionSql,
     "q110_char_entropy" -> charEntropySql,
-    "q111_winnow_fingerprints" -> winnowFingerprintsSql)
+    "q111_winnow_fingerprints" -> winnowFingerprintsSql,
+    "q112_quality_percentile_filter" -> qualityPercentileFilterSql,
+    "q113_winnow_near_dup" -> winnowNearDupSql)
 }

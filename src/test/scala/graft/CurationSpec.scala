@@ -189,6 +189,32 @@ class CurationSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  // ---- degenerate inputs -----------------------------------------------
+
+  test("curation ops survive null and empty text rows") {
+    val df = Seq((1L, null: String), (2L, ""), (3L, "one"), (4L, doc(20, "n")))
+      .toDF("doc_id", "text")
+    // duplicatedSpans: null text → null n_words, zero dup; empty text
+    // splits to [""] (one pseudo-word), too short for any gram.
+    val spans = CurationOps.duplicatedSpans(df, "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "dup_words")
+      .as[(Long, Option[Long], Long)].collect()
+    assert(spans.toSeq == Seq(
+      (1L, None, 0L), (2L, Some(1L), 0L), (3L, Some(1L), 0L), (4L, Some(20L), 0L)))
+    // chunkDocuments: the null-text row has no chunk list and drops;
+    // empty/1-word docs produce exactly one (possibly empty) chunk.
+    val chunks = CurationOps.chunkDocuments(df, "doc_id", "text", 32, 24)
+      .orderBy("doc_id").select("doc_id", "chunk_text")
+      .as[(Long, String)].collect()
+    assert(chunks.map(_._1).toSeq == Seq(2L, 3L, 4L))
+    assert(chunks(0)._2 == "" && chunks(1)._2 == "one")
+    // winnowFingerprints: nothing selected from null/short docs.
+    val fps = CurationOps.winnowFingerprints(df, "doc_id", "text", 4, 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fps == Set(4L))
+  }
+
   // ---- byteEntropy -----------------------------------------------------
 
   test("byte_entropy known values and codegen parity") {

@@ -227,6 +227,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q113 winnow near-dup: equi-joins only, verify restricted to candidates") {
+    val p = plan(CurationQueries.winnowNearDup(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("every broadcast() hint sits on a bounded-cardinality side") {
     // The q84/q86 regression class: a broadcast hint on a
     // vocabulary-sized aggregate works at sf0.1 and OOMs the driver at
