@@ -231,4 +231,125 @@ object CurationOps {
       .withColumn("n", n.cast("long"))
       .drop("__n", "__sx", "__sy", "__sxy", "__sxx", "__syy")
   }
+
+  /** DSIR importance log-weights (Xie et al. 2023, *Data Selection
+    * for Language Models via Importance Resampling*, arXiv:2302.03169)
+    * over hashed n-gram features: every word unigram and bigram hashes
+    * into one of `16^hexChars` buckets (md5 prefix, so the DuckDB
+    * oracle replays the featurizer exactly); bag-of-buckets
+    * multinomials are fit with add-one smoothing on the TARGET slice
+    * (`isTarget`) and on the RAW remainder, and each raw document
+    * scores `log w = Σ_grams log(p̂_target(b) / p̂_raw(b))` — the
+    * importance weight DSIR resamples by to pull a target-looking
+    * subset out of a raw crawl.
+    *
+    * Scale: two passes over the exploded grams (bucket counting, then
+    * scoring), both shuffling only on the bucket key / doc id; the
+    * bucket table is ≤ `16^hexChars` rows — broadcast, never a wide
+    * join. Recomputing the explode for the second pass is deliberate:
+    * at 100 TB a scan is cheaper than caching the gram stream. The
+    * per-bucket log-ratio is one `ln` over
+    * `((ct+1)/(cr+1)) * ((Tr+B)/(Tt+B))` — exact BIGINTs cast to
+    * double, then two divisions and one multiplication, all IEEE
+    * correctly-rounded, so both engines hand `ln` a bit-identical
+    * argument (and nothing overflows: a BIGINT product of two
+    * corpus-scale counts would). Callers should round the summed
+    * weight (≥6 decimals) before comparing across engines, as
+    * summation order differs.
+    *
+    * Output: one row per RAW document — (idCol, n_grams, log_w_raw) —
+    * where `log_w_raw` is the unrounded weight sum.
+    */
+  def dsirLogWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      hexChars: Int = 3): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 7,
+      s"dsirLogWeights hexChars must be in [1, 7], got $hexChars")
+    val reserved = Seq("__t", "__g", "__b", "__ct", "__cr", "__tt", "__tr", "__lr")
+    require(!docs.columns.exists(reserved.contains),
+      s"dsirLogWeights input must not use reserved columns ${reserved.mkString(", ")}")
+    val buckets = 1L << (4 * hexChars)
+    val w = split(col(textCol), " ")
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val grams = docs.select(col(idCol), isTarget.as("__t"),
+        explode(concat(w, bigrams)).as("__g"))
+      .withColumn("__b", substring(md5(col("__g")), 1, hexChars))
+    val bc = grams.groupBy(col("__b")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__cr"))
+    val tot = bc.agg(sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
+    val lr = bc.crossJoin(broadcast(tot)).select(col("__b"),
+      log(((col("__ct") + lit(1L)).cast("double") /
+           (col("__cr") + lit(1L)).cast("double")) *
+          ((col("__tr") + lit(buckets)).cast("double") /
+           (col("__tt") + lit(buckets)).cast("double")))
+        .as("__lr"))
+    grams.filter(!col("__t"))
+      .join(broadcast(lr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__lr")).as("log_w_raw"))
+  }
+
+  /** Per-group distribution drift: `KL(group ‖ corpus)` over hashed
+    * unigram buckets (md5-prefix featurizer, `16^hexChars` buckets),
+    * add-one smoothing on both sides, summed over the FULL fixed
+    * bucket support — both distributions normalize over the same
+    * support, so `KL ≥ 0` holds (truncating to observed buckets would
+    * break it). The standing corpus-monitoring metric: a source whose
+    * language drifts (new boilerplate, spam injection, scraper
+    * breakage) spikes against the corpus mixture long before a
+    * downstream eval moves.
+    *
+    * Scale: one unigram explode → one (group, bucket) count shuffle;
+    * everything after lives on ≤ groups × `16^hexChars` rows (the
+    * support grid is built from `spark.range`, joined by broadcast —
+    * never a wide shuffle). Every `ln` argument derives from exact
+    * BIGINTs through correctly-rounded double ops (the
+    * [[dsirLogWeights]] discipline); callers should round the KL sum
+    * (≥6 decimals) before cross-engine comparison.
+    *
+    * Output: one row per group — (groupCol, n_grams, kl) — with `kl`
+    * unrounded.
+    */
+  def klDrift(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String,
+      hexChars: Int = 3): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 7,
+      s"klDrift hexChars must be in [1, 7], got $hexChars")
+    val reserved = Seq("__w", "__bk", "__csb", "__nsrc", "__cbk", "__nn")
+    require(!docs.columns.exists(reserved.contains),
+      s"klDrift input must not use reserved columns ${reserved.mkString(", ")}")
+    val nBuckets = 1L << (4 * hexChars)
+    val b = lit(nBuckets)
+    val wb = docs.select(col(groupCol),
+        explode(split(col(textCol), " ")).as("__w"))
+      .withColumn("__bk", substring(md5(col("__w")), 1, hexChars))
+    val sb = wb.groupBy(col(groupCol), col("__bk"))
+      .agg(count(lit(1)).as("__csb"))
+    val ns = sb.groupBy(col(groupCol)).agg(sum(col("__csb")).as("__nsrc"))
+    val cb = sb.groupBy(col("__bk")).agg(sum(col("__csb")).as("__cbk"))
+    val tot = cb.agg(sum(col("__cbk")).as("__nn"))
+    val support = docs.sparkSession.range(nBuckets).select(
+      lpad(lower(hex(col("id"))), hexChars, "0").as("__bk"))
+    val grid = ns.crossJoin(broadcast(support))
+      .join(broadcast(cb), Seq("__bk"), "left").na.fill(0L, Seq("__cbk"))
+      .join(sb, Seq(groupCol, "__bk"), "left").na.fill(0L, Seq("__csb"))
+      .crossJoin(broadcast(tot))
+    val p = (col("__csb") + lit(1L)).cast("double") /
+      (col("__nsrc") + b).cast("double")
+    val ratio = ((col("__csb") + lit(1L)).cast("double") /
+        (col("__cbk") + lit(1L)).cast("double")) *
+      ((col("__nn") + b).cast("double") / (col("__nsrc") + b).cast("double"))
+    grid.withColumn("__term", p * log(ratio))
+      .groupBy(col(groupCol), col("__nsrc"))
+      .agg(sum(col("__term")).as("kl"))
+      .select(col(groupCol), col("__nsrc").as("n_grams"), col("kl"))
+  }
 }

@@ -316,6 +316,137 @@ object CurationQueries {
       |    / CAST(gi.ng + gj.ng - iv.inter AS DOUBLE) >= 0.5
       |ORDER BY iv.i, iv.j""".stripMargin
 
+  /** q114 — DSIR importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169): treat src0/src1 as the high-quality TARGET
+    * domain and every other source as the RAW crawl; score each raw
+    * document with [[CurationOps.dsirLogWeights]] (hashed uni+bigram
+    * bucket log-likelihood ratios, add-one smoothing) and draw the
+    * 100-document selection by Gumbel top-k — `log w + g` where the
+    * Gumbel noise `g = -ln(-ln(u))` comes from a seeded md5 uniform,
+    * so the "sample without replacement ∝ w" draw is deterministic
+    * and engine-replayable. The final ORDER BY/LIMIT plans as a
+    * bounded top-k (TakeOrderedAndProject / TopKRewrite class), never
+    * a global sort.
+    *
+    * Both engines compute identical ln arguments (exact integers
+    * through correctly-rounded double ops); the 6-decimal rounding on
+    * the summed weight absorbs summation-order ulps (q110 precedent).
+    */
+  def dsirResample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val weights = CurationOps.dsirLogWeights(
+      docs, "doc_id", "text", col("source").isin("src0", "src1"))
+    val hex6 = substring(
+      md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 6)
+    val u = (conv(hex6, 16, 10).cast("long") + lit(1L)).cast("double") /
+      lit(16777217.0)
+    val gumbel = -log(-log(u))
+    weights
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("sel_key", round(col("log_w_raw") + gumbel, 6))
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        round(col("log_w_raw"), 6).as("log_w"), col("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val dsirResampleSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+      |    substr(md5(gram), 1, 3) AS b
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      unnest(ws || list_transform(range(1, len(ws)),
+      |        i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      |    FROM w)),
+      |bc AS (
+      |  SELECT b,
+      |    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS cr
+      |  FROM g GROUP BY b),
+      |tot AS (
+      |  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr
+      |  FROM bc),
+      |lr AS (
+      |  SELECT b,
+      |    ln((CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
+      |       * (CAST(tr + 4096 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))) AS lr
+      |  FROM bc, tot),
+      |dw AS (
+      |  SELECT doc_id, COUNT(*) AS n_grams, SUM(lr) AS slw
+      |  FROM g JOIN lr USING (b) WHERE NOT is_t GROUP BY doc_id),
+      |sel AS (
+      |  SELECT d.doc_id, doc.source, d.n_grams,
+      |    round(d.slw, 6) AS log_w,
+      |    round(d.slw - ln(-ln(
+      |      (CAST(list_sum(list_transform(range(1, 7), i ->
+      |         (strpos('0123456789abcdef', substr(
+      |            substr(md5('dsir:' || CAST(d.doc_id AS VARCHAR)), 1, 6),
+      |            i, 1)) - 1)
+      |         * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) + 1)
+      |      / 16777217.0)), 6) AS sel_key
+      |  FROM dw d JOIN documents doc USING (doc_id))
+      |SELECT doc_id, source, n_grams, log_w, sel_key
+      |FROM sel ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin
+
+  /** q115 — per-source distribution drift: KL(source ‖ corpus) over
+    * hashed-unigram buckets (the md5-prefix featurizer of q114), with
+    * add-one smoothing on both sides, summed over the FULL fixed
+    * 4096-bucket support (both distributions normalize over the same
+    * support, so KL ≥ 0 holds — truncating to observed buckets would
+    * break it). The standing monitoring metric of a training-data
+    * pipeline — a source whose language drifts (new boilerplate, spam
+    * injection, scraper breakage) shows a KL spike against the corpus
+    * mixture long before any downstream eval moves.
+    *
+    * Scale: one unigram explode → one (source, bucket) count shuffle;
+    * everything after lives on ≤ sources × 4096 rows (the grid is two
+    * broadcast joins, never a wide shuffle). Each term's `ln` argument
+    * is built from exact BIGINTs through correctly-rounded double ops
+    * (q114 discipline), and the 6-decimal rounding absorbs
+    * summation-order ulps.
+    */
+  def sourceKlDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    CurationOps.klDrift(docs, "source", "text")
+      .withColumn("kl", round(col("kl"), 6))
+      .orderBy(col("source"))
+  }
+
+  val sourceKlDriftSql: String =
+    """WITH w AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wb AS (SELECT source, substr(md5(w), 1, 3) AS bk FROM w),
+      |sb AS (
+      |  SELECT source, bk, CAST(COUNT(*) AS BIGINT) AS csb
+      |  FROM wb GROUP BY source, bk),
+      |ns AS (
+      |  SELECT source, CAST(SUM(csb) AS BIGINT) AS nsrc
+      |  FROM sb GROUP BY source),
+      |cb AS (
+      |  SELECT bk, CAST(SUM(csb) AS BIGINT) AS cbk FROM sb GROUP BY bk),
+      |tot AS (SELECT CAST(SUM(cbk) AS BIGINT) AS nn FROM cb),
+      |bks AS (
+      |  SELECT lpad(lower(to_hex(i)), 3, '0') AS bk
+      |  FROM (SELECT unnest(range(0, 4096)) AS i)),
+      |grid AS (
+      |  SELECT ns.source, ns.nsrc, bks.bk, COALESCE(cb.cbk, 0) AS cbk,
+      |    tot.nn, COALESCE(sb.csb, 0) AS csb
+      |  FROM ns CROSS JOIN bks CROSS JOIN tot
+      |  LEFT JOIN cb ON cb.bk = bks.bk
+      |  LEFT JOIN sb ON sb.source = ns.source AND sb.bk = bks.bk),
+      |t AS (
+      |  SELECT source, nsrc,
+      |    (CAST(csb + 1 AS DOUBLE) / CAST(nsrc + 4096 AS DOUBLE)) *
+      |    ln((CAST(csb + 1 AS DOUBLE) / CAST(cbk + 1 AS DOUBLE))
+      |       * (CAST(nn + 4096 AS DOUBLE) / CAST(nsrc + 4096 AS DOUBLE))) AS term
+      |  FROM grid)
+      |SELECT source, nsrc AS n_grams, round(SUM(term), 6) AS kl
+      |FROM t GROUP BY source, nsrc
+      |ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q107_substring_dedup" -> (substringDedup(_, _)),
     "q108_chunk_documents" -> (chunkDocuments(_, _)),
@@ -323,7 +454,9 @@ object CurationQueries {
     "q110_char_entropy" -> (charEntropy(_, _)),
     "q111_winnow_fingerprints" -> (winnowFingerprints(_, _)),
     "q112_quality_percentile_filter" -> (qualityPercentileFilter(_, _)),
-    "q113_winnow_near_dup" -> (winnowNearDup(_, _)))
+    "q113_winnow_near_dup" -> (winnowNearDup(_, _)),
+    "q114_dsir_resample" -> (dsirResample(_, _)),
+    "q115_source_kl_drift" -> (sourceKlDrift(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q107_substring_dedup" -> substringDedupSql,
@@ -332,5 +465,7 @@ object CurationQueries {
     "q110_char_entropy" -> charEntropySql,
     "q111_winnow_fingerprints" -> winnowFingerprintsSql,
     "q112_quality_percentile_filter" -> qualityPercentileFilterSql,
-    "q113_winnow_near_dup" -> winnowNearDupSql)
+    "q113_winnow_near_dup" -> winnowNearDupSql,
+    "q114_dsir_resample" -> dsirResampleSql,
+    "q115_source_kl_drift" -> sourceKlDriftSql)
 }

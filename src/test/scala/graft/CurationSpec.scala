@@ -238,4 +238,145 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 1.0)
     assert(r.isNullAt(1))
   }
+
+  // ---- dsirLogWeights --------------------------------------------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Exact scala mirror of the operator's bucket math (same double
+    * operation order), for the brute-force differential.
+    */
+  private def dsirReference(
+      docs: Seq[(Long, String, Boolean)]): Map[Long, (Long, Double)] = {
+    val b = 4096L
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      w ++ w.zip(w.drop(1)).map { case (a, c) => s"$a $c" }
+    }
+    val all = docs.flatMap { case (id, t, tgt) =>
+      grams(t).map(g => (id, tgt, md5hex(g).substring(0, 3)))
+    }
+    val ct = all.filter(_._2).groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val cr = all.filterNot(_._2).groupBy(_._3).map { case (k, v) => k -> v.size.toLong }
+    val tt = ct.values.sum
+    val tr = cr.values.sum
+    def lr(bk: String): Double = math.log(
+      ((ct.getOrElse(bk, 0L) + 1L).toDouble / (cr.getOrElse(bk, 0L) + 1L).toDouble) *
+        ((tr + b).toDouble / (tt + b).toDouble))
+    all.filterNot(_._2).groupBy(_._1).map { case (id, rows) =>
+      id -> (rows.size.toLong, rows.map(r => lr(r._3)).sum)
+    }
+  }
+
+  test("dsirLogWeights ranks target-like raw documents above unrelated ones") {
+    // Target vocabulary is "alpha…"; raw doc 10 reuses it verbatim,
+    // raw doc 11 is a disjoint vocabulary of the SAME length, so the
+    // importance ratio is the only difference between them.
+    val tgt = (1 to 40).map(i => s"alpha${i % 8}").mkString(" ")
+    val rawLike = (1 to 40).map(i => s"alpha${(i + 3) % 8}").mkString(" ")
+    val rawOther = (1 to 40).map(i => s"zeta${i % 8}").mkString(" ")
+    val df = Seq(
+      (1L, tgt, "t"), (2L, tgt, "t"),
+      (10L, rawLike, "r"), (11L, rawOther, "r")).toDF("doc_id", "text", "kind")
+    val out = CurationOps.dsirLogWeights(df, "doc_id", "text", $"kind" === "t")
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "log_w_raw")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(10L, 11L), "only RAW docs are scored")
+    assert(out.forall(_._2 == 79L), "40 unigrams + 39 bigrams per doc")
+    assert(out(0)._3 > out(1)._3,
+      s"target-like doc must outscore the unrelated one: $out")
+  }
+
+  test("dsirLogWeights matches the brute-force reference and survives repartition") {
+    val docs = Seq(
+      (1L, "a b c a b", true), (2L, "c d e f g", true),
+      (10L, "a b c d e", false), (11L, "x y z w v", false),
+      (12L, "a a a b b", false))
+    val expect = dsirReference(docs)
+    val df = docs.toDF("doc_id", "text", "is_t").repartition(7)
+    val got = CurationOps.dsirLogWeights(df, "doc_id", "text", $"is_t")
+      .select("doc_id", "n_grams", "log_w_raw")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == expect.keySet)
+    for ((id, (n, w)) <- expect) {
+      assert(got(id)._1 == n, s"gram count for doc $id")
+      // summation order differs between engines/partitionings; the
+      // terms themselves are bit-identical
+      assert(math.abs(got(id)._2 - w) < 1e-9,
+        s"weight for doc $id: got ${got(id)._2}, expect $w")
+    }
+  }
+
+  test("dsirLogWeights: smoothing keeps unseen-bucket weights finite and plan is broadcast-only") {
+    // Raw doc with vocabulary never seen in target: every bucket has
+    // ct=0 and the add-one-smoothed ratio must stay finite/negative.
+    val df = Seq(
+      (1L, "p q r s", true),
+      (10L, "m n o u", false)).toDF("doc_id", "text", "is_t")
+    val out = CurationOps.dsirLogWeights(df, "doc_id", "text", $"is_t")
+    val w = out.select("log_w_raw").as[Double].head()
+    assert(!w.isNaN && !w.isInfinite)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket log-ratio table must join by broadcast:\n" + plan)
+  }
+
+  test("dsirLogWeights rejects reserved column names") {
+    val df = Seq((1L, "a", true)).toDF("doc_id", "__b", "is_t")
+    val e = intercept[IllegalArgumentException] {
+      CurationOps.dsirLogWeights(df, "doc_id", "__b", $"is_t")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  // ---- klDrift ---------------------------------------------------------
+
+  test("klDrift is non-negative and flags the drifted group highest") {
+    // g1/g2 share one vocabulary; g3 is a disjoint vocabulary — the
+    // drifted source must carry the strictly largest KL, and every KL
+    // must be ≥ 0 (full-support normalization).
+    val common = (1 to 60).map(i => s"w${i % 10}").mkString(" ")
+    val drifted = (1 to 60).map(i => s"zz${i % 10}").mkString(" ")
+    val df = Seq(
+      ("g1", common), ("g1", common),
+      ("g2", common), ("g2", common),
+      ("g3", drifted), ("g3", drifted)).toDF("src", "text")
+    val out = CurationOps.klDrift(df, "src", "text")
+      .orderBy("src").select("src", "n_grams", "kl")
+      .as[(String, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq("g1", "g2", "g3"))
+    assert(out.forall(_._2 == 120L))
+    assert(out.forall(_._3 >= 0.0), s"KL must be non-negative: ${out.toSeq}")
+    // With 120 grams spread over 4096 smoothed buckets the add-one
+    // mass compresses all KLs toward the common smoothing floor, so
+    // dominance is asserted at 1.5x, not an order of magnitude.
+    assert(out(2)._3 > out(0)._3 * 1.5,
+      s"drifted group must dominate: ${out.toSeq}")
+    assert(math.abs(out(0)._3 - out(1)._3) < 1e-12,
+      "identical groups must have identical KL")
+  }
+
+  test("klDrift is partitioning-invariant and guards reserved names") {
+    val docs = Seq(
+      ("a", "x y z x y"), ("a", "p q r"), ("b", "x x q"),
+      ("c", "u v w u v w u")).toDF("src", "text")
+    val one = CurationOps.klDrift(docs.coalesce(1), "src", "text")
+      .orderBy("src").select("kl").as[Double].collect()
+    val many = CurationOps.klDrift(docs.repartition(5), "src", "text")
+      .orderBy("src").select("kl").as[Double].collect()
+    assert(one.length == 3)
+    one.zip(many).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-12, s"partitioning changed KL: $x vs $y")
+    }
+    val bad = Seq(("a", "t", 1L)).toDF("src", "text", "__nn")
+    val e = intercept[IllegalArgumentException] {
+      CurationOps.klDrift(bad, "src", "text")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }
