@@ -27,10 +27,10 @@ object Bench {
     // (SCALE_PROBE.md round-11 table) no longer holds
     "q99_error_window_join", "q100_bucketed_interval_count",
     "q103_capped_interval_join",
-    // round 11: the substring-dedup gram index and the winnow-sketch
-    // candidate self-join are the newest full-corpus-shuffle queries —
-    // the class whose sf1 ratio matters
-    "q107_substring_dedup", "q113_winnow_near_dup")
+    // round 11: the substring-dedup gram index, the winnow-sketch
+    // candidate self-join, and the DSIR double-scan are the newest
+    // full-corpus-shuffle queries — the class whose sf1 ratio matters
+    "q107_substring_dedup", "q113_winnow_near_dup", "q114_dsir_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
