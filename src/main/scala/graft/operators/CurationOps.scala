@@ -266,8 +266,11 @@ object CurationOps {
       textCol: String,
       isTarget: Column,
       hexChars: Int = 3): DataFrame = {
-    require(hexChars >= 1 && hexChars <= 7,
-      s"dsirLogWeights hexChars must be in [1, 7], got $hexChars")
+    // ≤ 4 hex chars caps the bucket domain at 65536, keeping the
+    // per-bucket ratio table unconditionally broadcastable (the
+    // PlanSpec bounded-broadcast contract relies on this cap).
+    require(hexChars >= 1 && hexChars <= 4,
+      s"dsirLogWeights hexChars must be in [1, 4], got $hexChars")
     val reserved = Seq("__t", "__g", "__b", "__ct", "__cr", "__tt", "__tr", "__lr")
     require(!docs.columns.exists(reserved.contains),
       s"dsirLogWeights input must not use reserved columns ${reserved.mkString(", ")}")
@@ -321,8 +324,10 @@ object CurationOps {
       groupCol: String,
       textCol: String,
       hexChars: Int = 3): DataFrame = {
-    require(hexChars >= 1 && hexChars <= 7,
-      s"klDrift hexChars must be in [1, 7], got $hexChars")
+    // same [1, 4] cap as dsirLogWeights: the support grid and bucket
+    // aggregates are broadcast, so the domain must stay ≤ 65536
+    require(hexChars >= 1 && hexChars <= 4,
+      s"klDrift hexChars must be in [1, 4], got $hexChars")
     val reserved = Seq("__w", "__bk", "__csb", "__nsrc", "__cbk", "__nn")
     require(!docs.columns.exists(reserved.contains),
       s"klDrift input must not use reserved columns ${reserved.mkString(", ")}")

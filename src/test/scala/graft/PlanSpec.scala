@@ -282,7 +282,11 @@ class PlanSpec extends AnyFunSuite {
       case a: Attribute =>
         a.name == "label" || a.name == "source" ||
           a.name.endsWith("nationkey") ||
-          a.name.endsWith("regionkey") || a.dataType == DateType
+          a.name.endsWith("regionkey") || a.dataType == DateType ||
+          // md5-prefix bucket keys (DSIR / KL-drift featurizer): the
+          // reserved-name guards mean only CurationOps creates these,
+          // and both operators cap hexChars at 4 → domain ≤ 65536
+          a.name == "__b" || a.name == "__bk"
       case _: Literal => true
       case Pmod(_, _: Literal, _) => true
       case _ => false
@@ -295,6 +299,8 @@ class PlanSpec extends AnyFunSuite {
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: LocalRelation => true
       case _: OneRowRelation => true
+      // spark.range(n) support grids (the KL-drift bucket support)
+      case r: Range => r.numElements <= BigInt(65536)
       // q97's learned centroids: an eager localCheckpoint of the ≤ k
       // k-means centroid set. The RDD is already materialized, so the
       // spec verifies the ACTUAL cardinality instead of trusting the
