@@ -16,21 +16,44 @@ package graft
   * distinguish "consistently slower" (small spread, no reruns, higher
   * min) from "loaded box" (huge spread, reruns that reconfirm the old
   * min) without a bisect.
+  *
+  * Round 12 additions, after BENCH_r11 died rc=124 with nothing
+  * written: the warmup pass can be fed back in as each query's first
+  * sample (`seed`) so one whole pass of wall time is saved without
+  * giving up min-of-3, and every run is guarded by `outOfBudget` so
+  * the caller can enforce a hard wall-clock deadline — when the
+  * budget trips, measurement stops where it is and whatever samples
+  * exist are summarized instead of lost.
   */
 object BenchCore {
 
   /** One query's measurement: best wall seconds, raw-pass spread
-    * (max/min before any rerun; 1.0 when all passes agree, -1 when
-    * every pass failed), rerun count, and every sample taken.
+    * (max/min of the timed passes, excluding any seeded warmup sample,
+    * before any rerun; 1.0 when all passes agree or fewer than two
+    * passes ran, -1 when every sample failed), rerun count, and every
+    * sample taken (seed first when present).
     */
   final case class QueryResult(
       min: Double, spread: Double, reruns: Int, samples: Seq[Double])
 
-  /** Run `names` through `passes` timed passes of `run` (which returns
-    * wall seconds, or a negative value on failure), then re-measure
-    * outliers. Pass-major order matches the original bench loop:
-    * queries interleave across passes so a transient load spike hits
-    * one pass of many queries rather than all passes of one.
+  /** Run `names` through timed passes of `run` (which returns wall
+    * seconds, or a negative value on failure), then re-measure
+    * outliers. Pass-major order: queries interleave across passes so a
+    * transient load spike hits one pass of many queries rather than
+    * all passes of one.
+    *
+    * `seed` supplies an already-taken sample per query (the warmup
+    * pass); a seeded query then gets `passes - 1` timed passes, so
+    * `passes` is always the target sample count. Seed samples are
+    * JIT/codegen-hot on their first execution, so they count toward
+    * the min (a warmup can't beat a warm pass, so this is harmless)
+    * but NOT toward the spread — otherwise every query would look
+    * like an outlier and the rerun logic would burn the budget the
+    * seeding saved.
+    *
+    * `outOfBudget` is consulted before every individual run (passes
+    * and reruns); once it returns true no further work is started and
+    * the samples already taken are summarized.
     */
   def measure(
       names: Seq[String],
@@ -38,21 +61,35 @@ object BenchCore {
       passes: Int = 3,
       spreadThreshold: Double = 3.0,
       maxReruns: Int = 2,
-      cleanFactor: Double = 1.5): Map[String, QueryResult] = {
-    val raw: Seq[Map[String, Double]] =
-      Seq.fill(passes)(names.map(n => n -> run(n)).toMap)
+      cleanFactor: Double = 1.5,
+      outOfBudget: () => Boolean = () => false,
+      seed: Map[String, Double] = Map.empty): Map[String, QueryResult] = {
+    val acc = collection.mutable.LinkedHashMap(
+      names.map(n => n -> seed.get(n).toVector): _*)
+    var pass = 0
+    while (pass < passes && !outOfBudget()) {
+      names.foreach { n =>
+        if (acc(n).size < passes && !outOfBudget()) acc(n) :+= run(n)
+      }
+      pass += 1
+    }
     names.map { name =>
-      val all = raw.map(_(name))
+      val all = acc(name)
+      val seeded = seed.contains(name)
+      val timed = if (seeded) all.drop(1) else all
       val ok = all.filter(_ >= 0)
+      val timedOk = timed.filter(_ >= 0)
       if (ok.isEmpty) {
         name -> QueryResult(-1.0, -1.0, 0, all)
       } else {
-        val spread = if (ok.min > 0) ok.max / ok.min else 1.0
+        val spread =
+          if (timedOk.size < 2 || timedOk.min <= 0) 1.0
+          else timedOk.max / timedOk.min
         var best = ok.min
         var extra = List.empty[Double]
         if (spread > spreadThreshold) {
           var clean = false
-          while (!clean && extra.size < maxReruns) {
+          while (!clean && extra.size < maxReruns && !outOfBudget()) {
             val t = run(name)
             extra ::= t
             if (t >= 0) {
