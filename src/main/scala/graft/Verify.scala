@@ -21,6 +21,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail LOUDLY before any query runs if the driver regenerated the
+    // testdata with different column types (the Aug-13 drift cost 39
+    // queries one silent analysis error at a time).
+    Tables.assertSchemas(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // structural guard: an oracle without a query would silently earn
     // zero correctness rows (the round-2 OlapQueries wiring bug)

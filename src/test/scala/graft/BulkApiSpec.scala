@@ -99,14 +99,19 @@ class BulkApiSpec extends AnyFunSuite {
     val eodPlan = api().retrieveBulkEod(3L, None, "2024-01-02", "2024-01-28")
       .queryExecution.executedPlan.toString
     // on a (root, date)-partitioned production layout the root/date
-    // predicates prune partitions; on the flat test parquet (ts is raw
-    // INT64 nanos, so the range can't become a parquet PushedFilter
-    // through the timestamp_micros conversion) they must at least sit
-    // scan-adjacent in the FileScan's DataFilters — before any shuffle
+    // predicates prune partitions; on the flat test parquet the
+    // loader's schema-adaptive range filter must reach the scan. For
+    // the native-timestamp vintage that means a true parquet
+    // PushedFilter on ts; for the legacy nanos vintage (raw INT64, the
+    // range is a bigint comparison) at least scan-adjacent DataFilters.
     val scanLine = eodPlan.linesIterator
       .find(l => l.contains("FileScan") && l.contains("events.parquet"))
       .getOrElse("")
-    assert(scanLine.contains("DataFilters") && scanLine.contains("timestamp_micros"),
-      "time-range filter must be scan-adjacent:\n" + scanLine)
+    val pushedNative = scanLine.contains("GreaterThanOrEqual(ts") &&
+      scanLine.contains("LessThan(ts")
+    val nanosAdjacent = scanLine.contains("DataFilters") &&
+      scanLine.contains("timestamp_micros")
+    assert(pushedNative || nanosAdjacent,
+      "time-range filter must be pushed (native ts) or scan-adjacent (nanos):\n" + scanLine)
   }
 }
