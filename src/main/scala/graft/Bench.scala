@@ -64,10 +64,40 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup (cache cleared per query so persists don't accumulate)
-    queries.foreach { case (_, fn) => runOnce(fn); spark.catalog.clearCache() }
+    // Hard wall-clock budget (BENCH_r11 died rc=124 with NOTHING
+    // written because the full corpus + probe overran the driver's
+    // timeout and the JSON only landed at the end). The deadline is
+    // consulted before every individual run; whatever samples exist
+    // when it trips are summarized and persisted.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1400").toDouble
+    val deadlineNanos = System.nanoTime() + (budgetS * 1e9).toLong
+    val outOfBudget = () => System.nanoTime() > deadlineNanos
 
-    // Three timed passes keep the per-query minimum (robust against
+    // Incremental persistence: after EVERY sample, rewrite the output
+    // JSON with min-so-far per query (marked "partial":true), so a
+    // driver-side kill costs only the tail, never the whole artifact.
+    val out = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    val samplesSoFar = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    def persistPartial(): Unit = {
+      val qs = samplesSoFar.toSeq.collect { case (n, ss) if ss.exists(_ >= 0) =>
+        "\"" + n + "\":" + ss.filter(_ >= 0).min
+      }.mkString("{", ",", "}")
+      val partial = s"""{"metric":"total","value":-1,"unit":"sec","partial":true,"queries":$qs,"sf":"$sfDir"}"""
+      java.nio.file.Files.write(out, partial.getBytes("UTF-8"))
+    }
+
+    // Warmup pass (JIT + codegen + shuffle-service warm; cache cleared
+    // per query so persists don't accumulate). The times feed into
+    // measure() as each query's first sample — min-of-3 at the cost of
+    // two timed passes.
+    val warm = queries.map { case (name, fn) =>
+      val t = runOnce(fn); spark.catalog.clearCache()
+      samplesSoFar(name) = Vector(t); persistPartial()
+      name -> t
+    }.toMap
+
+    // Timed passes keep the per-query minimum (robust against
     // transient co-tenant load and GC pauses; observed swings >40%
     // between whole runs on this box), and BenchCore re-measures any
     // query whose pass spread exceeds 3x its min — so a future
@@ -77,13 +107,17 @@ object Bench {
     def timedRun(name: String): Double = {
       val sec = runOnce(fns(name))
       spark.catalog.clearCache()
+      samplesSoFar(name) = samplesSoFar.getOrElse(name, Vector.empty) :+ sec
+      persistPartial()
       sec
     }
-    val measured = BenchCore.measure(queries.map(_._1), timedRun)
+    val measured = BenchCore.measure(queries.map(_._1), timedRun,
+      seed = warm, outOfBudget = outOfBudget)
     val results = queries.map { case (name, _) => name -> measured(name).min }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.collect { case (k, v) if !measured(k).truncated =>
+      "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
     // Every raw sample per query (3 passes + any outlier reruns), so a
     // reader can see run-to-run noise directly instead of inferring it
     // from the min — a loaded box shows one inflated slot, a plan
@@ -114,35 +148,47 @@ object Bench {
       s"sf1 probe names not registered in SparkEntry.queries: " +
         missingProbe.mkString(", "))
     val sf1Section =
-      if (wanted.nonEmpty || !new java.io.File(sf1Dir, "documents.parquet").exists() ||
+      if (wanted.nonEmpty || outOfBudget() ||
+          !new java.io.File(sf1Dir, "documents.parquet").exists() ||
           new java.io.File(sfDir).getCanonicalPath ==
             new java.io.File(sf1Dir).getCanonicalPath) ""
       else {
         val probe = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (n, _) => probeNames.contains(n) }
-        probe.foreach { case (_, fn) => runOnce(fn, sf1Dir); spark.catalog.clearCache() }
+        // Probe warmups seed the probe measure too, and the SAME
+        // deadline governs every probe run — the probe is a ratio
+        // check, so a budget-truncated probe (fewer entries) is still
+        // useful where a blown driver timeout is not.
+        val pWarm = probe.takeWhile(_ => !outOfBudget()).map { case (name, fn) =>
+          val t = runOnce(fn, sf1Dir); spark.catalog.clearCache(); name -> t
+        }.toMap
         val pFns = probe.toMap
         def probeRun(name: String): Double = {
           val sec = runOnce(pFns(name), sf1Dir)
           spark.catalog.clearCache()
           sec
         }
-        val pMeasured = BenchCore.measure(probe.map(_._1), probeRun)
-        val pq = probe.map { case (name, _) =>
+        val pMeasured = BenchCore.measure(probe.map(_._1), probeRun,
+          seed = pWarm, outOfBudget = outOfBudget)
+        val pq = probe.collect { case (name, _) if !pMeasured(name).truncated =>
           "\"" + name + "\":" + pMeasured(name).min
         }.mkString("{", ",", "}")
         s""","sf1":{"dir":"$sf1Dir","queries":$pq}"""
       }
 
     val rerunsField = if (reruns == "{}") "" else s""","reruns":$reruns"""
+    // Budget-truncated queries (no samples at all) are UNMEASURED, not
+    // broken — named separately so a -1 never masquerades as a failure.
+    val truncated = queries.collect { case (name, _) if measured(name).truncated =>
+      "\"" + name + "\""
+    }.mkString("[", ",", "]")
+    val truncatedField = if (truncated == "[]") "" else s""","truncated":$truncated"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"spread":$spreads$rerunsField,"sf":"$sfDir"$sf1Section}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"spread":$spreads$rerunsField$truncatedField,"sf":"$sfDir"$sf1Section}"""
     println(json)
     // The console line can be lost to log-tail truncation (one line per
-    // 89 queries is long); persist the identical JSON where the driver
+    // 114 queries is long); persist the identical JSON where the driver
     // and later rounds can always read it.
-    val out = java.nio.file.Paths.get("target", "bench_full.json")
-    java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
   }

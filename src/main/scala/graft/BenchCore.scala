@@ -32,9 +32,18 @@ object BenchCore {
     * before any rerun; 1.0 when all passes agree or fewer than two
     * passes ran, -1 when every sample failed), rerun count, and every
     * sample taken (seed first when present).
+    *
+    * `min == -1` is overloaded by callers' runners ("this query
+    * failed"), so [[truncated]] distinguishes the other -1 case: the
+    * wall-clock budget tripped before this query took ANY sample.
+    * A truncated query is unmeasured, not broken — downstream readers
+    * (bench JSON, round-over-round diffs) must not count it as a
+    * failure.
     */
   final case class QueryResult(
-      min: Double, spread: Double, reruns: Int, samples: Seq[Double])
+      min: Double, spread: Double, reruns: Int, samples: Seq[Double]) {
+    def truncated: Boolean = samples.isEmpty
+  }
 
   /** Run `names` through timed passes of `run` (which returns wall
     * seconds, or a negative value on failure), then re-measure
@@ -44,12 +53,14 @@ object BenchCore {
     *
     * `seed` supplies an already-taken sample per query (the warmup
     * pass); a seeded query then gets `passes - 1` timed passes, so
-    * `passes` is always the target sample count. Seed samples are
-    * JIT/codegen-hot on their first execution, so they count toward
-    * the min (a warmup can't beat a warm pass, so this is harmless)
-    * but NOT toward the spread — otherwise every query would look
-    * like an outlier and the rerun logic would burn the budget the
-    * seeding saved.
+    * `passes` is always the target sample count. Seed samples pay the
+    * JIT/codegen cost (they are COLD), so a cold seed can't beat a
+    * warm pass and including it in the min is harmless — but it is
+    * excluded from the spread, otherwise every query would look like
+    * an outlier and the rerun logic would burn the budget the seeding
+    * saved. A FAILED warmup (negative seed value) is ignored entirely
+    * rather than occupying a sample slot, so that query still gets the
+    * full `passes` timed chances at a valid measurement.
     *
     * `outOfBudget` is consulted before every individual run (passes
     * and reruns); once it returns true no further work is started and
@@ -64,8 +75,9 @@ object BenchCore {
       cleanFactor: Double = 1.5,
       outOfBudget: () => Boolean = () => false,
       seed: Map[String, Double] = Map.empty): Map[String, QueryResult] = {
+    val validSeed = seed.filter(_._2 >= 0)
     val acc = collection.mutable.LinkedHashMap(
-      names.map(n => n -> seed.get(n).toVector): _*)
+      names.map(n => n -> validSeed.get(n).toVector): _*)
     var pass = 0
     while (pass < passes && !outOfBudget()) {
       names.foreach { n =>
@@ -75,7 +87,7 @@ object BenchCore {
     }
     names.map { name =>
       val all = acc(name)
-      val seeded = seed.contains(name)
+      val seeded = validSeed.contains(name)
       val timed = if (seeded) all.drop(1) else all
       val ok = all.filter(_ >= 0)
       val timedOk = timed.filter(_ >= 0)

@@ -74,6 +74,70 @@ class BenchSpec extends AnyFunSuite {
     assert(out("flaky").reruns == 0)
   }
 
+  test("a seeded query takes passes-1 timed runs; seed counts for min, not spread") {
+    // Seed 0.05 (a cold warmup that happened to be fastest — rare but
+    // possible on a loaded box): it must win the min, yet the spread
+    // must come from the two timed passes only (0.5/0.25 = 2, NOT
+    // 0.5/0.05 = 10, which would trigger a pointless rerun).
+    // Exact binary fractions so the spread compare is exact.
+    val script = collection.mutable.Map("s" -> List(0.25, 0.5))
+    def run(name: String): Double = {
+      val t :: rest = script(name): @unchecked
+      script(name) = rest
+      t
+    }
+    val out = BenchCore.measure(Seq("s"), run, seed = Map("s" -> 0.05))
+    assert(script("s").isEmpty) // exactly 2 timed runs, not 3
+    assert(out("s").min == 0.05)
+    assert(out("s").spread == 2.0)
+    assert(out("s").reruns == 0)
+    assert(out("s").samples == Seq(0.05, 0.25, 0.5))
+  }
+
+  test("a failed warmup seed does not occupy a sample slot") {
+    val script = collection.mutable.Map("f" -> List(0.5, 0.5, 0.5))
+    def run(name: String): Double = {
+      val t :: rest = script(name): @unchecked
+      script(name) = rest
+      t
+    }
+    val out = BenchCore.measure(Seq("f"), run, seed = Map("f" -> -1.0))
+    assert(script("f").isEmpty) // full 3 timed passes despite the seed entry
+    assert(out("f").min == 0.5)
+    assert(out("f").samples == Seq(0.5, 0.5, 0.5))
+  }
+
+  test("budget trip mid-pass stops work and summarizes partial samples") {
+    // Budget allows exactly 3 runs: pass 1 covers a+b, pass 2 reaches
+    // only a. b keeps its single sample; nothing else runs.
+    var calls = 0
+    def run(name: String): Double = { calls += 1; 0.3 }
+    val out = BenchCore.measure(Seq("a", "b"), run,
+      outOfBudget = () => calls >= 3)
+    assert(calls == 3)
+    assert(out("a").samples.size == 2 && out("a").min == 0.3)
+    assert(out("b").samples.size == 1 && out("b").min == 0.3)
+    assert(!out("a").truncated && !out("b").truncated)
+  }
+
+  test("budget trip before any sample marks the query truncated, not failed") {
+    def run(name: String): Double = fail("must not run when out of budget")
+    val out = BenchCore.measure(Seq("never"), run, outOfBudget = () => true)
+    assert(out("never").truncated)
+    assert(out("never").min == -1.0 && out("never").samples.isEmpty)
+  }
+
+  test("budget trip mid-rerun keeps the samples already taken") {
+    // Passes produce a dirty spread (rerun needed); budget dies right
+    // after the passes, so zero reruns happen but the summary stands.
+    var calls = 0
+    def run(name: String): Double = { calls += 1; Seq(9.0, 1.0, 8.0)(calls - 1) }
+    val out = BenchCore.measure(Seq("w"), run, outOfBudget = () => calls >= 3)
+    assert(calls == 3) // no rerun started
+    assert(out("w").reruns == 0)
+    assert(out("w").min == 1.0 && out("w").spread == 9.0)
+  }
+
   test("every sf1 probe name resolves to a registered query") {
     val missing = Bench.probeNames.filterNot(SparkEntry.queries.keySet)
     assert(missing.isEmpty,
