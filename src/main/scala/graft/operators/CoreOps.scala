@@ -432,9 +432,13 @@ object CoreOps {
     * The Knuth multiplier is odd, hence invertible mod 2^32: distinct
     * ids map to distinct hash values, so the selection is a fixed
     * pseudo-random subset — stable across runs, partitionings and
-    * engines (the arithmetic stays below 2^63, so an oracle replays
-    * it exactly; a non-modular 64-bit mix would overflow-error in
-    * engines with checked BIGINT arithmetic). Runs on the
+    * engines. The hash is `(id mod 2^32) * seed mod 2^32`, computed
+    * as a SPLIT multiply (hi/lo 16-bit halves of the reduced id) so
+    * every intermediate stays below 2^49 — a naive `id * seed` wraps
+    * BIGINT for ids ≥ ~3.47e9 (2^63 / 2654435761), which silently
+    * diverges from any engine with checked 64-bit arithmetic. An
+    * oracle replays the same value via int128 (`HUGEINT`) without
+    * needing the split. Runs on the
     * [[graft.plans.BoundedTopK]] k-heap aggregate — O(n log k)
     * map-side, ≤k rows per (key, task) on the wire, groups spread
     * across reducers — never the single-reducer window sort the
@@ -450,7 +454,18 @@ object CoreOps {
       df.columns.contains(idCol) && !keys.contains(idCol),
       s"capPerKey needs key columns and a non-key id column in ${df.columns.mkString(", ")}")
     val nonKeys = df.columns.filterNot(keys.contains).toSeq
-    val st = struct((pmod(col(idCol) * lit(seed), lit(4294967296L)).as("__h") +:
+    // (id32 * seed32) mod 2^32 without 64-bit overflow:
+    //   id32 = hi·2^16 + lo  ⇒  hash = (2^16·(hi·s mod 2^16) + lo·s) mod 2^32
+    // (2^16·x mod 2^32 = 2^16·(x mod 2^16); every product is < 2^49).
+    val m32 = 4294967296L
+    val m16 = 65536L
+    val seed32 = ((seed % m32) + m32) % m32
+    require(seed32 % 2 == 1, s"capPerKey seed must be odd mod 2^32, got $seed")
+    val id32 = pmod(col(idCol), lit(m32))
+    val hi = shiftright(id32, 16)
+    val lo = pmod(id32, lit(m16))
+    val h = pmod(pmod(hi * lit(seed32), lit(m16)) * lit(m16) + lo * lit(seed32), lit(m32))
+    val st = struct((h.as("__h") +:
       col(idCol) +: nonKeys.filterNot(_ == idCol).map(col)): _*)
     df.groupBy(keys.map(col): _*)
       .agg(graft.plans.BoundedTopK.boundedTopK(st, k).as("__e"))
@@ -521,7 +536,14 @@ object CoreOps {
         lit(", end="), col(endCol).cast("string"),
         lit("); widen widthUs or raise maxBucketsPerInterval"))))
       .otherwise(be)
+    // A REVERSED interval (end < start) matches no point under the
+    // containment predicate, but `sequence(bs, be)` would descend and
+    // explode ~|bs-be| junk bucket rows per reversed interval — cost
+    // without semantics. Dropping them pre-explode is exactly what the
+    // plain nested-loop predicate would produce (zero matches), at
+    // zero explode cost.
     val exploded = intervals
+      .filter(col(endCol) >= col(startCol))
       .withColumn("__b", explode(sequence(bs, guarded)))
     points.withColumn("__b", timeBucket(col(pointTs), widthUs))
       .join(exploded, Seq("__b"))

@@ -202,16 +202,26 @@ object CurationOps {
       precision: Int = 12,
       scale: Int = 2): DataFrame = {
     require(precision <= 14, s"groupRegression precision must be <= 14, got $precision")
-    def dec(c: Column): Column = c.cast(DecimalType(precision, scale))
-    val x = col(xCol)
-    val y = col(yCol)
+    // try_cast, not cast: a value outside DECIMAL(p,s) must become
+    // NULL (and drop from the pairwise fit) under ANSI mode too —
+    // plain cast THROWS there, killing the whole job for one row.
+    def dec(c: Column): Column = c.try_cast(DecimalType(precision, scale))
+    val xd = dec(col(xCol))
+    val yd = dec(col(yCol))
+    // Pairwise-complete observations ONLY: a row where either side is
+    // NULL (or became NULL in the decimal cast) contributes to NO
+    // moment — count included. Counting all rows while the sums skip
+    // nulls silently skews slope/r² on null-bearing data; this is the
+    // same pairwise rule SQL's regr_* family specifies.
+    val both = xd.isNotNull && yd.isNotNull
+    def pw(c: Column): Column = when(both, c)
     val m = df.groupBy(groupCols.map(col): _*).agg(
-      count(lit(1)).cast(DoubleType).as("__n"),
-      sum(dec(x)).cast(DoubleType).as("__sx"),
-      sum(dec(y)).cast(DoubleType).as("__sy"),
-      sum(dec(x) * dec(y)).cast(DoubleType).as("__sxy"),
-      sum(dec(x) * dec(x)).cast(DoubleType).as("__sxx"),
-      sum(dec(y) * dec(y)).cast(DoubleType).as("__syy"))
+      count(pw(lit(1))).cast(DoubleType).as("__n"),
+      sum(pw(xd)).cast(DoubleType).as("__sx"),
+      sum(pw(yd)).cast(DoubleType).as("__sy"),
+      sum(pw(xd * yd)).cast(DoubleType).as("__sxy"),
+      sum(pw(xd * xd)).cast(DoubleType).as("__sxx"),
+      sum(pw(yd * yd)).cast(DoubleType).as("__syy"))
     val n = col("__n")
     val cov = n * col("__sxy") - col("__sx") * col("__sy")
     val varX = n * col("__sxx") - col("__sx") * col("__sx")

@@ -97,16 +97,21 @@ object CurationQueries {
 
   val groupRegressionSql: String =
     """WITH j AS (
-      |  SELECT s.s_nationkey, l.l_quantity AS x, l.l_extendedprice AS y
+      |  SELECT s.s_nationkey,
+      |    CAST(l.l_quantity AS DECIMAL(12,2)) AS x,
+      |    CAST(l.l_extendedprice AS DECIMAL(12,2)) AS y
       |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
       |m AS (
+      |  -- pairwise-complete only: the count and every moment sum see
+      |  -- the same rows (mirrors the engine's pw() rule; on the
+      |  -- null-free fixture this is identical to COUNT(*))
       |  SELECT s_nationkey,
-      |    CAST(COUNT(*) AS DOUBLE) AS n,
-      |    CAST(SUM(CAST(x AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-      |    CAST(SUM(CAST(y AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-      |    CAST(SUM(CAST(x AS DECIMAL(12,2)) * CAST(y AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
-      |    CAST(SUM(CAST(x AS DECIMAL(12,2)) * CAST(x AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-      |    CAST(SUM(CAST(y AS DECIMAL(12,2)) * CAST(y AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      |    CAST(COUNT(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END) AS DOUBLE) AS n,
+      |    CAST(SUM(CASE WHEN y IS NOT NULL THEN x END) AS DOUBLE) AS sx,
+      |    CAST(SUM(CASE WHEN x IS NOT NULL THEN y END) AS DOUBLE) AS sy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CASE WHEN y IS NOT NULL THEN x * x END) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CASE WHEN x IS NOT NULL THEN y * y END) AS DOUBLE) AS syy
       |  FROM j GROUP BY s_nationkey),
       |f AS (
       |  SELECT s_nationkey, n, sx, sy,

@@ -650,7 +650,10 @@ object TimeSeriesQueries {
       |  FROM e WHERE event_type = 'purchase'
       |  QUALIFY row_number() OVER (
       |    PARTITION BY user_id
-      |    ORDER BY (event_id * 2654435761) % 4294967296, event_id) <= 8),
+      |    -- HUGEINT replays the engine's overflow-free split multiply
+      |    -- ((id mod 2^32) * seed mod 2^32) exactly for ANY id
+      |    ORDER BY CAST((CAST(event_id % 4294967296 AS HUGEINT) * 2654435761)
+      |               % 4294967296 AS BIGINT), event_id) <= 8),
       |j AS (
       |  SELECT a.user_id, b_value
       |  FROM a JOIN b ON a.user_id = b_user

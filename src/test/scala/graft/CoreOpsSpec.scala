@@ -535,6 +535,47 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(capPerKey(df, Seq("key"), "id", 1000).count() == 500)
   }
 
+  test("capPerKey: huge ids (id*seed would wrap BIGINT) still hash exactly") {
+    // ids around 2^33 ≈ 8.6e9: the naive id*2654435761 product exceeds
+    // 2^63 and wraps. The split multiply must equal the true
+    // (id mod 2^32)*seed mod 2^32 — computed here via BigInt.
+    val base = 8589934592L // 2^33
+    val df = (0 until 40).map { i =>
+      (s"k${i % 2}", base + i * 1000000007L, i.toDouble)
+    }.toDF("key", "id", "v")
+    val got = capPerKey(df, Seq("key"), "id", 5)
+    def trueHash(id: Long): BigInt =
+      (BigInt(id) % BigInt(4294967296L)) * BigInt(2654435761L) % BigInt(4294967296L)
+    val want = df.collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).values.flatMap { rows =>
+        rows.sortBy(t => (trueHash(t._2), t._2)).take(5)
+      }.toSet
+    assert(got.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet == want)
+    assert(got.count() == 10)
+  }
+
+  test("pointInIntervalJoin: reversed intervals match nothing and explode nothing") {
+    val points = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("p_id", "p_ts")
+    // end a year BEFORE start: a descending sequence() would explode
+    // ~31M junk bucket rows at 1 s width; the operator must emit zero
+    // matches (the containment predicate is unsatisfiable) quickly.
+    val reversed = Seq((1L, ts("2024-12-31 00:00:00"), ts("2024-01-01 00:00:00")))
+      .toDF("i_id", "i_start", "i_end")
+    val joined = pointInIntervalJoin(points, "p_ts", reversed,
+      "i_start", "i_end", 1000000L)
+    assert(joined.count() == 0)
+    // mixed input: the valid interval still matches
+    val mixed = Seq(
+      (1L, ts("2024-12-31 00:00:00"), ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("i_id", "i_start", "i_end")
+    val m = pointInIntervalJoin(points, "p_ts", mixed,
+      "i_start", "i_end", 60L * 1000000L).collect()
+    assert(m.length == 1 && m.head.getAs[Long]("i_id") == 2L)
+  }
+
   test("businessHours keeps [09:30, 16:00] inclusive") {
     val df = Seq(
       ts("2024-01-01 09:29:59"), ts("2024-01-01 09:30:00"),

@@ -178,6 +178,24 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1)._3.isEmpty && out(1)._4.isEmpty && out(1)._5.isEmpty)
   }
 
+  test("groupRegression uses pairwise-complete rows: count matches the moments") {
+    // y = 3x - 2 on five clean pairs; interleaved rows have a null x,
+    // a null y, and an x that overflows DECIMAL(12,2) (cast → null).
+    // All four must vanish from EVERY moment including n — the old
+    // count(*) bug kept them in n only, skewing slope/intercept/r².
+    val rows = Seq[(String, Option[Double], Option[Double])](
+      ("g", Some(1.0), Some(1.0)), ("g", Some(2.0), Some(4.0)),
+      ("g", Some(3.0), Some(7.0)), ("g", Some(4.0), Some(10.0)),
+      ("g", Some(5.0), Some(13.0)),
+      ("g", None, Some(99.0)), ("g", Some(99.0), None),
+      ("g", Some(1.0e11), Some(1.0))) // overflows precision 12 → null
+    val out = CurationOps.groupRegression(
+      rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .select("n", "slope", "intercept", "r2")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(out == ((5L, Some(3.0), Some(-2.0), Some(1.0))))
+  }
+
   test("groupRegression is partitioning-invariant (exact decimal moments)") {
     val rows = (1 to 997).map(i => ("g", (i % 37).toDouble + 0.25, (i % 11).toDouble * 3 - 1))
     val one = CurationOps.groupRegression(
