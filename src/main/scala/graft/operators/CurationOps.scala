@@ -308,6 +308,61 @@ object CurationOps {
       .agg(count(lit(1)).as("n_grams"), sum(col("__lr")).as("log_w_raw"))
   }
 
+  /** DSIR selection (the resampling step of Xie et al. 2023,
+    * arXiv:2302.03169 §2): MATERIALIZE the Gumbel top-k subset of the
+    * raw corpus. [[dsirLogWeights]] scores each raw document; adding a
+    * per-document Gumbel(0,1) noise term and keeping the k largest
+    * `log w + G_i` draws k documents WITHOUT replacement with
+    * probability proportional to their importance weights (the
+    * Gumbel-top-k trick) — the standing way to pull a target-looking
+    * training subset out of a crawl in one pass, no sequential
+    * sampling state.
+    *
+    * The Gumbel is seeded, not random: `u = (md5(seedTag‖id)[0,6) as
+    * int + 1) / 16^6+1` then `G = -ln(-ln u)` — deterministic in the
+    * document id, so the draw is replayable on any engine that can
+    * compute md5 (the DuckDB oracle does), across any partitioning.
+    *
+    * Scale: the k-selection is `ORDER BY … LIMIT k`, which Spark plans
+    * as TakeOrderedAndProject — a per-partition k-heap plus one
+    * driver-side merge of `partitions × k` rows; no global sort, no
+    * full shuffle. The selected id set (k rows) then broadcasts back
+    * onto the corpus, so materializing the subset never shuffles the
+    * corpus itself. `sel_key` is rounded to 6 decimals BEFORE the
+    * top-k compare so the cut is engine-stable (the weight sum's
+    * summation order differs across engines; a tie inside the rounded
+    * key breaks by id).
+    *
+    * Output: the full original rows of the k selected documents, plus
+    * (n_grams, log_w, sel_key).
+    */
+  def dsirSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      k: Int,
+      seedTag: String = "dsir:",
+      hexChars: Int = 3): DataFrame = {
+    require(k >= 1, s"dsirSelect k must be >= 1, got $k")
+    val reservedOut = Seq("n_grams", "log_w", "sel_key", "log_w_raw")
+    require(!docs.columns.exists(reservedOut.contains),
+      s"dsirSelect input must not use output columns ${reservedOut.mkString(", ")}")
+    val weights = dsirLogWeights(docs, idCol, textCol, isTarget, hexChars)
+    val hex6 = substring(
+      md5(concat(lit(seedTag), col(idCol).cast("string"))), 1, 6)
+    val u = (conv(hex6, 16, 10).cast("long") + lit(1L)).cast("double") /
+      lit(16777217.0)
+    val gumbel = -log(-log(u))
+    val selected = weights
+      .withColumn("sel_key", round(col("log_w_raw") + gumbel, 6))
+      .select(col(idCol), col("n_grams"),
+        round(col("log_w_raw"), 6).as("log_w"), col("sel_key"))
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(k)
+    docs.join(broadcast(selected), Seq(idCol))
+  }
+
   /** Per-group distribution drift: `KL(group ‖ corpus)` over hashed
     * unigram buckets (md5-prefix featurizer, `16^hexChars` buckets),
     * add-one smoothing on both sides, summed over the FULL fixed

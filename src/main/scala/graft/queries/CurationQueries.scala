@@ -396,6 +396,72 @@ object CurationQueries {
       |SELECT doc_id, source, n_grams, log_w, sel_key
       |FROM sel ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin
 
+  /** q116 — DSIR selection MATERIALIZED: where q114 stops at ranked
+    * weights + selection keys, this draws the actual Gumbel top-100
+    * corpus subset (sampling-without-replacement ∝ importance weight,
+    * the resampling step of arXiv:2302.03169) and emits the selected
+    * documents themselves — id, source, lang, length, and an md5 of
+    * the text so the oracle hash-checks the materialized content, not
+    * just the ranking. Seeded Gumbel (md5 of the doc id), so the draw
+    * replays bit-identically in DuckDB.
+    *
+    * Scale: TakeOrderedAndProject for the top-k (per-partition k-heap,
+    * no global sort) + a broadcast of the 100 selected ids back onto
+    * the corpus — the corpus itself never shuffles.
+    */
+  def dsirSelectCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    CurationOps.dsirSelect(
+        docs, "doc_id", "text", col("source").isin("src0", "src1"), 100)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("text_md5"),
+        col("n_grams"), col("log_w"), col("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+  }
+
+  val dsirSelectCorpusSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+      |    substr(md5(gram), 1, 3) AS b
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      unnest(ws || list_transform(range(1, len(ws)),
+      |        i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      |    FROM w)),
+      |bc AS (
+      |  SELECT b,
+      |    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS cr
+      |  FROM g GROUP BY b),
+      |tot AS (
+      |  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr
+      |  FROM bc),
+      |lr AS (
+      |  SELECT b,
+      |    ln((CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE))
+      |       * (CAST(tr + 4096 AS DOUBLE) / CAST(tt + 4096 AS DOUBLE))) AS lr
+      |  FROM bc, tot),
+      |dw AS (
+      |  SELECT doc_id, COUNT(*) AS n_grams, SUM(lr) AS slw
+      |  FROM g JOIN lr USING (b) WHERE NOT is_t GROUP BY doc_id),
+      |sel AS (
+      |  SELECT doc_id, n_grams, round(slw, 6) AS log_w,
+      |    round(slw - ln(-ln(
+      |      (CAST(list_sum(list_transform(range(1, 7), i ->
+      |         (strpos('0123456789abcdef', substr(
+      |            substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 6),
+      |            i, 1)) - 1)
+      |         * CAST(pow(16, 6 - i) AS BIGINT))) AS BIGINT) + 1)
+      |      / 16777217.0)), 6) AS sel_key
+      |  FROM dw
+      |  ORDER BY sel_key DESC, doc_id LIMIT 100)
+      |SELECT s.doc_id, d.source, d.lang, d.n_chars,
+      |  md5(d.text) AS text_md5, s.n_grams, s.log_w, s.sel_key
+      |FROM sel s JOIN documents d USING (doc_id)
+      |ORDER BY s.sel_key DESC, s.doc_id""".stripMargin
+
   /** q115 — per-source distribution drift: KL(source ‖ corpus) over
     * hashed-unigram buckets (the md5-prefix featurizer of q114), with
     * add-one smoothing on both sides, summed over the FULL fixed
@@ -461,7 +527,8 @@ object CurationQueries {
     "q112_quality_percentile_filter" -> (qualityPercentileFilter(_, _)),
     "q113_winnow_near_dup" -> (winnowNearDup(_, _)),
     "q114_dsir_resample" -> (dsirResample(_, _)),
-    "q115_source_kl_drift" -> (sourceKlDrift(_, _)))
+    "q115_source_kl_drift" -> (sourceKlDrift(_, _)),
+    "q116_dsir_select" -> (dsirSelectCorpus(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q107_substring_dedup" -> substringDedupSql,
@@ -472,5 +539,6 @@ object CurationQueries {
     "q112_quality_percentile_filter" -> qualityPercentileFilterSql,
     "q113_winnow_near_dup" -> winnowNearDupSql,
     "q114_dsir_resample" -> dsirResampleSql,
-    "q115_source_kl_drift" -> sourceKlDriftSql)
+    "q115_source_kl_drift" -> sourceKlDriftSql,
+    "q116_dsir_select" -> dsirSelectCorpusSql)
 }

@@ -170,6 +170,62 @@ object PipelineQueries {
       |       ELSE 0.0 END AS mean_norm
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** q117 — real video decode end-to-end, the third modality: every
+    * document is packed with a planted two-frame RIFF/AVI container
+    * whose frames are lossless solid-gray PNGs (every 5th row instead
+    * carries raw UTF-8 text — not video), then the batch extract walks
+    * the AVI chunk tree and decodes each frame through the ImageIO
+    * path. PNG frames keep every decoded feature closed-form in
+    * `doc_id` — per-frame brightness is exactly gray/255 — so a DuckDB
+    * oracle predicts the whole decode arithmetically, and the text
+    * rows prove the corrupt-container fallback in the same run.
+    */
+  def videoDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents").select($"doc_id", $"text")
+    val mediaEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(MultimodalOps.mediaSchema)
+    val media = docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 5 == 0) r.getString(1).getBytes("UTF-8")
+          else MultimodalOps.syntheticAvi(
+            Seq((id % 256).toInt, ((id * 7 + 13) % 256).toInt),
+            (id % 24 + 8).toInt, (id % 16 + 8).toInt,
+            (id % 900 + 100) * 1000L)
+        org.apache.spark.sql.Row(id, "video", payload,
+          org.apache.spark.sql.Row(payload.length.toLong, 0, 0, 0L))
+      }
+    }(mediaEnc)
+    MultimodalOps.extractVideoFeatures(media)
+      .select($"media_id".as("doc_id"), $"decoded", $"n_frames",
+        $"decoded_frames", $"width", $"height", $"duration_ms",
+        $"mean_brightness")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle mirrors the engine's IEEE op order exactly: per-frame
+    * gray/255.0 in double, summed, halved — bit-identical on both
+    * engines (the q44 discipline, two frames instead of one).
+    */
+  val videoDecodeSql: String =
+    """SELECT doc_id,
+      |  doc_id % 5 <> 0 AS decoded,
+      |  CASE WHEN doc_id % 5 <> 0 THEN 2 ELSE 0 END AS n_frames,
+      |  CASE WHEN doc_id % 5 <> 0 THEN 2 ELSE 0 END AS decoded_frames,
+      |  CASE WHEN doc_id % 5 <> 0 THEN CAST(doc_id % 24 + 8 AS INTEGER)
+      |       ELSE 0 END AS width,
+      |  CASE WHEN doc_id % 5 <> 0 THEN CAST(doc_id % 16 + 8 AS INTEGER)
+      |       ELSE 0 END AS height,
+      |  CASE WHEN doc_id % 5 <> 0 THEN CAST((doc_id % 900 + 100) * 2 AS BIGINT)
+      |       ELSE 0 END AS duration_ms,
+      |  CASE WHEN doc_id % 5 <> 0 THEN
+      |    (CAST(doc_id % 256 AS DOUBLE) / 255.0
+      |     + CAST((doc_id * 7 + 13) % 256 AS DOUBLE) / 255.0) / 2
+      |  ELSE 0.0 END AS mean_brightness
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** §3.3 — ad-hoc SQL over the registered catalog: the engine's
     * `spark.sql` surface, written in the ANSI subset both engines
     * parse, so the SAME string is the oracle.
@@ -323,7 +379,8 @@ object PipelineQueries {
     "q65_catalog_lifecycle" -> (catalogLifecycle(_, _)),
     "q71_dsv2_endpoint_scan" -> (dsv2EndpointScan(_, _)),
     "q96_image_decode" -> (imageDecode(_, _)),
-    "q101_audio_decode" -> (audioDecode(_, _)))
+    "q101_audio_decode" -> (audioDecode(_, _)),
+    "q117_video_decode" -> (videoDecode(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q44_multimodal_features" -> multimodalFeaturesSql,
@@ -331,5 +388,6 @@ object PipelineQueries {
     "q65_catalog_lifecycle" -> catalogLifecycleSql,
     "q71_dsv2_endpoint_scan" -> dsv2EndpointScanSql,
     "q96_image_decode" -> imageDecodeSql,
-    "q101_audio_decode" -> audioDecodeSql)
+    "q101_audio_decode" -> audioDecodeSql,
+    "q117_video_decode" -> videoDecodeSql)
 }

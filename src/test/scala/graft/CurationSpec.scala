@@ -207,6 +207,35 @@ class CurationSpec extends AnyFunSuite {
     assert(one == many)
   }
 
+  // ---- dsirSelect ------------------------------------------------------
+
+  test("dsirSelect draws k raw docs, keeps their columns, ignores partitioning") {
+    val docs = (1L to 40L).map { i =>
+      val src = if (i % 4 == 0) "target" else "raw"
+      (i, src, s"alpha beta w$i gamma w${i % 7} delta")
+    }.toDF("doc_id", "source", "text")
+    val sel = CurationOps.dsirSelect(
+      docs, "doc_id", "text", $"source" === "target", 5)
+    val rows = sel.collect()
+    assert(rows.length == 5)
+    // only RAW documents are ever selected (the target slice defines
+    // the distribution, it is not itself resampled)
+    assert(rows.forall(_.getAs[String]("source") == "raw"))
+    // original columns materialize alongside the selection metadata
+    assert(sel.columns.toSeq ==
+      Seq("doc_id", "source", "text", "n_grams", "log_w", "sel_key"))
+    // seeded Gumbel: the draw is a function of the data, not the layout
+    val again = CurationOps.dsirSelect(
+      docs.repartition(7), "doc_id", "text", $"source" === "target", 5)
+    assert(again.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      rows.map(_.getAs[Long]("doc_id")).toSet)
+    // a different seed tag draws a different subset (overwhelmingly)
+    val other = CurationOps.dsirSelect(
+      docs, "doc_id", "text", $"source" === "target", 5, seedTag = "other:")
+    assert(other.select("doc_id").collect().map(_.getLong(0)).toSet !=
+      rows.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   // ---- degenerate inputs -----------------------------------------------
 
   test("curation ops survive null and empty text rows") {

@@ -129,6 +129,51 @@ class MultimodalSpec extends AnyFunSuite {
       out(1).getAs[Double]("rms") == 0.0)
   }
 
+  test("synthetic AVI decodes to closed-form per-frame features") {
+    val f = MultimodalOps.decodeAvi(
+      MultimodalOps.syntheticAvi(Seq(60, 200, 10), 12, 9, 40000L)).get
+    assert(f.nFrames == 3 && f.decodedFrames == 3)
+    assert(f.width == 12 && f.height == 9)
+    assert(f.durationMs == 40000L * 3 / 1000) // 120 ms
+    assert(f.meanBrightness ==
+      (60.0 / 255.0 + 200.0 / 255.0 + 10.0 / 255.0) / 3)
+  }
+
+  test("corrupt AVI containers fall back, never throw") {
+    val good = MultimodalOps.syntheticAvi(Seq(100, 150), 8, 8, 33333L)
+    val truncated = good.take(good.length / 2) // movi LIST cut mid-frame
+    val noAvih = {
+      // flip the avih fourcc so no header chunk is ever found
+      val b = good.clone()
+      val i = b.indexOfSlice("avih".getBytes("US-ASCII"))
+      b(i) = 'x'.toByte; b
+    }
+    assert(MultimodalOps.decodeAvi(truncated).isEmpty)
+    assert(MultimodalOps.decodeAvi(noAvih).isEmpty)
+    assert(MultimodalOps.decodeAvi("not video at all".getBytes("UTF-8")).isEmpty)
+    // frames that exist but hold junk image bytes: container decodes,
+    // zero frames decode, brightness falls back to 0
+    val junkFrames = {
+      val png = MultimodalOps.syntheticPng(100, 8, 8)
+      val b = MultimodalOps.syntheticAvi(Seq(100), 8, 8, 33333L)
+      val i = b.indexOfSlice(png.take(8))
+      b(i) = 'j'.toByte; b // break the PNG magic inside the 00dc chunk
+    }
+    val jf = MultimodalOps.decodeAvi(junkFrames).get
+    assert(jf.nFrames == 1 && jf.decodedFrames == 0 && jf.meanBrightness == 0.0)
+    // and through the batch stage
+    import spark.implicits._
+    val media = Seq((1L, good), (2L, truncated)).toDF("media_id", "payload")
+    val out = MultimodalOps.extractVideoFeatures(media)
+      .orderBy("media_id").collect()
+    assert(out(0).getAs[Boolean]("decoded") &&
+      out(0).getAs[Int]("n_frames") == 2 &&
+      out(0).getAs[Double]("mean_brightness") ==
+        (100.0 / 255.0 + 150.0 / 255.0) / 2)
+    assert(!out(1).getAs[Boolean]("decoded") &&
+      out(1).getAs[Int]("n_frames") == 0)
+  }
+
   test("media round-trips through parquet (binary + nested meta)") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     val m = MultimodalOps.packMedia(docs, "doc_id", "text")
