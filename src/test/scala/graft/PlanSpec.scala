@@ -233,6 +233,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q116 DSIR select: top-k heap + broadcast of the selected ids, no window") {
+    val df = CurationQueries.dsirSelectCorpus(spark, dir)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      "the k-selection must be a per-partition heap, not a global sort:\n" + p)
+    assert(!p.contains("Window"), p)
+    // the k selected ids broadcast back onto the corpus — the corpus
+    // side must never shuffle for the materialization join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q117 video decode: one mapPartitions batch stage, no hash shuffle") {
+    val p = plan(PipelineQueries.videoDecode(spark, dir))
+    // loadSpread's round-robin repartition is the only exchange; the
+    // decode itself must not induce a hash shuffle or a window
+    assert(!p.contains("Exchange hashpartitioning"),
+      "video decode must stay partition-local:\n" + p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("every broadcast() hint sits on a bounded-cardinality side") {
     // The q84/q86 regression class: a broadcast hint on a
     // vocabulary-sized aggregate works at sf0.1 and OOMs the driver at
