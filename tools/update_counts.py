@@ -43,15 +43,24 @@ if tests is None:
 
 oracle = os.path.join(args.verify_dir, "oracle_sql.json")
 with open(oracle) as f:
-    queries = len(json.load(f))
+    names = sorted(json.load(f))
+queries = len(names)
+
+# Derive the id span from the REAL keys, naming any gaps — a synthetic
+# "contiguous q01-qN" claim drifts the moment an id is retired (the
+# q102 lesson, flagged by two audits).
+ids = sorted(int(re.match(r"q(\d+)", n).group(1)) for n in names)
+gaps = sorted(set(range(ids[0], ids[-1] + 1)) - set(ids))
+span = f"q{ids[0]:02d}-q{ids[-1]}"
+span += f", {', '.join(f'q{g}' for g in gaps)} unused" if gaps else ", contiguous"
 
 readme = os.path.join(ROOT, "README.md")
 text = open(readme).read()
 subs = [
     (r"# \d+ unit/property/plan tests", f"# {tests} unit/property/plan tests"),
     (r"- \d+ unit/property/plan tests", f"- {tests} unit/property/plan tests"),
-    (r"- \d+ driver queries \(a contiguous q01-q\d+\)",
-     f"- {queries} driver queries (a contiguous q01-q{queries:02d})"),
+    (r"- \d+ driver queries \((?:a contiguous )?q01-q\d+[^)]*\)",
+     f"- {queries} driver queries ({span})"),
     (r"\*\*all \d+ hash-verified", f"**all {queries} hash-verified"),
     (r"all \d+ queries at", f"all {queries} queries at"),
 ]
