@@ -357,8 +357,17 @@ object MultimodalOps {
     * None on any malformed container (truncated chunk, missing `avih`,
     * zero frame chunks) — corrupt payloads fall through to the
     * byte-stub path exactly like images and audio do.
+    *
+    * `frameStride` decodes only every stride-th frame (indices 0,
+    * stride, 2·stride, …) — the production sampling path: at 100 TB
+    * nobody decodes every frame of every video; the container walk
+    * (cheap pointer arithmetic) still counts ALL frames, only the
+    * pixel decode (the expensive part) is sampled. `nFrames` reports
+    * the container total; `decodedFrames` counts the sampled decodes.
     */
-  private[graft] def decodeAvi(p: Array[Byte]): Option[AviFeatures] = {
+  private[graft] def decodeAvi(p: Array[Byte],
+      frameStride: Int = 1): Option[AviFeatures] = {
+    require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
     if (!looksLikeAvi(p)) return None
     def u32(i: Int): Long = (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) |
       ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
@@ -404,13 +413,17 @@ object MultimodalOps {
     var w = headerW
     var h = headerH
     var lumSum = 0.0
+    var idx = 0
     frames.foreach { case (fOff, fLen) =>
-      val bytes = java.util.Arrays.copyOfRange(p, fOff, fOff + fLen)
-      decodeImage(bytes).foreach { case (fw, fh, lum) =>
-        if (decoded == 0) { w = fw; h = fh }
-        decoded += 1
-        lumSum += lum
+      if (idx % frameStride == 0) {
+        val bytes = java.util.Arrays.copyOfRange(p, fOff, fOff + fLen)
+        decodeImage(bytes).foreach { case (fw, fh, lum) =>
+          if (decoded == 0) { w = fw; h = fh }
+          decoded += 1
+          lumSum += lum
+        }
       }
+      idx += 1
     }
     Some(AviFeatures(frames.size, decoded, w, h,
       microPerFrame * frames.size / 1000L,
@@ -466,14 +479,14 @@ object MultimodalOps {
     * per-frame ImageIO decode as the codec and zeroed features as the
     * no-decode fallback.
     */
-  def extractVideoFeatures(media: DataFrame): DataFrame = {
+  def extractVideoFeatures(media: DataFrame, frameStride: Int = 1): DataFrame = {
     val enc = RowEncoder.encoderFor(videoFeatureSchema)
     media.select("media_id", "payload")
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val nBytes = if (payload == null) 0L else payload.length.toLong
-          decodeAvi(payload) match {
+          decodeAvi(payload, frameStride) match {
             case Some(f) => Row(r.getAs[Long]("media_id"), nBytes, true,
               f.nFrames, f.decodedFrames, f.width, f.height,
               f.durationMs, f.meanBrightness)

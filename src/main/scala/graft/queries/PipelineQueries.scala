@@ -226,6 +226,57 @@ object PipelineQueries {
       |  ELSE 0.0 END AS mean_brightness
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q118 — SAMPLED-frame video decode: the 100 TB reality of video
+    * curation is that the container walk is cheap and the pixel decode
+    * is not, so features come from every k-th frame. Four-frame
+    * planted AVIs, stride 2 → frames 0 and 2 decode, the container
+    * still reports all 4; grays are arithmetic in (doc_id, frame), so
+    * the sampled mean is closed-form and the oracle distinguishes a
+    * correct stride from decode-everything (which would average all
+    * four grays) and from sample-first-only.
+    */
+  def frameSampledDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents").select($"doc_id", $"text")
+    val mediaEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(MultimodalOps.mediaSchema)
+    val media = docs.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 5 == 0) r.getString(1).getBytes("UTF-8")
+          else MultimodalOps.syntheticAvi(
+            (0 to 3).map(k => ((id + 37L * k) % 256).toInt),
+            (id % 20 + 8).toInt, (id % 12 + 8).toInt,
+            (id % 700 + 100) * 1000L)
+        org.apache.spark.sql.Row(id, "video", payload,
+          org.apache.spark.sql.Row(payload.length.toLong, 0, 0, 0L))
+      }
+    }(mediaEnc)
+    MultimodalOps.extractVideoFeatures(media, frameStride = 2)
+      .select($"media_id".as("doc_id"), $"decoded", $"n_frames",
+        $"decoded_frames", $"width", $"height", $"duration_ms",
+        $"mean_brightness")
+      .orderBy($"doc_id")
+  }
+
+  val frameSampledDecodeSql: String =
+    """SELECT doc_id,
+      |  doc_id % 5 <> 0 AS decoded,
+      |  CASE WHEN doc_id % 5 <> 0 THEN 4 ELSE 0 END AS n_frames,
+      |  CASE WHEN doc_id % 5 <> 0 THEN 2 ELSE 0 END AS decoded_frames,
+      |  CASE WHEN doc_id % 5 <> 0 THEN CAST(doc_id % 20 + 8 AS INTEGER)
+      |       ELSE 0 END AS width,
+      |  CASE WHEN doc_id % 5 <> 0 THEN CAST(doc_id % 12 + 8 AS INTEGER)
+      |       ELSE 0 END AS height,
+      |  CASE WHEN doc_id % 5 <> 0 THEN CAST((doc_id % 700 + 100) * 4 AS BIGINT)
+      |       ELSE 0 END AS duration_ms,
+      |  CASE WHEN doc_id % 5 <> 0 THEN
+      |    (CAST(doc_id % 256 AS DOUBLE) / 255.0
+      |     + CAST((doc_id + 74) % 256 AS DOUBLE) / 255.0) / 2
+      |  ELSE 0.0 END AS mean_brightness
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** §3.3 — ad-hoc SQL over the registered catalog: the engine's
     * `spark.sql` surface, written in the ANSI subset both engines
     * parse, so the SAME string is the oracle.
@@ -380,7 +431,8 @@ object PipelineQueries {
     "q71_dsv2_endpoint_scan" -> (dsv2EndpointScan(_, _)),
     "q96_image_decode" -> (imageDecode(_, _)),
     "q101_audio_decode" -> (audioDecode(_, _)),
-    "q117_video_decode" -> (videoDecode(_, _)))
+    "q117_video_decode" -> (videoDecode(_, _)),
+    "q118_frame_sampled_decode" -> (frameSampledDecode(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q44_multimodal_features" -> multimodalFeaturesSql,
@@ -389,5 +441,6 @@ object PipelineQueries {
     "q71_dsv2_endpoint_scan" -> dsv2EndpointScanSql,
     "q96_image_decode" -> imageDecodeSql,
     "q101_audio_decode" -> audioDecodeSql,
-    "q117_video_decode" -> videoDecodeSql)
+    "q117_video_decode" -> videoDecodeSql,
+    "q118_frame_sampled_decode" -> frameSampledDecodeSql)
 }

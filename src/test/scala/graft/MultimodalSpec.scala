@@ -139,6 +139,20 @@ class MultimodalSpec extends AnyFunSuite {
       (60.0 / 255.0 + 200.0 / 255.0 + 10.0 / 255.0) / 3)
   }
 
+  test("frame stride decodes every k-th frame; container count stays total") {
+    val avi = MultimodalOps.syntheticAvi(Seq(10, 250, 40, 200, 90), 8, 8, 20000L)
+    val s2 = MultimodalOps.decodeAvi(avi, frameStride = 2).get
+    assert(s2.nFrames == 5 && s2.decodedFrames == 3) // frames 0, 2, 4
+    assert(s2.meanBrightness ==
+      (10.0 / 255.0 + 40.0 / 255.0 + 90.0 / 255.0) / 3)
+    // stride beyond the frame count → first frame only
+    val s9 = MultimodalOps.decodeAvi(avi, frameStride = 9).get
+    assert(s9.decodedFrames == 1 && s9.meanBrightness == 10.0 / 255.0)
+    // duration always covers ALL frames — sampling changes decode
+    // cost, not the container's temporal extent
+    assert(s2.durationMs == 20000L * 5 / 1000 && s9.durationMs == s2.durationMs)
+  }
+
   test("corrupt AVI containers fall back, never throw") {
     val good = MultimodalOps.syntheticAvi(Seq(100, 150), 8, 8, 33333L)
     val truncated = good.take(good.length / 2) // movi LIST cut mid-frame
