@@ -5,10 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): one JSON line with total and
   * per-query wall seconds at SPARK_GRAFT_SF_DIR.
   *
-  * Methodology: one full warmup pass (JIT + codegen + shuffle-service
-  * warm), then one timed pass. Each query is forced through the noop
-  * sink so every column is materialized (a bare count() would let
-  * Catalyst prune the computation being measured).
+  * Methodology: one warmup pass (JIT + codegen + shuffle-service warm)
+  * whose times seed the measurement, two more timed passes (min-of-3
+  * total), outlier re-measure via [[BenchCore]], a hard wall-clock
+  * budget (SPARK_GRAFT_BENCH_BUDGET_S, default 1400 s), and
+  * incremental JSON persistence after every sample. Each query is
+  * forced through the noop sink so every column is materialized (a
+  * bare count() would let Catalyst prune the computation being
+  * measured).
   */
 object Bench {
   /** sf1 probe set: the most expensive queries AND the fastest-growing
