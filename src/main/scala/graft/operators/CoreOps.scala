@@ -474,6 +474,41 @@ object CoreOps {
         if (keys.contains(c)) col(c) else col(s"__e.$c").as(c)): _*)
   }
 
+  /** Z-order (Morton) key: interleave the bits of two non-negative
+    * dimension values so that sorting/range-splitting by ONE key
+    * clusters rows that are close in BOTH dimensions — the standard
+    * physical layout for two-column pruning at 100 TB (a (key, time)
+    * clustered table answers `key range × time range` scans from a
+    * small file subset, where a single-column sort prunes only its own
+    * column). Each input must fit in 31 bits (range-reduce first:
+    * `pmod(user_id, 2^20)`, a day/time bucket, etc.); the result is a
+    * non-negative long, so range partitioning and parquet min/max
+    * stats behave.
+    *
+    * Pure built-in bit arithmetic (the classic Part1By1 spread — five
+    * mask-and-shift rounds per dimension), so it stays inside
+    * whole-stage codegen and replays exactly in any engine with 64-bit
+    * shifts (the DuckDB oracle runs the same five rounds).
+    */
+  def zOrderKey(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      // 31-bit value -> even bit positions of a 62-bit value
+      val masks = Seq(
+        (16, 0x0000FFFF0000FFFFL),
+        (8, 0x00FF00FF00FF00FFL),
+        (4, 0x0F0F0F0F0F0F0F0FL),
+        (2, 0x3333333333333333L),
+        (1, 0x5555555555555555L))
+      masks.foldLeft(c.cast("long")) { case (x, (s, m)) =>
+        x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+      }
+    }
+    val inRange = a >= 0 && b >= 0 && a < lit(1L << 31) && b < lit(1L << 31)
+    when(inRange, spread(a).bitwiseOR(shiftleft(spread(b), 1)))
+      .otherwise(raise_error(
+        lit("zOrderKey inputs must be in [0, 2^31); range-reduce first")))
+  }
+
   // -------------------------------------------------------------------
   // Range joins — bucketized rewrite of the no-equi-key interval join.
   // -------------------------------------------------------------------

@@ -336,7 +336,57 @@ object OlapQueries {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
 
+  /** q119 — Z-order clustering audit: interleave (user bucket,
+    * minute-of-day) into the Morton key `CoreOps.zOrderKey` writes
+    * layouts by ([[graft.sources.Store.writeZClustered]]), then
+    * aggregate per coarse z-cell (key >> 10). Each cell's (a, b)
+    * min/max bounds form a small rectangle — the property that lets a
+    * two-dimensional range scan prune files via parquet stats on BOTH
+    * columns. The oracle replays the five mask-and-shift spread rounds
+    * bit-for-bit in DuckDB, so the whole key derivation is
+    * hash-checked, not just sampled.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val a = pmod(col("user_id"), lit(1024L))
+    val b = (hour(col("ts")) * 60 + minute(col("ts"))).cast("long")
+    e.select(zOrderKey(a, b).as("z"), a.as("a"), b.as("b"))
+      .groupBy(shiftright(col("z"), 10).as("cell"))
+      .agg(count(lit(1)).as("n"),
+        min("a").as("a_min"), max("a").as("a_max"),
+        min("b").as("b_min"), max("b").as("b_max"))
+      .orderBy("cell")
+  }
+
+  val zorderLayoutSql: String =
+    """WITH e AS (
+      |  SELECT user_id % 1024 AS a,
+      |    EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) * 60
+      |      + EXTRACT(minute FROM CAST(ts AS TIMESTAMP)) AS b
+      |  FROM events),
+      |s1 AS (SELECT a, b,
+      |  (a | (a << 16)) & 281470681808895 AS xa,
+      |  (b | (b << 16)) & 281470681808895 AS xb FROM e),
+      |s2 AS (SELECT a, b,
+      |  (xa | (xa << 8)) & 71777214294589695 AS xa,
+      |  (xb | (xb << 8)) & 71777214294589695 AS xb FROM s1),
+      |s3 AS (SELECT a, b,
+      |  (xa | (xa << 4)) & 1085102592571150095 AS xa,
+      |  (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s2),
+      |s4 AS (SELECT a, b,
+      |  (xa | (xa << 2)) & 3689348814741910323 AS xa,
+      |  (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s3),
+      |s5 AS (SELECT a, b,
+      |  (xa | (xa << 1)) & 6148914691236517205 AS xa,
+      |  (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4),
+      |z AS (SELECT a, b, (xa | (xb << 1)) >> 10 AS cell FROM s5)
+      |SELECT cell, COUNT(*) AS n,
+      |  MIN(a) AS a_min, MAX(a) AS a_max,
+      |  MIN(b) AS b_min, MAX(b) AS b_max
+      |FROM z GROUP BY cell ORDER BY cell""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q119_zorder_layout" -> (zorderLayout(_, _)),
     "q58_rollup_revenue" -> (rollupRevenue(_, _)),
     "q59_top_per_segment" -> (topPerSegment(_, _)),
     "q60_activity_set_ops" -> (activitySetOps(_, _)),
@@ -348,6 +398,7 @@ object OlapQueries {
     "q70_cube_revenue" -> (cubeRevenue(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q119_zorder_layout" -> zorderLayoutSql,
     "q58_rollup_revenue" -> rollupRevenueSql,
     "q59_top_per_segment" -> topPerSegmentSql,
     "q60_activity_set_ops" -> activitySetOpsSql,

@@ -52,6 +52,25 @@ object Store {
       .sortWithinPartitions(col(keyCol), col(tsCol))
       .write.partitionBy(keyCol, "date").mode("overwrite").parquet(path)
 
+  /** Z-order clustered write — the two-dimensional pruning layout:
+    * rows range-partition and sort on the interleaved-bit
+    * [[graft.operators.CoreOps.zOrderKey]] of two range-reduced
+    * dimensions, so every output file covers a small rectangle of the
+    * (a, b) plane and a `a range × b range` scan prunes via parquet
+    * min/max stats on BOTH columns — where a single-column sort prunes
+    * only its own column. The key is dropped before writing; the
+    * layout is the product. StoreSpec measures the rectangle property
+    * directly from the written footers.
+    */
+  def writeZClustered(df: DataFrame, path: String, aCol: String,
+      bCol: String, files: Int): Unit =
+    df.withColumn("__z",
+        graft.operators.CoreOps.zOrderKey(col(aCol), col(bCol)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+
   /** Bucketed table write — the co-located-join layout: both sides of
     * a recurring fact-fact join written with `bucketBy(n, key)` +
     * within-bucket sort hash-place rows so the join needs NO exchange

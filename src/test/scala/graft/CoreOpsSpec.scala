@@ -576,6 +576,27 @@ class CoreOpsSpec extends AnyFunSuite {
     assert(m.length == 1 && m.head.getAs[Long]("i_id") == 2L)
   }
 
+  test("zOrderKey interleaves bits exactly; out-of-range inputs raise") {
+    def ref(a: Long, b: Long): Long =
+      (0 until 31).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1439L),
+      (123456789L, 987654321L), ((1L << 31) - 1, (1L << 31) - 1))
+    val got = pairs.toDF("a", "b")
+      .select(zOrderKey($"a", $"b").as("z")).collect().map(_.getLong(0))
+    assert(got.toSeq == pairs.map { case (a, b) => ref(a, b) })
+    // the full-range key stays non-negative (sortable, stats-friendly)
+    assert(got.forall(_ >= 0))
+    // locality smell: adjacent points differ in few low bits
+    assert(ref(5L, 7L) >> 6 == ref(4L, 6L) >> 6)
+    val bad = Seq((-1L, 0L)).toDF("a", "b").select(zOrderKey($"a", $"b"))
+    val e = intercept[Exception] { bad.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("zOrderKey")), e.toString)
+  }
+
   test("businessHours keeps [09:30, 16:00] inclusive") {
     val df = Seq(
       ts("2024-01-01 09:29:59"), ts("2024-01-01 09:30:00"),

@@ -265,6 +265,32 @@ class StoreSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters"), scan)
   }
 
+  test("writeZClustered: every file covers a small rectangle of BOTH dims") {
+    // 64x64 grid, one row per cell, written as 16 z-clustered files:
+    // a perfect z-curve gives each file a 16x16 rectangle (span 15 per
+    // dim). A single-column sort would give span 63 on the other dim
+    // for every file — the layout either prunes both dims or it
+    // doesn't cluster at all.
+    val grid = spark.range(64L * 64)
+      .select(($"id" % 64).as("a"), ($"id" / 64).cast("long").as("b"),
+        $"id".as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("zclust").toString
+    Store.writeZClustered(grid, dir, "a", "b", 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == 16, files.length.toString)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(max($"a") - min($"a"), max($"b") - min($"b")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // range boundaries can land mid-rectangle; 31 (= 2 rectangles)
+    // still prunes 75% of files for a point query per dim, vs 63
+    // (no clustering) pruning nothing
+    assert(spans.forall { case (sa, sb) => sa <= 31 && sb <= 31 },
+      spans.mkString(", "))
+  }
+
   test("writeBucketed: co-bucketed join plans without a shuffle exchange") {
     Seq("bkt_orders", "bkt_lineitem").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val dir = "/root/testdata/sf0.001"
