@@ -308,6 +308,55 @@ object CurationOps {
       .agg(count(lit(1)).as("n_grams"), sum(col("__lr")).as("log_w_raw"))
   }
 
+  /** Per-document contamination FRACTION: the share of a document's
+    * distinct word k-grams that appear anywhere in a benchmark slice —
+    * the number a training-data release reports per document, where
+    * the boolean decontamination passes (exact phrase q36, Bloom q87)
+    * only gate. n-gram overlap is the standard eval-contamination
+    * measure (GPT-3 appendix C; PaLM §7).
+    *
+    * Scale: grams explode once per side; the raw side joins the
+    * benchmark gram SET on the gram key (equi-join — Catalyst/AQE
+    * broadcast it when the benchmark is small, which real eval suites
+    * are) and one doc-keyed count aggregate finishes. Gram-less
+    * documents (< k words) surface with n_grams = 0 and fraction 0,
+    * not dropped. The fraction is one exact-integer division —
+    * bit-identical on any engine.
+    *
+    * Output: one row per NON-benchmark doc — (idCol, n_grams, n_hit,
+    * overlap_frac).
+    */
+  def contaminationFraction(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isBenchmark: Column,
+      k: Int = 4): DataFrame = {
+    require(k >= 1, s"contaminationFraction k must be >= 1, got $k")
+    val reserved = Seq("__bm", "__g", "__hit")
+    require(!docs.columns.exists(reserved.contains),
+      s"contaminationFraction input must not use reserved columns ${reserved.mkString(", ")}")
+    val w = split(col(textCol), " ")
+    val grams = when(size(w) >= k,
+      array_distinct(transform(sequence(lit(1), size(w) - (k - 1)),
+        i => concat_ws(" ", slice(w, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+    val tagged = docs.select(col(idCol), isBenchmark.as("__bm"), grams.as("__g"))
+    val benchGrams = tagged.filter(col("__bm"))
+      .select(explode(col("__g")).as("__g")).distinct()
+      .withColumn("__hit", lit(1L))
+    tagged.filter(!col("__bm"))
+      .select(col(idCol), explode_outer(col("__g")).as("__g"))
+      .join(benchGrams, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__g")).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("overlap_frac",
+        when(col("n_grams") > 0,
+          col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** DSIR selection (the resampling step of Xie et al. 2023,
     * arXiv:2302.03169 §2): MATERIALIZE the Gumbel top-k subset of the
     * raw corpus. [[dsirLogWeights]] scores each raw document; adding a

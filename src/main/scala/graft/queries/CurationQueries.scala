@@ -462,6 +462,48 @@ object CurationQueries {
       |FROM sel s JOIN documents d USING (doc_id)
       |ORDER BY s.sel_key DESC, s.doc_id""".stripMargin
 
+  /** q120 — per-document contamination fraction: the share of each
+    * raw document's distinct word 4-grams that appear anywhere in the
+    * benchmark slice (`doc_id % 7 = 0`) — the release-report metric
+    * the boolean decontamination passes (q36 phrase match, q87 Bloom)
+    * only gate on. One gram-keyed equi-join + one doc-keyed count;
+    * the fraction is a single exact-integer division, bit-identical
+    * across engines. Gram-less documents surface with 0, not dropped.
+    */
+  def contaminationFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    CurationOps.contaminationFraction(
+        docs, "doc_id", "text", col("doc_id") % 7 === 0, 4)
+      .orderBy("doc_id")
+  }
+
+  val contaminationFracSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 7 = 0 AS bm, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, bm, u.g
+      |  FROM t, LATERAL UNNEST(
+      |    CASE WHEN len(ws) >= 4
+      |      THEN list_distinct(list_transform(range(1, len(ws) - 2),
+      |             i -> array_to_string(ws[i : i + 3], ' ')))
+      |      ELSE [] END) AS u(g)),
+      |bg AS (SELECT DISTINCT g FROM gr WHERE bm),
+      |rh AS (
+      |  SELECT r.doc_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |  FROM (SELECT * FROM gr WHERE NOT bm) r
+      |  LEFT JOIN bg USING (g) GROUP BY r.doc_id)
+      |SELECT t.doc_id,
+      |  CAST(COALESCE(rh.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(rh.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CASE WHEN COALESCE(rh.n_grams, 0) > 0
+      |       THEN CAST(rh.n_hit AS DOUBLE) / CAST(rh.n_grams AS DOUBLE)
+      |       ELSE 0.0 END AS overlap_frac
+      |FROM t LEFT JOIN rh ON t.doc_id = rh.doc_id
+      |WHERE NOT t.bm
+      |ORDER BY t.doc_id""".stripMargin
+
   /** q115 — per-source distribution drift: KL(source ‖ corpus) over
     * hashed-unigram buckets (the md5-prefix featurizer of q114), with
     * add-one smoothing on both sides, summed over the FULL fixed
@@ -528,7 +570,8 @@ object CurationQueries {
     "q113_winnow_near_dup" -> (winnowNearDup(_, _)),
     "q114_dsir_resample" -> (dsirResample(_, _)),
     "q115_source_kl_drift" -> (sourceKlDrift(_, _)),
-    "q116_dsir_select" -> (dsirSelectCorpus(_, _)))
+    "q116_dsir_select" -> (dsirSelectCorpus(_, _)),
+    "q120_contamination_frac" -> (contaminationFrac(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q107_substring_dedup" -> substringDedupSql,
@@ -540,5 +583,6 @@ object CurationQueries {
     "q113_winnow_near_dup" -> winnowNearDupSql,
     "q114_dsir_resample" -> dsirResampleSql,
     "q115_source_kl_drift" -> sourceKlDriftSql,
-    "q116_dsir_select" -> dsirSelectCorpusSql)
+    "q116_dsir_select" -> dsirSelectCorpusSql,
+    "q120_contamination_frac" -> contaminationFracSql)
 }

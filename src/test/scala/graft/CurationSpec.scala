@@ -236,6 +236,41 @@ class CurationSpec extends AnyFunSuite {
       rows.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  // ---- contaminationFraction -------------------------------------------
+
+  test("contaminationFraction: exact overlap share, gram-less docs kept") {
+    // bench doc: "a b c d e" → 4-grams {a b c d, b c d e}
+    // raw 1: "a b c d x"  → {a b c d, b c d x} → 1/2
+    // raw 2: "a b c d e f" → {a b c d, b c d e, c d e f} → 2/3
+    // raw 3: "z y"         → no grams → 0/0 → 0.0, still present
+    // raw 4: "q w e r"     → {q w e r} → 0/1
+    val docs = Seq(
+      (0L, true, "a b c d e"),
+      (1L, false, "a b c d x"),
+      (2L, false, "a b c d e f"),
+      (3L, false, "z y"),
+      (4L, false, "q w e r")
+    ).toDF("doc_id", "bm", "text")
+    val out = CurationOps.contaminationFraction(
+      docs, "doc_id", "text", $"bm", 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 3L, 2L, 2.0 / 3.0),
+      (3L, 0L, 0L, 0.0),
+      (4L, 1L, 0L, 0.0)))
+    // repeated grams inside one doc count once (distinct per doc)
+    val rep = CurationOps.contaminationFraction(
+      Seq((0L, true, "a b c d"), (1L, false, "a b c d a b c d a b c d"))
+        .toDF("doc_id", "bm", "text"),
+      "doc_id", "text", $"bm", 4)
+      .as[(Long, Long, Long, Double)].head()
+    // 12 words → 9 gram positions, 4 distinct cyclic rotations;
+    // only "a b c d" hits
+    assert(rep._2 == 4L && rep._3 == 1L)
+  }
+
   // ---- degenerate inputs -----------------------------------------------
 
   test("curation ops survive null and empty text rows") {
