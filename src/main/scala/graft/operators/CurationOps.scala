@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -355,6 +356,72 @@ object CurationOps {
         when(col("n_grams") > 0,
           col("n_hit").cast("double") / col("n_grams").cast("double"))
           .otherwise(lit(0.0)))
+  }
+
+  /** Token-BUDGET selection: keep the highest-scoring documents until
+    * a token budget (`budgetPercent`% of the corpus's tokens) is
+    * exhausted — the "train on the best N tokens" pass, which is a
+    * budget constraint, not a percentile (q112): document sizes vary,
+    * so a count cutoff and a token cutoff disagree.
+    *
+    * The naive plan is a GLOBAL sort by score with a running token
+    * sum — a single-reducer window, the one shape that cannot scale.
+    * This runs it as: (1) one grouped aggregate of token totals per
+    * score BUCKET — the caller passes a ROUNDED score, so the bucket
+    * table is bounded by score granularity; it is localCheckpoint-ed
+    * before the broadcast hint so the bound is the MATERIALIZED row
+    * count, not a promise (the q97 centroid discipline, enforced by
+    * PlanSpec's broadcast audit); (2) an exclusive prefix sum over
+    * that tiny table; (3) every non-boundary bucket decides by pure
+    * comparison (`prefix + bucket_total ≤ budget` keeps the whole
+    * bucket, `prefix ≥ budget` drops it) — NO window touches those
+    * rows; only the single BOUNDARY bucket runs a within-bucket
+    * running sum, ordered by a seeded md5 of the id, over its own
+    * rows. Exact greedy semantics, engine-replayable (integer token
+    * sums, integer budget division, md5 tie order), and the only
+    * window in the plan reads ~corpus/buckets rows.
+    *
+    * Output: one row per document — (idCol, n_tokens, score, kept).
+    */
+  def tokenBudgetSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      score: Column,
+      budgetPercent: Int): DataFrame = {
+    require(budgetPercent >= 0 && budgetPercent <= 100,
+      s"tokenBudgetSelect budgetPercent must be in [0, 100], got $budgetPercent")
+    val reserved = Seq("n_tokens", "score", "kept", "__btok", "__prev", "__run", "__tot")
+    require(!docs.columns.exists(reserved.contains),
+      s"tokenBudgetSelect input must not use reserved columns ${reserved.mkString(", ")}")
+    val base = docs.select(col(idCol), score.as("score"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val buckets = base.groupBy(col("score"))
+      .agg(sum(col("n_tokens")).as("__btok"))
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = base.agg(sum(col("n_tokens")).as("__tot"))
+    // bucket table + prefix sums + total: one small materialized frame
+    // (localCheckpoint proves the cardinality the broadcast relies on)
+    val cum = buckets
+      .withColumn("__prev", sum(col("__btok")).over(wCum) - col("__btok"))
+      .crossJoin(broadcast(total))
+      .localCheckpoint()
+    val budget = expr(s"__tot * $budgetPercent div 100")
+    val joined = base.join(broadcast(cum), Seq("score"))
+    val decided = joined
+      .filter(col("__prev") >= budget || col("__prev") + col("__btok") <= budget)
+      .withColumn("kept", col("__prev") + col("__btok") <= budget)
+    val wRun = Window.partitionBy(col("score"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined
+      .filter(col("__prev") < budget && col("__prev") + col("__btok") > budget)
+      .withColumn("__run", sum(col("n_tokens")).over(wRun))
+      .withColumn("kept", col("__prev") + col("__run") <= budget)
+    decided.select(col(idCol), col("n_tokens"), col("score"), col("kept"))
+      .unionByName(
+        boundary.select(col(idCol), col("n_tokens"), col("score"), col("kept")))
   }
 
   /** DSIR selection (the resampling step of Xie et al. 2023,

@@ -504,6 +504,56 @@ object CurationQueries {
       |WHERE NOT t.bm
       |ORDER BY t.doc_id""".stripMargin
 
+  /** q121 — token-budget greedy fill: keep the highest-entropy
+    * documents until 40% of the corpus's TOKENS are spent (a budget
+    * constraint, not q112's percentile — document sizes vary, so the
+    * two cutoffs disagree). Bucketed prefix-sum plan: per-score-bucket
+    * token totals (score rounded to 2 decimals → ≤ 801 buckets,
+    * localCheckpoint-materialized before the broadcast), whole-bucket
+    * keep/drop by comparison, and a within-bucket running sum ONLY for
+    * the single boundary bucket — no global sort, no corpus-wide
+    * window. Exact integer arithmetic + md5 tie order → both engines
+    * select the identical document set.
+    */
+  def tokenBudgetFill(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    CurationOps.tokenBudgetSelect(docs, "doc_id", "text",
+        round(NativeFunctions.byteEntropy(col("text")), 2), 40)
+      .orderBy("doc_id")
+  }
+
+  val tokenBudgetFillSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, substr(text, i, 1) AS ch
+      |  FROM documents, LATERAL UNNEST(generate_series(1, length(text))) AS t(i)),
+      |e AS (
+      |  SELECT doc_id, round(entropy(ch), 2) AS score FROM c GROUP BY doc_id),
+      |d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    score
+      |  FROM documents JOIN e USING (doc_id)),
+      |b AS (SELECT score, SUM(n_tokens) AS btok FROM d GROUP BY score),
+      |pc AS (
+      |  SELECT score, btok,
+      |    SUM(btok) OVER (ORDER BY score DESC) - btok AS prev
+      |  FROM b),
+      |tt AS (SELECT SUM(n_tokens) AS tot FROM d),
+      |j AS (
+      |  SELECT d.doc_id, d.n_tokens, d.score, pc.prev, pc.btok,
+      |    tt.tot * 40 // 100 AS budget
+      |  FROM d JOIN pc USING (score), tt),
+      |dec AS (
+      |  SELECT doc_id, n_tokens, score, prev + btok <= budget AS kept
+      |  FROM j WHERE prev >= budget OR prev + btok <= budget),
+      |bnd AS (
+      |  SELECT doc_id, n_tokens, score,
+      |    prev + SUM(n_tokens) OVER (
+      |      PARTITION BY score
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= budget AS kept
+      |  FROM j WHERE prev < budget AND prev + btok > budget)
+      |SELECT * FROM dec UNION ALL SELECT * FROM bnd
+      |ORDER BY doc_id""".stripMargin
+
   /** q115 — per-source distribution drift: KL(source ‖ corpus) over
     * hashed-unigram buckets (the md5-prefix featurizer of q114), with
     * add-one smoothing on both sides, summed over the FULL fixed
@@ -571,7 +621,8 @@ object CurationQueries {
     "q114_dsir_resample" -> (dsirResample(_, _)),
     "q115_source_kl_drift" -> (sourceKlDrift(_, _)),
     "q116_dsir_select" -> (dsirSelectCorpus(_, _)),
-    "q120_contamination_frac" -> (contaminationFrac(_, _)))
+    "q120_contamination_frac" -> (contaminationFrac(_, _)),
+    "q121_token_budget_fill" -> (tokenBudgetFill(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q107_substring_dedup" -> substringDedupSql,
@@ -584,5 +635,6 @@ object CurationQueries {
     "q114_dsir_resample" -> dsirResampleSql,
     "q115_source_kl_drift" -> sourceKlDriftSql,
     "q116_dsir_select" -> dsirSelectCorpusSql,
-    "q120_contamination_frac" -> contaminationFracSql)
+    "q120_contamination_frac" -> contaminationFracSql,
+    "q121_token_budget_fill" -> tokenBudgetFillSql)
 }

@@ -236,6 +236,38 @@ class CurationSpec extends AnyFunSuite {
       rows.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  // ---- tokenBudgetSelect -----------------------------------------------
+
+  test("tokenBudgetSelect: exact greedy fill across buckets, md5 order at the boundary") {
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    // scores: 3.0 -> {id1:10, id2:10 tokens}, 2.0 -> {id3,id4,id5: 5 each},
+    // 1.0 -> {id6:10}. total 45 tokens, budget 40% = 18.
+    // Bucket 3.0 is the boundary (0 < 18 < 20): md5("1") < md5("2") so
+    // id1 (run 10 <= 18) is kept, id2 (run 20 > 18) is not; buckets
+    // 2.0/1.0 start at prev 20 >= 18 -> dropped whole.
+    val docs = Seq(
+      (1L, 3.0, words(10)), (2L, 3.0, words(10)),
+      (3L, 2.0, words(5)), (4L, 2.0, words(5)), (5L, 2.0, words(5)),
+      (6L, 1.0, words(10))
+    ).toDF("doc_id", "s", "text")
+    val out = CurationOps.tokenBudgetSelect(docs, "doc_id", "text", $"s", 40)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out.map(_._4) == Seq(true, false, false, false, false, false))
+    assert(out.map(_._2) == Seq(10L, 10L, 5L, 5L, 5L, 10L))
+    // 100% budget keeps everything; 0% keeps nothing
+    val all = CurationOps.tokenBudgetSelect(docs, "doc_id", "text", $"s", 100)
+    assert(all.filter($"kept").count() == 6)
+    val none = CurationOps.tokenBudgetSelect(docs, "doc_id", "text", $"s", 0)
+    assert(none.filter($"kept").count() == 0)
+    // the selection is a function of the data, not the partitioning
+    val again = CurationOps.tokenBudgetSelect(
+      docs.repartition(7), "doc_id", "text", $"s", 40)
+      .filter($"kept").select("doc_id").as[Long].collect().toSet
+    assert(again == Set(1L))
+  }
+
   // ---- contaminationFraction -------------------------------------------
 
   test("contaminationFraction: exact overlap share, gram-less docs kept") {
