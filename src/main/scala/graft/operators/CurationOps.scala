@@ -227,16 +227,21 @@ object CurationOps {
     val cov = n * col("__sxy") - col("__sx") * col("__sy")
     val varX = n * col("__sxx") - col("__sx") * col("__sx")
     val varY = n * col("__syy") - col("__sy") * col("__sy")
-    // Outputs are rounded to 8 decimals: a moment sum whose scaled
-    // magnitude exceeds 2^53 (Σy² easily does) converts decimal→double
-    // with engine-specific final-ulp rounding, and the quotient
-    // inherits that ulp. Eight decimals is far beyond any statistical
-    // meaning of a fit coefficient and makes the result engine- and
-    // partitioning-stable.
+    // Outputs are rounded: a moment sum whose scaled magnitude exceeds
+    // 2^53 (Σy² easily does) converts decimal→double with
+    // engine-specific final-ulp rounding, and the quotient inherits
+    // that ulp. Rounding absorbs it — but only while the rounding
+    // boundary spacing dwarfs the value's own ulp. slope and r² are
+    // near-dimensionless (|x| ≲ 10², ulp ≲ 1e-13): 8 decimals is safe.
+    // intercept carries the y magnitude (~1e4–1e5 on price data, ulp
+    // ~1e-11): an 8-decimal boundary sits within one ulp often enough
+    // to flip the last digit between engines (observed once in 25
+    // groups at sf0.1), so it rounds to 6 — still far beyond any
+    // statistical meaning of a fit coefficient.
     val slope = when(varX =!= 0.0, cov / varX)
     m.withColumn("slope", round(slope, 8))
       .withColumn("intercept",
-        round((col("__sy") - slope * col("__sx")) / n, 8))
+        round((col("__sy") - slope * col("__sx")) / n, 6))
       .withColumn("r2",
         round(when(varX * varY =!= 0.0, (cov * cov) / (varX * varY)), 8))
       .withColumn("n", n.cast("long"))

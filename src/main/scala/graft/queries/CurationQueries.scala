@@ -121,7 +121,10 @@ object CurationQueries {
       |  FROM m)
       |SELECT nt.n_name AS nation, CAST(f.n AS BIGINT) AS n,
       |  round(f.slope, 8) AS slope,
-      |  round((f.sy - f.slope * f.sx) / f.n, 8) AS intercept,
+      |  -- 6 decimals, not 8: intercept carries the y magnitude, where
+      |  -- an 8-decimal boundary sits within one double ulp (engine
+      |  -- divergence observed at sf0.1); mirrors the engine
+      |  round((f.sy - f.slope * f.sx) / f.n, 6) AS intercept,
       |  round(f.r2, 8) AS r2
       |FROM f JOIN nation nt ON f.s_nationkey = nt.n_nationkey
       |ORDER BY nation""".stripMargin
