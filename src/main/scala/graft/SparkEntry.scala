@@ -29,7 +29,8 @@ object SparkEntry {
       (AnalyticsQueries.defs, AnalyticsQueries.oracles),
       (OlapQueries.defs, OlapQueries.oracles),
       (BulkQueries.defs, BulkQueries.oracles),
-      (CurationQueries.defs, CurationQueries.oracles))
+      (CurationQueries.defs, CurationQueries.oracles),
+      (RetrievalQueries.defs, RetrievalQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextOps.words
+import graft.functions.VectorOps._
+import graft.plans.BoundedTopK.boundedTopK
+
+/** Hybrid (sparse + dense) retrieval — the RAG-serving shape every
+  * training-data pipeline grows once it has BOTH an inverted index
+  * (q86) and an embedding index (q30/q33): each query runs a lexical
+  * BM25 ranking and a dense cosine ranking, and the two lists merge by
+  * reciprocal-rank fusion (Cormack et al., SIGIR 2009:
+  * score(d) = Σ_lists 1/(60 + rank_list(d))).
+  *
+  * The reference engine has no retrieval surface (its joins stop at
+  * market-data enrichment, v2.py:748–764); this family is part of the
+  * beyond-reference LLM-pipeline breadth alongside q20–q39.
+  *
+  * Determinism: BM25 reuses q86's 1e6 fixed-point integer pipeline;
+  * dense cosine is exact int64 dot/norm with a correctly-rounded
+  * double chain (q30); RRF is integer division `1e6 DIV (60 + rank)`
+  * summed over lists — every engine computes identical BIGINTs, so
+  * the DuckDB oracle matches hash-exactly.
+  *
+  * Scale shape: the corpus never materializes a cross product — the
+  * dense side broadcasts the |Q| query vectors over ONE corpus pass
+  * and keeps ≤20 rows/query/task via [[graft.plans.BoundedTopK]]; the
+  * sparse side prunes postings to the |Q| query terms with a broadcast
+  * semi-join BEFORE the document-frequency aggregate, so the
+  * vocabulary-sized shuffle q86 pays for corpus-wide stats shrinks to
+  * the matched postings; fusion joins two ≤|Q|×20-row candidate lists
+  * — independent of corpus size by construction.
+  */
+object RetrievalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val S = 1000000L
+
+  /** Fixed-point BM25 over pre-filtered postings — q86's arithmetic
+    * (k1 = 1.2, b = 0.75, raw (N+1)/(df+1) idf; see bm25TopK's
+    * overflow notes) parameterized by the carried grouping column.
+    */
+  private def bm25ScoreFx(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("avgdl_fx", expr(s"(total_len * ${S}L) DIV n_docs"))
+      .withColumn("norm_fx", expr(s"250000 + (750000 * dl * ${S}L) DIV avgdl_fx"))
+      .withColumn("tf_comp_fx",
+        expr(s"(2200 * ${S}L * ${S}L) DIV (1000 * ${S}L + (1200 * norm_fx) DIV tf)"))
+      .withColumn("idf_fx", expr(s"((n_docs + 1) * ${S}L) DIV (df + 1)"))
+      .withColumn("score_fx",
+        expr(s"(idf_fx DIV ${S}L) * tf_comp_fx + ((idf_fx % ${S}L) * tf_comp_fx) DIV ${S}L"))
+
+  /** q122: hybrid BM25 + dense-cosine retrieval fused by RRF.
+    *
+    * Corpus = documents that have an embedding (doc_id = vec_id — the
+    * "embedded slice" of the corpus). Queries = docs 0-2: the sparse
+    * query is the doc's most frequent word (smallest on ties), the
+    * dense query its embedding. Each side ranks its top-20 candidates
+    * (self-hits excluded); RRF keeps the top-10 fused.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+    val emb = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id".as("doc_id"), quantize($"embedding").as("q"))
+      .withColumn("nsq", intNormSq($"q"))
+    val corpus = docs.join(emb, Seq("doc_id"))
+
+    // ---- query set: 3 docs; sparse term = argmax (count, then min term)
+    val qdocs = corpus.filter($"doc_id" < 3)
+      .select($"doc_id".as("qid"), $"text", $"q".as("qv"), $"nsq".as("qn"))
+    val qterms = qdocs
+      .select($"qid", explode(words($"text")).as("term"))
+      .groupBy($"qid", $"term").agg(count(lit(1)).as("cnt"))
+      .groupBy($"qid")
+      .agg(min_by($"term", struct((-$"cnt").as("negc"), $"term")).as("term"))
+
+    // ---- dense ranking: one corpus pass, queries broadcast, bounded top-20
+    val dscored = corpus.join(broadcast(qdocs.select($"qid", $"qv", $"qn")),
+        $"doc_id" =!= $"qid")
+      .select($"qid", $"doc_id", cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
+    val dense = dscored.groupBy($"qid")
+      .agg(boundedTopK(struct((-$"cos").as("negc"), $"doc_id"), 20).as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "r")))
+      .select($"qid", $"r.doc_id".as("doc_id"), ($"pos" + 1).cast("long").as("drank"))
+
+    // ---- sparse ranking: postings pruned to query terms BEFORE stats
+    val w = words($"text")
+    val postings = corpus
+      .select($"doc_id", size(w).cast("long").as("dl"), explode(w).as("term"))
+      .groupBy($"doc_id", $"term", $"dl").agg(count(lit(1)).as("tf"))
+      .join(broadcast(qterms.select($"term").distinct()), Seq("term"))
+    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = corpus.agg(count(lit(1)).as("n_docs"),
+      sum(size(words($"text")).cast("long")).as("total_len"))
+    val sscored = bm25ScoreFx(
+      postings
+        .join(broadcast(qterms), Seq("term"))
+        .filter($"doc_id" =!= $"qid")
+        .join(dfreq, Seq("term"))
+        .crossJoin(broadcast(stats)))
+    val sparse = sscored.groupBy($"qid")
+      .agg(boundedTopK(struct((-$"score_fx").as("negs"), $"doc_id"), 20).as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "r")))
+      .select($"qid", $"r.doc_id".as("doc_id"), ($"pos" + 1).cast("long").as("srank"))
+
+    // ---- RRF fusion over the two ≤|Q|×20 candidate lists
+    val fused = dense.join(sparse, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_fx",
+        coalesce(expr(s"${S}L DIV (60 + drank)"), lit(0L)) +
+        coalesce(expr(s"${S}L DIV (60 + srank)"), lit(0L)))
+    fused.groupBy($"qid")
+      .agg(boundedTopK(
+        struct((-$"rrf_fx").as("negr"), $"doc_id", $"drank", $"srank", $"rrf_fx"),
+        10).as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "r")))
+      .select($"qid", $"r.doc_id".as("doc_id"), $"r.drank".as("drank"),
+        $"r.srank".as("srank"),
+        ($"r.rrf_fx".cast("double") / 1000000.0).as("rrf"),
+        ($"pos" + 1).cast("long").as("rank"))
+      .orderBy($"qid", $"rank")
+  }
+
+  private val quantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  private def dotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  val hybridRrfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id AS doc_id, $quantSql AS q FROM embeddings),
+       |en AS (
+       |  SELECT doc_id, q, ${dotSql("q", "q")} AS nsq FROM e),
+       |corpus AS (
+       |  SELECT d.doc_id, d.text, en.q, en.nsq
+       |  FROM documents d JOIN en USING (doc_id)),
+       |qdocs AS (
+       |  SELECT doc_id AS qid, text, q AS qv, nsq AS qn FROM corpus WHERE doc_id < 3),
+       |qterms AS (
+       |  SELECT qid, term FROM (
+       |    SELECT qid, term,
+       |      row_number() OVER (PARTITION BY qid ORDER BY COUNT(*) DESC, term) AS rn
+       |    FROM (SELECT qid, unnest(string_split(text, ' ')) AS term FROM qdocs) t
+       |    GROUP BY qid, term) r WHERE rn = 1),
+       |dscored AS (
+       |  SELECT qd.qid, c.doc_id,
+       |    CAST(${dotSql("qv", "q")} AS DOUBLE)
+       |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nsq AS DOUBLE))) AS cos
+       |  FROM corpus c, qdocs qd WHERE c.doc_id != qd.qid),
+       |dense AS (
+       |  SELECT qid, doc_id, rank AS drank FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id) AS rank
+       |    FROM dscored) t WHERE rank <= 20),
+       |w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       |postings AS (
+       |  SELECT doc_id, term, dl, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w) p
+       |  WHERE term IN (SELECT term FROM qterms)
+       |  GROUP BY doc_id, term, dl),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(len(ws)) AS BIGINT) AS total_len FROM w),
+       |sc AS (
+       |  SELECT qt.qid, p.doc_id, p.tf, p.dl, d.df, s.n_docs,
+       |    (s.total_len * CAST(1000000 AS BIGINT)) // s.n_docs AS avgdl_fx
+       |  FROM postings p
+       |  JOIN qterms qt USING (term)
+       |  JOIN dfreq d USING (term), stats s
+       |  WHERE p.doc_id != qt.qid),
+       |sc1 AS (
+       |  SELECT *,
+       |    250000 + (750000 * dl * CAST(1000000 AS BIGINT)) // avgdl_fx AS norm_fx
+       |  FROM sc),
+       |sc2 AS (
+       |  SELECT *,
+       |    (2200 * CAST(1000000 AS BIGINT) * 1000000)
+       |      // (1000 * CAST(1000000 AS BIGINT) + (1200 * norm_fx) // tf) AS tf_comp_fx,
+       |    ((n_docs + 1) * CAST(1000000 AS BIGINT)) // (df + 1) AS idf_fx
+       |  FROM sc1),
+       |sparse AS (
+       |  SELECT qid, doc_id, rank AS srank FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score_fx DESC, doc_id) AS rank
+       |    FROM (
+       |      SELECT qid, doc_id,
+       |        (idf_fx // 1000000) * tf_comp_fx
+       |          + ((idf_fx % 1000000) * tf_comp_fx) // 1000000 AS score_fx
+       |      FROM sc2) t) r WHERE rank <= 20),
+       |fused AS (
+       |  SELECT qid, doc_id, drank, srank,
+       |    COALESCE(CAST(1000000 AS BIGINT) // (60 + drank), 0)
+       |      + COALESCE(CAST(1000000 AS BIGINT) // (60 + srank), 0) AS rrf_fx
+       |  FROM dense FULL OUTER JOIN sparse USING (qid, doc_id)),
+       |final AS (
+       |  SELECT qid, doc_id, drank, srank,
+       |    CAST(rrf_fx AS DOUBLE) / 1000000.0 AS rrf,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rrf_fx DESC, doc_id) AS rank
+       |  FROM fused)
+       |SELECT qid, doc_id, drank, srank, rrf, rank FROM final WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+
+  def defs: Map[String, Q] = Map(
+    "q122_hybrid_rrf" -> (hybridRrf(_, _)))
+
+  def oracles: Map[String, String] = Map(
+    "q122_hybrid_rrf" -> hybridRrfSql)
+}
