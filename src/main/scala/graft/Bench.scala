@@ -34,7 +34,12 @@ object Bench {
     // round 11: the substring-dedup gram index, the winnow-sketch
     // candidate self-join, and the DSIR double-scan are the newest
     // full-corpus-shuffle queries — the class whose sf1 ratio matters
-    "q107_substring_dedup", "q113_winnow_near_dup", "q114_dsir_resample")
+    "q107_substring_dedup", "q113_winnow_near_dup", "q114_dsir_resample",
+    // round 13: the hybrid-retrieval fusion (two bounded candidate
+    // lists — its sf1 ratio should track the corpus scan, not the
+    // fusion) and the PQ pipeline (training is sample-bound; encode +
+    // ADC is the corpus-linear part)
+    "q122_hybrid_rrf", "q123_pq_adc_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

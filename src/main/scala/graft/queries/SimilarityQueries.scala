@@ -726,6 +726,241 @@ object SimilarityQueries {
        |FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM pruned)
        |ORDER BY vec_id""".stripMargin
 
+  /** Product-quantization ADC search (Jégou et al., TPAMI 2011) — the
+    * COMPRESSION member of the ANN family: q31/q33/q80/q97 prune the
+    * candidate set, PQ shrinks the per-vector memory so the scan side
+    * fits in RAM at corpus scale. The 64-dim vector splits into M = 8
+    * subspaces of 8 dims; each subspace gets a KS = 16-codeword
+    * codebook (farthest-first seeding + 2 Lloyd iterations on the
+    * q97 sample, all exact int64 arithmetic / round-to-long means, so
+    * DuckDB replays training bit-identically); every corpus vector is
+    * encoded as 8 four-bit codes (256 B float / 512 B quantized → 4 B,
+    * 64×); each query precomputes an M×KS distance table and scores
+    * candidates by Asymmetric Distance Computation — table lookups,
+    * never a vector op per pair — then the ADC top-50 shortlist is
+    * re-ranked with exact cosine (the standard over-fetch + re-rank
+    * serving shape; embeddings are unit-norm so ADC-L2 and cosine
+    * agree up to quantization error).
+    *
+    * Scale shape: training touches only the bounded sample; the
+    * learned codebook (M×KS = 64 rows — bounded by construction, the
+    * same class as catalog metadata) is COLLECTED and embedded as
+    * literal arrays, so encoding and the per-query distance tables
+    * are pure map-side expressions: the whole search is one corpus
+    * scan (no join shuffle — queries broadcast) + the bounded top-k
+    * aggregate. At 100 TB the codes column is what you'd persist;
+    * here it is derived in-flight to keep the query self-contained.
+    */
+  def pqAdcSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.BoundedTopK.boundedTopK
+    val M = 8; val D = 8; val KS = 16; val ITERS = 2
+    val emb = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"))
+    val sample = emb.filter(pmod($"vec_id", lit(4)) === 0).localCheckpoint()
+    // Per-subspace farthest-first seeds, one task over the staged
+    // sample (q97's seeding, run once per subspace on the subvectors).
+    val seeds = sample
+      .withColumn("h", md5($"vec_id".cast("string")))
+      .select($"h", $"vec_id", $"q")
+      .as[(String, Long, Array[Long])]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          def dist(a: Array[Long], b: Array[Long]): Long = {
+            var t = 0L; var i = 0
+            while (i < a.length) { val d = a(i) - b(i); t += d * d; i += 1 }
+            t
+          }
+          val out = Seq.newBuilder[(Int, Int, Array[Long])]
+          for (sp <- 0 until M) {
+            val svs = rows.map(r =>
+              (r._1, r._2, java.util.Arrays.copyOfRange(r._3, sp * D, (sp + 1) * D)))
+            val first = svs.minBy(t => (t._1, t._2))
+            val chosen = scala.collection.mutable.ArrayBuffer(first)
+            val minD = svs.map(r => dist(r._3, first._3))
+            while (chosen.size < KS) {
+              var best = 0; var i = 1
+              while (i < svs.length) {
+                if (minD(i) > minD(best) ||
+                    (minD(i) == minD(best) && svs(i)._2 < svs(best)._2)) best = i
+                i += 1
+              }
+              val nxt = svs(best); chosen += nxt
+              var j = 0
+              while (j < svs.length) {
+                val d = dist(svs(j)._3, nxt._3)
+                if (d < minD(j)) minD(j) = d
+                j += 1
+              }
+            }
+            out ++= chosen.toSeq.zipWithIndex.map { case (r, i) => (sp, i + 1, r._3) }
+          }
+          out.result().iterator
+        }
+      }
+      .toDF("sub", "ccid", "cvec").localCheckpoint()
+    // Lloyd on the sample subvectors, all M subspaces per pass
+    val ssub = sample
+      .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("sub"), $"q")
+      .select($"vec_id", $"sub", slice($"q", $"sub" * D + 1, lit(D)).as("sv"))
+    def d2c(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    var cent = seeds
+    for (_ <- 1 to ITERS) {
+      val assign = ssub.join(broadcast(cent), Seq("sub"))
+        .select($"vec_id", $"sub", $"sv", $"ccid", d2c($"sv", $"cvec").as("d2"))
+        .groupBy($"vec_id", $"sub")
+        .agg(min_by(struct($"sv", $"ccid"), struct($"d2", $"ccid")).as("r"))
+        .select($"sub", $"r.ccid".as("ccid"), $"r.sv".as("sv"))
+      cent = assign
+        .select($"sub", $"ccid", posexplode($"sv").as(Seq("pos", "x")))
+        .groupBy($"sub", $"ccid", $"pos")
+        .agg((sum($"x").cast("double") / count(lit(1)).cast("double")).as("c"))
+        .groupBy($"sub", $"ccid")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => round(x("c")).cast("long")).as("cvec"))
+        .localCheckpoint()
+    }
+    // Collect the bounded codebook (M×KS rows) → literal expressions.
+    val book: Map[Int, Seq[(Int, Array[Long])]] = cent
+      .select($"sub", $"ccid", $"cvec").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    require(book.size == M && book.values.forall(_.size == KS),
+      s"PQ training left an empty cluster: ${book.view.mapValues(_.size).toMap}")
+    def litVec(a: Array[Long]) = array(a.map(lit(_)): _*)
+    // code_s = argmin_c d2(subvec_s, centroid_{s,c}) — pure map expr
+    def codeExpr(sp: Int) = array_min(array(book(sp).map { case (ccid, cv) =>
+      struct(d2c(slice($"q", sp * D + 1, D), litVec(cv)).as("d2"), lit(ccid).as("ccid"))
+    }: _*)).getField("ccid")
+    val coded = emb.select($"vec_id",
+      array((0 until M).map(codeExpr): _*).as("code"))
+    // per-query ADC table: dt[(1-based) s*KS + ccid] = d2(query_sub, centroid)
+    val dtExpr = array((for (sp <- 0 until M; e <- book(sp)) yield
+      d2c(slice($"qv", sp * D + 1, D), litVec(e._2))): _*)
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qv"))
+      .select($"qid", dtExpr.as("dt"))
+    val scored = coded.join(broadcast(queries), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"),
+        aggregate(sequence(lit(0), lit(M - 1)), lit(0L), (acc, sp) =>
+          acc + element_at($"dt", sp * KS + element_at($"code", sp + 1))).as("adist"))
+    // ADC SHORTLIST (50/query) + EXACT RE-RANK — the production PQ
+    // serving shape: the compressed scan over-fetches, then one
+    // bounded fetch of true vectors fixes the final ordering. The
+    // shortlist is ≤|Q|×50 rows → broadcast; the vector fetch is a
+    // map-side semi-join against the corpus, never a shuffle of it.
+    val short = scored.groupBy($"qid")
+      .agg(boundedTopK(struct($"adist", $"cid"), 50).as("top"))
+      .select($"qid", explode($"top").as("r"))
+      .select($"qid", $"r.cid".as("cid"), $"r.adist".as("adist"))
+    val qside = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qqid"), $"q".as("qv2"))
+      .withColumn("qn", intNormSq($"qv2"))
+    val rr = emb.join(broadcast(short), $"vec_id" === $"cid")
+      .join(broadcast(qside), $"qid" === $"qqid")
+      .select($"qid", $"cid", $"adist",
+        cosine(intDot($"qv2", $"q"), $"qn", intNormSq($"q")).as("cos"))
+    rr.groupBy($"qid")
+      .agg(boundedTopK(struct((-$"cos").as("negc"), $"cid", $"adist", $"cos"), 10).as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "r")))
+      .select($"qid", $"r.cid".as("cid"), $"r.adist".as("adist"), $"r.cos".as("cos"),
+        ($"pos" + 1).cast("long").as("rank"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val pqAdcSearchSql: String = {
+    val M = 8; val KS = 16; val ITERS = 2
+    def d2s(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+       |  SELECT vec_id, $quantSql AS q FROM embeddings),
+       |sample AS MATERIALIZED (
+       |  SELECT vec_id, q FROM e WHERE vec_id % 4 = 0),
+       |subs AS MATERIALIZED (
+       |  SELECT vec_id, s.range AS sub,
+       |    list_transform(range(1, 9), i -> q[s.range * 8 + i]) AS sv
+       |  FROM sample, range(0, $M) s),
+       |s1 AS MATERIALIZED (
+       |  SELECT sub, 1 AS ccid, sv AS cvec FROM subs
+       |  WHERE vec_id = (SELECT vec_id FROM sample
+       |                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)),
+       |""".stripMargin
+    for (t <- 2 to KS) {
+      sb ++= s"""s$t AS MATERIALIZED (
+         |  SELECT * FROM s${t - 1}
+         |  UNION ALL
+         |  SELECT sub, $t AS ccid, sv AS cvec FROM (
+         |    SELECT sub, vec_id, sv,
+         |      row_number() OVER (PARTITION BY sub ORDER BY mind2 DESC, vec_id) AS rn
+         |    FROM (
+         |      SELECT t.sub, t.vec_id, any_value(t.sv) AS sv,
+         |        MIN(${d2s("t.sv", "s.cvec")}) AS mind2
+         |      FROM subs t JOIN s${t - 1} s ON t.sub = s.sub
+         |      GROUP BY t.sub, t.vec_id) u) v
+         |  WHERE rn = 1),
+         |""".stripMargin
+    }
+    sb ++= s"cent0 AS MATERIALIZED (SELECT * FROM s$KS),\n"
+    for (it <- 1 to ITERS) {
+      sb ++= s"""a$it AS MATERIALIZED (
+         |  SELECT sub, ccid, sv FROM (
+         |    SELECT t.sub, t.sv, c.ccid,
+         |      row_number() OVER (PARTITION BY t.sub, t.vec_id
+         |        ORDER BY ${d2s("t.sv", "c.cvec")}, c.ccid) AS rn
+         |    FROM subs t JOIN cent${it - 1} c ON t.sub = c.sub) x WHERE rn = 1),
+         |cent$it AS MATERIALIZED (
+         |  SELECT sub, ccid, list(cv ORDER BY pos) AS cvec FROM (
+         |    SELECT sub, ccid, r.range AS pos,
+         |      CAST(round(CAST(SUM(sv[r.range]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+         |    FROM a$it, range(1, 9) r GROUP BY sub, ccid, r.range) g
+         |  GROUP BY sub, ccid),
+         |""".stripMargin
+    }
+    sb ++= s"""esubs AS (
+       |  SELECT vec_id, s.range AS sub,
+       |    list_transform(range(1, 9), i -> q[s.range * 8 + i]) AS sv
+       |  FROM e, range(0, $M) s),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, sub, ccid AS code FROM (
+       |    SELECT es.vec_id, es.sub, c.ccid,
+       |      row_number() OVER (PARTITION BY es.vec_id, es.sub
+       |        ORDER BY ${d2s("es.sv", "c.cvec")}, c.ccid) AS rn
+       |    FROM esubs es JOIN cent$ITERS c ON es.sub = c.sub) t WHERE rn = 1),
+       |dt AS MATERIALIZED (
+       |  SELECT es.vec_id AS qid, es.sub, c.ccid, ${d2s("es.sv", "c.cvec")} AS qd2
+       |  FROM esubs es JOIN cent$ITERS c ON es.sub = c.sub WHERE es.vec_id < 10),
+       |scored AS MATERIALIZED (
+       |  SELECT dt.qid, codes.vec_id AS cid, CAST(SUM(dt.qd2) AS BIGINT) AS adist
+       |  FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.ccid
+       |  WHERE codes.vec_id != dt.qid
+       |  GROUP BY dt.qid, codes.vec_id),
+       |short AS MATERIALIZED (
+       |  SELECT qid, cid, adist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+       |    FROM scored) t WHERE rn <= 50),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id AS qid, q AS qv, ${dotSql("q", "q")} AS qn
+       |  FROM e WHERE vec_id < 10),
+       |rr AS MATERIALIZED (
+       |  SELECT s.qid, s.cid, s.adist,
+       |    CAST(${dotSql("qv.qv", "e.q")} AS DOUBLE)
+       |      / (sqrt(CAST(qv.qn AS DOUBLE)) * sqrt(CAST(${dotSql("e.q", "e.q")} AS DOUBLE))) AS cos
+       |  FROM short s JOIN e ON e.vec_id = s.cid JOIN qv ON qv.qid = s.qid),
+       |ranked AS MATERIALIZED (
+       |  SELECT qid, cid, adist, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM rr)
+       |SELECT qid, cid, adist, cos, rank FROM ranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+    sb.toString
+  }
+
   val defs: Map[String, Q] = Map(
     "q30_knn_brute_force" -> (knnBruteForce(_, _)),
     "q31_ann_lsh_buckets" -> (annLshBuckets(_, _)),
@@ -734,7 +969,8 @@ object SimilarityQueries {
     "q34_cosine_near_dup" -> (cosineNearDup(_, _)),
     "q80_ivf_multiprobe" -> (ivfMultiProbe(_, _)),
     "q83_semantic_dedup" -> (semanticDedup(_, _)),
-    "q97_ivf_kmeans" -> (ivfKmeans(_, _)))
+    "q97_ivf_kmeans" -> (ivfKmeans(_, _)),
+    "q123_pq_adc_search" -> (pqAdcSearch(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q30_knn_brute_force" -> knnBruteForceSql,
@@ -744,5 +980,6 @@ object SimilarityQueries {
     "q34_cosine_near_dup" -> cosineNearDupSql,
     "q80_ivf_multiprobe" -> ivfMultiProbeSql,
     "q83_semantic_dedup" -> semanticDedupSql,
-    "q97_ivf_kmeans" -> ivfKmeansSql)
+    "q97_ivf_kmeans" -> ivfKmeansSql,
+    "q123_pq_adc_search" -> pqAdcSearchSql)
 }

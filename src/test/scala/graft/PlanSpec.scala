@@ -336,7 +336,18 @@ class PlanSpec extends AnyFunSuite {
       case a: Aggregate =>
         a.groupingExpressions.isEmpty ||
           a.groupingExpressions.forall(boundedKey) ||
-          bounded(a.child)
+          bounded(a.child) ||
+          // grouped agg whose EVERY grouping key comes from a bounded
+          // join side: group count ≤ that side's cardinality (the
+          // q123 ADC-shortlist shape — per-qid bounded_top_k where
+          // qid is the vec_id<10 broadcast query set)
+          (throughProjections(a.child) match {
+            case j: Join =>
+              val refs = a.groupingExpressions.flatMap(_.references)
+              refs.nonEmpty && Seq(j.left, j.right).exists(side =>
+                refs.forall(side.outputSet.contains) && bounded(side))
+            case _ => false
+          })
       case Filter(cond, child) =>
         bounded(child) ||
           (throughProjections(child).isInstanceOf[Aggregate] && litThresholds(cond)) ||
