@@ -802,6 +802,138 @@ object TextQueries {
        |ORDER BY i, j""".stripMargin
   }
 
+  /** Incremental (batch-vs-corpus) dedup — the DAILY-CRAWL ingestion
+    * shape: an incoming batch (docs with doc_id % 5 = 0, ~20%) is
+    * deduplicated against the EXISTING corpus (the rest) and against
+    * itself, without ever pairing existing docs with each other. Four
+    * drop reasons, checked in priority order:
+    *   exact_corpus  — md5(text) already present in the corpus
+    *   near_corpus   — MinHash band collision with a corpus doc,
+    *                   verified 3-shingle Jaccard ≥ 0.5 (q24's bands)
+    *   exact_batch   — duplicate of a SMALLER-id batch doc's md5
+    *   near_batch    — verified near-dup of a smaller-id batch doc
+    * Every incoming doc gets a verdict ('novel' if none apply).
+    *
+    * Scale shape: the corpus side participates ONLY through its
+    * signature/band index (the q24 staging you'd persist between
+    * daily runs) and an md5-key set — the batch never scans corpus
+    * text except to verify band-collision candidates; the exact
+    * checks are hash equi-joins keyed on the (small) batch; the
+    * within-batch self-join is batch²-bounded by the band buckets,
+    * independent of corpus size. At 100 TB the corpus index is
+    * bucketed by bkey so the daily join prunes to matching buckets.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", $"text").persist()
+    incrementalDedupCore(
+      base.filter($"doc_id" % 5 === 0), base.filter($"doc_id" % 5 =!= 0))
+  }
+
+  /** The reusable batch-vs-corpus dedup: both inputs are (doc_id,
+    * text); see [[incrementalDedup]] for semantics and scale notes.
+    */
+  def incrementalDedupCore(inc0: DataFrame, ex0: DataFrame): DataFrame = {
+    val s = inc0.sparkSession
+    import s.implicits._
+    val bands = 4
+    val rowsPerBand = 2
+    def sig(df: DataFrame): DataFrame = df
+      .select($"doc_id", md5($"text").as("h"), shingles(words($"text")).as("sh"))
+      .select($"doc_id", $"h", $"sh",
+        array((0 until bands).map(b => bandKey($"sh", b, rowsPerBand)): _*).as("bkeys"))
+    // both signature sets are reused by several joins below — persist
+    // (at warehouse scale the `ex` side is the PERSISTED daily index)
+    val inc = sig(inc0).persist()
+    val ex = sig(ex0).persist()
+    val base = inc.unionByName(ex)
+    val incBand = inc.select($"doc_id", posexplode($"bkeys").as(Seq("band", "bkey")))
+    val exBand = ex.select($"doc_id", posexplode($"bkeys").as(Seq("band", "bkey")))
+
+    val exactCorpus = inc.join(ex.select($"h").distinct(), Seq("h"), "left_semi")
+      .select($"doc_id", lit(1).as("r"))
+    def verify(cand: DataFrame): DataFrame = cand
+      .join(inc.select($"doc_id".as("i"), $"sh".as("sh_i")), "i")
+      .join(base.select($"doc_id".as("j"), $"sh".as("sh_j")), "j")
+      .withColumn("inter", size(array_intersect($"sh_i", $"sh_j")).cast("double"))
+      .filter($"inter" / (size($"sh_i") + size($"sh_j") - $"inter") >= 0.5)
+      .select($"i".as("doc_id"))
+    val nearCorpus = verify(
+      incBand.select($"band", $"bkey", $"doc_id".as("i"))
+        .join(exBand.select($"band", $"bkey", $"doc_id".as("j")), Seq("band", "bkey"))
+        .select($"i", $"j").distinct())
+      .select($"doc_id", lit(2).as("r"))
+    val exactBatch = inc.select($"doc_id", $"h")
+      .join(inc.select($"doc_id".as("j"), $"h"), Seq("h"))
+      .filter($"j" < $"doc_id")
+      .select($"doc_id", lit(3).as("r"))
+    val nearBatch = verify(
+      incBand.select($"band", $"bkey", $"doc_id".as("i"))
+        .join(incBand.select($"band", $"bkey", $"doc_id".as("j")), Seq("band", "bkey"))
+        .filter($"j" < $"i")
+        .select($"i", $"j").distinct())
+      .select($"doc_id", lit(4).as("r"))
+
+    val drops = exactCorpus.unionByName(nearCorpus)
+      .unionByName(exactBatch).unionByName(nearBatch)
+      .groupBy($"doc_id").agg(min($"r").as("r"))
+    inc.select($"doc_id").join(drops, Seq("doc_id"), "left_outer")
+      .select($"doc_id",
+        when($"r" === 1, "exact_corpus").when($"r" === 2, "near_corpus")
+          .when($"r" === 3, "exact_batch").when($"r" === 4, "near_batch")
+          .otherwise("novel").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  val incrementalDedupSql: String = {
+    val mh = (seed: Int) => s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
+    val bkey = (band: Int) => s"${mh(band * 2)} || '|' || ${mh(band * 2 + 1)}"
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT doc_id, md5(text) AS h, $shinglesSqlExpr AS sh FROM documents),
+       |banded AS MATERIALIZED (
+       |  SELECT doc_id, band, CASE band
+       |    WHEN 0 THEN ${bkey(0)}
+       |    WHEN 1 THEN ${bkey(1)}
+       |    WHEN 2 THEN ${bkey(2)}
+       |    WHEN 3 THEN ${bkey(3)} END AS bkey
+       |  FROM base, (SELECT unnest([0,1,2,3]) AS band)),
+       |inc AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+       |ex AS (SELECT * FROM base WHERE doc_id % 5 != 0),
+       |exact_corpus AS (
+       |  SELECT doc_id, 1 AS r FROM inc WHERE h IN (SELECT h FROM ex)),
+       |near_corpus AS (
+       |  SELECT i AS doc_id, 2 AS r FROM (
+       |    SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |    FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |    WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0) c
+       |  JOIN base si ON c.i = si.doc_id JOIN base sj ON c.j = sj.doc_id
+       |  WHERE CAST(len(list_intersect(si.sh, sj.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(si.sh, sj.sh))) AS DOUBLE) >= 0.5),
+       |exact_batch AS (
+       |  SELECT a.doc_id, 3 AS r FROM inc a JOIN inc b ON a.h = b.h
+       |  WHERE b.doc_id < a.doc_id),
+       |near_batch AS (
+       |  SELECT i AS doc_id, 4 AS r FROM (
+       |    SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |    FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |    WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 = 0 AND b.doc_id < a.doc_id) c
+       |  JOIN base si ON c.i = si.doc_id JOIN base sj ON c.j = sj.doc_id
+       |  WHERE CAST(len(list_intersect(si.sh, sj.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(si.sh, sj.sh))) AS DOUBLE) >= 0.5),
+       |drops AS (
+       |  SELECT doc_id, MIN(r) AS r FROM (
+       |    SELECT * FROM exact_corpus UNION ALL SELECT * FROM near_corpus
+       |    UNION ALL SELECT * FROM exact_batch UNION ALL SELECT * FROM near_batch) u
+       |  GROUP BY doc_id)
+       |SELECT i.doc_id,
+       |  CASE d.r WHEN 1 THEN 'exact_corpus' WHEN 2 THEN 'near_corpus'
+       |           WHEN 3 THEN 'exact_batch' WHEN 4 THEN 'near_batch'
+       |           ELSE 'novel' END AS verdict
+       |FROM inc i LEFT JOIN drops d ON i.doc_id = d.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+  }
+
   /** N-gram Jaccard near-dup pairs via an INVERTED-INDEX join — the
     * exact (non-approximate) dedup baseline the MinHash path is checked
     * against.
@@ -1336,6 +1468,7 @@ object TextQueries {
     "q38_mixture_weights" -> (mixtureWeights(_, _)),
     "q39_pii_scrub" -> (piiScrub(_, _)),
     "q24_minhash_near_dup" -> (minhashNearDup(_, _)),
+    "q124_incremental_dedup" -> (incrementalDedup(_, _)),
     "q25_jaccard_pairs" -> (jaccardPairs(_, _)),
     "q26_simhash_near_dup" -> (simhashNearDup(_, _)),
     "q79_repetition_ratio" -> (repetitionRatio(_, _)),
@@ -1363,6 +1496,7 @@ object TextQueries {
     "q38_mixture_weights" -> mixtureWeightsSql,
     "q39_pii_scrub" -> piiScrubSql,
     "q24_minhash_near_dup" -> minhashNearDupSql,
+    "q124_incremental_dedup" -> incrementalDedupSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
     "q26_simhash_near_dup" -> simhashNearDupSql,
     "q79_repetition_ratio" -> repetitionRatioSql,
