@@ -125,6 +125,115 @@ object RetrievalQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** q125: diversity-capped chunk retrieval — the passage-serving
+    * layer of a RAG stack: documents are split into the q108
+    * overlapping 32/24 chunks, BM25 runs at CHUNK granularity (same
+    * fixed-point arithmetic; df/avgdl are chunk-level stats), and the
+    * result is diversified: at most 2 chunks per source document
+    * survive per query before the global top-5 — so one long relevant
+    * document cannot flood the context window.
+    *
+    * Scale shape: chunking is map-side (q108's plan); postings prune
+    * to the query terms BEFORE the df aggregate (q122's trick); BOTH
+    * ranking stages are bounded-top-k aggregates — the per-(term,doc)
+    * cap keeps ≤2 rows per group per task and the global stage sees
+    * only capped rows. No window over the corpus at any point.
+    */
+  def chunkRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val chunks = graft.operators.CurationOps
+      .chunkDocuments(docs, "doc_id", "text", chunkWords = 32, stride = 24)
+      .select($"doc_id", $"chunk_id", $"chunk_text")
+    val w = words($"chunk_text")
+    val postings = chunks
+      .select($"doc_id", $"chunk_id", size(w).cast("long").as("dl"), explode(w).as("term"))
+      .groupBy($"doc_id", $"chunk_id", $"term", $"dl").agg(count(lit(1)).as("tf"))
+    // query terms: the corpus top-3 words over FULL documents — the
+    // same query set q86 answers, so the two retrieval layers compare
+    val top3 = docs.select(explode(words($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .agg(boundedTopK(struct((-$"n").as("negn"), $"term"), 3).as("t"))
+      .select(explode($"t.term").as("term"))
+    val pruned = postings.join(broadcast(top3), Seq("term"))
+    val dfreq = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = chunks.agg(count(lit(1)).as("n_docs"),
+      sum(size(words($"chunk_text")).cast("long")).as("total_len"))
+    val scored = bm25ScoreFx(
+      pruned.join(dfreq, Seq("term")).crossJoin(broadcast(stats)))
+    val capped = scored.groupBy($"term", $"doc_id")
+      .agg(boundedTopK(struct((-$"score_fx").as("negs"), $"chunk_id", $"score_fx"), 2).as("top"))
+      .select($"term", $"doc_id", explode($"top").as("r"))
+      .select($"term", $"doc_id", $"r.chunk_id".as("chunk_id"),
+        $"r.score_fx".as("score_fx"))
+    capped.groupBy($"term")
+      .agg(boundedTopK(
+        struct((-$"score_fx").as("negs"), $"doc_id", $"chunk_id", $"score_fx"), 5).as("top"))
+      .select($"term", posexplode($"top").as(Seq("pos", "r")))
+      .select($"term", $"r.doc_id".as("doc_id"), $"r.chunk_id".as("chunk_id"),
+        ($"r.score_fx".cast("double") / 1000000.0).as("score"),
+        ($"pos" + 1).cast("long").as("rank"))
+      .orderBy($"term", $"rank")
+  }
+
+  val chunkRetrievalSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |n AS (
+      |  SELECT doc_id, w,
+      |    CAST(FLOOR((greatest(len(w) - 32, 0) + 23) / 24.0) AS INT) + 1 AS nc
+      |  FROM t),
+      |chunks AS MATERIALIZED (
+      |  SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+      |    string_split(array_to_string(w[1 + ci * 24 : ci * 24 + 32], ' '), ' ') AS ws
+      |  FROM n, LATERAL UNNEST(generate_series(0, nc - 1)) AS u(ci)),
+      |postings AS (
+      |  SELECT doc_id, chunk_id, term, dl, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, chunk_id, len(ws) AS dl, unnest(ws) AS term FROM chunks) p
+      |  GROUP BY doc_id, chunk_id, term, dl),
+      |tf3 AS (
+      |  SELECT term FROM (
+      |    SELECT term, row_number() OVER (ORDER BY COUNT(*) DESC, term) AS rn
+      |    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) q
+      |    GROUP BY term) r WHERE rn <= 3),
+      |pruned AS (SELECT p.* FROM postings p JOIN tf3 USING (term)),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM pruned GROUP BY term),
+      |stats AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(len(ws)) AS BIGINT) AS total_len
+      |  FROM chunks),
+      |sc0 AS (
+      |  SELECT p.term, p.doc_id, p.chunk_id, p.tf, p.dl, d.df, s.n_docs,
+      |    (s.total_len * CAST(1000000 AS BIGINT)) // s.n_docs AS avgdl_fx
+      |  FROM pruned p JOIN dfreq d USING (term), stats s),
+      |sc1 AS (
+      |  SELECT *,
+      |    250000 + (750000 * dl * CAST(1000000 AS BIGINT)) // avgdl_fx AS norm_fx
+      |  FROM sc0),
+      |sc2 AS (
+      |  SELECT *,
+      |    (2200 * CAST(1000000 AS BIGINT) * 1000000)
+      |      // (1000 * CAST(1000000 AS BIGINT) + (1200 * norm_fx) // tf) AS tf_comp_fx,
+      |    ((n_docs + 1) * CAST(1000000 AS BIGINT)) // (df + 1) AS idf_fx
+      |  FROM sc1),
+      |scored AS (
+      |  SELECT term, doc_id, chunk_id,
+      |    (idf_fx // 1000000) * tf_comp_fx
+      |      + ((idf_fx % 1000000) * tf_comp_fx) // 1000000 AS score_fx
+      |  FROM sc2),
+      |capped AS (
+      |  SELECT term, doc_id, chunk_id, score_fx FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY term, doc_id
+      |      ORDER BY score_fx DESC, chunk_id) AS dr
+      |    FROM scored) c WHERE dr <= 2),
+      |ranked AS (
+      |  SELECT term, doc_id, chunk_id,
+      |    CAST(score_fx AS DOUBLE) / 1000000.0 AS score,
+      |    row_number() OVER (PARTITION BY term
+      |      ORDER BY score_fx DESC, doc_id, chunk_id) AS rank
+      |  FROM capped)
+      |SELECT term, doc_id, chunk_id, score, rank FROM ranked WHERE rank <= 5
+      |ORDER BY term, rank""".stripMargin
+
   private val quantSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
   private def dotSql(a: String, b: String) =
@@ -206,8 +315,10 @@ object RetrievalQueries {
        |ORDER BY qid, rank""".stripMargin
 
   def defs: Map[String, Q] = Map(
-    "q122_hybrid_rrf" -> (hybridRrf(_, _)))
+    "q122_hybrid_rrf" -> (hybridRrf(_, _)),
+    "q125_chunk_retrieval" -> (chunkRetrieval(_, _)))
 
   def oracles: Map[String, String] = Map(
-    "q122_hybrid_rrf" -> hybridRrfSql)
+    "q122_hybrid_rrf" -> hybridRrfSql,
+    "q125_chunk_retrieval" -> chunkRetrievalSql)
 }

@@ -94,6 +94,25 @@ object StreamOps {
       col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
   }
 
+  /** T7 — stream-static ingestion gate: the STREAMING face of the
+    * q124 batch-vs-corpus dedup. Incoming documents are fingerprinted
+    * (md5 of the text), anti-joined against the PERSISTED corpus
+    * fingerprint index — a STATIC frame, which Spark re-reads every
+    * micro-batch, so an index refresh (yesterday's q124 output merged
+    * in) is picked up without restarting the query — and deduplicated
+    * within the stream by the watermark-bounded keep-first. Only
+    * corpus-novel, stream-first documents pass. At scale the static
+    * side is the bucketed signature table the batch pipeline
+    * maintains; the anti join broadcasts or bucket-prunes exactly as
+    * the batch plan does, per micro-batch.
+    */
+  def ingestionGate(stream: DataFrame, corpusHashes: DataFrame, tsCol: String,
+      lateness: String, textCol: String = "text"): DataFrame =
+    stream.withColumn("h", md5(col(textCol)))
+      .join(corpusHashes.select(col("h")), Seq("h"), "left_anti")
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("h")
+
   /** T1/T2 — snapshot semantics: latest row per key "as of now".
     * In foreachBatch this is the micro-batch refresh of the snapshot
     * table; same expression works on a batch frame.

@@ -65,4 +65,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(300))
     assert(p.contains("Broadcast"), p.take(300))
   }
+
+  test("q125: at most 2 chunks per document per query; ranks dense") {
+    val rows = RetrievalQueries.chunkRetrieval(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byTermDoc = rows.groupBy(r => (r.getString(0), r.getLong(1)))
+    assert(byTermDoc.values.forall(_.length <= 2),
+      "diversity cap violated: >2 chunks from one doc")
+    for ((_, rs) <- rows.groupBy(_.getString(0))) {
+      val ranks = rs.map(_.getLong(4)).sorted.toSeq
+      assert(ranks == (1L to rs.length).toSeq)
+      assert(rs.length <= 5)
+      // rank order follows (score desc, doc_id, chunk_id)
+      val ordered = rs.sortBy(_.getLong(4))
+        .map(r => (-r.getDouble(3), r.getLong(1), r.getLong(2))).toSeq
+      assert(ordered == ordered.sorted)
+    }
+  }
+
+  test("q125 plan: bounded-top-k stages, no corpus-partition window") {
+    val df = RetrievalQueries.chunkRetrieval(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(300))
+    assert(!p.contains("Window"), "per-doc cap must be a bounded aggregate, not a window")
+    assert(p.contains("bounded_top_k"), p.take(300))
+  }
 }

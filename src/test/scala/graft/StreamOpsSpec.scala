@@ -15,6 +15,8 @@ case class SignupEv(user_id: Long, a_ts: Timestamp, a_id: Long)
 
 case class PurchaseEv(b_user: Long, b_ts: Timestamp, b_id: Long, b_value: Double)
 
+case class DocEv(ts: Timestamp, doc_id: Long, text: String)
+
 case class QuoteRow(root: Long, expiration: java.sql.Date, right: String,
     strike: Double, ts: Timestamp, seq: Long, bid: Double, ask: Double,
     bid_size: Long, ask_size: Long)
@@ -362,6 +364,30 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(u1(0).nEvents == 2 && u1(0).totalValue == 3.0)
       assert(u1(1).nEvents == 1 && u1(1).totalValue == 3.0)
       assert(sessions.count(_.userId == 2L) == 1)
+    } finally q.stop()
+  }
+
+  test("ingestion gate: corpus dupes and stream dupes dropped, novel passes") {
+    import org.apache.spark.sql.functions.md5
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("known text one", "known text two").toDF("text")
+      .select(md5($"text").as("h"))
+    val input = MemoryStream[DocEv]
+    val gated = StreamOps.ingestionGate(input.toDF(), corpus, "ts", "10 minutes")
+    val q = gated.writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt5").toString)
+      .start()
+    try {
+      input.addData(
+        DocEv(ts("2024-01-01 10:00:00"), 1, "known text one"),   // corpus dup
+        DocEv(ts("2024-01-01 10:01:00"), 2, "fresh text alpha"), // novel
+        DocEv(ts("2024-01-01 10:02:00"), 3, "fresh text alpha"), // stream dup
+        DocEv(ts("2024-01-01 10:03:00"), 4, "fresh text beta"))  // novel
+      q.processAllAvailable()
+      val out = spark.table("gate_out").select($"doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(out == Seq(2L, 4L), s"gate passed: $out")
     } finally q.stop()
   }
 }
