@@ -151,6 +151,80 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** 64-bit average-hash (aHash) of a decoded image: mean-pool the
+    * luminance raster to an 8×8 grid (block boundaries at
+    * floor(k·dim/8), so any size ≥ 8×8 pools exactly; an 8×8 input is
+    * the identity), threshold each cell against the grid mean
+    * (strictly greater), pack row-major — bit i = cell(y = i / 8,
+    * x = i % 8). The standard perceptual fingerprint for image-level
+    * dedup: near-duplicate images differ in a few bits, so Hamming
+    * distance replaces pixel comparison. None on non-image payloads.
+    */
+  private[graft] def imageAHash(payload: Array[Byte]): Option[Long] = {
+    if (!looksLikeImage(payload)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val cell = new Array[Long](64)
+        val cnt = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val gy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val gx = x * 8 / w
+            val rgb = img.getRGB(x, y)
+            cell(gy * 8 + gx) +=
+              ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            cnt(gy * 8 + gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        // exact integer threshold: cell mean > grid mean
+        //   cell_i / (3·cnt_i)  >  Σ lum / (3·w·h)
+        // cross-multiplied to avoid any floating point
+        var total = 0L
+        var i = 0
+        while (i < 64) { total += cell(i); i += 1 }
+        var hash = 0L
+        i = 0
+        while (i < 64) {
+          if (cell(i) * w * h > total * cnt(i)) hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic 8×8 black/white pattern PNG: pixel i (row-major)
+    * is white iff bit i of `bits` is set. The aHash of such an image
+    * is exactly `bits` whenever `bits` is neither all-ones-in-use nor
+    * degenerate (white cells sit above the mean, black below; with
+    * both colors present the strict threshold reproduces the
+    * pattern) — so an arithmetic oracle can predict the hash, the
+    * Hamming distances, and every downstream dedup verdict from the
+    * bit formula alone while the engine still decodes REAL pixels.
+    */
+  def syntheticPatternPng(bits: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val v = if (((bits >> i) & 1L) == 1L) 0xffffff else 0
+      img.setRGB(i % 8, i / 8, v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Partition-wise batch feature extraction (the mapInPandas stage):
     * one pass per partition, rows processed as an iterator — no
     * per-row task overhead, codec state reusable across a partition.

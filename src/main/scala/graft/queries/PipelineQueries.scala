@@ -424,6 +424,95 @@ object PipelineQueries {
       |FROM bars GROUP BY day, dn
       |ORDER BY day""".stripMargin
 
+  /** q126: perceptual-hash image dedup — the MULTIMODAL member of the
+    * near-dup family (q24 text MinHash, q26 SimHash, q34 embeddings):
+    * every document is planted with an 8×8 bit-pattern PNG whose
+    * pattern is arithmetic in `doc_id` (parity of bitCount of a
+    * linear mix — doc-unique for all practical purposes), every 50th
+    * doc also plants a NEAR-COPY with exactly two pattern bits
+    * flipped; the batch stage decodes REAL pixels and computes the
+    * 64-bit average-hash ([[MultimodalOps.imageAHash]]), and pairs
+    * within Hamming ≤ 3 are found by q26's pigeonhole trick: the hash
+    * splits into 4×16-bit chunks and d ≤ 3 forces at least one equal
+    * chunk, so candidates come from a chunk EQUI-join (never an
+    * all-pairs Hamming scan) and only candidates pay the exact
+    * popcount verify. The planted copies (Hamming 2, chunks 2/3
+    * untouched) are guaranteed hits; because the pattern PNG's aHash
+    * is exactly its bit pattern, a DuckDB oracle predicts every hash,
+    * candidate and verdict from the formula while the engine runs the
+    * full decode→hash→join pipeline.
+    *
+    * Scale shape: decode+hash is one mapPartitions batch stage (the
+    * q96 shape); the chunk join is equi-keyed with 16-bit-bounded
+    * buckets; the verify is per-candidate O(1). At 100 TB the hash
+    * table (8 bytes/image) is what you'd persist — image bytes are
+    * touched exactly once.
+    */
+  def imageAHashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bitsOf(base: Long, copy: Boolean): Long = {
+      var h = 0L
+      var i = 0
+      while (i < 63) {
+        val b = java.lang.Long.bitCount((base + 1) * 2654435761L + i * 40503L) & 1
+        val flip = if (copy && (i == 5 || i == 20)) 1 else 0
+        if ((b ^ flip) == 1) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+    val docs = Tables.loadSpread(s, dir, "documents").select($"doc_id")
+    val hashed = docs.as[Long].mapPartitions { ids =>
+      ids.flatMap { id =>
+        val plants = Seq((id, bitsOf(id, copy = false))) ++
+          (if (id % 50 == 0) Seq((id + 1000000L, bitsOf(id, copy = true)))
+           else Seq.empty)
+        plants.iterator.flatMap { case (mid, bits) =>
+          // real decode: pattern PNG bytes → ImageIO → aHash
+          MultimodalOps.imageAHash(MultimodalOps.syntheticPatternPng(bits))
+            .map(h => (mid, h))
+        }
+      }
+    }.toDF("media_id", "ahash")
+    val chunked = hashed.select($"media_id", $"ahash",
+        explode(array((0 until 4).map(c => struct(lit(c).as("c"),
+          shiftright($"ahash", c * 16).bitwiseAND(lit(0xffffL)).as("ck"))): _*)).as("b"))
+      .select($"media_id", $"ahash", $"b.c".as("c"), $"b.ck".as("ck"))
+    val cand = chunked.select($"c", $"ck", $"media_id".as("i"), $"ahash".as("hi"))
+      .join(chunked.select($"c", $"ck", $"media_id".as("j"), $"ahash".as("hj")),
+        Seq("c", "ck"))
+      .filter($"i" < $"j")
+      .select($"i", $"j", $"hi", $"hj").distinct()
+    cand.withColumn("hamming", expr("bit_count(hi ^ hj)").cast("long"))
+      .filter($"hamming" <= 3)
+      .select($"i", $"j", $"hamming")
+      .orderBy($"i", $"j")
+  }
+
+  val imageAHashDedupSql: String =
+    """WITH ids AS (
+      |  SELECT doc_id AS media_id, doc_id AS base, FALSE AS cp FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 50 = 0),
+      |hash AS MATERIALIZED (
+      |  SELECT media_id,
+      |    CAST(list_sum(list_transform(range(0, 63), i ->
+      |      CASE WHEN (bit_count((base + 1) * 2654435761 + i * 40503) % 2 = 1)
+      |                != (cp AND (i = 5 OR i = 20))
+      |           THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+      |      AS ahash
+      |  FROM ids),
+      |chunks AS MATERIALIZED (
+      |  SELECT media_id, ahash, c.range AS c, (ahash >> CAST(c.range * 16 AS INTEGER)) & 65535 AS ck
+      |  FROM hash, range(0, 4) c),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS i, b.media_id AS j, a.ahash AS hi, b.ahash AS hj
+      |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.ck = b.ck
+      |    AND a.media_id < b.media_id)
+      |SELECT i, j, CAST(bit_count(xor(hi, hj)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(hi, hj)) <= 3
+      |ORDER BY i, j""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q44_multimodal_features" -> (multimodalFeatures(_, _)),
     "q45_sql_surface" -> (sqlSurface(_, _)),
@@ -432,7 +521,8 @@ object PipelineQueries {
     "q96_image_decode" -> (imageDecode(_, _)),
     "q101_audio_decode" -> (audioDecode(_, _)),
     "q117_video_decode" -> (videoDecode(_, _)),
-    "q118_frame_sampled_decode" -> (frameSampledDecode(_, _)))
+    "q118_frame_sampled_decode" -> (frameSampledDecode(_, _)),
+    "q126_image_ahash_dedup" -> (imageAHashDedup(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q44_multimodal_features" -> multimodalFeaturesSql,
@@ -442,5 +532,6 @@ object PipelineQueries {
     "q96_image_decode" -> imageDecodeSql,
     "q101_audio_decode" -> audioDecodeSql,
     "q117_video_decode" -> videoDecodeSql,
-    "q118_frame_sampled_decode" -> frameSampledDecodeSql)
+    "q118_frame_sampled_decode" -> frameSampledDecodeSql,
+    "q126_image_ahash_dedup" -> imageAHashDedupSql)
 }

@@ -201,4 +201,44 @@ class MultimodalSpec extends AnyFunSuite {
     val f = MultimodalOps.extractFeatures(back).orderBy("media_id").collect()
     assert(f(1).getAs[Long]("checksum") == 294L)
   }
+
+  test("aHash of a pattern PNG reproduces its bit pattern exactly") {
+    for (bits <- Seq(0L, 1L, 0x5555555555555555L & ~(1L << 63),
+        0x123456789abcdefL, (1L << 62) | 7L)) {
+      val p = MultimodalOps.syntheticPatternPng(bits)
+      assert(MultimodalOps.imageAHash(p).contains(bits),
+        s"aHash mismatch for bits=$bits")
+    }
+  }
+
+  test("aHash mean-pools larger rasters; Hamming tracks planted flips") {
+    // 16x16 image, each 2x2 block uniform -> pooling must reproduce
+    // the same 8x8 pattern as the direct plant
+    val bits = 0xdeadbeefcafeL
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val i = (y / 2) * 8 + (x / 2)
+      img.setRGB(x, y, if (((bits >> i) & 1L) == 1L) 0xffffff else 0)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(MultimodalOps.imageAHash(bos.toByteArray).contains(bits))
+    // two flipped bits -> Hamming 2
+    val flipped = bits ^ (1L << 5) ^ (1L << 20)
+    val h1 = MultimodalOps.imageAHash(MultimodalOps.syntheticPatternPng(bits)).get
+    val h2 = MultimodalOps.imageAHash(MultimodalOps.syntheticPatternPng(flipped)).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) == 2)
+  }
+
+  test("aHash rejects non-image payloads and tiny rasters") {
+    assert(MultimodalOps.imageAHash("not an image".getBytes("UTF-8")).isEmpty)
+    assert(MultimodalOps.imageAHash(Array.empty[Byte]).isEmpty)
+    assert(MultimodalOps.imageAHash(null).isEmpty)
+    // a 4x4 image cannot fill the 8x8 grid — rejected, not garbage
+    assert(MultimodalOps.imageAHash(MultimodalOps.syntheticPng(100, 4, 4)).isEmpty)
+    // truncated PNG: magic bytes pass the sniff, decode must fail soft
+    val png = MultimodalOps.syntheticPatternPng(42L)
+    assert(MultimodalOps.imageAHash(png.take(20)).isEmpty)
+  }
 }
