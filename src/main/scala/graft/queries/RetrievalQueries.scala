@@ -88,12 +88,16 @@ object RetrievalQueries {
       .select($"qid", posexplode($"top").as(Seq("pos", "r")))
       .select($"qid", $"r.doc_id".as("doc_id"), ($"pos" + 1).cast("long").as("drank"))
 
-    // ---- sparse ranking: postings pruned to query terms BEFORE stats
+    // ---- sparse ranking: postings pruned to query terms BELOW the
+    // tf aggregate, so the shuffle carries only matching occurrences
     val w = words($"text")
+    // persisted: consumed by the df aggregate AND the scoring join
+    // (see q125's staging note) — ≤ |Q| rows per doc after the prune
     val postings = corpus
       .select($"doc_id", size(w).cast("long").as("dl"), explode(w).as("term"))
-      .groupBy($"doc_id", $"term", $"dl").agg(count(lit(1)).as("tf"))
       .join(broadcast(qterms.select($"term").distinct()), Seq("term"))
+      .groupBy($"doc_id", $"term", $"dl").agg(count(lit(1)).as("tf"))
+      .persist()
     val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
     val stats = corpus.agg(count(lit(1)).as("n_docs"),
       sum(size(words($"text")).cast("long")).as("total_len"))
@@ -142,23 +146,41 @@ object RetrievalQueries {
   def chunkRetrieval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
+    // chunk_words from the chunker IS the chunk's word count — reuse
+    // it as BM25's dl instead of re-splitting chunk_text per consumer
+    // persisted: chunking feeds both the posting explode and the
+    // corpus stats — one build instead of two (cache lifecycle is
+    // caller-owned, as with q24's signature staging)
     val chunks = graft.operators.CurationOps
       .chunkDocuments(docs, "doc_id", "text", chunkWords = 32, stride = 24)
-      .select($"doc_id", $"chunk_id", $"chunk_text")
-    val w = words($"chunk_text")
-    val postings = chunks
-      .select($"doc_id", $"chunk_id", size(w).cast("long").as("dl"), explode(w).as("term"))
-      .groupBy($"doc_id", $"chunk_id", $"term", $"dl").agg(count(lit(1)).as("tf"))
+      .select($"doc_id", $"chunk_id", $"chunk_words".as("dl"), $"chunk_text")
+      .persist()
     // query terms: the corpus top-3 words over FULL documents — the
     // same query set q86 answers, so the two retrieval layers compare
     val top3 = docs.select(explode(words($"text")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("n"))
       .agg(boundedTopK(struct((-$"n").as("negn"), $"term"), 3).as("t"))
       .select(explode($"t.term").as("term"))
-    val pruned = postings.join(broadcast(top3), Seq("term"))
+    // the broadcast term filter sits BELOW the tf aggregate: the
+    // shuffle carries only query-term occurrences (vocabulary-fold
+    // smaller than the full posting build), tf of the surviving terms
+    // unchanged. Remaining sf0.1 wall time is per-job scheduling
+    // across the pipeline's ~8 small jobs (every stage measures
+    // ≤0.3 s warm in isolation) — fixed overhead, not data volume.
+    // persisted: `pruned` feeds BOTH the df aggregate and the scoring
+    // join — without staging, the whole chunk-explode pipeline (and
+    // the top3 broadcast sub-job) executes once per consumer. After
+    // the 3-term filter this is ≤ 3 rows per chunk — cache-trivial.
+    // Cache lifecycle is caller-owned (Verify/Bench clearCache per
+    // query), same as q24's signature staging.
+    val pruned = chunks
+      .select($"doc_id", $"chunk_id", $"dl", explode(words($"chunk_text")).as("term"))
+      .join(broadcast(top3), Seq("term"))
+      .groupBy($"doc_id", $"chunk_id", $"term", $"dl").agg(count(lit(1)).as("tf"))
+      .persist()
     val dfreq = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
     val stats = chunks.agg(count(lit(1)).as("n_docs"),
-      sum(size(words($"chunk_text")).cast("long")).as("total_len"))
+      sum($"dl".cast("long")).as("total_len"))
     val scored = bm25ScoreFx(
       pruned.join(dfreq, Seq("term")).crossJoin(broadcast(stats)))
     val capped = scored.groupBy($"term", $"doc_id")
