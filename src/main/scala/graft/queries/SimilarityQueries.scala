@@ -961,6 +961,62 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** q127: ANN index-quality evaluation IN the engine — recall@5 and
+    * MRR of the RHP-LSH index (q31) against the exact scan (q30), per
+    * query. This is the measurement loop every production ANN
+    * deployment runs before trusting an index (and after every
+    * re-train / re-shard): ground truth = exact top-5, candidate list
+    * = the index's top-5, metrics from their intersection.
+    *
+    * Determinism: ranks on both sides come from the exact
+    * integer-quantized cosine chain (ties broken by cid), and the
+    * metrics are pure integer arithmetic — hits, `hits*1e6 DIV 5`
+    * recall, `1e6 DIV first_hit_rank` reciprocal rank — so DuckDB
+    * replays them bit-identically (no float averaging anywhere).
+    *
+    * Scale shape: both inputs are ALREADY bounded at |Q|×5 rows by
+    * [[graft.plans.BoundedTopK]]; the eval itself is a join of two
+    * tiny lists + a |Q|-group aggregate — corpus-size-independent, so
+    * at 100 TB the eval costs exactly one exact-scan pass (the ground
+    * truth), which is the price of measuring recall at all.
+    */
+  def annRecallEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = knnBruteForce(s, dir).filter($"rank" <= 5)
+      .select($"qid", $"cid")
+    val approx = annLshBuckets(s, dir)
+      .select($"qid", $"cid", $"rank".as("approx_rank"))
+    val hits = approx.join(exact, Seq("qid", "cid"))
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("h"), min($"approx_rank").as("fr"))
+    exact.select($"qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select($"qid",
+        coalesce($"h", lit(0L)).as("hits_at_5"),
+        expr("coalesce(h, 0L) * 1000000 div 5").as("recall_ppm"),
+        coalesce($"fr", lit(0L)).as("first_hit_rank"),
+        expr("case when fr is null then 0L else 1000000 div fr end").as("mrr_ppm"))
+      .orderBy($"qid")
+  }
+
+  val annRecallEvalSql: String =
+    s"""WITH exact AS MATERIALIZED (
+       |  SELECT qid, cid FROM ($knnBruteForceSql) WHERE rank <= 5),
+       |approx AS MATERIALIZED (
+       |  SELECT qid, cid, rank AS approx_rank FROM ($annLshBucketsSql)),
+       |hit AS (
+       |  SELECT a.qid, COUNT(*) AS h, MIN(a.approx_rank) AS fr
+       |  FROM approx a JOIN exact e ON a.qid = e.qid AND a.cid = e.cid
+       |  GROUP BY a.qid),
+       |qs AS (SELECT DISTINCT qid FROM exact)
+       |SELECT qs.qid,
+       |  COALESCE(h, 0) AS hits_at_5,
+       |  COALESCE(h, 0) * 1000000 // 5 AS recall_ppm,
+       |  COALESCE(fr, 0) AS first_hit_rank,
+       |  CASE WHEN fr IS NULL THEN 0 ELSE 1000000 // fr END AS mrr_ppm
+       |FROM qs LEFT JOIN hit ON qs.qid = hit.qid
+       |ORDER BY qs.qid""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q30_knn_brute_force" -> (knnBruteForce(_, _)),
     "q31_ann_lsh_buckets" -> (annLshBuckets(_, _)),
@@ -970,7 +1026,8 @@ object SimilarityQueries {
     "q80_ivf_multiprobe" -> (ivfMultiProbe(_, _)),
     "q83_semantic_dedup" -> (semanticDedup(_, _)),
     "q97_ivf_kmeans" -> (ivfKmeans(_, _)),
-    "q123_pq_adc_search" -> (pqAdcSearch(_, _)))
+    "q123_pq_adc_search" -> (pqAdcSearch(_, _)),
+    "q127_ann_recall_eval" -> (annRecallEval(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q30_knn_brute_force" -> knnBruteForceSql,
@@ -981,5 +1038,6 @@ object SimilarityQueries {
     "q80_ivf_multiprobe" -> ivfMultiProbeSql,
     "q83_semantic_dedup" -> semanticDedupSql,
     "q97_ivf_kmeans" -> ivfKmeansSql,
-    "q123_pq_adc_search" -> pqAdcSearchSql)
+    "q123_pq_adc_search" -> pqAdcSearchSql,
+    "q127_ann_recall_eval" -> annRecallEvalSql)
 }

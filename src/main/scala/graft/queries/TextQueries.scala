@@ -1150,6 +1150,89 @@ object TextQueries {
        |ORDER BY component, doc_id""".stripMargin
   }
 
+  /** q128: the RETENTION step a production dedup actually ships — a
+    * full-corpus keep/drop verdict where each near-dup cluster keeps
+    * its LONGEST member (ties → min doc_id), the policy SlimPajama /
+    * most public dedup releases use (longest ≈ most complete copy),
+    * rather than q82's min-id convention. Every document gets a row:
+    * `unique` (never entered a cluster), `keep` (the cluster's
+    * canonical copy), or `drop` (superseded by `kept_doc`) — the
+    * verdict table IS the downstream filter join.
+    *
+    * Scale shape: clusters come from the banded LSH pairs (bounded
+    * candidates, never all-pairs) + min-label propagation; the
+    * retention argmax is one cluster-keyed aggregate on a struct
+    * (max of (n_chars, -doc_id) — no window, partial-aggregable);
+    * the verdict is a doc_id-keyed left join of the corpus against
+    * the (duplicate-only) membership table. Every shuffle is on a
+    * join/group key; nothing is corpus-quadratic.
+    *
+    * Determinism: length + id ordering is pure integers; the oracle
+    * replays the closure with a recursive CTE and the same argmax.
+    */
+  def dedupRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"n_chars", $"source")
+    val pairs = minhashNearDup(s, dir).select($"i", $"j")
+    val member = graft.operators.Components.minLabelComponents(pairs, iters = 6)
+      .select($"comp".as("component"), $"id".as("doc_id"))
+      .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+    val kept = member.groupBy($"component")
+      .agg(max(struct($"n_chars", (-$"doc_id").as("neg_id"))).as("m"))
+      .select($"component", (-$"m.neg_id").as("kept_doc"))
+    docs
+      .join(member.select($"doc_id", $"component"), Seq("doc_id"), "left")
+      .join(kept, Seq("component"), "left")
+      .select($"doc_id",
+        coalesce($"component", $"doc_id").as("component"),
+        coalesce($"kept_doc", $"doc_id").as("kept_doc"),
+        $"n_chars", $"source",
+        when($"component".isNull, lit("unique"))
+          .when($"doc_id" === $"kept_doc", lit("keep"))
+          .otherwise(lit("drop")).as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupRetentionSql: String = {
+    val pairsSubquery = minhashNearDupSql.linesIterator
+      .map("  " + _).mkString("\n")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSubquery
+       |),
+       |edges AS (
+       |  SELECT i AS a, j AS b FROM pairs
+       |  UNION ALL SELECT j AS a, i AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, reach.r
+       |  FROM reach JOIN edges e ON e.b = reach.id),
+       |comp AS (
+       |  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+       |member AS (
+       |  SELECT c.doc_id, c.component, d.n_chars
+       |  FROM comp c JOIN documents d USING (doc_id)),
+       |kept AS (
+       |  SELECT component, doc_id AS kept_doc FROM (
+       |    SELECT component, doc_id,
+       |      row_number() OVER (PARTITION BY component
+       |        ORDER BY n_chars DESC, doc_id) AS rn
+       |    FROM member) t WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  COALESCE(m.component, d.doc_id) AS component,
+       |  COALESCE(k.kept_doc, d.doc_id) AS kept_doc,
+       |  d.n_chars, d.source,
+       |  CASE WHEN m.component IS NULL THEN 'unique'
+       |       WHEN d.doc_id = k.kept_doc THEN 'keep'
+       |       ELSE 'drop' END AS verdict
+       |FROM documents d
+       |LEFT JOIN comp m ON m.doc_id = d.doc_id
+       |LEFT JOIN kept k ON k.component = m.component
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Corpus-wide heavy-hitter vocabulary via the Misra–Gries sketch
     * ([[graft.plans.MisraGries]]): tokens with frequency > n/(m+1)
     * over the whole corpus. The sketch pass keeps O(m) state per map
@@ -1456,6 +1539,7 @@ object TextQueries {
     "q91_heavy_hitters" -> (heavyHitters(_, _)),
     "q92_sequence_packing" -> (sequencePacking(_, _)),
     "q82_dedup_clusters" -> (dedupClusters(_, _)),
+    "q128_dedup_retention" -> (dedupRetention(_, _)),
     "q20_token_stats" -> (tokenStats(_, _)),
     "q21_quality_score" -> (qualityScore(_, _)),
     "q22_lang_id" -> (langId(_, _)),
@@ -1484,6 +1568,7 @@ object TextQueries {
     "q91_heavy_hitters" -> heavyHittersSql,
     "q92_sequence_packing" -> sequencePackingSql,
     "q82_dedup_clusters" -> dedupClustersSql,
+    "q128_dedup_retention" -> dedupRetentionSql,
     "q20_token_stats" -> tokenStatsSql,
     "q21_quality_score" -> qualityScoreSql,
     "q22_lang_id" -> langIdSql,
