@@ -613,6 +613,86 @@ object CurationQueries {
       |FROM t GROUP BY source, nsrc
       |ORDER BY source""".stripMargin
 
+  /** q130 — the per-source DATA CARD: the release-report table every
+    * corpus drop publishes (docs, chars, whitespace tokens, exact-dup
+    * exposure, language spread, quality-gate pass rate per source).
+    * Duplication is measured corpus-WIDE (a doc is exposed if its
+    * md5(text) appears anywhere else, crediting each source with its
+    * own copies), so a source mirroring another's content shows a
+    * high dup_ppm even if it never repeats itself.
+    *
+    * Determinism: counts and sums are integers; rates are fixed-point
+    * ppm via integer division; the quality gate reuses q21's exact
+    * double chain (proven engine-identical). Scale shape: ONE
+    * fingerprint aggregate (hash-keyed) + ONE doc-keyed join back +
+    * ONE source-keyed aggregate — the same two-shuffle budget at any
+    * corpus size; no windows, no collects.
+    */
+  def sourceDatacard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextOps.{words, markerCount, fingerprint}
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val docs = Tables.load(s, dir, "documents")
+    val w = words($"text")
+    val nTok = size(w).cast("double")
+    val q = markerCount(w, stop).cast("double") / nTok * 2.0 +
+      size(array_distinct(w)).cast("double") / nTok * 1.0 +
+      ($"n_chars" - (size(w) - 1)).cast("double") / nTok * 0.1
+    val perDoc = docs.select($"doc_id", $"source", $"lang", $"n_chars",
+      size(w).cast("long").as("toks"), fingerprint($"text").as("h"),
+      (q >= 0.6).as("passes"))
+    val hashCounts = perDoc.groupBy($"h").agg(count(lit(1)).as("copies"))
+    perDoc.join(hashCounts, "h")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        sum($"toks").as("total_tokens"),
+        sum(when($"copies" > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct($"lang").as("n_langs"),
+        sum(when($"passes", 1L).otherwise(0L)).as("n_quality"))
+      .select($"source", $"n_docs", $"total_chars", $"total_tokens",
+        expr("total_chars div n_docs").as("mean_chars"),
+        $"n_dup_docs",
+        expr("n_dup_docs * 1000000 div n_docs").as("dup_ppm"),
+        $"n_langs",
+        expr("n_quality * 1000000 div n_docs").as("quality_ppm"))
+      .orderBy($"source")
+  }
+
+  val sourceDatacardSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    len(string_split(text, ' ')) AS toks,
+      |    md5(text) AS h,
+      |    (CAST(len(list_filter(string_split(text, ' '),
+      |        x -> list_contains(['the','a','of','and','is','to','in'], x))) AS DOUBLE)
+      |       / CAST(len(string_split(text, ' ')) AS DOUBLE) * 2.0
+      |     + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |       / CAST(len(string_split(text, ' ')) AS DOUBLE) * 1.0
+      |     + CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |       / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.1) >= 0.6 AS passes
+      |  FROM documents),
+      |hc AS (SELECT h, COUNT(*) AS copies FROM d GROUP BY h),
+      |agg AS (
+      |  SELECT source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+      |  FROM d JOIN hc USING (h)
+      |  GROUP BY source)
+      |SELECT source, n_docs, total_chars, total_tokens,
+      |  total_chars // n_docs AS mean_chars,
+      |  n_dup_docs,
+      |  n_dup_docs * 1000000 // n_docs AS dup_ppm,
+      |  n_langs,
+      |  n_quality * 1000000 // n_docs AS quality_ppm
+      |FROM agg
+      |ORDER BY source""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q107_substring_dedup" -> (substringDedup(_, _)),
     "q108_chunk_documents" -> (chunkDocuments(_, _)),
@@ -625,7 +705,8 @@ object CurationQueries {
     "q115_source_kl_drift" -> (sourceKlDrift(_, _)),
     "q116_dsir_select" -> (dsirSelectCorpus(_, _)),
     "q120_contamination_frac" -> (contaminationFrac(_, _)),
-    "q121_token_budget_fill" -> (tokenBudgetFill(_, _)))
+    "q121_token_budget_fill" -> (tokenBudgetFill(_, _)),
+    "q130_source_datacard" -> (sourceDatacard(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q107_substring_dedup" -> substringDedupSql,
@@ -639,5 +720,6 @@ object CurationQueries {
     "q115_source_kl_drift" -> sourceKlDriftSql,
     "q116_dsir_select" -> dsirSelectCorpusSql,
     "q120_contamination_frac" -> contaminationFracSql,
-    "q121_token_budget_fill" -> tokenBudgetFillSql)
+    "q121_token_budget_fill" -> tokenBudgetFillSql,
+    "q130_source_datacard" -> sourceDatacardSql)
 }

@@ -961,6 +961,108 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** q129: random-projection (Johnson–Lindenstrauss) sketch search —
+    * the third index geometry next to bucketed LSH (q31) and PQ codes
+    * (q123): every vector is projected to P=16 SIGNED SUMS
+    * `rp_p = Σ_i ±q_i` (the ±1 per (plane, dim) is q31's md5-derived
+    * convention at plane offset 100, so the two indexes stay
+    * independent), and the corpus scan compares 16-dim integer L2 in
+    * sketch space instead of 64-dim cosine — a 4×-narrower coarse pass
+    * whose distances approximate the original geometry (JL lemma;
+    * Achlioptas 2003 ±1 projections). Coarse top-100 shortlist, exact
+    * cosine re-rank, top-5; recall@5 0.56–0.58 on the near-orthogonal
+    * synthetic vectors (the adversarial case for any sketch — matching
+    * the PQ tier's 0.57), floor pinned in RpSketchSpec.
+    *
+    * Where q31 keeps only the SIGN of each projection (a hash bucket),
+    * the sketch keeps the magnitude — so ordering survives and no
+    * candidate is lost to a bucket boundary; the price is a full (but
+    * 4×-narrower) scan rather than an equi-join. At 100 TB this is the
+    * memory-resident-sketch tier: 128 bytes/vector scanned fast, full
+    * vectors touched only for |Q|×100 re-rank rows.
+    *
+    * Determinism: projections, coarse distances, and tie-breaks are
+    * exact int64 (±1e6-quantized inputs keep every term < 2^57); the
+    * sign vectors are evaluated ONCE driver-side and embedded as
+    * literals, while DuckDB recomputes the md5 per row — identical by
+    * the shared convention, so the oracle hash-matches.
+    */
+  def rpSketchSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val P = 16; val PLANE0 = 100; val SHORTLIST = 100
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def signs(p: Int): Seq[Long] = (0 until 64).map { i =>
+      val h = md.digest(s"$p:$i".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1L else -1L
+    }
+    val emb = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"))
+      .withColumn("nsq", intNormSq($"q"))
+      .withColumn("rp", array((0 until P).map(p =>
+        intDot($"q", typedLit(signs(PLANE0 + p)))): _*))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("qn"), $"rp".as("qrp"))
+    // codegen-friendly 8-term polynomial, not a higher-order aggregate
+    val cdist = (0 until P).map { p =>
+      val d = element_at($"rp", p + 1) - element_at($"qrp", p + 1)
+      d * d
+    }.reduce(_ + _)
+    val coarse = emb.join(broadcast(queries), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"), $"q", $"nsq", $"qv", $"qn",
+        cdist.as("cdist"))
+    import graft.plans.BoundedTopK.boundedTopK
+    val short = coarse.groupBy($"qid")
+      .agg(boundedTopK(struct($"cdist", $"cid", $"q", $"nsq", $"qv", $"qn"), SHORTLIST).as("top"))
+      .select($"qid", explode($"top").as("r"))
+      .select($"qid", $"r.cid".as("cid"), $"r.cdist".as("cdist"),
+        cosine(intDot($"r.qv", $"r.q"), $"r.qn", $"r.nsq").as("cos"))
+    short.groupBy($"qid")
+      .agg(boundedTopK(struct((-$"cos").as("negc"), $"cid", $"cdist", $"cos"), 5).as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "r")))
+      .select($"qid", $"r.cid".as("cid"), $"r.cdist".as("cdist"),
+        $"r.cos".as("cos"), ($"pos" + 1).cast("long").as("rank"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val rpSketchSearchSql: String = {
+    val P = 16; val PLANE0 = 100
+    def proj(p: Int) =
+      s"""CAST(list_sum(list_transform(range(1, 65),
+         |      i -> CASE WHEN substr(md5('${PLANE0 + p}:' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8'
+         |                THEN q[i] ELSE -q[i] END)) AS BIGINT) AS rp$p""".stripMargin
+    val projCols = (0 until P).map(proj).mkString(",\n    ")
+    val cdist = (0 until P).map(p =>
+      s"(p.rp$p - qs.qr$p) * (p.rp$p - qs.qr$p)").mkString(" + ")
+    val qrCols = (0 until P).map(p => s"rp$p AS qr$p").mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, $quantSql AS q FROM embeddings),
+       |p AS MATERIALIZED (
+       |  SELECT vec_id, q, ${dotSql("q", "q")} AS nsq,
+       |    $projCols
+       |  FROM e),
+       |qs AS MATERIALIZED (
+       |  SELECT vec_id AS qid, q AS qv, nsq AS qn, $qrCols
+       |  FROM p WHERE vec_id < 10),
+       |coarse AS (
+       |  SELECT qs.qid, p.vec_id AS cid, $cdist AS cdist
+       |  FROM p, qs WHERE p.vec_id != qs.qid),
+       |short AS MATERIALIZED (
+       |  SELECT qid, cid, cdist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, cid) AS rn
+       |    FROM coarse) t WHERE rn <= 100),
+       |rr AS MATERIALIZED (
+       |  SELECT s.qid, s.cid, s.cdist,
+       |    CAST(${dotSql("qs.qv", "c.q")} AS DOUBLE)
+       |      / (sqrt(CAST(qs.qn AS DOUBLE)) * sqrt(CAST(c.nsq AS DOUBLE))) AS cos
+       |  FROM short s JOIN p c ON c.vec_id = s.cid JOIN qs ON qs.qid = s.qid),
+       |ranked AS (
+       |  SELECT qid, cid, cdist, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM rr)
+       |SELECT qid, cid, cdist, cos, rank FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** q127: ANN index-quality evaluation IN the engine — recall@5 and
     * MRR of the RHP-LSH index (q31) against the exact scan (q30), per
     * query. This is the measurement loop every production ANN
@@ -1027,7 +1129,8 @@ object SimilarityQueries {
     "q83_semantic_dedup" -> (semanticDedup(_, _)),
     "q97_ivf_kmeans" -> (ivfKmeans(_, _)),
     "q123_pq_adc_search" -> (pqAdcSearch(_, _)),
-    "q127_ann_recall_eval" -> (annRecallEval(_, _)))
+    "q127_ann_recall_eval" -> (annRecallEval(_, _)),
+    "q129_rp_sketch_search" -> (rpSketchSearch(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q30_knn_brute_force" -> knnBruteForceSql,
@@ -1039,5 +1142,6 @@ object SimilarityQueries {
     "q83_semantic_dedup" -> semanticDedupSql,
     "q97_ivf_kmeans" -> ivfKmeansSql,
     "q123_pq_adc_search" -> pqAdcSearchSql,
-    "q127_ann_recall_eval" -> annRecallEvalSql)
+    "q127_ann_recall_eval" -> annRecallEvalSql,
+    "q129_rp_sketch_search" -> rpSketchSearchSql)
 }
