@@ -144,13 +144,88 @@ object SessionQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q133: ordered conversion funnel view → click → purchase, per
+    * user: the product-analytics staple (each stage's timestamp is the
+    * EARLIEST event of that type strictly after the previous stage —
+    * re-ordering matters: a purchase before the first view does not
+    * convert). Three conditional min-aggregates on the same user_id
+    * key: stage 1 is a plain groupBy-min; stages 2 and 3 re-join the
+    * events on user_id (no broadcast needed — same-key shuffle reuse)
+    * and take the min above the previous stage's timestamp. No window
+    * over the raw event stream, so per-user event skew never funnels
+    * into one sort task.
+    *
+    * Emits one row per user who reached stage 1, with nullable stage-2
+    * and stage-3 timestamps (ts ties broken by event_id in the min
+    * struct so both engines pick the same event).
+    */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    eventFunnelCore(Tables.load(s, dir, "events"))
+
+  /** Core over any (user_id, event_type, ts, event_id) events frame —
+    * split out so ordering semantics are fixture-testable.
+    */
+  def eventFunnelCore(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val ev = events.select($"user_id", $"event_type", $"ts", $"event_id")
+    def stageMin(tpe: String, after: DataFrame, afterCol: String): DataFrame =
+      ev.filter($"event_type" === tpe)
+        .join(after, "user_id")
+        .filter($"ts" > col(afterCol))
+        .groupBy($"user_id")
+        .agg(min(struct($"ts", $"event_id")).as("m"))
+        .select($"user_id", $"m.ts".as(s"${tpe}_ts"))
+    val viewed = ev.filter($"event_type" === "view")
+      .groupBy($"user_id")
+      .agg(min(struct($"ts", $"event_id")).as("m"))
+      .select($"user_id", $"m.ts".as("view_ts"))
+    val clicked = stageMin("click", viewed, "view_ts")
+    val purchased = stageMin("purchase", clicked, "click_ts")
+    viewed
+      .join(clicked, Seq("user_id"), "left")
+      .join(purchased, Seq("user_id"), "left")
+      .select($"user_id", $"view_ts", $"click_ts", $"purchase_ts",
+        (lit(1) + when($"click_ts".isNotNull, 1).otherwise(0)
+          + when($"purchase_ts".isNotNull, 1).otherwise(0))
+          .cast("long").as("stages_reached"))
+      .orderBy($"user_id")
+  }
+
+  val eventFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |v AS (
+      |  SELECT user_id, MIN(ts) AS view_ts FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS click_ts
+      |  FROM e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      |  FROM e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      |  GROUP BY e.user_id)
+      |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+      |  CAST(1 + CASE WHEN c.click_ts IS NULL THEN 0 ELSE 1 END
+      |    + CASE WHEN p.purchase_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stages_reached
+      |FROM v
+      |LEFT JOIN c ON c.user_id = v.user_id
+      |LEFT JOIN p ON p.user_id = v.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q49_sessionize" -> (sessionize(_, _)),
+    "q133_event_funnel" -> (eventFunnel(_, _)),
     "q50_rolling_fingerprint" -> (rollingFingerprint(_, _)),
     "q51_approx_cardinality" -> (approxCardinality(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q49_sessionize" -> sessionizeSql,
+    "q133_event_funnel" -> eventFunnelSql,
     "q50_rolling_fingerprint" -> rollingFingerprintSql,
     "q51_approx_cardinality" -> approxCardinalitySql)
 }

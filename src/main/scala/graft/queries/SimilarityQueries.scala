@@ -1119,6 +1119,61 @@ object SimilarityQueries {
        |FROM qs LEFT JOIN hit ON qs.qid = hit.qid
        |ORDER BY qs.qid""".stripMargin
 
+  /** q132: the source-similarity matrix mixture design starts from —
+    * per-source mean embedding (the "domain centroid"), then pairwise
+    * cosine between every pair of source centroids. Two domains whose
+    * centroids sit close are near-exchangeable when rebalancing a
+    * mixture (Xie 2023 DoReMi-style grouping starts from exactly this
+    * matrix); a centroid far from every other flags a distribution
+    * outlier worth its own mixture weight.
+    *
+    * The embedded slice (vec_id = doc_id, q122's convention) carries
+    * the (source) tag via one doc-keyed join; centroids are one
+    * (source, pos)-keyed aggregate re-quantized to int64 with q33's
+    * round(mean) convention so every later distance is exact integer
+    * arithmetic; the pairwise stage is |sources|² on a broadcast —
+    * bounded by construction, never corpus-scale.
+    */
+  def sourceCentroidSim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id".as("doc_id"), quantize($"embedding").as("q"))
+    val src = Tables.load(s, dir, "documents").select($"doc_id", $"source")
+    val cent = emb.join(src, "doc_id")
+      .select($"source", posexplode($"q").as(Seq("pos", "qv")))
+      .groupBy($"source", $"pos")
+      .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("c"))
+      .groupBy($"source")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => round(x("c")).cast("long")).as("cvec"))
+      .withColumn("nsq", intNormSq($"cvec"))
+    cent.as("a").join(broadcast(cent.as("b")),
+        $"a.source" < $"b.source")
+      .select($"a.source".as("source_a"), $"b.source".as("source_b"),
+        cosine(intDot($"a.cvec", $"b.cvec"), $"a.nsq", $"b.nsq").as("cos"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val sourceCentroidSimSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id AS doc_id, $quantSql AS q FROM embeddings),
+       |j AS (
+       |  SELECT d.source, e.q FROM e JOIN documents d USING (doc_id)),
+       |cpos AS (
+       |  SELECT source, r.range AS pos,
+       |    CAST(round(CAST(SUM(q[r.range]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+       |  FROM j, range(1, 65) r
+       |  GROUP BY source, r.range),
+       |cent AS (
+       |  SELECT source, list(cv ORDER BY pos) AS cvec FROM cpos GROUP BY source),
+       |n AS (
+       |  SELECT source, cvec, ${dotSql("cvec", "cvec")} AS nsq FROM cent)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(${dotSql("a.cvec", "b.cvec")} AS DOUBLE)
+       |    / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cos
+       |FROM n a JOIN n b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q30_knn_brute_force" -> (knnBruteForce(_, _)),
     "q31_ann_lsh_buckets" -> (annLshBuckets(_, _)),
@@ -1130,7 +1185,8 @@ object SimilarityQueries {
     "q97_ivf_kmeans" -> (ivfKmeans(_, _)),
     "q123_pq_adc_search" -> (pqAdcSearch(_, _)),
     "q127_ann_recall_eval" -> (annRecallEval(_, _)),
-    "q129_rp_sketch_search" -> (rpSketchSearch(_, _)))
+    "q129_rp_sketch_search" -> (rpSketchSearch(_, _)),
+    "q132_source_centroid_sim" -> (sourceCentroidSim(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q30_knn_brute_force" -> knnBruteForceSql,
@@ -1143,5 +1199,6 @@ object SimilarityQueries {
     "q97_ivf_kmeans" -> ivfKmeansSql,
     "q123_pq_adc_search" -> pqAdcSearchSql,
     "q127_ann_recall_eval" -> annRecallEvalSql,
-    "q129_rp_sketch_search" -> rpSketchSearchSql)
+    "q129_rp_sketch_search" -> rpSketchSearchSql,
+    "q132_source_centroid_sim" -> sourceCentroidSimSql)
 }

@@ -1233,6 +1233,69 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q131: cross-source duplication matrix — where the near-dup mass
+    * actually SITS: each verified LSH pair (q24) is attributed to its
+    * (source_a, source_b) cell (sources sorted within the pair so the
+    * matrix is upper-triangular), with the rate normalized per
+    * possible cross pair (`pairs * 1e9 DIV (n_a * n_b)`, ppb — exact
+    * integers; the self-cell divides by n·(n−1)/2). This is the
+    * mirror-detection / leakage report: a source rehosting another's
+    * content lights up one off-diagonal cell even when both sources
+    * look internally clean.
+    *
+    * Scale shape: the pair list is already bounded by the banded LSH
+    * join; attribution is two doc-keyed joins against the (doc_id →
+    * source) projection and one 20×20-cardinality aggregate; the
+    * per-source counts join is a broadcast of |sources| rows.
+    */
+  def crossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.load(s, dir, "documents").select($"doc_id", $"source")
+    val counts = src.groupBy($"source").agg(count(lit(1)).as("n"))
+    val pairs = minhashNearDup(s, dir).select($"i", $"j")
+      .join(src.select($"doc_id".as("i"), $"source".as("si")), "i")
+      .join(src.select($"doc_id".as("j"), $"source".as("sj")), "j")
+      .select(least($"si", $"sj").as("source_a"),
+        greatest($"si", $"sj").as("source_b"))
+    pairs.groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .join(broadcast(counts.select($"source".as("source_a"), $"n".as("n_a"))), "source_a")
+      .join(broadcast(counts.select($"source".as("source_b"), $"n".as("n_b"))), "source_b")
+      .select($"source_a", $"source_b", $"n_pairs",
+        when($"source_a" === $"source_b",
+            expr("n_pairs * 1000000000 div (n_a * (n_a - 1) div 2)"))
+          .otherwise(expr("n_pairs * 1000000000 div (n_a * n_b)"))
+          .as("rate_ppb"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val crossSourceOverlapSql: String = {
+    val pairsSubquery = minhashNearDupSql.linesIterator
+      .map("  " + _).mkString("\n")
+    s"""WITH pairs AS (
+       |$pairsSubquery
+       |),
+       |src AS (SELECT doc_id, source FROM documents),
+       |cnt AS (SELECT source, COUNT(*) AS n FROM src GROUP BY source),
+       |attributed AS (
+       |  SELECT LEAST(si.source, sj.source) AS source_a,
+       |         GREATEST(si.source, sj.source) AS source_b
+       |  FROM pairs p
+       |  JOIN src si ON si.doc_id = p.i
+       |  JOIN src sj ON sj.doc_id = p.j),
+       |cells AS (
+       |  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM attributed GROUP BY source_a, source_b)
+       |SELECT c.source_a, c.source_b, c.n_pairs,
+       |  CASE WHEN c.source_a = c.source_b
+       |       THEN c.n_pairs * 1000000000 // (ca.n * (ca.n - 1) // 2)
+       |       ELSE c.n_pairs * 1000000000 // (ca.n * cb.n) END AS rate_ppb
+       |FROM cells c
+       |JOIN cnt ca ON ca.source = c.source_a
+       |JOIN cnt cb ON cb.source = c.source_b
+       |ORDER BY c.source_a, c.source_b""".stripMargin
+  }
+
   /** Corpus-wide heavy-hitter vocabulary via the Misra–Gries sketch
     * ([[graft.plans.MisraGries]]): tokens with frequency > n/(m+1)
     * over the whole corpus. The sketch pass keeps O(m) state per map
@@ -1540,6 +1603,7 @@ object TextQueries {
     "q92_sequence_packing" -> (sequencePacking(_, _)),
     "q82_dedup_clusters" -> (dedupClusters(_, _)),
     "q128_dedup_retention" -> (dedupRetention(_, _)),
+    "q131_cross_source_overlap" -> (crossSourceOverlap(_, _)),
     "q20_token_stats" -> (tokenStats(_, _)),
     "q21_quality_score" -> (qualityScore(_, _)),
     "q22_lang_id" -> (langId(_, _)),
@@ -1569,6 +1633,7 @@ object TextQueries {
     "q92_sequence_packing" -> sequencePackingSql,
     "q82_dedup_clusters" -> dedupClustersSql,
     "q128_dedup_retention" -> dedupRetentionSql,
+    "q131_cross_source_overlap" -> crossSourceOverlapSql,
     "q20_token_stats" -> tokenStatsSql,
     "q21_quality_score" -> qualityScoreSql,
     "q22_lang_id" -> langIdSql,
