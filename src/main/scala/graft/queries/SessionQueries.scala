@@ -217,8 +217,91 @@ object SessionQueries {
       |LEFT JOIN p ON p.user_id = v.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** q135: cohort retention — the daily-active triangle every growth
+    * dashboard is built on: users are cohorted by first-seen day, and
+    * each (cohort_date, day_offset) cell counts the cohort's users
+    * active that day. The plan avoids BOTH classic blowups: activity
+    * is pre-deduplicated to (user, day) BEFORE the cohort join (so a
+    * chatty user contributes one row per day, not per event), and the
+    * final cell count is a plain `count(*)` — (user, day) uniqueness
+    * plus the single cohort per user makes it exactly the distinct
+    * user count with no count-distinct shuffle.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame =
+    cohortRetentionCore(Tables.load(s, dir, "events"))
+
+  /** Core over any (user_id, ts) events frame — fixture-testable. */
+  def cohortRetentionCore(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val e = events
+      .select($"user_id", to_date($"ts").as("d"))
+    val active = e.distinct()
+    val cohort = active.groupBy($"user_id").agg(min($"d").as("cohort_date"))
+    active.join(cohort, "user_id")
+      .select($"cohort_date", datediff($"d", $"cohort_date").cast("long").as("day_offset"))
+      .groupBy($"cohort_date", $"day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_date", $"day_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      |  FROM events),
+      |c AS (SELECT user_id, MIN(d) AS cohort_date FROM e GROUP BY user_id)
+      |SELECT c.cohort_date,
+      |  CAST(date_diff('day', c.cohort_date, e.d) AS BIGINT) AS day_offset,
+      |  COUNT(*) AS n_users
+      |FROM e JOIN c USING (user_id)
+      |GROUP BY c.cohort_date, day_offset
+      |ORDER BY c.cohort_date, day_offset""".stripMargin
+
+  /** q136: winsorized robust statistics per event type — the outlier
+    * clamp a metrics pipeline applies before any mean is trusted:
+    * per-type p01/p99 (percentile_disc — actual data values, engine-
+    * identical), values clipped into [p01, p99], raw and winsorized
+    * means from exact decimal sums (order-independent, the dsum
+    * discipline). Two passes over events: a 5-row stats aggregate
+    * broadcast back onto the scan, then one final aggregate — no
+    * window, no sort of the raw stream.
+    */
+  def winsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events").select($"event_type", $"value")
+    val stats = ev.groupBy($"event_type").agg(
+      expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY value)").as("p01"),
+      expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").as("p99"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("clipped", least(greatest($"value", $"p01"), $"p99"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        first($"p01").as("p01"),
+        first($"p99").as("p99"),
+        (dsum($"value") / count(lit(1))).as("mean_raw"),
+        (dsum($"clipped") / count(lit(1))).as("mean_winsorized"))
+      .orderBy($"event_type")
+  }
+
+  val winsorizedStatsSql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    percentile_disc(0.01) WITHIN GROUP (ORDER BY value) AS p01,
+      |    percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, COUNT(*) AS n, s.p01, s.p99,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*) AS mean_raw,
+      |  CAST(SUM(CAST(LEAST(GREATEST(e.value, s.p01), s.p99) AS DECIMAL(30,4))) AS DOUBLE)
+      |    / COUNT(*) AS mean_winsorized
+      |FROM events e JOIN s USING (event_type)
+      |GROUP BY e.event_type, s.p01, s.p99
+      |ORDER BY e.event_type""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q49_sessionize" -> (sessionize(_, _)),
+    "q135_cohort_retention" -> (cohortRetention(_, _)),
+    "q136_winsorized_stats" -> (winsorizedStats(_, _)),
     "q133_event_funnel" -> (eventFunnel(_, _)),
     "q50_rolling_fingerprint" -> (rollingFingerprint(_, _)),
     "q51_approx_cardinality" -> (approxCardinality(_, _)))
@@ -226,6 +309,8 @@ object SessionQueries {
   val oracles: Map[String, String] = Map(
     "q49_sessionize" -> sessionizeSql,
     "q133_event_funnel" -> eventFunnelSql,
+    "q135_cohort_retention" -> cohortRetentionSql,
+    "q136_winsorized_stats" -> winsorizedStatsSql,
     "q50_rolling_fingerprint" -> rollingFingerprintSql,
     "q51_approx_cardinality" -> approxCardinalitySql)
 }

@@ -1296,6 +1296,54 @@ object TextQueries {
        |ORDER BY c.source_a, c.source_b""".stripMargin
   }
 
+  /** q134: blocked edit-distance dedup — the FUZZY-MATCH family next
+    * to the set-similarity dedups (Jaccard q24/q25, Hamming q26):
+    * candidates are documents sharing a 16-char text prefix (the
+    * crawl-dedup blocking key — boilerplate heads and exact copies
+    * collide, random docs don't), verified by Levenshtein distance on
+    * the 128-char head (identical unit-cost DP in both engines).
+    *
+    * Scale: prefix blocks are capped at 64 members (the q25 hot-key
+    * discipline — a boilerplate prefix shared by 1M docs would
+    * otherwise go quadratic; those blocks are dropped and would be
+    * handled by the shingle families, which ignore word order and
+    * don't key on the head). Per-pair verify cost is bounded by the
+    * 128-char truncation: O(128²) DP per candidate, never O(|doc|²).
+    */
+  def editDistanceDedup(s: SparkSession, dir: String): DataFrame =
+    editDistanceDedupCore(Tables.load(s, dir, "documents"))
+
+  /** Core over any (doc_id, text) frame — fixture-testable. */
+  def editDistanceDedupCore(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val b = docs
+      .select($"doc_id", substring($"text", 1, 16).as("blk"),
+        substring($"text", 1, 128).as("head"))
+    val ok = b.groupBy($"blk").agg(count(lit(1)).as("bn"))
+      .filter($"bn" <= 64).select($"blk")
+    val blocked = b.join(ok, "blk")
+    blocked.select($"blk", $"doc_id".as("i"), $"head".as("hi"))
+      .join(blocked.select($"blk", $"doc_id".as("j"), $"head".as("hj")), Seq("blk"))
+      .filter($"i" < $"j")
+      .select($"i", $"j", levenshtein($"hi", $"hj").cast("long").as("dist"))
+      .filter($"dist" <= 24)
+      .orderBy($"i", $"j")
+  }
+
+  val editDistanceDedupSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, substr(text, 1, 16) AS blk, substr(text, 1, 128) AS head
+      |  FROM documents),
+      |ok AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) <= 64),
+      |blocked AS (SELECT b.* FROM b JOIN ok USING (blk)),
+      |cand AS (
+      |  SELECT a.doc_id AS i, c.doc_id AS j,
+      |    CAST(levenshtein(a.head, c.head) AS BIGINT) AS dist
+      |  FROM blocked a JOIN blocked c ON a.blk = c.blk AND a.doc_id < c.doc_id)
+      |SELECT i, j, dist FROM cand WHERE dist <= 24
+      |ORDER BY i, j""".stripMargin
+
   /** Corpus-wide heavy-hitter vocabulary via the Misra–Gries sketch
     * ([[graft.plans.MisraGries]]): tokens with frequency > n/(m+1)
     * over the whole corpus. The sketch pass keeps O(m) state per map
@@ -1604,6 +1652,7 @@ object TextQueries {
     "q82_dedup_clusters" -> (dedupClusters(_, _)),
     "q128_dedup_retention" -> (dedupRetention(_, _)),
     "q131_cross_source_overlap" -> (crossSourceOverlap(_, _)),
+    "q134_edit_distance_dedup" -> (editDistanceDedup(_, _)),
     "q20_token_stats" -> (tokenStats(_, _)),
     "q21_quality_score" -> (qualityScore(_, _)),
     "q22_lang_id" -> (langId(_, _)),
@@ -1634,6 +1683,7 @@ object TextQueries {
     "q82_dedup_clusters" -> dedupClustersSql,
     "q128_dedup_retention" -> dedupRetentionSql,
     "q131_cross_source_overlap" -> crossSourceOverlapSql,
+    "q134_edit_distance_dedup" -> editDistanceDedupSql,
     "q20_token_stats" -> tokenStatsSql,
     "q21_quality_score" -> qualityScoreSql,
     "q22_lang_id" -> langIdSql,

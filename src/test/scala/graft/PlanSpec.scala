@@ -301,6 +301,10 @@ class PlanSpec extends AnyFunSuite {
       // range scanned.
       case a: Attribute =>
         a.name == "label" || a.name == "source" ||
+          // event taxonomy: a fixed enum domain like source/label
+          // (5 types in the generator; a bounded vocabulary at any
+          // scale — the q136 winsorize stats broadcast)
+          a.name == "event_type" ||
           a.name.endsWith("nationkey") ||
           a.name.endsWith("regionkey") || a.dataType == DateType ||
           // md5-prefix bucket keys (DSIR / KL-drift featurizer): the
