@@ -39,7 +39,12 @@ object Bench {
     // lists — its sf1 ratio should track the corpus scan, not the
     // fusion) and the PQ pipeline (training is sample-bound; encode +
     // ADC is the corpus-linear part)
-    "q122_hybrid_rrf", "q123_pq_adc_search")
+    "q122_hybrid_rrf", "q123_pq_adc_search",
+    // round 13 (late): retention composes the LSH pair + component
+    // machinery end-to-end (the heaviest dedup chain), and the
+    // edit-distance dedup's prefix blocks must stay capped — both
+    // would show any quadratic drift here first
+    "q128_dedup_retention", "q134_edit_distance_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
