@@ -298,8 +298,71 @@ object SessionQueries {
       |GROUP BY e.event_type, s.p01, s.p99
       |ORDER BY e.event_type""".stripMargin
 
+  /** q138: robust seasonal outlier detection — the monitoring query a
+    * 100 TB event stream runs continuously: each (event_type,
+    * hour-of-day) cell gets a median + MAD baseline (median absolute
+    * deviation — outlier-proof where mean/stddev are poisoned by the
+    * very outliers being hunted), and events whose deviation exceeds
+    * 3 robust sigmas (|x − med| > 3 × 1.4826 × MAD) are flagged with
+    * their robust z-score. Both percentiles are `percentile_disc` —
+    * actual data values, engine-identical (the q136 discipline) — and
+    * the baseline is two grouped aggregates over the same ≤|types|×24
+    * key plus broadcast joins back; no window ever touches the raw
+    * stream. At 100 TB the exact per-cell percentile swaps for
+    * `approx_percentile` with everything else unchanged.
+    */
+  def robustOutliers(s: SparkSession, dir: String): DataFrame =
+    robustOutliersCore(Tables.load(s, dir, "events"))
+
+  /** Core over any (event_id, ts, event_type, value) frame —
+    * fixture-testable.
+    */
+  def robustOutliersCore(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val ev = events
+      .select($"event_id", $"ts", $"event_type", $"value",
+        hour($"ts").cast("long").as("hod"))
+    val med = ev.groupBy($"event_type", $"hod")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("med"))
+    val base = ev.join(broadcast(med), Seq("event_type", "hod"))
+      .withColumn("dev", abs($"value" - $"med"))
+      .groupBy($"event_type", $"hod")
+      .agg(min($"med").as("med"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").as("mad"))
+    ev.join(broadcast(base), Seq("event_type", "hod"))
+      .filter($"mad" > 0 && abs($"value" - $"med") > lit(4.4478) * $"mad")
+      .select($"event_id", $"ts", $"event_type", $"hod", $"value",
+        $"med", $"mad",
+        round(($"value" - $"med") / (lit(1.4826) * $"mad"), 6).as("score"))
+      .orderBy($"event_id")
+  }
+
+  val robustOutliersSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+      |    EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hod
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, hod,
+      |    percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+      |  FROM e GROUP BY 1, 2),
+      |d AS (
+      |  SELECT e.event_type, e.hod, ABS(e.value - m.med) AS dev, m.med
+      |  FROM e JOIN m USING (event_type, hod)),
+      |b AS (
+      |  SELECT event_type, hod, MIN(med) AS med,
+      |    percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      |  FROM d GROUP BY 1, 2)
+      |SELECT e.event_id, e.ts, e.event_type, e.hod, e.value, b.med, b.mad,
+      |  ROUND((e.value - b.med) / (1.4826 * b.mad), 6) AS score
+      |FROM e JOIN b USING (event_type, hod)
+      |WHERE b.mad > 0 AND ABS(e.value - b.med) > 4.4478 * b.mad
+      |ORDER BY e.event_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q49_sessionize" -> (sessionize(_, _)),
+    "q138_robust_outliers" -> (robustOutliers(_, _)),
     "q135_cohort_retention" -> (cohortRetention(_, _)),
     "q136_winsorized_stats" -> (winsorizedStats(_, _)),
     "q133_event_funnel" -> (eventFunnel(_, _)),
@@ -308,6 +371,7 @@ object SessionQueries {
 
   val oracles: Map[String, String] = Map(
     "q49_sessionize" -> sessionizeSql,
+    "q138_robust_outliers" -> robustOutliersSql,
     "q133_event_funnel" -> eventFunnelSql,
     "q135_cohort_retention" -> cohortRetentionSql,
     "q136_winsorized_stats" -> winsorizedStatsSql,

@@ -663,8 +663,103 @@ object TimeSeriesQueries {
       |FROM j GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** q137: gap-fill with LINEAR INTERPOLATION — the numeric
+    * completeness op q47's forward-fill cannot express (pandas
+    * `Series.interpolate(method="time")`): hourly mean value per
+    * event_type, empty hours rebuilt as the time-weighted blend of the
+    * nearest observed neighbors. The scale discipline is aggregate-
+    * first: the raw stream collapses to (type, hour) means in one
+    * hash shuffle, and only THEN do the per-type window scans run —
+    * over grid rows (|hours| × |types|, thousands), never raw events,
+    * so per-type skew in the stream cannot funnel into a sort task.
+    * Both directional neighbor scans use the incremental
+    * `UNBOUNDED PRECEDING .. CURRENT ROW` frame (the second over a
+    * descending sort — the q93 convention), and neighbor (bucket,
+    * value) travel in ONE struct so they can never disagree about
+    * which row they came from.
+    */
+  def linearInterpolate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val hourly = ev
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("bucket"))
+      .agg((sum($"value".cast("decimal(30,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("v"))
+    linearInterpolateCore(hourly)
+      .orderBy($"event_type", $"bucket")
+  }
+
+  /** Core over any (event_type, bucket, v) hourly frame — the grid
+    * build + both neighbor scans + the blend, fixture-testable.
+    */
+  def linearInterpolateCore(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
+    val grid = hourly.groupBy($"event_type")
+      .agg(min($"bucket").as("t0"), max($"bucket").as("t1"))
+      .select($"event_type",
+        explode(sequence($"t0", $"t1", expr("interval 1 hour"))).as("bucket"))
+    val joined = grid.join(hourly, Seq("event_type", "bucket"), "left")
+    val wAsc = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy($"event_type").orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val obs = when($"v".isNotNull, struct($"bucket", $"v"))
+    // micros differences are exact BIGINT math, cast to double only at
+    // the ratio — byte-identical to the oracle's epoch_us arithmetic
+    val dtPrev = (unix_micros($"bucket") - unix_micros($"p.bucket")).cast("double")
+    val dtSpan = (unix_micros($"n.bucket") - unix_micros($"p.bucket")).cast("double")
+    joined
+      .withColumn("p", last(obs, ignoreNulls = true).over(wAsc))
+      .withColumn("n", last(obs, ignoreNulls = true).over(wDesc))
+      .select($"event_type", $"bucket",
+        when($"v".isNotNull, $"v")
+          .when($"p".isNotNull && $"n".isNotNull,
+            $"p.v" + ($"n.v" - $"p.v") * (dtPrev / dtSpan))
+          .as("value_filled"),
+        $"v".isNull.as("is_interpolated"))
+  }
+
+  val linearInterpolateSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS v
+      |  FROM e GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT event_type, MIN(bucket) AS t0, MAX(bucket) AS t1
+      |  FROM hourly GROUP BY 1),
+      |grid AS (
+      |  SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+      |  FROM bounds),
+      |j AS (
+      |  SELECT g.event_type, g.bucket, h.v
+      |  FROM grid g LEFT JOIN hourly h USING (event_type, bucket)),
+      |f AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wa AS pb,
+      |    last_value(v IGNORE NULLS) OVER wa AS pv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wb AS nb,
+      |    first_value(v IGNORE NULLS) OVER wb AS nv
+      |  FROM j
+      |  WINDOW wa AS (PARTITION BY event_type ORDER BY bucket
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wb AS (PARTITION BY event_type ORDER BY bucket
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT event_type, bucket,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+      |         pv + (nv - pv) * (CAST(epoch_us(bucket) - epoch_us(pb) AS DOUBLE)
+      |                           / CAST(epoch_us(nb) - epoch_us(pb) AS DOUBLE))
+      |  END AS value_filled,
+      |  v IS NULL AS is_interpolated
+      |FROM f ORDER BY event_type, bucket""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
+    "q137_linear_interpolate" -> (linearInterpolate(_, _)),
     "q11_dedup_keep_last" -> (dedupKeepLastQ(_, _)),
     "q12_asof_join" -> (asofClickPurchase(_, _)),
     "q93_asof_forward" -> (asofNextPurchase(_, _)),
@@ -683,6 +778,7 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
+    "q137_linear_interpolate" -> linearInterpolateSql,
     "q11_dedup_keep_last" -> dedupKeepLastSql,
     "q12_asof_join" -> asofClickPurchaseSql,
     "q93_asof_forward" -> asofNextPurchaseSql,

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{SessionQueries, TimeSeriesQueries}
+
+/** q137 linear interpolation and q138 robust outlier semantics on
+  * planted fixtures: gap values must be the exact time-weighted blend
+  * of the nearest observed neighbors, observed values must pass
+  * through untouched, and the MAD baseline must (a) flag only the
+  * planted extreme and (b) go silent when a cell's MAD is zero.
+  */
+class RobustSeriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def hourTs(h: Int) = new Timestamp(1700000000000L - (1700000000000L % 3600000L) + h * 3600000L)
+
+  test("interior gaps blend linearly; observed rows pass through") {
+    val hourly = Seq(
+      // type a: observed at h0 (1.0) and h3 (4.0) -> h1, h2 interpolated
+      ("a", hourTs(0), 1.0), ("a", hourTs(3), 4.0),
+      // type b: dense, nothing to fill
+      ("b", hourTs(0), 5.0), ("b", hourTs(1), 7.0))
+      .toDF("event_type", "bucket", "v")
+    val out = TimeSeriesQueries.linearInterpolateCore(hourly)
+      .as[(String, Timestamp, Option[Double], Boolean)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+    assert(out.size == 6, "grid spans min..max per type: 4 + 2 rows")
+    assert(out(("a", hourTs(0))) == (Some(1.0), false))
+    assert(out(("a", hourTs(1))) == (Some(2.0), true), "1/3 of the way 1.0 -> 4.0")
+    assert(out(("a", hourTs(2))) == (Some(3.0), true), "2/3 of the way 1.0 -> 4.0")
+    assert(out(("a", hourTs(3))) == (Some(4.0), false))
+    assert(out(("b", hourTs(0))) == (Some(5.0), false))
+    assert(out(("b", hourTs(1))) == (Some(7.0), false))
+  }
+
+  test("uneven spacing weights by time, not by grid position") {
+    // observed at h0 (0.0) and h4 (8.0): h1 -> 2.0, h3 -> 6.0
+    val hourly = Seq(("a", hourTs(0), 0.0), ("a", hourTs(4), 8.0))
+      .toDF("event_type", "bucket", "v")
+    val out = TimeSeriesQueries.linearInterpolateCore(hourly)
+      .as[(String, Timestamp, Option[Double], Boolean)]
+      .collect().map(r => r._2 -> r._3).toMap
+    assert(out(hourTs(1)).contains(2.0))
+    assert(out(hourTs(3)).contains(6.0))
+  }
+
+  test("MAD baseline flags only the planted extreme, with the right score") {
+    val base = 1700000000000L
+    val ev = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).zipWithIndex.map {
+      case (v, i) => (i.toLong, new Timestamp(base + i * 1000L), "click", v)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = SessionQueries.robustOutliersCore(ev)
+      .as[(Long, Timestamp, String, Long, Double, Double, Double, Double)]
+      .collect()
+    // percentile_disc(0.5) of [1..5,100] = 3; devs [2,1,0,1,2,97] -> MAD = 1
+    assert(out.map(_._1).toSeq == Seq(5L), "only the 100.0 row is beyond 4.4478 MADs")
+    assert(out.head._6 == 3.0 && out.head._7 == 1.0)
+    assert(math.abs(out.head._8 - math.rint(97.0 / 1.4826 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("a zero-MAD cell (constant values) never flags") {
+    val base = 1700000000000L
+    val ev = (0 until 8).map(i => (i.toLong, new Timestamp(base + i * 1000L), "view", 2.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    assert(SessionQueries.robustOutliersCore(ev).count() == 0)
+  }
+}
