@@ -360,9 +360,71 @@ object SessionQueries {
       |WHERE b.mad > 0 AND ABS(e.value - b.med) > 4.4478 * b.mad
       |ORDER BY e.event_id""".stripMargin
 
+  /** q139: sequential pattern mining — the per-user event-type
+    * transition matrix with row-normalized probabilities and LIFT
+    * (the log-free PMI: lift(a→b) = P(a,b) / (P(a·)P(·b)); PMI is its
+    * log, and libm log is not engine-reproducible, so the engine
+    * emits the exact quantity — same ranking signal). Consecutive
+    * pairs come from ONE lead() pass per user (the q49 sessionize
+    * partitioning — sequence ops are inherently per-key ordered);
+    * everything after operates on the ≤|types|² count matrix:
+    * marginals and the total are aggregates OF THE MATRIX, joined
+    * back broadcast. Fixed-point arithmetic is exact decimal/HUGEINT
+    * ppb (the q131 discipline) — bit-identical on any cluster size.
+    */
+  def transitionLift(s: SparkSession, dir: String): DataFrame =
+    transitionLiftCore(Tables.load(s, dir, "events"))
+
+  /** Core over any (user_id, ts, event_id, event_type) frame —
+    * fixture-testable.
+    */
+  def transitionLiftCore(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = events.select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("dst", lead($"event_type", 1).over(w))
+      .filter($"dst".isNotNull)
+      .select($"event_type".as("src"), $"dst")
+    val c = pairs.groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+    val sm = c.groupBy($"src").agg(sum($"n").as("n_src"))
+    val dm = c.groupBy($"dst").agg(sum($"n").as("n_dst"))
+    val t = c.agg(sum($"n").as("n_tot"))
+    c.join(broadcast(sm), "src").join(broadcast(dm), "dst")
+      .crossJoin(broadcast(t))
+      .select($"src", $"dst", $"n", $"n_src", $"n_dst", $"n_tot",
+        expr("cast((cast(n as decimal(38,0)) * 1000000000) div n_src as bigint)")
+          .as("p_ppb"),
+        expr("""cast((cast(n as decimal(38,0)) * n_tot * 1000000000)
+               |     div (cast(n_src as decimal(38,0)) * n_dst) as bigint)"""
+          .stripMargin).as("lift_ppb"))
+      .orderBy($"src", $"dst")
+  }
+
+  val transitionLiftSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM e),
+      |c AS (SELECT src, dst, COUNT(*) AS n FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |sm AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM c GROUP BY 1),
+      |dm AS (SELECT dst, CAST(SUM(n) AS BIGINT) AS n_dst FROM c GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM c)
+      |SELECT c.src, c.dst, c.n, sm.n_src, dm.n_dst, t.n_tot,
+      |  CAST((CAST(c.n AS HUGEINT) * 1000000000) // sm.n_src AS BIGINT) AS p_ppb,
+      |  CAST((CAST(c.n AS HUGEINT) * t.n_tot * 1000000000)
+      |       // (CAST(sm.n_src AS HUGEINT) * dm.n_dst) AS BIGINT) AS lift_ppb
+      |FROM c
+      |JOIN sm USING (src) JOIN dm USING (dst) CROSS JOIN t
+      |ORDER BY c.src, c.dst""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q49_sessionize" -> (sessionize(_, _)),
     "q138_robust_outliers" -> (robustOutliers(_, _)),
+    "q139_transition_lift" -> (transitionLift(_, _)),
     "q135_cohort_retention" -> (cohortRetention(_, _)),
     "q136_winsorized_stats" -> (winsorizedStats(_, _)),
     "q133_event_funnel" -> (eventFunnel(_, _)),
@@ -372,6 +434,7 @@ object SessionQueries {
   val oracles: Map[String, String] = Map(
     "q49_sessionize" -> sessionizeSql,
     "q138_robust_outliers" -> robustOutliersSql,
+    "q139_transition_lift" -> transitionLiftSql,
     "q133_event_funnel" -> eventFunnelSql,
     "q135_cohort_retention" -> cohortRetentionSql,
     "q136_winsorized_stats" -> winsorizedStatsSql,

@@ -63,6 +63,28 @@ class RobustSeriesSpec extends AnyFunSuite {
     assert(math.abs(out.head._8 - math.rint(97.0 / 1.4826 * 1e6) / 1e6) < 1e-9)
   }
 
+  test("transition lift counts consecutive pairs per user and emits exact ppb") {
+    val base = 1700000000000L
+    def row(u: Long, i: Int, t: String) =
+      (u, new Timestamp(base + i * 1000L), u * 100 + i, t)
+    val ev = (Seq("a", "b", "a", "b").zipWithIndex.map { case (t, i) => row(1L, i, t) } ++
+      Seq("b", "c").zipWithIndex.map { case (t, i) => row(2L, i, t) } ++
+      Seq("a", "c").zipWithIndex.map { case (t, i) => row(3L, i, t) })
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = SessionQueries.transitionLiftCore(ev)
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // transitions: u1 a->b, b->a, a->b; u2 b->c; u3 a->c
+    // counts: (a,b)=2 (b,a)=1 (b,c)=1 (a,c)=1; n_tot=5
+    // n_src: a=3 b=2; n_dst: a=1 b=2 c=2
+    assert(out.keySet == Set(("a", "b"), ("b", "a"), ("b", "c"), ("a", "c")))
+    val ab = out(("a", "b"))
+    assert(ab._3 == 2 && ab._4 == 3 && ab._5 == 2 && ab._6 == 5)
+    assert(ab._7 == 666666666L, "p(a->b) = 2e9 div 3, floored")
+    assert(ab._8 == 1666666666L, "lift = 2*5*1e9 div (3*2), floored")
+    assert(out(("b", "c"))._8 == 1250000000L, "lift = 1*5*1e9 div (2*2)")
+  }
+
   test("a zero-MAD cell (constant values) never flags") {
     val base = 1700000000000L
     val ev = (0 until 8).map(i => (i.toLong, new Timestamp(base + i * 1000L), "view", 2.0))
