@@ -1643,7 +1643,62 @@ object TextQueries {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  /** q140: n-gram NOVELTY curve — the incremental-data-value metric a
+    * curation pipeline reads before paying to keep a source: per doc,
+    * the fraction of its 3-word shingles whose FIRST corpus occurrence
+    * (min doc_id over the shingle's holders) is this doc. A corpus of
+    * near-copies scores ~0 past the originals; fresh text scores ~1.
+    * Shape: the q24/q25 shingle explode, a min aggregate keyed on the
+    * shingle, and a join BACK on the same shingle key (co-partitioned
+    * after the aggregate — no second wide shuffle), then a per-doc
+    * count. Hot boilerplate shingles stay cheap: only their min
+    * survives the aggregate, so a shingle shared by a billion docs
+    * costs its row count once, never pairs. Novelty is exact-integer
+    * ppb (the q131 fixed-point discipline).
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame =
+    ngramNoveltyCore(Tables.load(s, dir, "documents"))
+
+  /** Core over any (doc_id, text) frame — fixture-testable. */
+  def ngramNoveltyCore(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = docs.select($"doc_id",
+      explode(shingles(words($"text"))).as("shingle"))
+    val firsts = sh.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+    val stats = sh.join(firsts, "shingle")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
+    docs.select($"doc_id").join(stats, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        when($"n_shingles" > 0,
+          expr("n_novel * 1000000000 div n_shingles")).as("novelty_ppb"))
+      .orderBy($"doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest($shinglesSqlExpr) AS shingle
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+       |stats AS (
+       |  SELECT sh.doc_id,
+       |    COUNT(*) AS n_shingles,
+       |    COUNT(CASE WHEN f.first_doc = sh.doc_id THEN 1 END) AS n_novel
+       |  FROM sh JOIN firsts f USING (shingle) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(s.n_shingles, 0) AS n_shingles,
+       |  COALESCE(s.n_novel, 0) AS n_novel,
+       |  CASE WHEN s.n_shingles > 0
+       |       THEN s.n_novel * 1000000000 // s.n_shingles END AS novelty_ppb
+       |FROM documents d LEFT JOIN stats s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q140_ngram_novelty" -> (ngramNovelty(_, _)),
     "q104_corpus_shuffle_split" -> (corpusShuffleSplit(_, _)),
     "q105_temperature_mixture" -> (temperatureMixture(_, _)),
     "q106_quality_gate" -> (qualityGate(_, _)),
@@ -1675,6 +1730,7 @@ object TextQueries {
     "q87_bloom_decontaminate" -> (bloomDecontaminate(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q140_ngram_novelty" -> ngramNoveltySql,
     "q104_corpus_shuffle_split" -> corpusShuffleSplitSql,
     "q105_temperature_mixture" -> temperatureMixtureSql,
     "q106_quality_gate" -> qualityGateSql,

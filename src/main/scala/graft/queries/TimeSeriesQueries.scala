@@ -757,9 +757,75 @@ object TimeSeriesQueries {
       |  v IS NULL AS is_interpolated
       |FROM f ORDER BY event_type, bucket""".stripMargin
 
+  /** q141: exponential moving average — the recency-weighted smoother
+    * q56's flat moving average cannot express. α = 1/2 over a 24-hour
+    * horizon, so the weights are EXACT powers of two (2^(23−d) for a
+    * reading d hours back) and the whole kernel is integer arithmetic:
+    * hourly totals are exact decimal(30,4) sums scaled to 1e4 fixed
+    * point, each observed hour EXPLODES its ≤24 future contributions
+    * (weight by bit-shift), and one hash aggregate per (type, target
+    * hour) sums numerator and denominator — order-independent, bit-
+    * identical on any cluster size, libm-free. Gaps self-correct: a
+    * missing hour contributes nothing and the denominator adapts.
+    * The contribution fan-out is ×24 on GRID-sized data (the raw
+    * stream is aggregated first), and the plan is explode → hash agg
+    * → co-partitioned join back — no window, no range self-join.
+    */
+  def emaHourly(s: SparkSession, dir: String): DataFrame =
+    emaHourlyCore(Tables.load(s, dir, "events"))
+
+  /** Core over any (event_type, ts, value) frame — fixture-testable. */
+  def emaHourlyCore(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val hourly = ev
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("bucket"))
+      .agg(sum($"value".cast("decimal(30,4)")).as("vdec"))
+      .select($"event_type", $"bucket",
+        ($"vdec" * 10000).cast("long").as("v_fp"),
+        expr("unix_micros(bucket) div 3600000000").as("hidx"))
+    val contrib = hourly
+      .select($"event_type", $"hidx", $"v_fp",
+        explode(sequence(lit(0), lit(23))).as("d"))
+      .select($"event_type", ($"hidx" + $"d").as("t_idx"),
+        expr("v_fp * shiftleft(cast(1 as bigint), cast(23 - d as int))").as("num"),
+        expr("shiftleft(cast(1 as bigint), cast(23 - d as int))").as("den"))
+    contrib.groupBy($"event_type", $"t_idx")
+      .agg(sum($"num").as("num"), sum($"den").as("den"))
+      .join(hourly.select($"event_type", $"hidx".as("t_idx"), $"bucket", $"v_fp"),
+        Seq("event_type", "t_idx"))
+      .select($"event_type", $"bucket",
+        ($"v_fp".cast("double") / 10000.0).as("hour_value"),
+        (($"num".cast("double") / $"den".cast("double")) / 10000.0).as("ema"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val emaHourlySql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,4))) * 10000 AS BIGINT) AS v_fp,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx
+      |  FROM e GROUP BY 1, 2),
+      |contrib AS (
+      |  SELECT event_type, hidx + r.range AS t_idx,
+      |    v_fp * (CAST(1 AS BIGINT) << CAST(23 - r.range AS INTEGER)) AS num,
+      |    CAST(1 AS BIGINT) << CAST(23 - r.range AS INTEGER) AS den
+      |  FROM hourly CROSS JOIN range(0, 24) r),
+      |agg AS (
+      |  SELECT event_type, t_idx, SUM(num) AS num, SUM(den) AS den
+      |  FROM contrib GROUP BY 1, 2)
+      |SELECT h.event_type, h.bucket,
+      |  CAST(h.v_fp AS DOUBLE) / 10000.0 AS hour_value,
+      |  (CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE)) / 10000.0 AS ema
+      |FROM agg a JOIN hourly h ON a.event_type = h.event_type AND a.t_idx = h.hidx
+      |ORDER BY h.event_type, h.bucket""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
     "q137_linear_interpolate" -> (linearInterpolate(_, _)),
+    "q141_ema_hourly" -> (emaHourly(_, _)),
     "q11_dedup_keep_last" -> (dedupKeepLastQ(_, _)),
     "q12_asof_join" -> (asofClickPurchase(_, _)),
     "q93_asof_forward" -> (asofNextPurchase(_, _)),
@@ -779,6 +845,7 @@ object TimeSeriesQueries {
   val oracles: Map[String, String] = Map(
     "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
     "q137_linear_interpolate" -> linearInterpolateSql,
+    "q141_ema_hourly" -> emaHourlySql,
     "q11_dedup_keep_last" -> dedupKeepLastSql,
     "q12_asof_join" -> asofClickPurchaseSql,
     "q93_asof_forward" -> asofNextPurchaseSql,

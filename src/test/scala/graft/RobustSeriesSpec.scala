@@ -91,4 +91,37 @@ class RobustSeriesSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "event_type", "value")
     assert(SessionQueries.robustOutliersCore(ev).count() == 0)
   }
+
+  test("novelty: originals score 1e9, verbatim copies score 0, short docs null") {
+    val docs = Seq(
+      (1L, "a b c d"),            // shingles "a b c", "b c d" — all first here
+      (2L, "a b c d"),            // verbatim copy — nothing novel
+      (3L, "x y z w"),            // fresh text — fully novel
+      (4L, "a b"))                // too short for a 3-shingle
+      .toDF("doc_id", "text")
+    val out = queries.TextQueries.ngramNoveltyCore(docs)
+      .as[(Long, Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 2L, Some(1000000000L))))
+    assert(out(2L) == ((2L, 2L, 0L, Some(0L))))
+    assert(out(3L) == ((3L, 2L, 2L, Some(1000000000L))))
+    assert(out(4L) == ((4L, 0L, 0L, None)))
+  }
+
+  test("EMA halves each hour back and adapts its denominator across gaps") {
+    val h0 = hourTs(0).getTime
+    def ev(h: Int, v: Double) = ("a", new Timestamp(h0 + h * 3600000L), v)
+    // hours 0 (2.0) and 1 (4.0) observed; hour 2 missing; hour 3 (8.0)
+    val events = Seq(ev(0, 2.0), ev(1, 4.0), ev(3, 8.0))
+      .toDF("event_type", "ts", "value")
+    val out = queries.TimeSeriesQueries.emaHourlyCore(events)
+      .as[(String, Timestamp, Double, Double)]
+      .collect().map(r => r._2.getTime -> (r._3, r._4)).toMap
+    assert(out.size == 3, "EMA only emitted for observed hours")
+    assert(out(h0) == ((2.0, 2.0)), "first hour: EMA = its own value")
+    // h1: (4*2^23 + 2*2^22) / (2^23 + 2^22) = 10/3
+    assert(math.abs(out(h0 + 3600000L)._2 - 10.0 / 3.0) < 1e-9)
+    // h3: (8*2^23 + 4*2^21 + 2*2^20) / (2^23 + 2^21 + 2^20) = 74/11
+    assert(math.abs(out(h0 + 3 * 3600000L)._2 - 74.0 / 11.0) < 1e-9)
+  }
 }
