@@ -383,22 +383,25 @@ object SessionQueries {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val pairs = events.select($"user_id", $"ts", $"event_id", $"event_type")
-      .withColumn("dst", lead($"event_type", 1).over(w))
-      .filter($"dst".isNotNull)
-      .select($"event_type".as("src"), $"dst")
-    val c = pairs.groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
-    val sm = c.groupBy($"src").agg(sum($"n").as("n_src"))
-    val dm = c.groupBy($"dst").agg(sum($"n").as("n_dst"))
+      .withColumn("dst_event_type", lead($"event_type", 1).over(w))
+      .filter($"dst_event_type".isNotNull)
+      .select($"event_type".as("src_event_type"), $"dst_event_type")
+    val c = pairs.groupBy($"src_event_type", $"dst_event_type")
+      .agg(count(lit(1)).as("n"))
+    val sm = c.groupBy($"src_event_type").agg(sum($"n").as("n_src"))
+    val dm = c.groupBy($"dst_event_type").agg(sum($"n").as("n_dst"))
     val t = c.agg(sum($"n").as("n_tot"))
-    c.join(broadcast(sm), "src").join(broadcast(dm), "dst")
+    c.join(broadcast(sm), "src_event_type")
+      .join(broadcast(dm), "dst_event_type")
       .crossJoin(broadcast(t))
-      .select($"src", $"dst", $"n", $"n_src", $"n_dst", $"n_tot",
+      .select($"src_event_type", $"dst_event_type",
+        $"n", $"n_src", $"n_dst", $"n_tot",
         expr("cast((cast(n as decimal(38,0)) * 1000000000) div n_src as bigint)")
           .as("p_ppb"),
         expr("""cast((cast(n as decimal(38,0)) * n_tot * 1000000000)
                |     div (cast(n_src as decimal(38,0)) * n_dst) as bigint)"""
           .stripMargin).as("lift_ppb"))
-      .orderBy($"src", $"dst")
+      .orderBy($"src_event_type", $"dst_event_type")
   }
 
   val transitionLiftSql: String =
@@ -406,25 +409,103 @@ object SessionQueries {
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
       |  FROM events),
       |p AS (
-      |  SELECT event_type AS src,
-      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  SELECT event_type AS src_event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_event_type
       |  FROM e),
-      |c AS (SELECT src, dst, COUNT(*) AS n FROM p WHERE dst IS NOT NULL GROUP BY 1, 2),
-      |sm AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM c GROUP BY 1),
-      |dm AS (SELECT dst, CAST(SUM(n) AS BIGINT) AS n_dst FROM c GROUP BY 1),
+      |c AS (SELECT src_event_type, dst_event_type, COUNT(*) AS n
+      |      FROM p WHERE dst_event_type IS NOT NULL GROUP BY 1, 2),
+      |sm AS (SELECT src_event_type, CAST(SUM(n) AS BIGINT) AS n_src FROM c GROUP BY 1),
+      |dm AS (SELECT dst_event_type, CAST(SUM(n) AS BIGINT) AS n_dst FROM c GROUP BY 1),
       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM c)
-      |SELECT c.src, c.dst, c.n, sm.n_src, dm.n_dst, t.n_tot,
+      |SELECT c.src_event_type, c.dst_event_type, c.n, sm.n_src, dm.n_dst, t.n_tot,
       |  CAST((CAST(c.n AS HUGEINT) * 1000000000) // sm.n_src AS BIGINT) AS p_ppb,
       |  CAST((CAST(c.n AS HUGEINT) * t.n_tot * 1000000000)
       |       // (CAST(sm.n_src AS HUGEINT) * dm.n_dst) AS BIGINT) AS lift_ppb
       |FROM c
-      |JOIN sm USING (src) JOIN dm USING (dst) CROSS JOIN t
-      |ORDER BY c.src, c.dst""".stripMargin
+      |JOIN sm USING (src_event_type) JOIN dm USING (dst_event_type) CROSS JOIN t
+      |ORDER BY c.src_event_type, c.dst_event_type""".stripMargin
+
+  /** q142: last-touch channel attribution — every purchase is credited
+    * to the user's most recent click within a 7-day window, and
+    * revenue rolls up per click channel (unattributed purchases land
+    * in channel −1, "direct"). The attribution itself is the q12
+    * as-of machinery with the BIG side as the probe (purchases ⟵
+    * clicks, backward, 7-day tolerance): one key shuffle, one
+    * incremental-frame scan — the shape that survives a purchase
+    * stream of any size. Revenue shares are exact decimal fixed-point
+    * ppb against a broadcast 1-row total.
+    */
+  def channelAttribution(s: SparkSession, dir: String): DataFrame =
+    channelAttributionCore(Tables.load(s, dir, "events"))
+
+  /** Core over any (event_id, ts, user_id, event_type, value, props)
+    * frame — fixture-testable.
+    */
+  def channelAttributionCore(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val ev = events.withColumn("channel",
+      regexp_extract($"props", "[0-9]+", 0).cast("int") % 4)
+    val clicks = dedupKeepLast(
+      ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"channel", $"event_id"),
+      Seq("c_user", "c_ts"), Seq("event_id"))
+      .select($"c_user", $"c_ts", $"channel")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"ts", $"user_id", $"value")
+    val attributed = asofJoin(purchases, clicks, "user_id", "c_user",
+      "ts", "c_ts", Seq("channel"),
+      toleranceSeconds = Some(7L * 24 * 3600))
+    val perChannel = attributed
+      .groupBy(coalesce($"channel", lit(-1)).cast("long").as("channel_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum($"value".cast("decimal(30,4)")).as("rev"))
+    val total = perChannel.agg(sum($"rev").as("tot"))
+    perChannel.crossJoin(broadcast(total))
+      .select($"channel_id", $"n_purchases",
+        $"rev".cast("double").as("revenue"),
+        expr("""cast((cast(rev * 10000 as decimal(38,0)) * 1000000000)
+               |     div cast(tot * 10000 as decimal(38,0)) as bigint)"""
+          .stripMargin).as("share_ppb"))
+      .orderBy($"channel_id")
+  }
+
+  val channelAttributionSql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+      |    CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 4 AS channel
+      |  FROM events),
+      |c AS (
+      |  SELECT c_user, c_ts, channel FROM (
+      |    SELECT user_id AS c_user, ts AS c_ts, channel,
+      |      row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM e WHERE event_type = 'click') t WHERE rn = 1),
+      |p AS (
+      |  SELECT event_id, ts, user_id, value FROM e WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT p.event_id, p.value,
+      |    (SELECT c.channel FROM c
+      |     WHERE c.c_user = p.user_id AND c.c_ts <= p.ts
+      |       AND c.c_ts >= p.ts - INTERVAL 7 DAY
+      |     ORDER BY c.c_ts DESC LIMIT 1) AS channel
+      |  FROM p),
+      |a AS (
+      |  SELECT CAST(COALESCE(channel, -1) AS BIGINT) AS channel_id,
+      |    COUNT(*) AS n_purchases,
+      |    SUM(CAST(value AS DECIMAL(30,4))) AS rev
+      |  FROM m GROUP BY 1),
+      |t AS (SELECT SUM(rev) AS tot FROM a)
+      |SELECT a.channel_id, a.n_purchases, CAST(a.rev AS DOUBLE) AS revenue,
+      |  CAST((CAST(a.rev * 10000 AS HUGEINT) * 1000000000)
+      |       // CAST(t.tot * 10000 AS HUGEINT) AS BIGINT) AS share_ppb
+      |FROM a CROSS JOIN t
+      |ORDER BY a.channel_id""".stripMargin
 
   val defs: Map[String, Q] = Map(
     "q49_sessionize" -> (sessionize(_, _)),
     "q138_robust_outliers" -> (robustOutliers(_, _)),
     "q139_transition_lift" -> (transitionLift(_, _)),
+    "q142_channel_attribution" -> (channelAttribution(_, _)),
     "q135_cohort_retention" -> (cohortRetention(_, _)),
     "q136_winsorized_stats" -> (winsorizedStats(_, _)),
     "q133_event_funnel" -> (eventFunnel(_, _)),
@@ -435,6 +516,7 @@ object SessionQueries {
     "q49_sessionize" -> sessionizeSql,
     "q138_robust_outliers" -> robustOutliersSql,
     "q139_transition_lift" -> transitionLiftSql,
+    "q142_channel_attribution" -> channelAttributionSql,
     "q133_event_funnel" -> eventFunnelSql,
     "q135_cohort_retention" -> cohortRetentionSql,
     "q136_winsorized_stats" -> winsorizedStatsSql,

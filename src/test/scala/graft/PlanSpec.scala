@@ -253,6 +253,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("q137 interpolate: every window sits above the hourly aggregate") {
+    // the windows scan GRID rows (|hours| x |types|), never the raw
+    // event stream — the aggregate must be strictly below each window
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAgg, Window => LWin}
+    val lp = TimeSeriesQueries.linearInterpolate(spark, dir)
+      .queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWin => w }
+    assert(wins.nonEmpty, "interpolation needs the two neighbor scans")
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: LAgg => a }.isDefined,
+        s"window over the raw stream:\n${w.treeString.take(800)}")
+    }
+  }
+
+  test("q138 outliers: broadcast baseline, no window over the stream") {
+    val p = plan(SessionQueries.robustOutliers(spark, dir))
+    assert(!p.contains("Window"), "MAD baseline must be aggregate+join, not window")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "type x hour baselines must broadcast")
+  }
+
+  test("q139 transition lift: matrix-side joins all broadcast") {
+    val p = plan(SessionQueries.transitionLift(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "marginals join the |types|^2 matrix — must broadcast")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row total must broadcast-nest, never cartesian")
+  }
+
+  test("q140 novelty: equi-joins only, no window, no nested loop") {
+    val p = plan(TextQueries.ngramNovelty(spark, dir))
+    assert(!p.contains("Window"), p.take(500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(500))
+  }
+
+  test("q141 EMA: pure aggregate kernel — no window operator anywhere") {
+    val p = plan(TimeSeriesQueries.emaHourly(spark, dir))
+    assert(!p.contains("Window"),
+      "the EMA must be the explode + hash-aggregate rewrite, never a window")
+    assert(p.contains("Generate"), "the 24-offset contribution explode")
+  }
+
   test("every broadcast() hint sits on a bounded-cardinality side") {
     // The q84/q86 regression class: a broadcast hint on a
     // vocabulary-sized aggregate works at sf0.1 and OOMs the driver at
@@ -303,8 +345,13 @@ class PlanSpec extends AnyFunSuite {
         a.name == "label" || a.name == "source" ||
           // event taxonomy: a fixed enum domain like source/label
           // (5 types in the generator; a bounded vocabulary at any
-          // scale — the q136 winsorize stats broadcast)
-          a.name == "event_type" ||
+          // scale — the q136 winsorize stats broadcast). endsWith
+          // also admits the q139 transition-matrix endpoints
+          // src_event_type/dst_event_type (same domain, renamed).
+          a.name.endsWith("event_type") ||
+          // hour-of-day: domain ≤ 24 by construction (the q138
+          // robust-outlier seasonal baseline key)
+          a.name == "hod" ||
           a.name.endsWith("nationkey") ||
           a.name.endsWith("regionkey") || a.dataType == DateType ||
           // md5-prefix bucket keys (DSIR / KL-drift featurizer): the

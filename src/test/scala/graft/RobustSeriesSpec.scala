@@ -92,6 +92,29 @@ class RobustSeriesSpec extends AnyFunSuite {
     assert(SessionQueries.robustOutliersCore(ev).count() == 0)
   }
 
+  test("attribution: latest click wins, 7-day cutoff, direct bucket, shares sum") {
+    val t0 = 1700000000000L
+    val hour = 3600000L
+    def e(id: Long, u: Long, tpe: String, atMs: Long, v: Double, ch: Int) =
+      (id, new Timestamp(atMs), u, tpe, v, s"c$ch")
+    val ev = Seq(
+      e(1, 1, "click", t0, 0.0, 2), e(2, 1, "purchase", t0 + hour, 100.0, 0),
+      e(3, 2, "click", t0, 0.0, 1), e(4, 2, "click", t0 + 2 * hour, 0.0, 3),
+      e(5, 2, "purchase", t0 + 3 * hour, 50.0, 0),
+      e(6, 3, "click", t0, 0.0, 1),
+      e(7, 3, "purchase", t0 + 8L * 24 * hour, 25.0, 0), // outside 7 days
+      e(8, 4, "purchase", t0, 25.0, 0))                  // never clicked
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = SessionQueries.channelAttributionCore(ev)
+      .as[(Long, Long, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(-1L, 2L, 3L))
+    assert(out(2L) == ((2L, 1L, 100.0, 500000000L)))
+    assert(out(3L) == ((3L, 1L, 50.0, 250000000L)), "latest click wins")
+    assert(out(-1L) == ((-1L, 2L, 50.0, 250000000L)), "stale + never-clicked are direct")
+    assert(out.values.map(_._4).sum == 1000000000L, "shares sum to exactly 1e9")
+  }
+
   test("novelty: originals score 1e9, verbatim copies score 0, short docs null") {
     val docs = Seq(
       (1L, "a b c d"),            // shingles "a b c", "b c d" — all first here
