@@ -350,7 +350,95 @@ object BulkQueries {
        |FROM enriched
        |ORDER BY datetime, expiration, "right", strike""".stripMargin
 
+  /** q143: put-call parity residual scan — the no-arbitrage monitor a
+    * market-data platform runs over every chain (reference stakes: the
+    * Organizers enrichment joins the same C/P/underlier triple): each
+    * (root, expiration, strike, day) pairs its call and put daily
+    * close midpoints and scores the zero-rate parity residual
+    * (C − P) − (S − K). Shape: one keyed aggregate collapses ticks to
+    * per-contract daily closes (keep-last via max_by — the q10/q11
+    * discipline), the C/P pairing is an equi-join on the full contract
+    * key, and the per-(root, day) synthetic spot broadcasts back
+    * (5 roots × days — bounded). Output is contract-universe-sized,
+    * independent of tick volume.
+    */
+  def parityScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // The standard synthetic identity derives right from event_id % 2
+    // and expiration from event_id % 4 — correlated, so a call and a
+    // put never share an expiration and parity has no pairs. This
+    // query's tick stream uses an INDEPENDENT bit-field for the right
+    // ((event_id div 4) % 2; periods 4, 8, 3 are coprime-free of each
+    // other over lcm 24, so every (expiration, right, strike) combo
+    // trades) with the same bid/ask arithmetic, mirrored in the
+    // oracle.
+    val ev = graft.Tables.load(s, dir, "events")
+    val q = ev.select(
+        ($"user_id" % 5).as("root"),
+        date_add(lit(java.sql.Date.valueOf("2026-01-16")),
+          (($"event_id" % 4) * 28).cast("int")).as("expiration"),
+        when(expr("event_id div 4") % 2 === 0, "C").otherwise("P").as("right"),
+        (lit(90.0) + ($"event_id" % 3).cast("double") * 10.0).as("strike"),
+        $"ts", $"event_id".as("seq"),
+        $"value".as("bid"),
+        ($"value" + 0.10 + ($"event_id" % 7).cast("double") * 0.01).as("ask"))
+      .withColumn("day", to_date($"ts"))
+      .withColumn("mid", ($"bid" + $"ask") / 2.0)
+    val close = q.groupBy($"root", $"expiration", $"strike", $"right", $"day")
+      .agg(max_by($"mid", struct($"ts", $"seq")).as("close_mid"))
+    val calls = close.filter($"right" === "C")
+      .select($"root", $"expiration", $"strike", $"day",
+        $"close_mid".as("c_mid"))
+    val puts = close.filter($"right" === "P")
+      .select($"root", $"expiration", $"strike", $"day",
+        $"close_mid".as("p_mid"))
+    val spot = q.groupBy($"root", $"day")
+      .agg((sum($"bid".cast("decimal(30,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("spot"))
+    calls.join(puts, Seq("root", "expiration", "strike", "day"))
+      .join(broadcast(spot), Seq("root", "day"))
+      .select($"root", $"expiration", $"strike", $"day",
+        $"c_mid", $"p_mid", $"spot",
+        (($"c_mid" - $"p_mid") - ($"spot" - $"strike")).as("parity_residual"))
+      .orderBy($"root", $"expiration", $"strike", $"day")
+  }
+
+  val parityScanSql: String =
+    s"""WITH q0 AS (
+       |  SELECT user_id % 5 AS root,
+       |    DATE '2026-01-16' + CAST((event_id % 4) * 28 AS INTEGER) AS expiration,
+       |    CASE WHEN (event_id // 4) % 2 = 0 THEN 'C' ELSE 'P' END AS "right",
+       |    90.0 + CAST(event_id % 3 AS DOUBLE) * 10.0 AS strike,
+       |    ts, event_id AS seq,
+       |    value AS bid,
+       |    value + 0.10 + CAST(event_id % 7 AS DOUBLE) * 0.01 AS ask,
+       |    CAST(ts AS DATE) AS day
+       |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+       |        FROM events) e),
+       |m AS (SELECT *, (bid + ask) / 2.0 AS mid FROM q0),
+       |clo AS (
+       |  SELECT root, expiration, strike, "right", day, mid AS close_mid FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY root, expiration, strike, "right", day
+       |      ORDER BY ts DESC, seq DESC) AS rn
+       |    FROM m) t WHERE rn = 1),
+       |spot AS (
+       |  SELECT root, day,
+       |    CAST(SUM(CAST(bid AS DECIMAL(30,6))) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS spot
+       |  FROM q0 GROUP BY 1, 2),
+       |c AS (SELECT root, expiration, strike, day, close_mid AS c_mid
+       |      FROM clo WHERE "right" = 'C'),
+       |p AS (SELECT root, expiration, strike, day, close_mid AS p_mid
+       |      FROM clo WHERE "right" = 'P')
+       |SELECT c.root, c.expiration, c.strike, c.day, c.c_mid, p.p_mid, s.spot,
+       |  (c.c_mid - p.p_mid) - (s.spot - c.strike) AS parity_residual
+       |FROM c JOIN p USING (root, expiration, strike, day)
+       |JOIN spot s USING (root, day)
+       |ORDER BY c.root, c.expiration, c.strike, c.day""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q143_parity_scan" -> (parityScan(_, _)),
     "q72_bulk_eod" -> (bulkEod(_, _)),
     "q73_chain_bulk" -> (chainBulk(_, _)),
     "q74_bulk_open_interest" -> (bulkOpenInterest(_, _)),
@@ -360,6 +448,7 @@ object BulkQueries {
     "q81_option_data_to_save" -> (optionDataToSave(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q143_parity_scan" -> parityScanSql,
     "q72_bulk_eod" -> bulkEodSql,
     "q73_chain_bulk" -> chainBulkSql,
     "q74_bulk_open_interest" -> bulkOpenInterestSql,

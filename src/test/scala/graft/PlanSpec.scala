@@ -352,6 +352,10 @@ class PlanSpec extends AnyFunSuite {
           // hour-of-day: domain ≤ 24 by construction (the q138
           // robust-outlier seasonal baseline key)
           a.name == "hod" ||
+          // contract root symbol: the synthetic market's fixed 5-
+          // underlier universe (user_id % 5) — a root taxonomy is a
+          // curated list at any data scale (the q143 spot broadcast)
+          a.name == "root" ||
           a.name.endsWith("nationkey") ||
           a.name.endsWith("regionkey") || a.dataType == DateType ||
           // md5-prefix bucket keys (DSIR / KL-drift featurizer): the
