@@ -501,11 +501,99 @@ object SessionQueries {
       |FROM a CROSS JOIN t
       |ORDER BY a.channel_id""".stripMargin
 
+  /** q144: conversion-latency histogram — how long the q133 funnel
+    * takes, bucketed into powers-of-2 seconds (the log-scale histogram
+    * every latency dashboard wants). The bucket index is
+    * floor(log2(max(latency, 1))) computed EXACTLY as
+    * `length(bin(x)) − 1` — integer bit-length, no libm log2, and
+    * DuckDB's unpadded bin() mirrors it verbatim. One aggregate over
+    * the funnel's converter rows (already one row per user); bucket
+    * cardinality is ≤ 64 by construction.
+    */
+  def conversionLatency(s: SparkSession, dir: String): DataFrame =
+    conversionLatencyCore(Tables.load(s, dir, "events"))
+
+  /** Core over any events frame — fixture-testable. */
+  def conversionLatencyCore(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    eventFunnelCore(events)
+      .filter($"purchase_ts".isNotNull)
+      .select(expr("(unix_micros(purchase_ts) - unix_micros(view_ts)) div 1000000")
+        .as("lat_s"))
+      .withColumn("bucket",
+        (length(bin(greatest($"lat_s", lit(1L)))) - 1).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_users"),
+        min($"lat_s").as("min_s"), max($"lat_s").as("max_s"))
+      .withColumn("bucket_lo_s",
+        expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
+      .select($"bucket", $"bucket_lo_s", $"n_users", $"min_s", $"max_s")
+      .orderBy($"bucket")
+  }
+
+  val conversionLatencySql: String = {
+    val funnelCte = eventFunnelSql.linesIterator
+      .filterNot(_.trim.startsWith("ORDER BY"))
+      .map("  " + _).mkString("\n")
+    s"""WITH funnel AS (
+       |$funnelCte
+       |),
+       |lat AS (
+       |  SELECT (epoch_us(purchase_ts) - epoch_us(view_ts)) // 1000000 AS lat_s
+       |  FROM funnel WHERE purchase_ts IS NOT NULL),
+       |b AS (
+       |  SELECT lat_s,
+       |    CAST(length(bin(GREATEST(lat_s, 1))) - 1 AS BIGINT) AS bucket
+       |  FROM lat)
+       |SELECT bucket,
+       |  CAST(1 AS BIGINT) << CAST(bucket AS INTEGER) AS bucket_lo_s,
+       |  COUNT(*) AS n_users, MIN(lat_s) AS min_s, MAX(lat_s) AS max_s
+       |FROM b GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+  }
+
+  /** q145: trending top-k — per 6-hour tumbling window, the 3 busiest
+    * event types with deterministic (count desc, type) tie-break. The
+    * per-window ranking is the [[graft.plans.BoundedTopK]] aggregate
+    * (≤3 rows per map task survive the shuffle — the q59 discipline),
+    * never a row_number window over the counts.
+    */
+  def trendingTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.BoundedTopK.boundedTopK
+    val ev = Tables.load(s, dir, "events")
+    val counts = ev
+      .groupBy(window($"ts", "6 hours")("start").as("w_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy($"w_start")
+      .agg(boundedTopK(struct((-$"n").as("negn"), $"event_type", $"n"), 3).as("top"))
+      .select($"w_start", posexplode($"top").as(Seq("pos", "r")))
+      .select($"w_start", ($"pos" + 1).cast("long").as("rank"),
+        $"r.event_type".as("event_type"), $"r.n".as("n"))
+      .orderBy($"w_start", $"rank")
+  }
+
+  val trendingTopKSql: String =
+    """WITH c AS (
+      |  SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
+      |    COUNT(*) AS n
+      |  FROM (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events) e
+      |  GROUP BY 1, 2)
+      |SELECT w_start, rank, event_type, n FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY w_start
+      |                               ORDER BY n DESC, event_type) AS rank
+      |  FROM c) t
+      |WHERE rank <= 3
+      |ORDER BY w_start, rank""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q49_sessionize" -> (sessionize(_, _)),
     "q138_robust_outliers" -> (robustOutliers(_, _)),
     "q139_transition_lift" -> (transitionLift(_, _)),
     "q142_channel_attribution" -> (channelAttribution(_, _)),
+    "q144_conversion_latency" -> (conversionLatency(_, _)),
+    "q145_trending_topk" -> (trendingTopK(_, _)),
     "q135_cohort_retention" -> (cohortRetention(_, _)),
     "q136_winsorized_stats" -> (winsorizedStats(_, _)),
     "q133_event_funnel" -> (eventFunnel(_, _)),
@@ -517,6 +605,8 @@ object SessionQueries {
     "q138_robust_outliers" -> robustOutliersSql,
     "q139_transition_lift" -> transitionLiftSql,
     "q142_channel_attribution" -> channelAttributionSql,
+    "q144_conversion_latency" -> conversionLatencySql,
+    "q145_trending_topk" -> trendingTopKSql,
     "q133_event_funnel" -> eventFunnelSql,
     "q135_cohort_retention" -> cohortRetentionSql,
     "q136_winsorized_stats" -> winsorizedStatsSql,

@@ -115,6 +115,25 @@ class RobustSeriesSpec extends AnyFunSuite {
     assert(out.values.map(_._4).sum == 1000000000L, "shares sum to exactly 1e9")
   }
 
+  test("conversion latency buckets are exact powers of two via bit-length") {
+    val t0 = 1700000000000L
+    def conv(u: Long, latMs: Long) = Seq(
+      (u * 10 + 1, new Timestamp(t0), u, "view", 0.0, ""),
+      (u * 10 + 2, new Timestamp(t0 + 100), u, "click", 0.0, ""),
+      (u * 10 + 3, new Timestamp(t0 + latMs), u, "purchase", 1.0, ""))
+    // latencies: 600 ms -> 0 s -> clamped to 1 -> bucket 0;
+    // 2 s -> bucket 1; 5 s -> bucket 2; 300 s -> bucket 8 (256..511)
+    val ev = (conv(1, 600) ++ conv(2, 2000) ++ conv(3, 5000) ++ conv(4, 300000))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = SessionQueries.conversionLatencyCore(ev)
+      .as[(Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 8L))
+    assert(out(0L) == ((0L, 1L, 1L, 0L, 0L)))
+    assert(out(2L) == ((2L, 4L, 1L, 5L, 5L)))
+    assert(out(8L) == ((8L, 256L, 1L, 300L, 300L)))
+  }
+
   test("novelty: originals score 1e9, verbatim copies score 0, short docs null") {
     val docs = Seq(
       (1L, "a b c d"),            // shingles "a b c", "b c d" — all first here
