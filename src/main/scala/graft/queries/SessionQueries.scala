@@ -587,7 +587,81 @@ object SessionQueries {
       |WHERE rank <= 3
       |ORDER BY w_start, rank""".stripMargin
 
+  /** q146: behavior correlation matrix — Pearson correlation between
+    * every pair of event types over per-user activity counts (do users
+    * who click more also buy more?). The statistical kernel is EXACT
+    * integer moments: the dense user×type count matrix (zeros
+    * included — correlation over sparse counts is wrong without them)
+    * is users×|types| rows, the per-user type pairing fans out ≤
+    * C(|types|,2), and one hash aggregate collects (n, Σx, Σy, Σxy,
+    * Σx², Σy²) as BIGINTs. Only the final Pearson ratio is double —
+    * same formula both engines, and IEEE sqrt is correctly rounded, so
+    * the result is bit-identical. Zero-variance pairs yield null.
+    */
+  def behaviorCorrelation(s: SparkSession, dir: String): DataFrame =
+    behaviorCorrelationCore(Tables.load(s, dir, "events"))
+
+  /** Core over any (user_id, event_type) frame — fixture-testable. */
+  def behaviorCorrelationCore(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val cnt = events.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"))
+    val types = events.select($"event_type").distinct()
+    val users = events.select($"user_id").distinct()
+    val dense = users.crossJoin(broadcast(types))
+      .join(cnt, Seq("user_id", "event_type"), "left")
+      .select($"user_id", $"event_type", coalesce($"c", lit(0L)).as("c"))
+    val a = dense.select($"user_id", $"event_type".as("type_a"), $"c".as("ca"))
+    val b = dense.select($"user_id".as("u2"), $"event_type".as("type_b"),
+      $"c".as("cb"))
+    val m = a.join(b, $"user_id" === $"u2" && $"type_a" < $"type_b")
+      .groupBy($"type_a", $"type_b")
+      .agg(count(lit(1)).as("n"),
+        sum($"ca").as("sx"), sum($"cb").as("sy"),
+        sum($"ca" * $"cb").as("sxy"),
+        sum($"ca" * $"ca").as("sxx"), sum($"cb" * $"cb").as("syy"))
+    m.select($"type_a", $"type_b", $"n".as("n_users"),
+        when($"n" * $"sxx" - $"sx" * $"sx" > 0 &&
+             $"n" * $"syy" - $"sy" * $"sy" > 0,
+          ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+            (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+             sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))))
+          .as("corr"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val behaviorCorrelationSql: String =
+    """WITH e AS (SELECT user_id, event_type FROM events),
+      |cnt AS (SELECT user_id, event_type, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      |types AS (SELECT DISTINCT event_type FROM e),
+      |users AS (SELECT DISTINCT user_id FROM e),
+      |dense AS (
+      |  SELECT u.user_id, t.event_type, COALESCE(c.c, 0) AS c
+      |  FROM users u CROSS JOIN types t
+      |  LEFT JOIN cnt c ON c.user_id = u.user_id AND c.event_type = t.event_type),
+      |p AS (
+      |  SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+      |    a.c AS ca, b.c AS cb
+      |  FROM dense a JOIN dense b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type),
+      |m AS (
+      |  SELECT type_a, type_b, COUNT(*) AS n,
+      |    CAST(SUM(ca) AS BIGINT) AS sx, CAST(SUM(cb) AS BIGINT) AS sy,
+      |    CAST(SUM(ca * cb) AS BIGINT) AS sxy,
+      |    CAST(SUM(ca * ca) AS BIGINT) AS sxx,
+      |    CAST(SUM(cb * cb) AS BIGINT) AS syy
+      |  FROM p GROUP BY 1, 2)
+      |SELECT type_a, type_b, n AS n_users,
+      |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+      |    CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |  END AS corr
+      |FROM m ORDER BY type_a, type_b""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q146_behavior_correlation" -> (behaviorCorrelation(_, _)),
     "q49_sessionize" -> (sessionize(_, _)),
     "q138_robust_outliers" -> (robustOutliers(_, _)),
     "q139_transition_lift" -> (transitionLift(_, _)),
@@ -607,6 +681,7 @@ object SessionQueries {
     "q142_channel_attribution" -> channelAttributionSql,
     "q144_conversion_latency" -> conversionLatencySql,
     "q145_trending_topk" -> trendingTopKSql,
+    "q146_behavior_correlation" -> behaviorCorrelationSql,
     "q133_event_funnel" -> eventFunnelSql,
     "q135_cohort_retention" -> cohortRetentionSql,
     "q136_winsorized_stats" -> winsorizedStatsSql,

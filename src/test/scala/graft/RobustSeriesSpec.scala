@@ -134,6 +134,27 @@ class RobustSeriesSpec extends AnyFunSuite {
     assert(out(8L) == ((8L, 256L, 1L, 300L, 300L)))
   }
 
+  test("behavior correlation: proportional counts give r=1, constants give null") {
+    val t0 = 1700000000000L
+    var id = 0L
+    def burst(u: Long, tpe: String, k: Int) = (0 until k).map { _ =>
+      id += 1; (id, new Timestamp(t0 + id), u, tpe)
+    }
+    // a and b perfectly proportional per user; c constant (variance 0)
+    val ev = (burst(1, "a", 1) ++ burst(1, "b", 2) ++ burst(1, "c", 1) ++
+      burst(2, "a", 2) ++ burst(2, "b", 4) ++ burst(2, "c", 1) ++
+      burst(3, "a", 3) ++ burst(3, "b", 6) ++ burst(3, "c", 1))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = SessionQueries.behaviorCorrelationCore(ev)
+      .as[(String, String, Long, Option[Double])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out(("a", "b"))._3 == 3)
+    assert(math.abs(out(("a", "b"))._4.get - 1.0) < 1e-12, "proportional => r ~ 1")
+    assert(out(("a", "c"))._4.isEmpty, "zero variance must yield null, not NaN")
+    assert(out(("b", "c"))._4.isEmpty)
+  }
+
   test("novelty: originals score 1e9, verbatim copies score 0, short docs null") {
     val docs = Seq(
       (1L, "a b c d"),            // shingles "a b c", "b c d" — all first here
