@@ -1697,7 +1697,94 @@ object TextQueries {
        |FROM documents d LEFT JOIN stats s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q147: MinHash CALIBRATION audit — the index-quality eval (q127's
+    * sibling for the dedup side): for every q24 band-collision
+    * candidate pair, how well does signature agreement (matching
+    * components among the 8 seeded MinHashes — an unbiased Jaccard
+    * estimator) track the exact shingle Jaccard? Emits one row per
+    * candidate with the agreement count, the exact intersection/union
+    * INTEGERS (so any downstream aggregate can stay exact), both
+    * ratios, and the ≥0.5 verdict. Cost: the q24 candidate set plus
+    * one 8-component vector compare per pair — corpus-size-bounded by
+    * the band buckets, never all-pairs. Docs with no shingles are
+    * excluded up front (their null minhashes can't honestly
+    * participate, and concat_ws vs SQL `||` disagree about null band
+    * keys).
+    */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = 4
+    val rowsPerBand = 2
+    val sigs = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", shingles(words($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", $"sh",
+        array((0 until bands * rowsPerBand).map(i => minhash($"sh", i)): _*).as("mh"),
+        array((0 until bands).map(b => bandKey($"sh", b, rowsPerBand)): _*).as("bkeys"))
+      .persist()
+    val banded = sigs.select($"doc_id",
+      posexplode($"bkeys").as(Seq("band", "bkey")))
+    val cand = banded.select($"band", $"bkey", $"doc_id".as("i"))
+      .join(banded.select($"band", $"bkey", $"doc_id".as("j")), Seq("band", "bkey"))
+      .filter($"i" < $"j")
+      .select($"i", $"j").distinct()
+    cand
+      .join(sigs.select($"doc_id".as("i"), $"sh".as("sh_i"), $"mh".as("mh_i")), "i")
+      .join(sigs.select($"doc_id".as("j"), $"sh".as("sh_j"), $"mh".as("mh_j")), "j")
+      .withColumn("n_match",
+        expr("size(filter(zip_with(mh_i, mh_j, (a, b) -> a = b), x -> x))")
+          .cast("long"))
+      .withColumn("inter", size(array_intersect($"sh_i", $"sh_j")).cast("long"))
+      .withColumn("n_union",
+        (size($"sh_i") + size($"sh_j")).cast("long") - $"inter")
+      .select($"i", $"j", $"n_match",
+        ($"n_match".cast("double") / 8.0).as("est_jaccard"),
+        $"inter", $"n_union",
+        ($"inter".cast("double") / $"n_union".cast("double")).as("jaccard"),
+        ($"inter".cast("double") / $"n_union".cast("double") >= 0.5).as("is_dup"))
+      .orderBy($"i", $"j")
+  }
+
+  val minhashCalibrationSql: String = {
+    val mh = (seed: Int) => s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
+    val bkey = (band: Int) => s"${mh(band * 2)} || '|' || ${mh(band * 2 + 1)}"
+    s"""WITH s AS (
+       |  SELECT doc_id, $shinglesSqlExpr AS sh FROM documents),
+       |sm AS (
+       |  SELECT doc_id, sh,
+       |    [${(0 until 8).map(mh).mkString(", ")}] AS mh
+       |  FROM s WHERE len(sh) > 0),
+       |banded AS (
+       |  SELECT doc_id, band, CASE band
+       |    WHEN 0 THEN ${bkey(0)}
+       |    WHEN 1 THEN ${bkey(1)}
+       |    WHEN 2 THEN ${bkey(2)}
+       |    WHEN 3 THEN ${bkey(3)} END AS bkey
+       |  FROM s, (SELECT unnest([0,1,2,3]) AS band)
+       |  WHERE len(sh) > 0),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id < b.doc_id),
+       |v AS (
+       |  SELECT c.i, c.j,
+       |    CAST(len(list_filter(range(1, 9), k -> si.mh[k] = sj.mh[k])) AS BIGINT)
+       |      AS n_match,
+       |    CAST(len(list_intersect(si.sh, sj.sh)) AS BIGINT) AS inter,
+       |    CAST(len(si.sh) + len(sj.sh)
+       |      - len(list_intersect(si.sh, sj.sh)) AS BIGINT) AS n_union
+       |  FROM cand c JOIN sm si ON c.i = si.doc_id JOIN sm sj ON c.j = sj.doc_id)
+       |SELECT i, j, n_match,
+       |  CAST(n_match AS DOUBLE) / 8.0 AS est_jaccard,
+       |  inter, n_union,
+       |  CAST(inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
+       |  CAST(inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.5 AS is_dup
+       |FROM v
+       |ORDER BY i, j""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q147_minhash_calibration" -> (minhashCalibration(_, _)),
     "q140_ngram_novelty" -> (ngramNovelty(_, _)),
     "q104_corpus_shuffle_split" -> (corpusShuffleSplit(_, _)),
     "q105_temperature_mixture" -> (temperatureMixture(_, _)),
@@ -1730,6 +1817,7 @@ object TextQueries {
     "q87_bloom_decontaminate" -> (bloomDecontaminate(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q147_minhash_calibration" -> minhashCalibrationSql,
     "q140_ngram_novelty" -> ngramNoveltySql,
     "q104_corpus_shuffle_split" -> corpusShuffleSplitSql,
     "q105_temperature_mixture" -> temperatureMixtureSql,
