@@ -403,6 +403,9 @@ class PlanSpec extends AnyFunSuite {
                 refs.forall(side.outputSet.contains) && bounded(side))
             case _ => false
           })
+      // distinct over a fixed-domain key (q146's event-type list):
+      // same cardinality argument as the bounded-key Aggregate rule
+      case d: Deduplicate => d.keys.forall(boundedKey) || bounded(d.child)
       case Filter(cond, child) =>
         bounded(child) ||
           (throughProjections(child).isInstanceOf[Aggregate] && litThresholds(cond)) ||
