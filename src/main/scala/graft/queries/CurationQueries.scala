@@ -693,7 +693,45 @@ object CurationQueries {
       |FROM agg
       |ORDER BY source""".stripMargin
 
+  /** q149: cross-source score normalization — a score is only
+    * comparable ACROSS sources after per-source calibration (a "long"
+    * doc on a short-form source is an outlier; the same length on a
+    * book source is tiny). The scale-safe form of per-source
+    * percent_rank: a 9-point `percentile_disc` decile grid per source
+    * (bounded: |sources|×9 values, broadcast back), and each doc's
+    * calibrated decile is the COUNT of grid points ≤ its score —
+    * pure integers end to end, no per-source window sort of the
+    * corpus, and the one exact-percentile aggregate swaps for
+    * `approx_percentile` at 100 TB with everything else unchanged.
+    */
+  def scoreNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val grid = docs.groupBy($"source").agg(
+      array((1 to 9).map(p =>
+        expr(s"percentile_disc(0.$p) WITHIN GROUP (ORDER BY n_chars)")): _*)
+        .as("grid"))
+    docs.join(broadcast(grid), "source")
+      .select($"doc_id", $"source", $"n_chars",
+        expr("size(filter(grid, g -> g <= n_chars))").cast("long").as("decile"))
+      .orderBy($"doc_id")
+  }
+
+  val scoreNormalizeSql: String = {
+    val pts = (1 to 9).map(p =>
+      s"percentile_disc(0.$p) WITHIN GROUP (ORDER BY n_chars)").mkString(",\n      |    ")
+    s"""WITH g AS (
+       |  SELECT source, [$pts] AS grid
+       |  FROM documents GROUP BY source)
+       |SELECT d.doc_id, d.source, d.n_chars,
+       |  CAST(len(list_filter(g.grid, x -> x <= d.n_chars)) AS BIGINT) AS decile
+       |FROM documents d JOIN g USING (source)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q149_score_normalize" -> (scoreNormalize(_, _)),
     "q107_substring_dedup" -> (substringDedup(_, _)),
     "q108_chunk_documents" -> (chunkDocuments(_, _)),
     "q109_group_regression" -> (groupRegression(_, _)),
@@ -709,6 +747,7 @@ object CurationQueries {
     "q130_source_datacard" -> (sourceDatacard(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q149_score_normalize" -> scoreNormalizeSql,
     "q107_substring_dedup" -> substringDedupSql,
     "q108_chunk_documents" -> chunkDocumentsSql,
     "q109_group_regression" -> groupRegressionSql,

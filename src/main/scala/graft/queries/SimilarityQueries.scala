@@ -1174,7 +1174,59 @@ object SimilarityQueries {
        |FROM n a JOIN n b ON a.source < b.source
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** q148: hard-negative mining — the contrastive-training data-prep
+    * stage (retrieval/embedding finetuning wants, per anchor, its
+    * nearest SAME-label neighbors as positives and its nearest
+    * DIFFERENT-label neighbors as hard negatives — the confusable
+    * cases that actually move the loss). One corpus scan against the
+    * broadcast anchor set (q30's bounded-query discipline, exact
+    * integer cosine), then ONE bounded top-k aggregate keyed on
+    * (anchor, is_positive) — ≤5 rows per map task per key survive the
+    * shuffle, never a window sort.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.BoundedTopK.boundedTopK
+    val emb = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"), $"label")
+      .withColumn("nsq", intNormSq($"q"))
+    val anchors = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("qn"),
+        $"label".as("qlabel"))
+    val scored = emb.join(broadcast(anchors), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"),
+        ($"label" === $"qlabel").as("is_positive"),
+        cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
+    scored.groupBy($"qid", $"is_positive")
+      .agg(boundedTopK(struct((-$"cos").as("negc"), $"cid", $"cos"), 5).as("top"))
+      .select($"qid", $"is_positive", posexplode($"top").as(Seq("pos", "r")))
+      .select($"qid", $"is_positive", $"r.cid".as("cid"), $"r.cos".as("cos"),
+        ($"pos" + 1).cast("long").as("rank"))
+      .orderBy($"qid", $"is_positive", $"rank")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, $quantSql AS q FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, q, ${dotSql("q", "q")} AS nsq FROM e),
+       |qs AS (
+       |  SELECT vec_id AS qid, q AS qv, nsq AS qn, label AS qlabel
+       |  FROM n WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT qs.qid, n.vec_id AS cid, n.label = qs.qlabel AS is_positive,
+       |    CAST(${dotSql("qv", "q")} AS DOUBLE)
+       |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nsq AS DOUBLE))) AS cos
+       |  FROM n, qs WHERE n.vec_id != qs.qid),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid, is_positive
+       |                               ORDER BY cos DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, is_positive, cid, cos, rank FROM ranked WHERE rank <= 5
+       |ORDER BY qid, is_positive, rank""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q148_hard_negatives" -> (hardNegatives(_, _)),
     "q30_knn_brute_force" -> (knnBruteForce(_, _)),
     "q31_ann_lsh_buckets" -> (annLshBuckets(_, _)),
     "q32_label_centroids" -> (labelCentroids(_, _)),
@@ -1189,6 +1241,7 @@ object SimilarityQueries {
     "q132_source_centroid_sim" -> (sourceCentroidSim(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q148_hard_negatives" -> hardNegativesSql,
     "q30_knn_brute_force" -> knnBruteForceSql,
     "q31_ann_lsh_buckets" -> annLshBucketsSql,
     "q32_label_centroids" -> labelCentroidsSql,
