@@ -26,6 +26,22 @@ object CoreOps {
   def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
 
+  /** Channel id derived from an event's props payload: the first
+    * digit run (capped at 9 digits so the int cast can never
+    * overflow under ANSI) mod 4; rows with no digits map to null.
+    * Shared by the q95 as-of-by-channel family and q142 attribution —
+    * one definition, one oracle fragment ([[channelSqlExpr]]), so the
+    * two can't silently drift apart.
+    */
+  def channel(props: Column): Column =
+    nullif(regexp_extract(props, "[0-9]{1,9}", 0), lit("")).cast("int") % 4
+
+  /** DuckDB mirror of [[channel]] (TRY_CAST = the engine's
+    * null-on-no-digits; the {1,9} cap = the engine's no-overflow).
+    */
+  val channelSqlExpr: String =
+    "TRY_CAST(regexp_extract(props, '[0-9]{1,9}') AS INTEGER) % 4"
+
   /** Order-independent mean built from the exact decimal sum. */
   def davg(c: Column, scale: Int = 6): Column =
     sum(c.cast(DecimalType(30, scale))).cast(DoubleType) /

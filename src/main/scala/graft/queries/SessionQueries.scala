@@ -192,7 +192,12 @@ object SessionQueries {
       .orderBy($"user_id")
   }
 
-  val eventFunnelSql: String =
+  /** The funnel query body WITHOUT its final ORDER BY — shared by the
+    * q133 oracle (which appends the ordering) and the q144 latency
+    * oracle (which embeds it as a CTE where an inner ORDER BY would
+    * be dead weight).
+    */
+  val eventFunnelSqlBody: String =
     """WITH e AS (
       |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
       |  FROM events),
@@ -214,8 +219,9 @@ object SessionQueries {
       |    + CASE WHEN p.purchase_ts IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stages_reached
       |FROM v
       |LEFT JOIN c ON c.user_id = v.user_id
-      |LEFT JOIN p ON p.user_id = v.user_id
-      |ORDER BY v.user_id""".stripMargin
+      |LEFT JOIN p ON p.user_id = v.user_id""".stripMargin
+
+  val eventFunnelSql: String = eventFunnelSqlBody + "\nORDER BY v.user_id"
 
   /** q135: cohort retention — the daily-active triangle every growth
     * dashboard is built on: users are cohorted by first-seen day, and
@@ -444,8 +450,7 @@ object SessionQueries {
   def channelAttributionCore(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
-    val ev = events.withColumn("channel",
-      regexp_extract($"props", "[0-9]+", 0).cast("int") % 4)
+    val ev = events.withColumn("channel", channel($"props"))
     val clicks = dedupKeepLast(
       ev.filter($"event_type" === "click")
         .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"channel", $"event_id"),
@@ -471,9 +476,9 @@ object SessionQueries {
   }
 
   val channelAttributionSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
-      |    CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 4 AS channel
+      |    $channelSqlExpr AS channel
       |  FROM events),
       |c AS (
       |  SELECT c_user, c_ts, channel FROM (
@@ -533,8 +538,7 @@ object SessionQueries {
   }
 
   val conversionLatencySql: String = {
-    val funnelCte = eventFunnelSql.linesIterator
-      .filterNot(_.trim.startsWith("ORDER BY"))
+    val funnelCte = eventFunnelSqlBody.linesIterator
       .map("  " + _).mkString("\n")
     s"""WITH funnel AS (
        |$funnelCte
@@ -615,12 +619,18 @@ object SessionQueries {
     val a = dense.select($"user_id", $"event_type".as("type_a"), $"c".as("ca"))
     val b = dense.select($"user_id".as("u2"), $"event_type".as("type_b"),
       $"c".as("cb"))
+    // moments and their products run in decimal(38,0) (the q139
+    // discipline): per-user counts can reach ~1e4 and user counts
+    // ~1e9 at the target scale, so n*Σx² ~ 1e24 overflows int64 —
+    // Spark would wrap silently while the HUGEINT oracle errors
     val m = a.join(b, $"user_id" === $"u2" && $"type_a" < $"type_b")
       .groupBy($"type_a", $"type_b")
       .agg(count(lit(1)).as("n"),
-        sum($"ca").as("sx"), sum($"cb").as("sy"),
-        sum($"ca" * $"cb").as("sxy"),
-        sum($"ca" * $"ca").as("sxx"), sum($"cb" * $"cb").as("syy"))
+        sum($"ca".cast("decimal(38,0)")).as("sx"),
+        sum($"cb".cast("decimal(38,0)")).as("sy"),
+        sum($"ca".cast("decimal(38,0)") * $"cb").as("sxy"),
+        sum($"ca".cast("decimal(38,0)") * $"ca").as("sxx"),
+        sum($"cb".cast("decimal(38,0)") * $"cb").as("syy"))
     m.select($"type_a", $"type_b", $"n".as("n_users"),
         when($"n" * $"sxx" - $"sx" * $"sx" > 0 &&
              $"n" * $"syy" - $"sy" * $"sy" > 0,
@@ -646,11 +656,13 @@ object SessionQueries {
       |  FROM dense a JOIN dense b
       |    ON a.user_id = b.user_id AND a.event_type < b.event_type),
       |m AS (
+      |  -- sums and products stay HUGEINT: n*sxx ~ 1e24 at target
+      |  -- scale, past int64 (mirrors the engine's decimal(38,0))
       |  SELECT type_a, type_b, COUNT(*) AS n,
-      |    CAST(SUM(ca) AS BIGINT) AS sx, CAST(SUM(cb) AS BIGINT) AS sy,
-      |    CAST(SUM(ca * cb) AS BIGINT) AS sxy,
-      |    CAST(SUM(ca * ca) AS BIGINT) AS sxx,
-      |    CAST(SUM(cb * cb) AS BIGINT) AS syy
+      |    SUM(CAST(ca AS HUGEINT)) AS sx, SUM(CAST(cb AS HUGEINT)) AS sy,
+      |    SUM(CAST(ca AS HUGEINT) * cb) AS sxy,
+      |    SUM(CAST(ca AS HUGEINT) * ca) AS sxx,
+      |    SUM(CAST(cb AS HUGEINT) * cb) AS syy
       |  FROM p GROUP BY 1, 2)
       |SELECT type_a, type_b, n AS n_users,
       |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN

@@ -16,6 +16,14 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The one LSH signature geometry (q24 candidates, q124 incremental
+    * dedup, q147 calibration): tuning either knob re-derives every
+    * seed list, band key, and the calibration denominator together.
+    */
+  private val lshBands = 4
+  private val lshRowsPerBand = 2
+  private val lshComponents = lshBands * lshRowsPerBand
+
   /** DuckDB fragment mirroring [[graft.functions.TextOps.shingles]]. */
   private val shinglesSqlExpr =
     """list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
@@ -744,8 +752,8 @@ object TextQueries {
     */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bands = 4
-    val rowsPerBand = 2
+    val bands = lshBands
+    val rowsPerBand = lshRowsPerBand
     // Shingles + band keys materialized ONCE (persist): the band
     // self-join and the verify re-join below would otherwise recompute
     // every seeded md5 MinHash 3x. At warehouse scale this staging is
@@ -1713,8 +1721,8 @@ object TextQueries {
     */
   def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bands = 4
-    val rowsPerBand = 2
+    val bands = lshBands
+    val rowsPerBand = lshRowsPerBand
     val sigs = Tables.loadSpread(s, dir, "documents")
       .select($"doc_id", shingles(words($"text")).as("sh"))
       .filter(size($"sh") > 0)
@@ -1738,7 +1746,7 @@ object TextQueries {
       .withColumn("n_union",
         (size($"sh_i") + size($"sh_j")).cast("long") - $"inter")
       .select($"i", $"j", $"n_match",
-        ($"n_match".cast("double") / 8.0).as("est_jaccard"),
+        ($"n_match".cast("double") / lshComponents.toDouble).as("est_jaccard"),
         $"inter", $"n_union",
         ($"inter".cast("double") / $"n_union".cast("double")).as("jaccard"),
         ($"inter".cast("double") / $"n_union".cast("double") >= 0.5).as("is_dup"))
@@ -1747,20 +1755,21 @@ object TextQueries {
 
   val minhashCalibrationSql: String = {
     val mh = (seed: Int) => s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
-    val bkey = (band: Int) => s"${mh(band * 2)} || '|' || ${mh(band * 2 + 1)}"
+    val bkey = (band: Int) =>
+      (0 until lshRowsPerBand).map(r => mh(band * lshRowsPerBand + r))
+        .mkString(" || '|' || ")
+    val bandCases = (0 until lshBands)
+      .map(b => s"WHEN $b THEN ${bkey(b)}").mkString("\n       |    ")
     s"""WITH s AS (
        |  SELECT doc_id, $shinglesSqlExpr AS sh FROM documents),
        |sm AS (
        |  SELECT doc_id, sh,
-       |    [${(0 until 8).map(mh).mkString(", ")}] AS mh
+       |    [${(0 until lshComponents).map(mh).mkString(", ")}] AS mh
        |  FROM s WHERE len(sh) > 0),
        |banded AS (
        |  SELECT doc_id, band, CASE band
-       |    WHEN 0 THEN ${bkey(0)}
-       |    WHEN 1 THEN ${bkey(1)}
-       |    WHEN 2 THEN ${bkey(2)}
-       |    WHEN 3 THEN ${bkey(3)} END AS bkey
-       |  FROM s, (SELECT unnest([0,1,2,3]) AS band)
+       |    $bandCases END AS bkey
+       |  FROM s, (SELECT unnest([${(0 until lshBands).mkString(",")}]) AS band)
        |  WHERE len(sh) > 0),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
@@ -1768,14 +1777,14 @@ object TextQueries {
        |  WHERE a.doc_id < b.doc_id),
        |v AS (
        |  SELECT c.i, c.j,
-       |    CAST(len(list_filter(range(1, 9), k -> si.mh[k] = sj.mh[k])) AS BIGINT)
-       |      AS n_match,
+       |    CAST(len(list_filter(range(1, ${lshComponents + 1}),
+       |      k -> si.mh[k] = sj.mh[k])) AS BIGINT) AS n_match,
        |    CAST(len(list_intersect(si.sh, sj.sh)) AS BIGINT) AS inter,
        |    CAST(len(si.sh) + len(sj.sh)
        |      - len(list_intersect(si.sh, sj.sh)) AS BIGINT) AS n_union
        |  FROM cand c JOIN sm si ON c.i = si.doc_id JOIN sm sj ON c.j = sj.doc_id)
        |SELECT i, j, n_match,
-       |  CAST(n_match AS DOUBLE) / 8.0 AS est_jaccard,
+       |  CAST(n_match AS DOUBLE) / $lshComponents.0 AS est_jaccard,
        |  inter, n_union,
        |  CAST(inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
        |  CAST(inter AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.5 AS is_dup

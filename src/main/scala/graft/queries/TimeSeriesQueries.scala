@@ -265,8 +265,7 @@ object TimeSeriesQueries {
   def asofByChannel(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.load(s, dir, "events")
-      .withColumn("channel",
-        regexp_extract($"props", "[0-9]+", 0).cast("int") % 4)
+      .withColumn("channel", channel($"props"))
     val clicks = ev.filter($"event_type" === "click")
       .select($"event_id", $"ts", $"user_id", $"channel", $"value")
     val purchases = dedupKeepLast(
@@ -285,9 +284,9 @@ object TimeSeriesQueries {
   }
 
   val asofByChannelSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
-      |    CAST(regexp_extract(props, '[0-9]+') AS INTEGER) % 4 AS channel
+      |    $channelSqlExpr AS channel
       |  FROM events),
       |p AS (
       |  SELECT user_id AS p_user, channel AS p_channel, ts AS pts,
@@ -788,7 +787,10 @@ object TimeSeriesQueries {
       .select($"event_type", $"hidx", $"v_fp",
         explode(sequence(lit(0), lit(23))).as("d"))
       .select($"event_type", ($"hidx" + $"d").as("t_idx"),
-        expr("v_fp * shiftleft(cast(1 as bigint), cast(23 - d as int))").as("num"),
+        // decimal(38,0): a hot hour's v_fp can pass 2^40 at target
+        // scale and ×2^23 would wrap int64 (the q139 discipline)
+        expr("cast(v_fp as decimal(38,0)) * shiftleft(cast(1 as bigint), cast(23 - d as int))")
+          .as("num"),
         expr("shiftleft(cast(1 as bigint), cast(23 - d as int))").as("den"))
     contrib.groupBy($"event_type", $"t_idx")
       .agg(sum($"num").as("num"), sum($"den").as("den"))
@@ -809,8 +811,9 @@ object TimeSeriesQueries {
       |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx
       |  FROM e GROUP BY 1, 2),
       |contrib AS (
+      |  -- HUGEINT: a hot hour's v_fp x 2^23 passes int64 at scale
       |  SELECT event_type, hidx + r.range AS t_idx,
-      |    v_fp * (CAST(1 AS BIGINT) << CAST(23 - r.range AS INTEGER)) AS num,
+      |    CAST(v_fp AS HUGEINT) * (CAST(1 AS BIGINT) << CAST(23 - r.range AS INTEGER)) AS num,
       |    CAST(1 AS BIGINT) << CAST(23 - r.range AS INTEGER) AS den
       |  FROM hourly CROSS JOIN range(0, 24) r),
       |agg AS (

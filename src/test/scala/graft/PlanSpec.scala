@@ -345,10 +345,13 @@ class PlanSpec extends AnyFunSuite {
         a.name == "label" || a.name == "source" ||
           // event taxonomy: a fixed enum domain like source/label
           // (5 types in the generator; a bounded vocabulary at any
-          // scale — the q136 winsorize stats broadcast). endsWith
-          // also admits the q139 transition-matrix endpoints
-          // src_event_type/dst_event_type (same domain, renamed).
-          a.name.endsWith("event_type") ||
+          // scale — the q136 winsorize stats broadcast). The two
+          // exact aliases are the q139 transition-matrix endpoints
+          // (same domain, renamed) — exact names, not a suffix
+          // pattern, so an unrelated high-cardinality column can't
+          // ride in on a lookalike alias.
+          a.name == "event_type" || a.name == "src_event_type" ||
+          a.name == "dst_event_type" ||
           // hour-of-day: domain ≤ 24 by construction (the q138
           // robust-outlier seasonal baseline key)
           a.name == "hod" ||
