@@ -672,7 +672,92 @@ object SessionQueries {
       |  END AS corr
       |FROM m ORDER BY type_a, type_b""".stripMargin
 
+  /** q151: RFM segmentation — the classic customer-value grid: per
+    * user, Recency (days since last activity, against the corpus's
+    * last day), Frequency (event count), Monetary (exact-decimal
+    * purchase total), each mapped to its quartile index with the q149
+    * grid discipline: three `percentile_disc` cut points per metric
+    * (global aggregates — 9 values total, broadcast), and each user's
+    * quartile is the COUNT of cut points ≤ their metric. One
+    * user-keyed aggregate over the stream; everything after is
+    * per-user arithmetic against broadcast scalars — no window, no
+    * second shuffle. The 0–3 indices pack into a 3-digit rfm_code.
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame =
+    rfmSegmentsCore(Tables.load(s, dir, "events"))
+
+  /** Core over any (user_id, ts, event_type, value) frame. */
+  def rfmSegmentsCore(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val perUser = events.groupBy($"user_id").agg(
+      max(to_date($"ts")).as("last_day"),
+      count(lit(1)).as("frequency"),
+      dsum(when($"event_type" === "purchase", $"value")).as("monetary0"))
+    val metrics = perUser
+      .crossJoin(broadcast(perUser.agg(max($"last_day").as("corpus_last"))))
+      .select($"user_id",
+        datediff($"corpus_last", $"last_day").cast("long").as("recency_days"),
+        $"frequency",
+        coalesce($"monetary0", lit(0.0)).as("monetary"))
+    val cuts = metrics.agg(
+      array((1 to 3).map(q =>
+        expr(s"percentile_disc(0.${q * 25}) WITHIN GROUP (ORDER BY recency_days)")): _*)
+        .as("rg"),
+      array((1 to 3).map(q =>
+        expr(s"percentile_disc(0.${q * 25}) WITHIN GROUP (ORDER BY frequency)")): _*)
+        .as("fg"),
+      array((1 to 3).map(q =>
+        expr(s"percentile_disc(0.${q * 25}) WITHIN GROUP (ORDER BY monetary)")): _*)
+        .as("mg"))
+    metrics.crossJoin(broadcast(cuts))
+      .select($"user_id", $"recency_days", $"frequency", $"monetary",
+        expr("size(filter(rg, g -> g <= recency_days))").cast("long").as("r_q"),
+        expr("size(filter(fg, g -> g <= frequency))").cast("long").as("f_q"),
+        expr("size(filter(mg, g -> g <= monetary))").cast("long").as("m_q"))
+      .withColumn("rfm_code", $"r_q" * 100 + $"f_q" * 10 + $"m_q")
+      .orderBy($"user_id")
+  }
+
+  val rfmSegmentsSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    MAX(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS last_day,
+      |    COUNT(*) AS frequency,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(value AS DECIMAL(30,4)) END) AS DOUBLE) AS monetary0
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT user_id,
+      |    CAST(date_diff('day', last_day,
+      |      (SELECT MAX(last_day) FROM u)) AS BIGINT) AS recency_days,
+      |    frequency,
+      |    COALESCE(monetary0, 0.0) AS monetary
+      |  FROM u),
+      |c AS (
+      |  SELECT
+      |    [percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days),
+      |     percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_days),
+      |     percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days)] AS rg,
+      |    [percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency),
+      |     percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency),
+      |     percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency)] AS fg,
+      |    [percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary),
+      |     percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary),
+      |     percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary)] AS mg
+      |  FROM m)
+      |SELECT m.user_id, m.recency_days, m.frequency, m.monetary,
+      |  CAST(len(list_filter(c.rg, g -> g <= m.recency_days)) AS BIGINT) AS r_q,
+      |  CAST(len(list_filter(c.fg, g -> g <= m.frequency)) AS BIGINT) AS f_q,
+      |  CAST(len(list_filter(c.mg, g -> g <= m.monetary)) AS BIGINT) AS m_q,
+      |  CAST(len(list_filter(c.rg, g -> g <= m.recency_days)) * 100
+      |    + len(list_filter(c.fg, g -> g <= m.frequency)) * 10
+      |    + len(list_filter(c.mg, g -> g <= m.monetary)) AS BIGINT) AS rfm_code
+      |FROM m CROSS JOIN c
+      |ORDER BY m.user_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q151_rfm_segments" -> (rfmSegments(_, _)),
     "q146_behavior_correlation" -> (behaviorCorrelation(_, _)),
     "q49_sessionize" -> (sessionize(_, _)),
     "q138_robust_outliers" -> (robustOutliers(_, _)),
@@ -694,6 +779,7 @@ object SessionQueries {
     "q144_conversion_latency" -> conversionLatencySql,
     "q145_trending_topk" -> trendingTopKSql,
     "q146_behavior_correlation" -> behaviorCorrelationSql,
+    "q151_rfm_segments" -> rfmSegmentsSql,
     "q133_event_funnel" -> eventFunnelSql,
     "q135_cohort_retention" -> cohortRetentionSql,
     "q136_winsorized_stats" -> winsorizedStatsSql,

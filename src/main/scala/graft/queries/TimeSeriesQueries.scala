@@ -825,10 +825,82 @@ object TimeSeriesQueries {
       |FROM agg a JOIN hourly h ON a.event_type = h.event_type AND a.t_idx = h.hidx
       |ORDER BY h.event_type, h.bucket""".stripMargin
 
+  /** q150: seasonal decomposition (STL-lite) — every observability
+    * and forecasting pipeline's first transform: hourly series per
+    * event type split into TREND (centered ±12-hour moving average),
+    * SEASONAL (mean detrended value per hour-of-day), and RESIDUAL.
+    * Aggregate-first (the q137/q141 discipline): the stream collapses
+    * to (type, hour) means before the centered window runs over GRID
+    * rows. The trend window sums in decimal — a float moving-window
+    * sum is NOT engine-portable (DuckDB computes windowed aggregates
+    * over a segment tree, so its addition order differs from Spark's
+    * frame scan; exact decimal is association-free). The seasonal
+    * means come from the (type, hour-of-day) aggregate broadcast
+    * back — never a second window.
+    */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val hourly = ev
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("bucket"))
+      .agg((sum($"value".cast("decimal(30,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("v"))
+    val w = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(-12, 12)
+    val trended = hourly
+      .withColumn("trend",
+        sum($"v".cast("decimal(30,6)")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      .withColumn("hod", hour($"bucket").cast("long"))
+      .withColumn("detrended", $"v" - $"trend")
+    // detrended is a COMPUTED double: a decimal cast of it can land
+    // within an ulp of a .5 rounding boundary and the two engines'
+    // double->decimal conversions disagree (observed: 1 row in ~900).
+    // floor(x * 1e6) is exact on both engines (one IEEE multiply +
+    // floor), so the fixed-point sum is association-free AND
+    // boundary-free; decimal keeps the sum exact at any group size.
+    val seasonal = trended.groupBy($"event_type", $"hod")
+      .agg((sum(floor($"detrended" * 1000000.0).cast("decimal(38,0)"))
+          .cast("double") /
+        (count(lit(1)).cast("double") * 1000000.0)).as("seasonal"))
+    trended.join(broadcast(seasonal), Seq("event_type", "hod"))
+      .select($"event_type", $"bucket", $"v", $"trend", $"seasonal",
+        ($"v" - $"trend" - $"seasonal").as("residual"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+      |      / CAST(COUNT(*) AS DOUBLE) AS v
+      |  FROM e GROUP BY 1, 2),
+      |t AS (
+      |  SELECT *,
+      |    CAST(SUM(CAST(v AS DECIMAL(30,6))) OVER w AS DOUBLE)
+      |      / CAST(COUNT(*) OVER w AS DOUBLE) AS trend,
+      |    CAST(EXTRACT(hour FROM bucket) AS BIGINT) AS hod
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+      |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |d AS (SELECT *, v - trend AS detrended FROM t),
+      |s AS (
+      |  SELECT event_type, hod,
+      |    CAST(SUM(CAST(FLOOR(detrended * 1000000.0) AS HUGEINT)) AS DOUBLE)
+      |      / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS seasonal
+      |  FROM d GROUP BY 1, 2)
+      |SELECT d.event_type, d.bucket, d.v, d.trend, s.seasonal,
+      |  d.v - d.trend - s.seasonal AS residual
+      |FROM d JOIN s USING (event_type, hod)
+      |ORDER BY d.event_type, d.bucket""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
     "q137_linear_interpolate" -> (linearInterpolate(_, _)),
     "q141_ema_hourly" -> (emaHourly(_, _)),
+    "q150_seasonal_decompose" -> (seasonalDecompose(_, _)),
     "q11_dedup_keep_last" -> (dedupKeepLastQ(_, _)),
     "q12_asof_join" -> (asofClickPurchase(_, _)),
     "q93_asof_forward" -> (asofNextPurchase(_, _)),
@@ -849,6 +921,7 @@ object TimeSeriesQueries {
     "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
     "q137_linear_interpolate" -> linearInterpolateSql,
     "q141_ema_hourly" -> emaHourlySql,
+    "q150_seasonal_decompose" -> seasonalDecomposeSql,
     "q11_dedup_keep_last" -> dedupKeepLastSql,
     "q12_asof_join" -> asofClickPurchaseSql,
     "q93_asof_forward" -> asofNextPurchaseSql,

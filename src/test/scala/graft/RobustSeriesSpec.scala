@@ -155,6 +155,28 @@ class RobustSeriesSpec extends AnyFunSuite {
     assert(out(("b", "c"))._4.isEmpty)
   }
 
+  test("RFM: quartile indices count percentile_disc cut points at or below") {
+    val t0 = 1700000000000L
+    var id = 0L
+    def ev(u: Long, tpe: String, v: Double) = { id += 1; (id, new Timestamp(t0 + id), u, tpe, v) }
+    // frequencies 1,2,3,4; purchases: u2 5.0, u4 10.0 -> monetary [0,5,0,10]
+    val rows = Seq(ev(1, "view", 0.0)) ++
+      Seq(ev(2, "view", 0.0), ev(2, "purchase", 5.0)) ++
+      (1 to 3).map(_ => ev(3, "view", 0.0)) ++
+      ((1 to 3).map(_ => ev(4, "view", 0.0)) :+ ev(4, "purchase", 10.0))
+    val out = SessionQueries.rfmSegmentsCore(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .as[(Long, Long, Long, Double, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // same-day activity -> recency 0 for all, r cuts [0,0,0] -> r_q 3
+    // freq cuts disc(.25/.5/.75) over [1,2,3,4] = [1,2,3] -> f_q 1,2,3,3
+    // monetary cuts over [0,0,5,10] = [0,0,5] -> m_q 2,3,2,3
+    assert(out(1L) == ((1L, 0L, 1L, 0.0, 3L, 1L, 2L, 312L)))
+    assert(out(2L) == ((2L, 0L, 2L, 5.0, 3L, 2L, 3L, 323L)))
+    assert(out(3L) == ((3L, 0L, 3L, 0.0, 3L, 3L, 2L, 332L)))
+    assert(out(4L) == ((4L, 0L, 4L, 10.0, 3L, 3L, 3L, 333L)))
+  }
+
   test("novelty: originals score 1e9, verbatim copies score 0, short docs null") {
     val docs = Seq(
       (1L, "a b c d"),            // shingles "a b c", "b c d" — all first here
