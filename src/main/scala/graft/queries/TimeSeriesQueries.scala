@@ -831,12 +831,15 @@ object TimeSeriesQueries {
     * SEASONAL (mean detrended value per hour-of-day), and RESIDUAL.
     * Aggregate-first (the q137/q141 discipline): the stream collapses
     * to (type, hour) means before the centered window runs over GRID
-    * rows. The trend window sums in decimal — a float moving-window
-    * sum is NOT engine-portable (DuckDB computes windowed aggregates
-    * over a segment tree, so its addition order differs from Spark's
-    * frame scan; exact decimal is association-free). The seasonal
-    * means come from the (type, hour-of-day) aggregate broadcast
-    * back — never a second window.
+    * rows. Both means run in floor(x·1e6) integer fixed point: a
+    * float moving-window sum is NOT engine-portable (DuckDB computes
+    * windowed aggregates over a segment tree, so its addition order
+    * differs from Spark's frame scan), and a decimal CAST of a
+    * computed double can straddle a rounding boundary where the two
+    * engines' conversions disagree — floor of one IEEE multiply is
+    * exact on both, and the integer sum is association-free. The
+    * seasonal means come from the (type, hour-of-day) aggregate
+    * broadcast back — never a second window.
     */
   def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -847,10 +850,15 @@ object TimeSeriesQueries {
         count(lit(1)).cast("double")).as("v"))
     val w = Window.partitionBy($"event_type").orderBy($"bucket")
       .rowsBetween(-12, 12)
+    // v is a COMPUTED double too — same boundary hazard as the
+    // seasonal mean (at sf0.1 one grid value's decimal rounding
+    // differed between engines), so the trend uses the same exact
+    // floor(x·1e6) fixed point inside the window sum
     val trended = hourly
       .withColumn("trend",
-        sum($"v".cast("decimal(30,6)")).over(w).cast("double") /
-          count(lit(1)).over(w).cast("double"))
+        sum(floor($"v" * 1000000.0).cast("decimal(38,0)")).over(w)
+          .cast("double") /
+          (count(lit(1)).over(w).cast("double") * 1000000.0))
       .withColumn("hod", hour($"bucket").cast("long"))
       .withColumn("detrended", $"v" - $"trend")
     // detrended is a COMPUTED double: a decimal cast of it can land
@@ -879,8 +887,8 @@ object TimeSeriesQueries {
       |  FROM e GROUP BY 1, 2),
       |t AS (
       |  SELECT *,
-      |    CAST(SUM(CAST(v AS DECIMAL(30,6))) OVER w AS DOUBLE)
-      |      / CAST(COUNT(*) OVER w AS DOUBLE) AS trend,
+      |    CAST(SUM(CAST(FLOOR(v * 1000000.0) AS HUGEINT)) OVER w AS DOUBLE)
+      |      / (CAST(COUNT(*) OVER w AS DOUBLE) * 1000000.0) AS trend,
       |    CAST(EXTRACT(hour FROM bucket) AS BIGINT) AS hod
       |  FROM hourly
       |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
