@@ -437,7 +437,148 @@ object BulkQueries {
        |JOIN spot s USING (root, day)
        |ORDER BY c.root, c.expiration, c.strike, c.day""".stripMargin
 
+  /** q152: order-flow microstructure — per (root, day): the
+    * bid/ask size imbalance (bid share of posted size, exact-integer
+    * ppb — the NON-NEGATIVE form on purpose: Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors, so signed integer
+    * division is NOT engine-portable) and the mean microprice premium
+    * (size-weighted fair price minus midpoint — positive when ask
+    * pressure outweighs bid pressure), a computed double averaged in
+    * the floor(x·1e6) fixed point the q150 boundary lesson mandates.
+    * One keyed aggregate over ticks; output is (roots × days)-sized.
+    */
+  def flowImbalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = SyntheticContractMarket.quotes(s, dir)
+      .withColumn("day", to_date($"ts"))
+      .withColumn("mp",
+        ($"bid" * $"ask_size" + $"ask" * $"bid_size") /
+          ($"bid_size" + $"ask_size").cast("double"))
+      .withColumn("premium", $"mp" - ($"bid" + $"ask") / 2.0)
+    q.groupBy($"root", $"day")
+      .agg(count(lit(1)).as("n_ticks"),
+        sum($"bid_size").as("sb"), sum($"ask_size").as("sa"),
+        sum(floor($"premium" * 1000000.0).cast("decimal(38,0)")).as("pfx"))
+      .select($"root", $"day", $"n_ticks",
+        expr("cast((cast(sb as decimal(38,0)) * 1000000000) div (sb + sa) as bigint)")
+          .as("bid_share_ppb"),
+        ($"pfx".cast("double") /
+          ($"n_ticks".cast("double") * 1000000.0)).as("mean_micro_premium"))
+      .orderBy($"root", $"day")
+  }
+
+  val flowImbalanceSql: String =
+    s"""WITH $rawSql,
+       |q0 AS (
+       |  SELECT root, expiration, "right", strike, ts, seq, $quoteColsSql,
+       |    CAST(ts AS DATE) AS day
+       |  FROM raw),
+       |m AS (
+       |  SELECT *,
+       |    (bid * ask_size + ask * bid_size)
+       |      / CAST(bid_size + ask_size AS DOUBLE) AS mp
+       |  FROM q0),
+       |p AS (SELECT *, mp - (bid + ask) / 2.0 AS premium FROM m)
+       |SELECT root, day, COUNT(*) AS n_ticks,
+       |  CAST((SUM(CAST(bid_size AS HUGEINT)) * 1000000000)
+       |    // (SUM(CAST(bid_size AS HUGEINT)) + SUM(CAST(ask_size AS HUGEINT)))
+       |    AS BIGINT) AS bid_share_ppb,
+       |  CAST(SUM(CAST(FLOOR(premium * 1000000.0) AS HUGEINT)) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_micro_premium
+       |FROM p GROUP BY root, day
+       |ORDER BY root, day""".stripMargin
+
+  /** q153: daily returns + trailing realized volatility per root —
+    * the risk series every desk derives first. Daily closes come from
+    * the q143 keep-last discipline; the return is
+    * floor((close − prev) · 1e9 / prev) — floor, NOT integer div,
+    * because the sign can be negative and floor is the one integer
+    * rounding both engines share. Realized vol is the trailing 5-day
+    * root-mean-square of the returns with the SQUARE quantized to
+    * 1e-6 fixed point before summing — squared ppb integers pass
+    * 2^53, where decimal→double conversion stops being ulp-identical
+    * across engines (observed), while the quantized sums stay exactly
+    * double-representable AND association-free under DuckDB's
+    * segment-tree window evaluation. IEEE sqrt is correctly rounded,
+    * so the final double matches bit-for-bit. All windows run over
+    * the (roots × days) grid, never the tick stream.
+    */
+  def dailyReturns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = SyntheticContractMarket.quotes(s, dir)
+      .withColumn("day", to_date($"ts"))
+      .withColumn("mid", ($"bid" + $"ask") / 2.0)
+    val closes = q.groupBy($"root", $"day")
+      .agg(max_by($"mid", struct($"ts", $"seq")).as("close"))
+    val wLag = Window.partitionBy($"root").orderBy($"day")
+    val wVol = wLag.rowsBetween(-4, 0)
+    closes
+      .withColumn("prev_close", lag($"close", 1).over(wLag))
+      // guard: a synthetic close can sit near zero, making the raw
+      // ratio unbounded (the ppb int would blow past int64); a
+      // sub-unit previous close yields null, mirrored in the oracle
+      .withColumn("ret_ppb",
+        when($"prev_close" >= 1.0,
+          floor(($"close" - $"prev_close") * 1000000000.0 / $"prev_close"))
+          .cast("long"))
+      // the squared return is quantized to 1e-6 BEFORE summing:
+      // squared ppb ints pass 2^53 where decimal->double conversion
+      // is no longer ulp-identical across engines (observed 1 row);
+      // floor(r^2 * 1e6) keeps every sum exactly double-representable
+      .withColumn("rsq_fx",
+        floor(($"ret_ppb".cast("double") / 1e9) *
+          ($"ret_ppb".cast("double") / 1e9) * 1000000.0).cast("long"))
+      .withColumn("rv_num", sum($"rsq_fx").over(wVol))
+      .withColumn("rv_n", count($"rsq_fx").over(wVol))
+      .select($"root", $"day", $"close", $"ret_ppb",
+        when($"rv_n" > 0,
+          sqrt($"rv_num".cast("double") /
+            ($"rv_n".cast("double") * 1000000.0)))
+          .as("realized_vol_5d"))
+      .orderBy($"root", $"day")
+  }
+
+  val dailyReturnsSql: String =
+    s"""WITH $rawSql,
+       |q0 AS (
+       |  SELECT root, expiration, "right", strike, ts, seq, $quoteColsSql,
+       |    CAST(ts AS DATE) AS day
+       |  FROM raw),
+       |m AS (SELECT *, (bid + ask) / 2.0 AS mid FROM q0),
+       |clo AS (
+       |  SELECT root, day, mid AS close FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY root, day
+       |                                 ORDER BY ts DESC, seq DESC) AS rn
+       |    FROM m) t WHERE rn = 1),
+       |r AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN lag(close) OVER w >= 1.0 THEN
+       |      FLOOR((close - lag(close) OVER w) * 1000000000.0
+       |        / lag(close) OVER w) END AS BIGINT) AS ret_ppb
+       |  FROM clo WINDOW w AS (PARTITION BY root ORDER BY day)),
+       |r2 AS (
+       |  SELECT *,
+       |    CAST(FLOOR((CAST(ret_ppb AS DOUBLE) / 1e9)
+       |      * (CAST(ret_ppb AS DOUBLE) / 1e9) * 1000000.0) AS BIGINT)
+       |      AS rsq_fx
+       |  FROM r),
+       |v AS (
+       |  SELECT *,
+       |    SUM(rsq_fx) OVER wv AS rv_num,
+       |    COUNT(rsq_fx) OVER wv AS rv_n
+       |  FROM r2 WINDOW wv AS (PARTITION BY root ORDER BY day
+       |                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+       |SELECT root, day, close, ret_ppb,
+       |  CASE WHEN rv_n > 0 THEN
+       |    sqrt(CAST(rv_num AS DOUBLE) / (CAST(rv_n AS DOUBLE) * 1000000.0))
+       |  END AS realized_vol_5d
+       |FROM v
+       |ORDER BY root, day""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q152_flow_imbalance" -> (flowImbalance(_, _)),
+    "q153_daily_returns" -> (dailyReturns(_, _)),
     "q143_parity_scan" -> (parityScan(_, _)),
     "q72_bulk_eod" -> (bulkEod(_, _)),
     "q73_chain_bulk" -> (chainBulk(_, _)),
@@ -448,6 +589,8 @@ object BulkQueries {
     "q81_option_data_to_save" -> (optionDataToSave(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q152_flow_imbalance" -> flowImbalanceSql,
+    "q153_daily_returns" -> dailyReturnsSql,
     "q143_parity_scan" -> parityScanSql,
     "q72_bulk_eod" -> bulkEodSql,
     "q73_chain_bulk" -> chainBulkSql,
