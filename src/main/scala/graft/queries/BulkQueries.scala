@@ -455,12 +455,16 @@ object BulkQueries {
         ($"bid" * $"ask_size" + $"ask" * $"bid_size") /
           ($"bid_size" + $"ask_size").cast("double"))
       .withColumn("premium", $"mp" - ($"bid" + $"ask") / 2.0)
+    // sizes summed in decimal(38,0) (not BIGINT) so sb + sa and the
+    // 1e9 multiply share DuckDB's HUGEINT exactness instead of
+    // silently wrapping in non-ANSI Spark at extreme tick volumes
     q.groupBy($"root", $"day")
       .agg(count(lit(1)).as("n_ticks"),
-        sum($"bid_size").as("sb"), sum($"ask_size").as("sa"),
+        sum($"bid_size".cast("decimal(38,0)")).as("sb"),
+        sum($"ask_size".cast("decimal(38,0)")).as("sa"),
         sum(floor($"premium" * 1000000.0).cast("decimal(38,0)")).as("pfx"))
       .select($"root", $"day", $"n_ticks",
-        expr("cast((cast(sb as decimal(38,0)) * 1000000000) div (sb + sa) as bigint)")
+        expr("cast((sb * 1000000000) div (sb + sa) as bigint)")
           .as("bid_share_ppb"),
         ($"pfx".cast("double") /
           ($"n_ticks".cast("double") * 1000000.0)).as("mean_micro_premium"))

@@ -156,8 +156,11 @@ object SessionQueries {
     * into one sort task.
     *
     * Emits one row per user who reached stage 1, with nullable stage-2
-    * and stage-3 timestamps (ts ties broken by event_id in the min
-    * struct so both engines pick the same event).
+    * and stage-3 timestamps. Only the timestamp is emitted, so
+    * MIN(ts) is the whole semantics — ts ties are indistinguishable
+    * in the output and need no tie-break (the oracle is plain
+    * MIN(ts) too; if a stage ever starts emitting its event_id, an
+    * argmin tie-break must land in BOTH engines at once).
     */
   def eventFunnel(s: SparkSession, dir: String): DataFrame =
     eventFunnelCore(Tables.load(s, dir, "events"))
@@ -174,12 +177,10 @@ object SessionQueries {
         .join(after, "user_id")
         .filter($"ts" > col(afterCol))
         .groupBy($"user_id")
-        .agg(min(struct($"ts", $"event_id")).as("m"))
-        .select($"user_id", $"m.ts".as(s"${tpe}_ts"))
+        .agg(min($"ts").as(s"${tpe}_ts"))
     val viewed = ev.filter($"event_type" === "view")
       .groupBy($"user_id")
-      .agg(min(struct($"ts", $"event_id")).as("m"))
-      .select($"user_id", $"m.ts".as("view_ts"))
+      .agg(min($"ts").as("view_ts"))
     val clicked = stageMin("click", viewed, "view_ts")
     val purchased = stageMin("purchase", clicked, "click_ts")
     viewed

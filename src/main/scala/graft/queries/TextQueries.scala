@@ -1269,10 +1269,17 @@ object TextQueries {
       .agg(count(lit(1)).as("n_pairs"))
       .join(broadcast(counts.select($"source".as("source_a"), $"n".as("n_a"))), "source_a")
       .join(broadcast(counts.select($"source".as("source_b"), $"n".as("n_b"))), "source_b")
+      // decimal(38,0) before the 1e9 multiply AND the cross-pair
+      // product (q139/q152 discipline): in non-ANSI Spark a BIGINT
+      // n_pairs*1e9 above ~9.2e9 pairs — plausible for a mirror-heavy
+      // source at 100 TB — would silently wrap while DuckDB raises,
+      // so both engines must share decimal/HUGEINT exactness.
       .select($"source_a", $"source_b", $"n_pairs",
         when($"source_a" === $"source_b",
-            expr("n_pairs * 1000000000 div (n_a * (n_a - 1) div 2)"))
-          .otherwise(expr("n_pairs * 1000000000 div (n_a * n_b)"))
+            expr("cast((cast(n_pairs as decimal(38,0)) * 1000000000) div " +
+              "(cast(n_a as decimal(38,0)) * (n_a - 1) div 2) as bigint)"))
+          .otherwise(expr("cast((cast(n_pairs as decimal(38,0)) * 1000000000) div " +
+            "(cast(n_a as decimal(38,0)) * n_b) as bigint)"))
           .as("rate_ppb"))
       .orderBy($"source_a", $"source_b")
   }
@@ -1296,8 +1303,10 @@ object TextQueries {
        |  FROM attributed GROUP BY source_a, source_b)
        |SELECT c.source_a, c.source_b, c.n_pairs,
        |  CASE WHEN c.source_a = c.source_b
-       |       THEN c.n_pairs * 1000000000 // (ca.n * (ca.n - 1) // 2)
-       |       ELSE c.n_pairs * 1000000000 // (ca.n * cb.n) END AS rate_ppb
+       |       THEN CAST(c.n_pairs::HUGEINT * 1000000000
+       |         // (ca.n::HUGEINT * (ca.n - 1) // 2) AS BIGINT)
+       |       ELSE CAST(c.n_pairs::HUGEINT * 1000000000
+       |         // (ca.n::HUGEINT * cb.n) AS BIGINT) END AS rate_ppb
        |FROM cells c
        |JOIN cnt ca ON ca.source = c.source_a
        |JOIN cnt cb ON cb.source = c.source_b

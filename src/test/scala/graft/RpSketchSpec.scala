@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.SimilarityQueries
 
-/** q129 random-projection sketch search: the coarse 8-dim sketch must
+/** q129 random-projection sketch search: the coarse 16-dim sketch must
   * genuinely order the corpus (recall@5 against the q30 exact ground
   * truth above a pinned floor at every driver scale), re-ranked
   * cosines must be bit-identical to the exact scan's for the same
