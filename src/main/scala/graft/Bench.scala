@@ -44,7 +44,11 @@ object Bench {
     // machinery end-to-end (the heaviest dedup chain), and the
     // edit-distance dedup's prefix blocks must stay capped — both
     // would show any quadratic drift here first
-    "q128_dedup_retention", "q134_edit_distance_dedup")
+    "q128_dedup_retention", "q134_edit_distance_dedup",
+    // round 14: the calibration audit was the costliest sf0.1 query
+    // pre-slim; its sf1 ratio now guards both the band-bucket cap and
+    // the candidate-bounded shingle refetch
+    "q147_minhash_calibration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -742,15 +742,42 @@ object TextQueries {
       |FROM d
       |ORDER BY doc_id""".stripMargin
 
+  /** Hot-BUCKET membership cap for the LSH band self-join family
+    * (q24 and its consumers q82/q128/q131, q147): a band bucket with
+    * B members contributes B²/2 candidate pairs, and the natural
+    * corpus grows coincidence buckets — measured: max occupancy 13 at
+    * sf0.1, 70 at the 10× probe, every one of them 70 DISTINCT texts
+    * with DISTINCT shingle sets (false candidates that fail the exact
+    * verify), so a boilerplate-heavy 100 TB corpus would go quadratic
+    * in exactly this join. Buckets above the cap are excluded from
+    * candidate GENERATION (q134's block-cap discipline, mirrored in
+    * the oracle SQL so both engines share one semantics at any
+    * scale). What the cap can drop: only pairs whose EVERY shared
+    * band bucket is oversized — near-dup cliques larger than the cap.
+    * Exact-copy cliques are q23's (md5) job and run before LSH in any
+    * real pipeline; sub-cap true pairs are untouched, and
+    * BandCapSpec proves the natural-corpus result is invariant.
+    */
+  val lshBandMaxDf = 128
+
   /** MinHash + LSH near-duplicate pairs, fully oracle-checked.
     *
     * Pipeline: 3-word shingles → 8 MinHashes (seeded md5, lexicographic
-    * min) → 4 bands × 2 rows → band-bucket self-join for candidates →
-    * exact Jaccard verify ≥ 0.5. The band join is the scale path: at
+    * min) → 4 bands × 2 rows → band-bucket self-join for candidates
+    * (buckets capped at [[lshBandMaxDf]] members — see there) → exact
+    * Jaccard verify ≥ 0.5. The band join is the scale path: at
     * 100 TB candidates ≪ n², versus the O(n²) all-pairs join. Shingle
     * arrays are computed once and reused across bands.
     */
-  def minhashNearDup(s: SparkSession, dir: String): DataFrame = {
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame =
+    minhashNearDupCore(Tables.loadSpread(s, dir, "documents"), lshBandMaxDf)
+
+  /** Core over any (doc_id, text) frame with an explicit bucket cap —
+    * fixture-testable (BandCapSpec proves cap-invariance on the
+    * natural corpus and the bound on a planted boilerplate clique).
+    */
+  def minhashNearDupCore(docs: DataFrame, maxDf: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val bands = lshBands
     val rowsPerBand = lshRowsPerBand
@@ -762,15 +789,26 @@ object TextQueries {
     // unpersisting here would drop the blocks before first use — the
     // materializing caller clears the cache after the action (Verify
     // and Bench both clearCache() per query).
-    val sigs = Tables.loadSpread(s, dir, "documents")
+    val sigs = docs
       .select($"doc_id", shingles(words($"text")).as("sh"))
       .select($"doc_id", $"sh",
         array((0 until bands).map(b => bandKey($"sh", b, rowsPerBand)): _*).as("bkeys"))
       .persist()
     val banded = sigs.select($"doc_id",
       posexplode($"bkeys").as(Seq("band", "bkey")))
-    val cand = banded.select($"band", $"bkey", $"doc_id".as("i"))
-      .join(banded.select($"band", $"bkey", $"doc_id".as("j")), Seq("band", "bkey"))
+    // Adaptive hot-bucket exclusion (q25's runtime-check discipline):
+    // the oversize-bucket keys are few by construction, so they
+    // broadcast; a clean corpus pays one tiny aggregate (which also
+    // materializes the persisted sigs) and runs the plain self-join.
+    val hotBuckets = banded.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("n")).filter($"n" > maxDf)
+      .select($"band", $"bkey")
+    val cool =
+      if (hotBuckets.limit(1).count() > 0)
+        banded.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
+      else banded
+    val cand = cool.select($"band", $"bkey", $"doc_id".as("i"))
+      .join(cool.select($"band", $"bkey", $"doc_id".as("j")), Seq("band", "bkey"))
       .filter($"i" < $"j")
       .select($"i", $"j").distinct()
     val verified = cand
@@ -797,9 +835,13 @@ object TextQueries {
        |    WHEN 2 THEN ${bkey(2)}
        |    WHEN 3 THEN ${bkey(3)} END AS bkey
        |  FROM s, (SELECT unnest([0,1,2,3]) AS band)),
+       |cool AS (
+       |  SELECT band, bkey FROM banded GROUP BY band, bkey
+       |  HAVING COUNT(*) <= $lshBandMaxDf),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |  FROM banded a JOIN cool USING (band, bkey)
+       |  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
        |  WHERE a.doc_id < b.doc_id),
        |verified AS (
        |  SELECT c.i, c.j,
@@ -1047,6 +1089,17 @@ object TextQueries {
     * hamming ≤ 3 equals the chunk-LSH result exactly (pigeonhole is
     * lossless at this radius). The planted near-dup pairs (q24)
     * reappear here, found by a different signature family.
+    *
+    * Why this join carries NO q24-style bucket cap: the chunk key
+    * space is fixed at 2¹⁶ per chunk and signatures spread into it —
+    * measured occupancy max 4 at sf0.1 and 10 at the 10× probe
+    * (vs 13/70 for the minhash band keys), so there is no hot-bucket
+    * skew term to bound, and a cap would break the exactness
+    * guarantee against the all-pairs oracle. The honest 100 TB limit
+    * is different: occupancy grows ~n/2¹⁶ per bucket, so past ~10⁹
+    * docs the standard move is a wider signature + more tables
+    * (Manku et al., WWW'07: permuted multi-index with ≳log₂ n key
+    * bits), not a membership cap.
     */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1723,31 +1776,65 @@ object TextQueries {
     * INTEGERS (so any downstream aggregate can stay exact), both
     * ratios, and the ≥0.5 verdict. Cost: the q24 candidate set plus
     * one 8-component vector compare per pair — corpus-size-bounded by
-    * the band buckets, never all-pairs. Docs with no shingles are
-    * excluded up front (their null minhashes can't honestly
-    * participate, and concat_ws vs SQL `||` disagree about null band
-    * keys).
+    * the band buckets (capped at [[lshBandMaxDf]] members, the q24
+    * discipline, mirrored in the oracle), never all-pairs. Docs with
+    * no shingles are excluded up front (their null minhashes can't
+    * honestly participate, and concat_ws vs SQL `||` disagree about
+    * null band keys).
+    *
+    * Payload discipline: the PERSISTED staging table is (doc_id, mh)
+    * only — band keys are derived from the mh array (each bkey is the
+    * concatenation of its band's components, so deriving them halves
+    * the seeded-md5 work too), and the fat shingle arrays are never
+    * persisted or shuffled corpus-wide: text is re-read and shingled
+    * for the CANDIDATE doc set only, after the semi-join.
     */
   def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = lshBands
     val rowsPerBand = lshRowsPerBand
-    val sigs = Tables.loadSpread(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", $"text")
+    val sigs = docs
       .select($"doc_id", shingles(words($"text")).as("sh"))
       .filter(size($"sh") > 0)
-      .select($"doc_id", $"sh",
-        array((0 until bands * rowsPerBand).map(i => minhash($"sh", i)): _*).as("mh"),
-        array((0 until bands).map(b => bandKey($"sh", b, rowsPerBand)): _*).as("bkeys"))
+      .select($"doc_id",
+        array((0 until bands * rowsPerBand).map(i => minhash($"sh", i)): _*).as("mh"))
       .persist()
     val banded = sigs.select($"doc_id",
-      posexplode($"bkeys").as(Seq("band", "bkey")))
-    val cand = banded.select($"band", $"bkey", $"doc_id".as("i"))
-      .join(banded.select($"band", $"bkey", $"doc_id".as("j")), Seq("band", "bkey"))
+      posexplode(array((0 until bands).map(b => concat_ws("|",
+        (0 until rowsPerBand).map(r =>
+          element_at($"mh", b * rowsPerBand + r + 1)): _*)): _*))
+        .as(Seq("band", "bkey")))
+    val hotBuckets = banded.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("n")).filter($"n" > lshBandMaxDf)
+      .select($"band", $"bkey")
+    val cool =
+      if (hotBuckets.limit(1).count() > 0)
+        banded.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
+      else banded
+    // the candidate set feeds three consumers (both sides of the id
+    // union and the final pair join) — persist it, or the band
+    // self-join + distinct shuffle re-runs per consumer. It is
+    // bucket-bounded by construction (≤ cap²/2 per bucket), the
+    // smallest table in the query.
+    val cand = cool.select($"band", $"bkey", $"doc_id".as("i"))
+      .join(cool.select($"band", $"bkey", $"doc_id".as("j")), Seq("band", "bkey"))
       .filter($"i" < $"j")
       .select($"i", $"j").distinct()
+      .persist()
+    // shingle arrays only for docs that are actually in a candidate
+    // pair: join text to the (small) candidate id set FIRST, so the
+    // shingle recompute and the array payload are candidate-bounded
+    val candIds = cand.select($"i".as("doc_id"))
+      .union(cand.select($"j".as("doc_id"))).distinct()
+    val candPayload = docs.join(candIds, "doc_id")
+      .select($"doc_id", shingles(words($"text")).as("sh"))
+      .join(sigs, "doc_id")
+      .persist()
     cand
-      .join(sigs.select($"doc_id".as("i"), $"sh".as("sh_i"), $"mh".as("mh_i")), "i")
-      .join(sigs.select($"doc_id".as("j"), $"sh".as("sh_j"), $"mh".as("mh_j")), "j")
+      .join(candPayload.select($"doc_id".as("i"), $"sh".as("sh_i"), $"mh".as("mh_i")), "i")
+      .join(candPayload.select($"doc_id".as("j"), $"sh".as("sh_j"), $"mh".as("mh_j")), "j")
       .withColumn("n_match",
         expr("size(filter(zip_with(mh_i, mh_j, (a, b) -> a = b), x -> x))")
           .cast("long"))
@@ -1780,9 +1867,13 @@ object TextQueries {
        |    $bandCases END AS bkey
        |  FROM s, (SELECT unnest([${(0 until lshBands).mkString(",")}]) AS band)
        |  WHERE len(sh) > 0),
+       |cool AS (
+       |  SELECT band, bkey FROM banded GROUP BY band, bkey
+       |  HAVING COUNT(*) <= $lshBandMaxDf),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |  FROM banded a JOIN cool USING (band, bkey)
+       |  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
        |  WHERE a.doc_id < b.doc_id),
        |v AS (
        |  SELECT c.i, c.j,
