@@ -7,12 +7,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology: one warmup pass (JIT + codegen + shuffle-service warm)
   * whose times seed the measurement, two more timed passes (min-of-3
-  * total), outlier re-measure via [[BenchCore]], a hard wall-clock
+  * total; sub-0.3 s-warmup queries take one — they cannot move the 2×
+  * bar), outlier re-measure via [[BenchCore]], a hard wall-clock
   * budget (SPARK_GRAFT_BENCH_BUDGET_S, default 1400 s), and
-  * incremental JSON persistence after every sample. Each query is
-  * forced through the noop sink so every column is materialized (a
-  * bare count() would let Catalyst prune the computation being
-  * measured).
+  * incremental JSON persistence after every sample. The sf1 scale
+  * probe (warmup + 1 pass + ratio-alarm confirms,
+  * [[BenchCore.probeMeasure]]) persists per-entry samples/spread/pass
+  * counts and the budget left at its start/end, so a superlinear
+  * number in the artifact is re-measured evidence, never a
+  * budget-truncated single sample. Each query is forced through the
+  * noop sink so every column is materialized (a bare count() would
+  * let Catalyst prune the computation being measured).
   */
 object Bench {
   /** sf1 probe set: the most expensive queries AND the fastest-growing
@@ -129,8 +134,12 @@ object Bench {
       persistPartial()
       sec
     }
+    // quickThresholdS: a query whose warmup came in sub-0.3 s takes one
+    // timed pass, not two — it cannot move the 2x headline bar, and the
+    // saved wall time is exactly the headroom the sf1 probe below needs
+    // to never again be budget-truncated into a noisy artifact (r13).
     val measured = BenchCore.measure(queries.map(_._1), timedRun,
-      seed = warm, outOfBudget = outOfBudget)
+      seed = warm, outOfBudget = outOfBudget, quickThresholdS = 0.3)
     val results = queries.map { case (name, _) => name -> measured(name).min }
 
     val qs = results.collect { case (k, v) if !measured(k).truncated =>
@@ -165,6 +174,7 @@ object Bench {
     require(missingProbe.isEmpty,
       s"sf1 probe names not registered in SparkEntry.queries: " +
         missingProbe.mkString(", "))
+    def budgetLeftS: Double = (deadlineNanos - System.nanoTime()) / 1e9
     val sf1Section =
       if (wanted.nonEmpty || outOfBudget() ||
           !new java.io.File(sf1Dir, "documents.parquet").exists() ||
@@ -173,6 +183,7 @@ object Bench {
       else {
         val probe = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (n, _) => probeNames.contains(n) }
+        val budgetAtStart = budgetLeftS
         // Probe warmups seed the probe measure too, and the SAME
         // deadline governs every probe run — the probe is a ratio
         // check, so a budget-truncated probe (fewer entries) is still
@@ -186,12 +197,32 @@ object Bench {
           spark.catalog.clearCache()
           sec
         }
-        val pMeasured = BenchCore.measure(probe.map(_._1), probeRun,
-          seed = pWarm, outOfBudget = outOfBudget)
-        val pq = probe.collect { case (name, _) if !pMeasured(name).truncated =>
-          "\"" + name + "\":" + pMeasured(name).min
-        }.mkString("{", ",", "}")
-        s""","sf1":{"dir":"$sf1Dir","queries":$pq}"""
+        // warmup + 1 timed pass per entry; any entry whose best still
+        // exceeds 10x its same-run sf0.1 min gets confirmation passes
+        // (BenchCore.probeMeasure) — a superlinear number in this
+        // artifact has survived re-measurement, and every sample,
+        // spread and pass count is persisted so a reader can tell box
+        // noise from plan drift (the r13 40.5x lesson).
+        val baseline = queries.map { case (n, _) => n -> measured(n).min }.toMap
+        val pMeasured = BenchCore.probeMeasure(probe.map(_._1), probeRun,
+          baseline = baseline, ratioAlarm = 10.0,
+          outOfBudget = outOfBudget, seed = pWarm)
+        def pField(f: BenchCore.ProbeResult => String): String =
+          probe.collect { case (name, _) if !pMeasured(name).truncated =>
+            "\"" + name + "\":" + f(pMeasured(name))
+          }.mkString("{", ",", "}")
+        val pq = pField(_.min.toString)
+        val pRatio = pField(r => f"${r.ratio}%.2f")
+        val pSpread = pField(r => f"${r.spread}%.3f")
+        val pPasses = pField(_.samples.size.toString)
+        val pSamples = pField(_.samples.mkString("[", ",", "]"))
+        val pTrunc = probe.collect { case (name, _) if pMeasured(name).truncated =>
+          "\"" + name + "\""
+        }.mkString("[", ",", "]")
+        s""","sf1":{"dir":"$sf1Dir","budget_left_start_s":${f"$budgetAtStart%.1f"},""" +
+          s""""queries":$pq,"ratio":$pRatio,"spread":$pSpread,""" +
+          s""""passes":$pPasses,"samples":$pSamples,"truncated":$pTrunc,""" +
+          s""""budget_left_end_s":${f"$budgetLeftS%.1f"}}"""
       }
 
     val rerunsField = if (reruns == "{}") "" else s""","reruns":$reruns"""

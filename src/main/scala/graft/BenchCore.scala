@@ -65,6 +65,13 @@ object BenchCore {
     * `outOfBudget` is consulted before every individual run (passes
     * and reruns); once it returns true no further work is started and
     * the samples already taken are summarized.
+    *
+    * `quickThresholdS` (0 disables): a query whose WARMUP sample came
+    * in below the threshold takes a single timed pass instead of
+    * `passes - 1` — a sub-0.3 s query cannot move a 2× headline bar,
+    * and the saved passes are budget the scale probe needs. Only a
+    * valid seed qualifies (an unseeded or failed-warmup query still
+    * gets the full pass count: there is no evidence it is quick).
     */
   def measure(
       names: Seq[String],
@@ -74,14 +81,19 @@ object BenchCore {
       maxReruns: Int = 2,
       cleanFactor: Double = 1.5,
       outOfBudget: () => Boolean = () => false,
-      seed: Map[String, Double] = Map.empty): Map[String, QueryResult] = {
+      seed: Map[String, Double] = Map.empty,
+      quickThresholdS: Double = 0.0): Map[String, QueryResult] = {
     val validSeed = seed.filter(_._2 >= 0)
+    val target = names.map { n =>
+      n -> (if (validSeed.get(n).exists(_ < quickThresholdS)) math.min(2, passes)
+            else passes)
+    }.toMap
     val acc = collection.mutable.LinkedHashMap(
       names.map(n => n -> validSeed.get(n).toVector): _*)
     var pass = 0
     while (pass < passes && !outOfBudget()) {
       names.foreach { n =>
-        if (acc(n).size < passes && !outOfBudget()) acc(n) :+= run(n)
+        if (acc(n).size < target(n) && !outOfBudget()) acc(n) :+= run(n)
       }
       pass += 1
     }
@@ -111,6 +123,66 @@ object BenchCore {
           }
         }
         name -> QueryResult(best, spread, extra.size, all ++ extra.reverse)
+      }
+    }.toMap
+  }
+
+  /** One scale-probe entry: best wall seconds, spread over ALL valid
+    * samples (seed included — the probe runs after the corpus in a
+    * warm JVM, so the seed is not JIT-cold the way the corpus warmup
+    * is), every sample, and the ratio of the best to the caller's
+    * baseline (-1 when no baseline or no valid sample exists).
+    */
+  final case class ProbeResult(
+      min: Double, spread: Double, samples: Seq[Double], ratio: Double) {
+    def truncated: Boolean = samples.isEmpty
+  }
+
+  /** Scale-probe measurement: ratio evidence, not a headline number.
+    *
+    * Each entry takes its seeded warmup plus ONE timed pass (half the
+    * cost of the corpus's min-of-3 — a probe needs to distinguish
+    * "~6× on 10× data" from "~40×", not win a 2× bar), and then —
+    * the round-13 lesson, where a budget-truncated single sample on a
+    * thrashing box recorded 40.5× into the artifact of record — any
+    * entry whose running best still exceeds `ratioAlarm ×` its
+    * baseline gets up to `maxConfirm` confirmation passes. A
+    * superlinear pin in the output has therefore survived repeated
+    * re-measurement, and the per-entry sample list + spread land in
+    * the artifact so a reader can tell noise from drift without a
+    * bisect.
+    *
+    * `baseline` is the same-run corpus minimum per query (the probe
+    * dir holds `scale ×` the corpus input, so ratio ≈ scale means
+    * linear). Entries without a baseline (corpus run truncated) just
+    * skip the alarm. `outOfBudget` gates every run, as in measure().
+    */
+  def probeMeasure(
+      names: Seq[String],
+      run: String => Double,
+      baseline: Map[String, Double],
+      ratioAlarm: Double = 10.0,
+      maxConfirm: Int = 2,
+      outOfBudget: () => Boolean = () => false,
+      seed: Map[String, Double] = Map.empty): Map[String, ProbeResult] = {
+    names.map { name =>
+      var samples = seed.get(name).filter(_ >= 0).toVector
+      if (!outOfBudget()) samples :+= run(name)
+      def ok = samples.filter(_ >= 0)
+      if (ok.isEmpty) {
+        name -> ProbeResult(-1.0, -1.0, samples, -1.0)
+      } else {
+        val base = baseline.get(name).filter(_ > 0)
+        def best = ok.min
+        var confirms = 0
+        while (base.exists(b => best / b > ratioAlarm) &&
+            confirms < maxConfirm && !outOfBudget()) {
+          samples :+= run(name)
+          confirms += 1
+        }
+        val spread = if (ok.size < 2 || ok.min <= 0) 1.0 else ok.max / ok.min
+        name -> ProbeResult(best, spread, samples,
+          base.map(best / _).getOrElse(-1.0))
       }
     }.toMap
   }

@@ -26,5 +26,15 @@ object SessionDefaults {
       // the bounded-heap aggregate — the same plan contract the Column
       // API gets, now also for plain-SQL users of Verify/Bench/tests.
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // AQE's post-shuffle partition COALESCING is off: it merges
+      // partitions by shuffle BYTES, which is blind to compute-dense
+      // rows — the r14 q134 finding, where a few MB of candidate
+      // pairs coalesced to ONE partition and serialized seconds of
+      // Levenshtein DP through a single core (and the range-sort's
+      // sampling pass ran the single-task join twice). This engine's
+      // heavy stages are hash/DP/regex per row, not bytes, so
+      // parallelism-first is the right default at every scale; AQE
+      // itself (runtime re-plan, skew-join splitting) stays ON.
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
   }
 }

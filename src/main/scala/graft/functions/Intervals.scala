@@ -30,28 +30,56 @@ object Intervals {
     }
   }
 
-  private val secondsPerUnit = Map(
-    "s" -> 1L, "m" -> 60L, "h" -> 3600L, "d" -> 86400L, "b" -> 86400L,
-    "M" -> 2592000L, "Q" -> 7776000L, "q" -> 7776000L, "y" -> 31536000L)
+  private val millisPerUnit = Map(
+    "ms" -> 1L, "s" -> 1000L, "m" -> 60000L, "h" -> 3600000L,
+    "d" -> 86400000L, "b" -> 86400000L, "M" -> 2592000000L,
+    "Q" -> 7776000000L, "q" -> 7776000000L, "y" -> 31536000000L)
 
-  /** F6 — `convert_string_interval_to_miliseconds` (utils.py:464-509,
+  /** F6 — `convert_string_interval_to_miliseconds` (utils.py:496-510,
     * map at :464-474): "5m" → 300000. Lookup is exact-key first, then
     * lowercase — the reference lowercases BEFORE its lookup, which
     * makes its own "M"/"Q" month/quarter entries unreachable
     * (utils.py:505 `unit.lower()`); exact-first restores them while
-    * matching every reachable reference result.
+    * matching every reachable reference result. "ms" is an engine
+    * extension: v3's VALID_INTERVALS (vars.py:200-216) enumerates
+    * 10ms/100ms/500ms but the reference's own converter has no "ms"
+    * entry and would raise on them — here every enumerated interval
+    * except "tick" converts, and [[validateInterval]] is the gate.
     */
   def intervalToMillis(timeframe: String): Long = {
     val (unit, n) = extractNumericValue(timeframe)
-    val sec = secondsPerUnit.get(unit)
-      .orElse(secondsPerUnit.get(unit.toLowerCase))
+    val ms = millisPerUnit.get(unit)
+      .orElse(millisPerUnit.get(unit.toLowerCase))
       .getOrElse(throw new IllegalArgumentException(s"Unsupported time unit: $unit"))
-    n * sec * 1000L
+    n * ms
+  }
+
+  /** The v3 interval surface (vars.py:200-216), finest first. */
+  val validIntervals: Seq[String] = Seq(
+    "tick", "10ms", "100ms", "500ms", "1s", "5s", "10s", "15s", "30s",
+    "1m", "5m", "10m", "15m", "30m", "1h")
+
+  /** The resample minimum-grain gate (v3/utils.py:311-313): an
+    * interval below `minimum` raises with the reference's message.
+    * The reference derives its minimum from
+    * PRICING_CONFIG["INTRADAY_AGG"] (vars.py:198 —
+    * MINIMUM_MILLISECONDS), an external config; here the caller
+    * passes it (default "1s": the engine's windowed resample is
+    * exact at any grain, so only genuinely un-aggregatable requests
+    * — "tick", treated as 0 ms like the raw feed it names — are
+    * rejected by default). Returns the interval's milliseconds.
+    */
+  def validateInterval(timeframe: String, minimum: String = "1s"): Long = {
+    val ms = if (timeframe == "tick") 0L else intervalToMillis(timeframe)
+    if (ms < intervalToMillis(minimum))
+      throw new IllegalArgumentException(
+        s"Interval $timeframe is too small. Minimum allowed is $minimum")
+    ms
   }
 
   private val sparkUnit = Map(
-    "s" -> "seconds", "m" -> "minutes", "h" -> "hours", "d" -> "days",
-    "b" -> "days", "w" -> "weeks")
+    "ms" -> "milliseconds", "s" -> "seconds", "m" -> "minutes",
+    "h" -> "hours", "d" -> "days", "b" -> "days", "w" -> "weeks")
 
   /** Compact reference timeframe → Spark interval string
     * ("5m" → "5 minutes") for `window()`/resample calls.

@@ -1379,9 +1379,20 @@ object TextQueries {
     * handled by the shingle families, which ignore word order and
     * don't key on the head). Per-pair verify cost is bounded by the
     * 128-char truncation: O(128²) DP per candidate, never O(|doc|²).
+    *
+    * loadSpread, not load: the r14 probe re-pin exposed that this
+    * query's 19× sf1 ratio was NOT the pair-count transition the r13
+    * analysis blamed — the single-row-group probe file made the scan
+    * one task, Spark then chose a BroadcastHashJoin for the block
+    * self-join, and the whole candidate join + Levenshtein DP rode
+    * that one core. Spreading the scan (the compute-dense-pipeline
+    * discipline documented on Tables.loadSpread) restores the
+    * parallel plan; the pair-count growth itself (739 → 49,671 →
+    * 294,993 capped pairs at sf0.1/sf1/sf3docs) prices in at
+    * microseconds per 128-char DP across cores.
     */
   def editDistanceDedup(s: SparkSession, dir: String): DataFrame =
-    editDistanceDedupCore(Tables.load(s, dir, "documents"))
+    editDistanceDedupCore(Tables.loadSpread(s, dir, "documents"))
 
   /** Core over any (doc_id, text) frame — fixture-testable. */
   def editDistanceDedupCore(docs: DataFrame): DataFrame = {
@@ -1393,8 +1404,27 @@ object TextQueries {
     val ok = b.groupBy($"blk").agg(count(lit(1)).as("bn"))
       .filter($"bn" <= 64).select($"blk")
     val blocked = b.join(ok, "blk")
+    // The join shape is pinned TWICE, because byte-based planning is
+    // blind to compute-dense rows (the r14 probe lesson — this query's
+    // "19x at 10x data" was never the pair-count transition, it was
+    // the plan degenerating to one core):
+    //  - shuffle_hash hint, not broadcast: a self-join's sides are the
+    //    same size, and when the slice fits the broadcast threshold
+    //    Catalyst serializes the whole candidate+DP pipeline through
+    //    the scan's task layout (single row group -> ONE task) and
+    //    parks a corpus-sized HashedRelation on every executor;
+    //  - explicit repartition(p, blk) on both sides: AQE's
+    //    size-based coalescer sees a few MB of shuffle bytes and would
+    //    fold the join to ONE partition, serializing ~microseconds x
+    //    pair-count of Levenshtein DP; a user-specified partition
+    //    count is the one thing it must respect. Co-partitioned
+    //    inputs double as the 100 TB shape: both sides hash on blk
+    //    once, the join is local, and the DP work spreads p-wide.
+    val p = s.sparkContext.defaultParallelism
     blocked.select($"blk", $"doc_id".as("i"), $"head".as("hi"))
-      .join(blocked.select($"blk", $"doc_id".as("j"), $"head".as("hj")), Seq("blk"))
+      .repartition(p, $"blk").hint("shuffle_hash")
+      .join(blocked.select($"blk", $"doc_id".as("j"), $"head".as("hj"))
+        .repartition(p, $"blk"), Seq("blk"))
       .filter($"i" < $"j")
       .select($"i", $"j", levenshtein($"hi", $"hj").cast("long").as("dist"))
       .filter($"dist" <= 24)

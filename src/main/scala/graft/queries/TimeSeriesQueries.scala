@@ -55,6 +55,57 @@ object TimeSeriesQueries {
       |GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** q154: A1 at a SUB-MINUTE grain — the 10-second OHLCV resample,
+    * exercising the bottom of the v3 interval surface
+    * ([[graft.functions.Intervals.validIntervals]], vars.py:200-216:
+    * tick/10ms/…/1h) that the hourly corpus never touches. The
+    * interval string goes through the real plumbing —
+    * `validateInterval` (the MINIMUM_MILLISECONDS gate,
+    * v3/utils.py:311-313) then `toSparkInterval` — so the query IS
+    * the proof the grain machinery composes. Same tumbling-window
+    * shape as q10: at any scale the shuffle is keyed on
+    * (bucket, event_type) and output is grid-sized, so a 6× finer
+    * grain costs rows, never a new plan. Oracle buckets via DuckDB's
+    * time_bucket (origin 2000-01-01, a whole multiple of 10 s from
+    * Spark's 1970 epoch, so the grids align exactly).
+    */
+  def resampleOhlc10s(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Intervals
+    Intervals.validateInterval("10s")
+    val grain = Intervals.toSparkInterval("10s")
+    val ev = Tables.load(s, dir, "events")
+    val ord = struct($"ts", $"event_id")
+    ev.groupBy(window($"ts", grain)("start").as("bucket"), $"event_type")
+      .agg(
+        min_by($"value", ord).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", ord).as("close"),
+        dsum($"value").as("volume"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"bucket", $"event_type")
+  }
+
+  val resampleOhlc10sSql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, time_bucket(INTERVAL '10 seconds', ts) AS bucket, value,
+      |    row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL '10 seconds', ts)
+      |                       ORDER BY ts, event_id) AS rna,
+      |    row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL '10 seconds', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rnd
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events)
+      |SELECT bucket, event_type,
+      |  MAX(CASE WHEN rna = 1 THEN value END) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS volume,
+      |  COUNT(*) AS n_events
+      |FROM ranked
+      |GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
   /** W1/W2 — keep-last dedup on a composite key (utils.py:684-690,
     * v2.py:1658-1663): latest event per (user_id, event_type), arrival
     * order made explicit via (ts, event_id).
@@ -906,6 +957,7 @@ object TimeSeriesQueries {
 
   val defs: Map[String, Q] = Map(
     "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
+    "q154_resample_ohlc_10s" -> (resampleOhlc10s(_, _)),
     "q137_linear_interpolate" -> (linearInterpolate(_, _)),
     "q141_ema_hourly" -> (emaHourly(_, _)),
     "q150_seasonal_decompose" -> (seasonalDecompose(_, _)),
@@ -927,6 +979,7 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
+    "q154_resample_ohlc_10s" -> resampleOhlc10sSql,
     "q137_linear_interpolate" -> linearInterpolateSql,
     "q141_ema_hourly" -> emaHourlySql,
     "q150_seasonal_decompose" -> seasonalDecomposeSql,

@@ -138,6 +138,87 @@ class BenchSpec extends AnyFunSuite {
     assert(out("w").min == 1.0 && out("w").spread == 9.0)
   }
 
+  test("a quick seeded query takes one timed pass; slow and unseeded take full passes") {
+    val script = collection.mutable.Map(
+      "quick" -> List(0.1), // seed 0.2 < 0.3 -> exactly 1 timed pass
+      "slow" -> List(1.0, 1.0), // seed 2.0 >= 0.3 -> 2 timed passes
+      "unseeded" -> List(0.1, 0.1, 0.1)) // no seed -> full 3 passes
+    def run(name: String): Double = {
+      val t :: rest = script(name): @unchecked
+      script(name) = rest
+      t
+    }
+    val out = BenchCore.measure(Seq("quick", "slow", "unseeded"), run,
+      seed = Map("quick" -> 0.2, "slow" -> 2.0), quickThresholdS = 0.3)
+    assert(script.values.forall(_.isEmpty)) // exactly the scripted calls
+    assert(out("quick").min == 0.1 && out("quick").samples == Seq(0.2, 0.1))
+    assert(out("slow").min == 1.0 && out("slow").samples.size == 3)
+    assert(out("unseeded").samples.size == 3)
+  }
+
+  test("quickThresholdS=0 (the default) changes nothing") {
+    val script = collection.mutable.Map("q" -> List(0.1, 0.1))
+    def run(name: String): Double = {
+      val t :: rest = script(name): @unchecked
+      script(name) = rest
+      t
+    }
+    val out = BenchCore.measure(Seq("q"), run, seed = Map("q" -> 0.1))
+    assert(script("q").isEmpty) // passes - 1 = 2 timed runs
+    assert(out("q").samples.size == 3)
+  }
+
+  test("probe: a clean ratio takes warmup + one timed pass, no confirms") {
+    val script = collection.mutable.Map("lin" -> List(6.0))
+    def run(name: String): Double = {
+      val t :: rest = script(name): @unchecked
+      script(name) = rest
+      t
+    }
+    val out = BenchCore.probeMeasure(Seq("lin"), run,
+      baseline = Map("lin" -> 1.0), seed = Map("lin" -> 7.0))
+    assert(script("lin").isEmpty)
+    val r = out("lin")
+    assert(r.min == 6.0 && r.ratio == 6.0 && r.samples == Seq(7.0, 6.0))
+    assert(r.spread == 7.0 / 6.0)
+  }
+
+  test("probe: a suspicious ratio is re-measured until clean or capped") {
+    // First samples say 40x (the r13 artifact); the confirm pass lands
+    // at 6x -> the alarm clears and the clean min is the pin.
+    val noisy = collection.mutable.Map("n" -> List(41.0, 6.0))
+    def runNoisy(name: String): Double = {
+      val t :: rest = noisy(name): @unchecked
+      noisy(name) = rest
+      t
+    }
+    val out = BenchCore.probeMeasure(Seq("n"), runNoisy,
+      baseline = Map("n" -> 1.0), seed = Map("n" -> 40.0))
+    assert(noisy("n").isEmpty)
+    assert(out("n").min == 6.0 && out("n").ratio == 6.0)
+    assert(out("n").samples == Seq(40.0, 41.0, 6.0))
+
+    // Genuinely superlinear: every confirm agrees -> capped at
+    // maxConfirm extra runs, and the pin keeps the (real) 40x with the
+    // evidence trail in samples.
+    var calls = 0
+    def runReal(name: String): Double = { calls += 1; 40.0 }
+    val real = BenchCore.probeMeasure(Seq("r"), runReal,
+      baseline = Map("r" -> 1.0), seed = Map("r" -> 40.0))
+    assert(calls == 3) // 1 timed + 2 confirms
+    assert(real("r").ratio == 40.0 && real("r").samples.size == 4)
+  }
+
+  test("probe: no baseline means no alarm; budget trip marks truncated") {
+    var calls = 0
+    def run(name: String): Double = { calls += 1; 50.0 }
+    val out = BenchCore.probeMeasure(Seq("nb"), run, baseline = Map.empty)
+    assert(calls == 1 && out("nb").ratio == -1.0)
+    val t = BenchCore.probeMeasure(Seq("cut"), run, baseline = Map.empty,
+      outOfBudget = () => true)
+    assert(t("cut").truncated && t("cut").min == -1.0)
+  }
+
   test("every sf1 probe name resolves to a registered query") {
     val missing = Bench.probeNames.filterNot(SparkEntry.queries.keySet)
     assert(missing.isEmpty,

@@ -43,6 +43,26 @@ class IntervalsSpec extends AnyFunSuite {
     assert(toSparkInterval("5m") == "5 minutes")
     assert(toSparkInterval("1h") == "1 hours")
     assert(toSparkInterval("2d") == "2 days")
+    assert(toSparkInterval("10s") == "10 seconds")
+    assert(toSparkInterval("100ms") == "100 milliseconds")
+  }
+
+  test("sub-second intervals convert; the v3 surface validates against a minimum") {
+    // "ms" is the engine extension: the reference's converter has no
+    // ms entry even though v3 VALID_INTERVALS enumerates 10ms/100ms
+    assert(intervalToMillis("10ms") == 10L)
+    assert(intervalToMillis("10s") == 10000L)
+    // every enumerated interval except tick converts
+    validIntervals.filterNot(_ == "tick").foreach(i => intervalToMillis(i))
+    // the MINIMUM_MILLISECONDS gate (v3/utils.py:311-313)
+    assert(validateInterval("10s") == 10000L)
+    assert(validateInterval("10ms", minimum = "10ms") == 10L)
+    val e = intercept[IllegalArgumentException](validateInterval("100ms"))
+    assert(e.getMessage.contains("too small"))
+    // tick names the raw feed: 0 ms, below any aggregation minimum
+    assertThrows[IllegalArgumentException](validateInterval("tick"))
+    // a coarser configured minimum rejects fine minute grains too
+    assertThrows[IllegalArgumentException](validateInterval("1m", minimum = "5m"))
   }
 
   test("F1 normalizeDate canonicalizes common shapes, null otherwise") {
