@@ -137,6 +137,92 @@ object Store {
       .reduceOption(_ || _).getOrElse(lit(true))
     pruned.filter(notAllNull).dropDuplicates()
   }
+
+  /** C3 — one column of the reference's dict-driven DDL
+    * (SQLHelpers.py:560-646 `create_table_from_schema`): name, type
+    * name, optional String length / Enum value domain, nullability,
+    * primary-key flag.
+    */
+  final case class ColumnSpec(
+      name: String, tpe: String, length: Option[Int] = None,
+      values: Option[Seq[String]] = None, nullable: Boolean = true,
+      primaryKey: Boolean = false)
+
+  /** C3 — column-spec list → StructType, mirroring the reference's
+    * type map and its validation errors (String requires `length`,
+    * Enum requires `values`, unknown types raise —
+    * SQLHelpers.py:599-626). Spark has no CHECK constraints, so the
+    * Enum value domain and the String length land in column METADATA
+    * (`enumValues` / `maxLength`, with `primaryKey` for the PK
+    * constraint the reference appends) and
+    * [[assertEnumDomains]] is the engine-side enforcement — the
+    * pre-write validation scan a MERGE pipeline runs where MySQL
+    * would reject the INSERT.
+    */
+  def buildSchema(cols: Seq[ColumnSpec]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(cols.map { c =>
+      val mb = new MetadataBuilder()
+      if (c.primaryKey) mb.putBoolean("primaryKey", true)
+      val dt: DataType = c.tpe match {
+        case "Integer" => IntegerType
+        case "String" =>
+          val len = c.length.getOrElse(throw new IllegalArgumentException(
+            s"Length must be specified for String type column: ${c.name}"))
+          mb.putLong("maxLength", len.toLong)
+          StringType
+        case "Date" => DateType
+        case "Float" => DoubleType // SQLAlchemy Float is double-width
+        case "Boolean" => BooleanType
+        case "Enum" =>
+          val vs = c.values.filter(_.nonEmpty).getOrElse(
+            throw new IllegalArgumentException(
+              s"Values must be specified for Enum type column: ${c.name}"))
+          mb.putStringArray("enumValues", vs.toArray)
+          StringType
+        case "Time" => StringType // HH:MM:SS; Spark has no TIME type
+        case "DateTime" | "Timestamp" => TimestampType
+        case other =>
+          throw new IllegalArgumentException(s"Unsupported column type: $other")
+      }
+      StructField(c.name, dt, nullable = c.nullable, metadata = mb.build())
+    })
+  }
+
+  /** Rows violating any Enum column's value domain declared by
+    * [[buildSchema]]: one output row per (column, offending value)
+    * with its count — the CHECK-constraint report. NULLs are judged
+    * by the field's nullability, not the domain (SQL CHECK semantics:
+    * NULL passes the domain check; the NOT NULL constraint owns it).
+    * One scan per enum column over only that column — a pre-write
+    * validation pass that parallelizes like any columnar filter.
+    */
+  def enumViolations(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val checks = schema.fields.filter(_.metadata.contains("enumValues")).map { f =>
+      val domain = f.metadata.getStringArray("enumValues")
+      df.filter(col(f.name).isNotNull && !col(f.name).isin(domain.toIndexedSeq: _*))
+        .groupBy(col(f.name).cast("string").as("value"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(f.name).as("column"), $"value", $"n")
+    }
+    checks.reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(String, String, Long)].toDF("column", "value", "n"))
+  }
+
+  /** Throws if `df` violates any Enum domain in `schema`, naming every
+    * (column, value, count) — the INSERT-time rejection MySQL's ENUM
+    * gives the reference for free.
+    */
+  def assertEnumDomains(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val bad = enumViolations(df, schema).collect()
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      "Enum domain violations: " + bad.map(r =>
+        s"${r.getString(0)}='${r.getString(1)}' x${r.getLong(2)}").mkString(", "))
+  }
 }
 
 /** S7 — paginated REST accumulation (Alpaca.py:486-517
