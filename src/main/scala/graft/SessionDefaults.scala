@@ -36,5 +36,14 @@ object SessionDefaults {
       // parallelism-first is the right default at every scale; AQE
       // itself (runtime re-plan, skew-join splitting) stays ON.
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // Local split sizing: the test/probe parquet is a handful of
+      // 10-50 MB files, which at the 128 MB default is ONE split (= one
+      // scan task) each — and Spark runs scan-stage expressions,
+      // including join-inferred IsNotNull over derived kernel columns,
+      // at split parallelism. 8 MB maps these files onto the 32-core
+      // box the way a real 100 TB table's thousands of row groups map
+      // onto a cluster; on a deploy this knob moves back up with the
+      // executor count (SURVEY §4 sizing note).
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
   }
 }

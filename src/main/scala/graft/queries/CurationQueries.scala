@@ -20,7 +20,7 @@ object CurationQueries {
     * (Lee et al. 2022 exact-substring signal; CurationOps scale notes).
     */
   def substringDedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     CurationOps.duplicatedSpans(docs, "doc_id", "text", k = 8)
       .orderBy("doc_id")
   }
@@ -250,7 +250,7 @@ object CurationQueries {
     * candidate pairs, never all-pairs.
     */
   def winnowNearDup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     val fp = CurationOps.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
       .select("doc_id", "fp").distinct()
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("dfp"))
@@ -341,7 +341,7 @@ object CurationQueries {
     * the summed weight absorbs summation-order ulps (q110 precedent).
     */
   def dsirResample(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     val weights = CurationOps.dsirLogWeights(
       docs, "doc_id", "text", col("source").isin("src0", "src1"))
     val hex6 = substring(

@@ -520,7 +520,7 @@ object TextQueries {
     import s.implicits._
     import graft.plans.BoundedTopK.boundedTopK
     val S = 1000000L
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     val w = words($"text")
     val postings = docs.select($"doc_id", size(w).cast("long").as("dl"), explode(w).as("term"))
       .groupBy($"doc_id", $"term", $"dl").agg(count(lit(1)).as("tf"))
@@ -622,7 +622,7 @@ object TextQueries {
     */
   def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     val sh = shingles(words($"text"))
     val bench = docs.filter($"doc_id" % 100 === 0)
       .select(explode(sh).as("sh")).distinct()
@@ -1103,9 +1103,18 @@ object TextQueries {
     */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The signature frame is PERSISTED (the q24 staging-table
+    // discipline): the chunk self-join consumes it twice, and without
+    // the cache boundary the join keys' inferred IsNotNull predicates
+    // push a full simhash64-of-shingles evaluation down INTO the
+    // parquet scan — the r14 profiling finding, where the whole FNV
+    // kernel ran at scan-split parallelism before the spread exchange
+    // could help. With the cache, the kernel runs exactly once,
+    // post-spread, and the join filters hit cached longs.
     val docs = Tables.loadSpread(s, dir, "documents")
       .select($"doc_id",
         graft.plans.NativeFunctions.simhash64(shingles(words($"text"))).as("h"))
+      .persist()
     // Pigeonhole LSH: hamming(a,b) <= 3 over 4 disjoint 16-bit chunks
     // forces at least one IDENTICAL chunk — candidates come from an
     // equi-join on (chunk_id, chunk_value) instead of the O(n^2)
@@ -1757,7 +1766,7 @@ object TextQueries {
     * ppb (the q131 fixed-point discipline).
     */
   def ngramNovelty(s: SparkSession, dir: String): DataFrame =
-    ngramNoveltyCore(Tables.load(s, dir, "documents"))
+    ngramNoveltyCore(Tables.loadSpread(s, dir, "documents"))
 
   /** Core over any (doc_id, text) frame — fixture-testable. */
   def ngramNoveltyCore(docs: DataFrame): DataFrame = {
@@ -1825,9 +1834,15 @@ object TextQueries {
     val rowsPerBand = lshRowsPerBand
     val docs = Tables.loadSpread(s, dir, "documents")
       .select($"doc_id", $"text")
+    // The no-shingles guard is written on the WORD count, not on
+    // size(sh) > 0 (equivalent: shingles() is empty exactly when the
+    // doc has under 3 words) — a size(sh) predicate gets pushed into
+    // the parquet scan and re-evaluates the whole shingling expression
+    // per row at scan-split parallelism (r14 profiling finding); the
+    // word-count form pushes down as one cheap split+size.
     val sigs = docs
+      .filter(size(words($"text")) >= 3)
       .select($"doc_id", shingles(words($"text")).as("sh"))
-      .filter(size($"sh") > 0)
       .select($"doc_id",
         array((0 until bands * rowsPerBand).map(i => minhash($"sh", i)): _*).as("mh"))
       .persist()

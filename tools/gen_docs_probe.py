@@ -58,5 +58,8 @@ for i in range(R):
                      pa.array(did + i * STRIDE, type=doc.schema.field("doc_id").type))
     parts.append(t)
 out = pa.concat_tables(parts)
-pq.write_table(out, os.path.join(DST, "documents.parquet"))
+# row_group_size: see gen_sf1.py — single-row-group files serialize the
+# scan stage to one task; real tables have thousands of row groups.
+pq.write_table(out, os.path.join(DST, "documents.parquet"),
+               row_group_size=8192)
 print(f"[gen_docs_probe] documents: {out.num_rows} rows -> {DST}")

@@ -63,7 +63,14 @@ BOILER = ("terms of service apply to all content on this site "
 os.makedirs(DST, exist_ok=True)
 
 def write(name, table):
-    pq.write_table(table, os.path.join(DST, name + ".parquet"))
+    # Realistic row-group granularity (default pyarrow writes ONE row
+    # group for these sizes): a single-row-group file is ONE scan task
+    # in Spark no matter how many byte-range splits it gets, which
+    # serializes every scan-stage expression — including join-inferred
+    # IsNotNull predicates over kernel columns — onto one core. Real
+    # 100 TB tables have thousands of row groups; the probe should too.
+    pq.write_table(table, os.path.join(DST, name + ".parquet"),
+                   row_group_size=8192)
     print(f"[gen_sf1] {name}: {table.num_rows} rows")
 
 def replicate_shifted(name, id_cols):
