@@ -1303,6 +1303,76 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q102: LEAKAGE-SAFE corpus split — the dedup-aware version of
+    * q104's hash split, closing the eval-contamination hole a naive
+    * per-document split leaves open: two near-duplicate documents
+    * hashed independently can land in train AND test, leaking eval
+    * content into training. Here the split key is the near-dup
+    * CLUSTER's canonical id (q24 verified pairs → min-label
+    * components; singletons are their own canonical), so an entire
+    * cluster moves between folds as one unit and NO verified
+    * near-dup pair can straddle a fold boundary — by construction,
+    * and LeakageSplitSpec asserts it on the corpus.
+    *
+    * Same fold geometry as q104 (md5 of the seeded canonical id;
+    * ~5% test / ~5% val by hex-prefix range) so the two splits are
+    * directly comparable. Scale shape: the q24/q82 pair+component
+    * machinery (bounded candidates, label propagation) plus one
+    * doc-keyed left join and per-row hashing — nothing new shuffles.
+    */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents").select($"doc_id")
+    val pairs = minhashNearDup(s, dir).select($"i", $"j")
+    val comps = graft.operators.Components.minLabelComponents(pairs, iters = 6)
+      .select($"id".as("doc_id"), $"comp")
+    val p2 = substring($"h", 1, 2)
+    docs.join(comps, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"comp", $"doc_id").as("canonical_id"),
+        $"comp".isNotNull.as("is_clustered"))
+      .withColumn("h", md5(concat(lit("42:"), $"canonical_id".cast("string"))))
+      .withColumn("split",
+        when(p2 < "0d", lit("test")).when(p2 < "1a", lit("val"))
+          .otherwise(lit("train")))
+      .select($"doc_id", $"canonical_id", $"is_clustered", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val leakageSafeSplitSql: String = {
+    val pairsSubquery = minhashNearDupSql.linesIterator
+      .map("  " + _).mkString("\n")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsSubquery
+       |),
+       |edges AS (
+       |  SELECT i AS a, j AS b FROM pairs
+       |  UNION ALL SELECT j AS a, i AS b FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, reach.r
+       |  FROM reach JOIN edges e ON e.b = reach.id),
+       |comp AS (
+       |  SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+       |canon AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(c.component, d.doc_id) AS canonical_id,
+       |    c.component IS NOT NULL AS is_clustered
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |h AS (
+       |  SELECT doc_id, canonical_id, is_clustered,
+       |    md5('42:' || CAST(canonical_id AS VARCHAR)) AS h
+       |  FROM canon)
+       |SELECT doc_id, canonical_id, is_clustered,
+       |  CASE WHEN substr(h, 1, 2) < '0d' THEN 'test'
+       |       WHEN substr(h, 1, 2) < '1a' THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM h
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q131: cross-source duplication matrix — where the near-dup mass
     * actually SITS: each verified LSH pair (q24) is attributed to its
     * (source_a, source_b) cell (sources sorted within the pair so the
@@ -1947,6 +2017,7 @@ object TextQueries {
     "q92_sequence_packing" -> (sequencePacking(_, _)),
     "q82_dedup_clusters" -> (dedupClusters(_, _)),
     "q128_dedup_retention" -> (dedupRetention(_, _)),
+    "q102_leakage_safe_split" -> (leakageSafeSplit(_, _)),
     "q131_cross_source_overlap" -> (crossSourceOverlap(_, _)),
     "q134_edit_distance_dedup" -> (editDistanceDedup(_, _)),
     "q20_token_stats" -> (tokenStats(_, _)),
@@ -1980,6 +2051,7 @@ object TextQueries {
     "q92_sequence_packing" -> sequencePackingSql,
     "q82_dedup_clusters" -> dedupClustersSql,
     "q128_dedup_retention" -> dedupRetentionSql,
+    "q102_leakage_safe_split" -> leakageSafeSplitSql,
     "q131_cross_source_overlap" -> crossSourceOverlapSql,
     "q134_edit_distance_dedup" -> editDistanceDedupSql,
     "q20_token_stats" -> tokenStatsSql,
