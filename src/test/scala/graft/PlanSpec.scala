@@ -111,6 +111,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q134: block self-join is a pinned shuffle-hash, never broadcast") {
+    // a self-join's sides are the same size: a broadcast flip would
+    // pipeline the candidate+Levenshtein work into the scan's task
+    // layout and park a corpus-sized HashedRelation per executor (the
+    // r14 root cause of the false 19x scale ratio)
+    val p = plan(TextQueries.editDistanceDedup(spark, dir))
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("levenshtein")), p.take(2000))
+  }
+
+  test("scan-stage filters stay cheap: no hash kernels pushed into parquet scans") {
+    // pushdown is aggressive (join-key IsNotNull constraints are
+    // inferred and pushed through everything deterministic); a pushed
+    // predicate over a derived kernel column re-evaluates the kernel
+    // per row at file-split parallelism (the r14 q26/q147 finding)
+    for (name <- Seq("q26_simhash_near_dup", "q147_minhash_calibration",
+        "q24_minhash_near_dup")) {
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      val scanFilters = p.linesIterator.filter(_.contains("DataFilters:")).toSeq
+      scanFilters.foreach { l =>
+        assert(!l.contains("md5("), s"$name pushes an md5 kernel into the scan: $l")
+        assert(!l.contains("simhash"), s"$name pushes the simhash kernel into the scan: $l")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q26: signature frame is cache-staged so the kernel runs once") {
+    val p = plan(TextQueries.simhashNearDup(spark, dir))
+    assert(p.contains("InMemoryTableScan"), p.take(2000))
+    spark.catalog.clearCache()
+  }
+
   test("q24/q25/q26 near-dup plans: no all-pairs product anywhere") {
     for (q <- Seq(TextQueries.minhashNearDup(spark, dir),
         TextQueries.jaccardPairs(spark, dir),
