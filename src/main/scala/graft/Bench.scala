@@ -113,11 +113,16 @@ object Bench {
     // Warmup pass (JIT + codegen + shuffle-service warm; cache cleared
     // per query so persists don't accumulate). The times feed into
     // measure() as each query's first sample — min-of-3 at the cost of
-    // two timed passes.
-    val warm = queries.map { case (name, fn) =>
-      val t = runOnce(fn); spark.catalog.clearCache()
-      samplesSoFar(name) = Vector(t); persistPartial()
-      name -> t
+    // two timed passes. Deadline-gated PER QUERY (a takeWhile over the
+    // strict Seq would evaluate every predicate before any warmup ran
+    // and then run them all ungated).
+    val warm = queries.flatMap { case (name, fn) =>
+      if (outOfBudget()) None
+      else {
+        val t = runOnce(fn); spark.catalog.clearCache()
+        samplesSoFar(name) = Vector(t); persistPartial()
+        Some(name -> t)
+      }
     }.toMap
 
     // Timed passes keep the per-query minimum (robust against
@@ -187,9 +192,15 @@ object Bench {
         // Probe warmups seed the probe measure too, and the SAME
         // deadline governs every probe run — the probe is a ratio
         // check, so a budget-truncated probe (fewer entries) is still
-        // useful where a blown driver timeout is not.
-        val pWarm = probe.takeWhile(_ => !outOfBudget()).map { case (name, fn) =>
-          val t = runOnce(fn, sf1Dir); spark.catalog.clearCache(); name -> t
+        // useful where a blown driver timeout is not. Gated per entry
+        // (not takeWhile: on a strict Seq the predicates all evaluate
+        // before the first warmup runs).
+        val pWarm = probe.flatMap { case (name, fn) =>
+          if (outOfBudget()) None
+          else {
+            val t = runOnce(fn, sf1Dir); spark.catalog.clearCache()
+            Some(name -> t)
+          }
         }.toMap
         val pFns = probe.toMap
         def probeRun(name: String): Double = {
@@ -203,9 +214,8 @@ object Bench {
         // artifact has survived re-measurement, and every sample,
         // spread and pass count is persisted so a reader can tell box
         // noise from plan drift (the r13 40.5x lesson).
-        val baseline = queries.map { case (n, _) => n -> measured(n).min }.toMap
         val pMeasured = BenchCore.probeMeasure(probe.map(_._1), probeRun,
-          baseline = baseline, ratioAlarm = 10.0,
+          baseline = results.toMap, ratioAlarm = 10.0,
           outOfBudget = outOfBudget, seed = pWarm)
         def pField(f: BenchCore.ProbeResult => String): String =
           probe.collect { case (name, _) if !pMeasured(name).truncated =>

@@ -64,10 +64,11 @@ object Intervals {
     * The reference derives its minimum from
     * PRICING_CONFIG["INTRADAY_AGG"] (vars.py:198 —
     * MINIMUM_MILLISECONDS), an external config; here the caller
-    * passes it (default "1s": the engine's windowed resample is
-    * exact at any grain, so only genuinely un-aggregatable requests
-    * — "tick", treated as 0 ms like the raw feed it names — are
-    * rejected by default). Returns the interval's milliseconds.
+    * passes it. The default minimum "1s" rejects everything finer:
+    * the sub-second enumerated grains (10ms/100ms/500ms) and "tick"
+    * (treated as 0 ms, the raw feed it names) — pass a finer
+    * `minimum` to admit them, as IntervalsSpec exercises. Returns
+    * the interval's milliseconds.
     */
   def validateInterval(timeframe: String, minimum: String = "1s"): Long = {
     val ms = if (timeframe == "tick") 0L else intervalToMillis(timeframe)

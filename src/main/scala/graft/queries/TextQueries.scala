@@ -760,6 +760,29 @@ object TextQueries {
     */
   val lshBandMaxDf = 128
 
+  /** Adaptive hot-bucket exclusion shared by the band-join family
+    * (q24 core and q147): drop rows of buckets with more than `maxDf`
+    * members before the candidate self-join. The q25 runtime-check
+    * discipline: a clean corpus pays one tiny aggregate (which also
+    * materializes the caller's persisted signature frame) and runs
+    * the plain self-join. The anti-join is left UN-hinted on purpose:
+    * hot buckets are rare on clean corpora but their COUNT grows with
+    * corpus size on boilerplate-heavy ones (up to bands·n/maxDf
+    * keys), so a forced broadcast would fail at exactly the scale the
+    * cap exists for — the planner broadcasts when small and shuffles
+    * when not.
+    */
+  private def coolBanded(banded: DataFrame, maxDf: Int): DataFrame = {
+    val s = banded.sparkSession
+    import s.implicits._
+    val hotBuckets = banded.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("n")).filter($"n" > maxDf)
+      .select($"band", $"bkey")
+    if (hotBuckets.limit(1).count() > 0)
+      banded.join(hotBuckets, Seq("band", "bkey"), "left_anti")
+    else banded
+  }
+
   /** MinHash + LSH near-duplicate pairs, fully oracle-checked.
     *
     * Pipeline: 3-word shingles → 8 MinHashes (seeded md5, lexicographic
@@ -796,17 +819,7 @@ object TextQueries {
       .persist()
     val banded = sigs.select($"doc_id",
       posexplode($"bkeys").as(Seq("band", "bkey")))
-    // Adaptive hot-bucket exclusion (q25's runtime-check discipline):
-    // the oversize-bucket keys are few by construction, so they
-    // broadcast; a clean corpus pays one tiny aggregate (which also
-    // materializes the persisted sigs) and runs the plain self-join.
-    val hotBuckets = banded.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("n")).filter($"n" > maxDf)
-      .select($"band", $"bkey")
-    val cool =
-      if (hotBuckets.limit(1).count() > 0)
-        banded.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
-      else banded
+    val cool = coolBanded(banded, maxDf)
     val cand = cool.select($"band", $"bkey", $"doc_id".as("i"))
       .join(cool.select($"band", $"bkey", $"doc_id".as("j")), Seq("band", "bkey"))
       .filter($"i" < $"j")
@@ -1921,13 +1934,7 @@ object TextQueries {
         (0 until rowsPerBand).map(r =>
           element_at($"mh", b * rowsPerBand + r + 1)): _*)): _*))
         .as(Seq("band", "bkey")))
-    val hotBuckets = banded.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("n")).filter($"n" > lshBandMaxDf)
-      .select($"band", $"bkey")
-    val cool =
-      if (hotBuckets.limit(1).count() > 0)
-        banded.join(broadcast(hotBuckets), Seq("band", "bkey"), "left_anti")
-      else banded
+    val cool = coolBanded(banded, lshBandMaxDf)
     // the candidate set feeds three consumers (both sides of the id
     // union and the final pair join) — persist it, or the band
     // self-join + distinct shuffle re-runs per consumer. It is
