@@ -357,7 +357,16 @@ object SimilarityQueries {
     // of re-scanning parquet and re-quantizing each time — at 100 TB
     // this is "stage the ≤100k-vector sample", the standard IVF
     // training shape.
-    val sample = emb.filter(pmod($"vec_id", lit(4)) === 0).localCheckpoint()
+    // Training frames are sample-bounded (≤100k vectors by design),
+    // so every Lloyd-loop stage is pinned to a small explicit width:
+    // with AQE coalescing off (SessionDefaults), letting these tiny
+    // per-iteration aggregates shuffle at the session's full width
+    // pays ~shuffle-partitions task launches per stage for rows that
+    // fit in a handful of tasks. Partitioning by the grouping key at
+    // checkpoint time makes each iteration's groupBy exchange-free.
+    val trainWidth = 8
+    val sample = emb.filter(pmod($"vec_id", lit(4)) === 0)
+      .repartition(trainWidth, $"vec_id").localCheckpoint()
     def d2(q: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
       aggregate(zip_with(q, c, (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v)
     // Farthest-first seeds, computed in ONE task over the staged
@@ -416,6 +425,9 @@ object SimilarityQueries {
         .select($"r.ccid".as("ccid"), $"r.q".as("q"))
       cent = assign
         .select($"ccid", posexplode($"q").as(Seq("pos", "qv")))
+        // k×dim recenter rows: one narrow keyed exchange, then both
+        // groupBys run exchange-free off it
+        .repartition(trainWidth, $"ccid")
         .groupBy($"ccid", $"pos")
         .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("c"))
         .groupBy($"ccid")
@@ -757,6 +769,11 @@ object SimilarityQueries {
     val M = 8; val D = 8; val KS = 16; val ITERS = 2
     val emb = Tables.loadSpread(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q"))
+    // Same small-explicit-width discipline as [[ivfKmeans]]: the
+    // training sample is bounded by design, so its Lloyd stages are
+    // pinned narrow instead of shuffling at the session's full width
+    // on every tiny per-iteration aggregate.
+    val trainWidth = 8
     val sample = emb.filter(pmod($"vec_id", lit(4)) === 0).localCheckpoint()
     // Per-subspace farthest-first seeds, one task over the staged
     // sample (q97's seeding, run once per subspace on the subvectors).
@@ -802,10 +819,15 @@ object SimilarityQueries {
         }
       }
       .toDF("sub", "ccid", "cvec").localCheckpoint()
-    // Lloyd on the sample subvectors, all M subspaces per pass
+    // Lloyd on the sample subvectors, all M subspaces per pass. The
+    // exploded subvector table is static across iterations — staged
+    // once, partitioned by the assignment key so every iteration's
+    // groupBy(vec_id, sub) runs exchange-free.
     val ssub = sample
       .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("sub"), $"q")
       .select($"vec_id", $"sub", slice($"q", $"sub" * D + 1, lit(D)).as("sv"))
+      .repartition(trainWidth, $"vec_id")
+      .localCheckpoint()
     def d2c(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
     var cent = seeds
@@ -817,6 +839,9 @@ object SimilarityQueries {
         .select($"sub", $"r.ccid".as("ccid"), $"r.sv".as("sv"))
       cent = assign
         .select($"sub", $"ccid", posexplode($"sv").as(Seq("pos", "x")))
+        // M×KS×D recenter rows: one narrow keyed exchange, then both
+        // groupBys run exchange-free off it
+        .repartition(trainWidth, $"sub", $"ccid")
         .groupBy($"sub", $"ccid", $"pos")
         .agg((sum($"x").cast("double") / count(lit(1)).cast("double")).as("c"))
         .groupBy($"sub", $"ccid")

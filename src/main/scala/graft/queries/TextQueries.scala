@@ -762,15 +762,16 @@ object TextQueries {
 
   /** Adaptive hot-bucket exclusion shared by the band-join family
     * (q24 core and q147): drop rows of buckets with more than `maxDf`
-    * members before the candidate self-join. The q25 runtime-check
-    * discipline: a clean corpus pays one tiny aggregate (which also
-    * materializes the caller's persisted signature frame) and runs
-    * the plain self-join. The anti-join is left UN-hinted on purpose:
-    * hot buckets are rare on clean corpora but their COUNT grows with
-    * corpus size on boilerplate-heavy ones (up to bands·n/maxDf
-    * keys), so a forced broadcast would fail at exactly the scale the
-    * cap exists for — the planner broadcasts when small and shuffles
-    * when not.
+    * members before the candidate self-join. PURE plan construction —
+    * building the frame launches no Spark jobs (asserted by a
+    * listener in BandCapSpec); the anti-join is always in the plan,
+    * exactly mirroring the oracle's unconditional HAVING. The
+    * anti-join is left UN-hinted on purpose: hot buckets are rare on
+    * clean corpora (AQE's runtime re-plan sees the tiny aggregated
+    * side and broadcasts it) but their COUNT grows with corpus size
+    * on boilerplate-heavy ones (up to bands·n/maxDf keys), so a
+    * forced broadcast would fail at exactly the scale the cap exists
+    * for — the planner broadcasts when small and shuffles when not.
     */
   private def coolBanded(banded: DataFrame, maxDf: Int): DataFrame = {
     val s = banded.sparkSession
@@ -778,9 +779,7 @@ object TextQueries {
     val hotBuckets = banded.groupBy($"band", $"bkey")
       .agg(count(lit(1)).as("n")).filter($"n" > maxDf)
       .select($"band", $"bkey")
-    if (hotBuckets.limit(1).count() > 0)
-      banded.join(hotBuckets, Seq("band", "bkey"), "left_anti")
-    else banded
+    banded.join(hotBuckets, Seq("band", "bkey"), "left_anti")
   }
 
   /** MinHash + LSH near-duplicate pairs, fully oracle-checked.

@@ -37,6 +37,22 @@ class ComponentsSpec extends AnyFunSuite {
     assert(comps(path, iters = 10).values.toSet == Set(1L))
   }
 
+  test("pointer doubling: a diameter-199 chain resolves in O(log d) rounds") {
+    // plain min-propagation would need ~199 rounds; the doubled
+    // schedule covers pointer distance 2^(r-1) per round, so 12
+    // rounds are ample for a 200-node path — the boilerplate-chain
+    // shape a real corpus dedup hits
+    val path = (1L to 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(comps(path, iters = 12).values.toSet == Set(1L))
+  }
+
+  test("pointer doubling: the default budget covers diameter 16") {
+    // 2^(5-1) = 16 — the default iters=5 now certifies any graph of
+    // diameter ≤ 16, not ≤ 5
+    val path = (1L to 17L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(comps(path, iters = 5).values.toSet == Set(1L))
+  }
+
   test("early exit: tiny components finish before the round cap") {
     // pairs have diameter 1 — a huge cap must not cost extra rounds
     // (observable as: it terminates fast and correctly)
