@@ -858,15 +858,28 @@ object SimilarityQueries {
     require(book.size == M && book.values.forall(_.size == KS),
       s"PQ training left an empty cluster: ${book.view.mapValues(_.size).toMap}")
     def litVec(a: Array[Long]) = array(a.map(lit(_)): _*)
-    // code_s = argmin_c d2(subvec_s, centroid_{s,c}) — pure map expr
-    def codeExpr(sp: Int) = array_min(array(book(sp).map { case (ccid, cv) =>
-      struct(d2c(slice($"q", sp * D + 1, D), litVec(cv)).as("d2"), lit(ccid).as("ccid"))
-    }: _*)).getField("ccid")
-    val coded = emb.select($"vec_id",
-      array((0 until M).map(codeExpr): _*).as("code"))
+    // The codebook enters the plan as ONE literal array of structs —
+    // data in a single literal, not M×KS inlined expression trees.
+    // The per-row argmin / table-build lambdas below are compiled
+    // once, which removes the dominant toy-scale driver cost
+    // (analysis + codegen of 128 distance subtrees) while staying a
+    // pure map — no joins, no shuffles, identical arithmetic. Order
+    // is sub-major, ccid-ascending: the ADC element_at indexing
+    // relies on it.
+    val bookLit = array((for (sp <- 0 until M; (ccid, cv) <- book(sp)) yield
+      struct(lit(sp).as("sub"), lit(ccid).as("ccid"),
+        litVec(cv).as("cvec"))): _*)
+    // code_s = argmin_c d2(subvec_s, centroid_{s,c}) — pure map expr;
+    // ties break to the smallest ccid via the (d2, ccid) struct min,
+    // exactly as the inlined form did
+    val codeCol = transform(sequence(lit(0), lit(M - 1)), sp =>
+      array_min(transform(filter(bookLit, e => e("sub") === sp), e =>
+        struct(d2c(slice($"q", sp * D + lit(1), lit(D)), e("cvec")).as("d2"),
+          e("ccid").as("ccid"))))("ccid"))
+    val coded = emb.select($"vec_id", codeCol.as("code"))
     // per-query ADC table: dt[(1-based) s*KS + ccid] = d2(query_sub, centroid)
-    val dtExpr = array((for (sp <- 0 until M; e <- book(sp)) yield
-      d2c(slice($"qv", sp * D + 1, D), litVec(e._2))): _*)
+    val dtExpr = transform(bookLit, e =>
+      d2c(slice($"qv", e("sub") * D + lit(1), lit(D)), e("cvec")))
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"q".as("qv"))
       .select($"qid", dtExpr.as("dt"))
