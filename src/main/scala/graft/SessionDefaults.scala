@@ -2,48 +2,92 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Shared local-session hygiene applied by every entry point (tests,
-  * [[Verify]], [[Bench]]): Derby — the embedded Hive-metastore
-  * database — and the SQL warehouse both live under `target/`, so a
-  * test or bench run leaves no `derby.log` / `metastore_db/` /
-  * `spark-warehouse/` droppings in the repo root that would
-  * eventually be committed by accident. Derby resolves both its log
-  * and relative database names against the `derby.system.home` JVM
-  * property, so one property covers both artifacts.
+/** Shared session hygiene + the engine's plan-critical defaults,
+  * applied by every entry point (tests, [[Verify]], [[Bench]]).
+  *
+  * Hygiene: Derby — the embedded Hive-metastore database — and the
+  * SQL warehouse both live under `target/`, so a test or bench run
+  * leaves no `derby.log` / `metastore_db/` / `spark-warehouse/`
+  * droppings in the repo root that would eventually be committed by
+  * accident. Derby resolves both its log and relative database names
+  * against the `derby.system.home` JVM property, so one property
+  * covers both artifacts.
+  *
+  * Plan defaults are DEPLOY-AWARE via the `GRAFT_DEPLOY` env profile
+  * ([[profileConfigs]]): the split-size and coalescing knobs that are
+  * right for the 32-core bench box would be pathological verbatim on
+  * a real cluster (8 MB splits over 100 TB ≈ 12.5M scan tasks), so
+  * they are scoped to the `local` profile instead of baked in
+  * unconditionally.
   */
 object SessionDefaults {
+
+  /** The engine's SQL-conf set for a deploy profile — pure and
+    * unit-testable without building a session (SessionDefaultsSpec
+    * asserts both profiles).
+    *
+    * `local` (the default — the bench/test topology):
+    *  - AQE's post-shuffle partition COALESCING is off: it merges
+    *    partitions by shuffle BYTES, which is blind to compute-dense
+    *    rows — the r14 q134 finding, where a few MB of candidate
+    *    pairs coalesced to ONE partition and serialized seconds of
+    *    Levenshtein DP through a single core (and the range-sort's
+    *    sampling pass ran the single-task join twice). This engine's
+    *    heavy stages are hash/DP/regex per row, not bytes, so
+    *    parallelism-first is the right local default; AQE itself
+    *    (runtime re-plan, skew-join splitting) stays ON.
+    *  - 8 MB split sizing: the test/probe parquet is a handful of
+    *    10–50 MB files, which at the 128 MB default is ONE split (=
+    *    one scan task) each — and Spark runs scan-stage expressions,
+    *    including join-inferred IsNotNull over derived kernel
+    *    columns, at split parallelism. 8 MB maps these files onto
+    *    the 32-core box the way a real 100 TB table's thousands of
+    *    row groups map onto a cluster (SURVEY §4 sizing note).
+    *
+    * `cluster`: both knobs are left at Spark's defaults — split size
+    * scales with `spark.sql.files.maxPartitionBytes` (128 MB) ×
+    * executor count, and AQE coalescing is back on (on real data
+    * volumes its byte heuristic and the cluster's parallelism floor
+    * are no longer misled by toy file sizes). A deployment that hits
+    * the compute-dense-coalescing class anyway should reach for
+    * `spark.sql.adaptive.coalescePartitions.minPartitionNum` before
+    * disabling coalescing wholesale.
+    *
+    * Explicit env overrides win over either profile:
+    * `GRAFT_MAX_PARTITION_BYTES` → `spark.sql.files.maxPartitionBytes`,
+    * `GRAFT_COALESCE` → `spark.sql.adaptive.coalescePartitions.enabled`.
+    */
+  def profileConfigs(
+      profile: String = sys.env.getOrElse("GRAFT_DEPLOY", "local"),
+      env: Map[String, String] = sys.env): Map[String, String] = {
+    // The engine's own extensions are on in every profile, exactly as
+    // a cluster deploy would set `spark.sql.extensions`: the native
+    // SQL functions (trading_day_roll, bounded_top_k,
+    // bounded_rank_top_k) resolve, and the rank-limit rewrite turns
+    // the SQL row_number idiom into the bounded-heap aggregate — the
+    // same plan contract the Column API gets.
+    val base = Map("spark.sql.extensions" -> "graft.plans.GraftExtensions")
+    val tuned = profile match {
+      case "cluster" => Map.empty[String, String]
+      case _ => Map(
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+        "spark.sql.files.maxPartitionBytes" -> (8 * 1024 * 1024).toString)
+    }
+    val overrides = Seq(
+      "GRAFT_MAX_PARTITION_BYTES" -> "spark.sql.files.maxPartitionBytes",
+      "GRAFT_COALESCE" -> "spark.sql.adaptive.coalescePartitions.enabled")
+      .flatMap { case (e, k) => env.get(e).map(k -> _) }
+    base ++ tuned ++ overrides
+  }
+
   def apply(b: SparkSession.Builder): SparkSession.Builder = {
     val derby = new java.io.File("target/derby")
     derby.mkdirs()
     System.setProperty("derby.system.home", derby.getAbsolutePath)
-    b.config("spark.sql.warehouse.dir",
-      new java.io.File("target/spark-warehouse").toURI.toString)
-      // The engine's own extensions are on by default in every entry
-      // point, exactly as a cluster deploy would set
-      // `spark.sql.extensions`: the native SQL functions
-      // (trading_day_roll, bounded_top_k, bounded_rank_top_k) resolve,
-      // and the rank-limit rewrite turns the SQL row_number idiom into
-      // the bounded-heap aggregate — the same plan contract the Column
-      // API gets, now also for plain-SQL users of Verify/Bench/tests.
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      // AQE's post-shuffle partition COALESCING is off: it merges
-      // partitions by shuffle BYTES, which is blind to compute-dense
-      // rows — the r14 q134 finding, where a few MB of candidate
-      // pairs coalesced to ONE partition and serialized seconds of
-      // Levenshtein DP through a single core (and the range-sort's
-      // sampling pass ran the single-task join twice). This engine's
-      // heavy stages are hash/DP/regex per row, not bytes, so
-      // parallelism-first is the right default at every scale; AQE
-      // itself (runtime re-plan, skew-join splitting) stays ON.
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      // Local split sizing: the test/probe parquet is a handful of
-      // 10-50 MB files, which at the 128 MB default is ONE split (= one
-      // scan task) each — and Spark runs scan-stage expressions,
-      // including join-inferred IsNotNull over derived kernel columns,
-      // at split parallelism. 8 MB maps these files onto the 32-core
-      // box the way a real 100 TB table's thousands of row groups map
-      // onto a cluster; on a deploy this knob moves back up with the
-      // executor count (SURVEY §4 sizing note).
-      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
+    profileConfigs().foldLeft(
+      b.config("spark.sql.warehouse.dir",
+        new java.io.File("target/spark-warehouse").toURI.toString)) {
+      case (bb, (k, v)) => bb.config(k, v)
+    }
   }
 }

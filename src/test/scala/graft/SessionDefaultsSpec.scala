@@ -7,16 +7,46 @@ import org.scalatest.funsuite.AnyFunSuite
   * (DESIGN.md round-14 section), and the extensions wire the native
   * SQL functions + the top-k rewrite. A refactor that drops one of
   * these would silently reintroduce the serialized-stage class while
-  * every result stays correct — so the spec pins them.
+  * every result stays correct — so the spec pins them, per profile:
+  * the local values must NOT leak into a cluster deployment (8 MB
+  * splits over 100 TB ≈ 12.5M scan tasks).
   */
 class SessionDefaultsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("plan-critical session defaults are applied") {
+  test("plan-critical session defaults are applied (local profile)") {
     assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "false")
     assert(spark.conf.get("spark.sql.files.maxPartitionBytes") == (8 * 1024 * 1024).toString)
     assert(spark.conf.get("spark.sql.extensions").contains("graft.plans.GraftExtensions"))
     // AQE itself (runtime re-plan, skew splitting) must stay available
     assert(spark.conf.get("spark.sql.adaptive.enabled", "true") != "false")
+  }
+
+  test("local profile pins the bench-box knobs") {
+    val c = SessionDefaults.profileConfigs("local", env = Map.empty)
+    assert(c("spark.sql.adaptive.coalescePartitions.enabled") == "false")
+    assert(c("spark.sql.files.maxPartitionBytes") == (8 * 1024 * 1024).toString)
+    assert(c("spark.sql.extensions") == "graft.plans.GraftExtensions")
+  }
+
+  test("cluster profile raises the split size back to Spark's default") {
+    val c = SessionDefaults.profileConfigs("cluster", env = Map.empty)
+    // neither knob is forced: split size reverts to Spark's 128 MB
+    // default and AQE coalescing comes back on
+    assert(!c.contains("spark.sql.files.maxPartitionBytes"))
+    assert(!c.contains("spark.sql.adaptive.coalescePartitions.enabled"))
+    // the extensions are profile-independent
+    assert(c("spark.sql.extensions") == "graft.plans.GraftExtensions")
+  }
+
+  test("explicit env overrides beat either profile") {
+    val env = Map(
+      "GRAFT_MAX_PARTITION_BYTES" -> "33554432",
+      "GRAFT_COALESCE" -> "true")
+    val local = SessionDefaults.profileConfigs("local", env)
+    assert(local("spark.sql.files.maxPartitionBytes") == "33554432")
+    assert(local("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+    val cluster = SessionDefaults.profileConfigs("cluster", env)
+    assert(cluster("spark.sql.files.maxPartitionBytes") == "33554432")
   }
 }
