@@ -996,6 +996,60 @@ object TextQueries {
        |ORDER BY i.doc_id""".stripMargin
   }
 
+  /** q156: the STREAMING INGESTION GATE run in batch mode (the q48
+    * pattern — [[graft.streaming.StreamOps.ingestionGate]] is the
+    * same transform a `readStream` pipes through; StreamOpsSpec
+    * asserts stream==batch parity through MemoryStream). Incoming
+    * docs (q124's daily-batch slice, doc_id % 5 = 0, with an arrival
+    * timestamp derived deterministically from doc_id) are md5-hashed,
+    * anti-joined against the static corpus fingerprint index, and
+    * deduplicated within the batch — the stream-static anti-join path
+    * the oracle here pins.
+    *
+    * Determinism: batch-mode `dropDuplicatesWithinWatermark` keeps an
+    * ARBITRARY survivor per hash, so the query compares only
+    * survivor-invariant facts — the gate's surviving hash SET, then a
+    * post-gate enrichment keyed on `h` (first incoming doc_id and the
+    * incoming copy count), which is identical whichever copy
+    * survived.
+    *
+    * Scale shape: md5 is a map; the anti join broadcasts or
+    * bucket-prunes the corpus index exactly as the micro-batch plan
+    * does; the enrichment is one hash-keyed aggregate of the
+    * (small) incoming batch.
+    */
+  def ingestionGateBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", $"text").persist()
+    val incoming = docs.filter($"doc_id" % 5 === 0)
+      // deterministic arrival time: one doc per second off a fixed base
+      .withColumn("ts", timestamp_millis(lit(1704153600000L) + $"doc_id" * 1000))
+    val corpusIndex = docs.filter($"doc_id" % 5 =!= 0)
+      .select(md5($"text").as("h"))
+    val gated = graft.streaming.StreamOps
+      .ingestionGate(incoming, corpusIndex, "ts", "10 minutes")
+      .select($"h")
+    gated
+      .join(incoming.withColumn("h", md5($"text"))
+        .select($"h", $"doc_id"), Seq("h"))
+      .groupBy($"h")
+      .agg(min($"doc_id").as("first_doc"), count(lit(1)).as("n_copies"))
+      .orderBy($"h")
+  }
+
+  val ingestionGateBatchSql: String =
+    """WITH inc AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
+      |cor AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+      |novel AS (
+      |  SELECT DISTINCT h FROM inc WHERE h NOT IN (SELECT h FROM cor))
+      |SELECT h, MIN(doc_id) AS first_doc, COUNT(*) AS n_copies
+      |FROM inc WHERE h IN (SELECT h FROM novel)
+      |GROUP BY h
+      |ORDER BY h""".stripMargin
+
   /** N-gram Jaccard near-dup pairs via an INVERTED-INDEX join — the
     * exact (non-approximate) dedup baseline the MinHash path is checked
     * against.
@@ -2039,6 +2093,7 @@ object TextQueries {
     "q39_pii_scrub" -> (piiScrub(_, _)),
     "q24_minhash_near_dup" -> (minhashNearDup(_, _)),
     "q124_incremental_dedup" -> (incrementalDedup(_, _)),
+    "q156_ingestion_gate" -> (ingestionGateBatch(_, _)),
     "q25_jaccard_pairs" -> (jaccardPairs(_, _)),
     "q26_simhash_near_dup" -> (simhashNearDup(_, _)),
     "q79_repetition_ratio" -> (repetitionRatio(_, _)),
@@ -2073,6 +2128,7 @@ object TextQueries {
     "q39_pii_scrub" -> piiScrubSql,
     "q24_minhash_near_dup" -> minhashNearDupSql,
     "q124_incremental_dedup" -> incrementalDedupSql,
+    "q156_ingestion_gate" -> ingestionGateBatchSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
     "q26_simhash_near_dup" -> simhashNearDupSql,
     "q79_repetition_ratio" -> repetitionRatioSql,

@@ -66,8 +66,13 @@ object TimeSeriesQueries {
     * shape as q10: at any scale the shuffle is keyed on
     * (bucket, event_type) and output is grid-sized, so a 6× finer
     * grain costs rows, never a new plan. Oracle buckets via DuckDB's
-    * time_bucket (origin 2000-01-01, a whole multiple of 10 s from
-    * Spark's 1970 epoch, so the grids align exactly).
+    * time_bucket, whose sub-month origin follows the TimescaleDB
+    * convention of 2000-01-03 00:00:00; Spark's window() aligns to
+    * the 1970 epoch. The grids coincide iff the origins' offset is a
+    * whole multiple of the bucket width — 2000-01-03 is 946857600 s
+    * from the epoch, a multiple of 10 s, so they align here; a width
+    * that does not divide that offset would need an explicit
+    * time_bucket origin argument.
     */
   def resampleOhlc10s(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -95,6 +100,68 @@ object TimeSeriesQueries {
       |    row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL '10 seconds', ts)
       |                       ORDER BY ts DESC, event_id DESC) AS rnd
       |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events)
+      |SELECT bucket, event_type,
+      |  MAX(CASE WHEN rna = 1 THEN value END) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS volume,
+      |  COUNT(*) AS n_events
+      |FROM ranked
+      |GROUP BY bucket, event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** q155: A1 at the 100 MILLISECOND grain — the finest enumerated
+    * non-tick interval of the v3 surface (vars.py:200-216), driven
+    * through the same gate as q154 but with the minimum lowered to
+    * admit sub-second grains (`validateInterval("100ms", "100ms")` —
+    * the MINIMUM_MILLISECONDS knob, v3/utils.py:311-313). The hourly
+    * corpus has no sub-second density, so the query first maps every
+    * event onto a DENSE ONE-MINUTE SLICE deterministically
+    * (base + event_id mod 60000 milliseconds — pure arithmetic both
+    * engines replay exactly), then buckets at 100 ms: 600 grid cells
+    * per event_type, every one multiply occupied at sf0.01+. Oracle
+    * buckets by integer epoch-millisecond division (DuckDB's
+    * time_bucket is not defined on sub-second widths), which equals
+    * Spark's epoch-aligned window() since the base is a multiple of
+    * 100 ms. Same scale shape as q10/q154: one shuffle keyed on
+    * (bucket, event_type), grid-sized output.
+    */
+  def resampleOhlc100ms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Intervals
+    Intervals.validateInterval("100ms", minimum = "100ms")
+    val grain = Intervals.toSparkInterval("100ms")
+    // 2024-01-02 00:00:00 UTC in epoch ms — a multiple of 100 ms
+    val baseMs = 1704153600000L
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("mts",
+        timestamp_millis(lit(baseMs) + pmod($"event_id", lit(60000L))))
+    val ord = struct($"mts", $"event_id")
+    ev.groupBy(window($"mts", grain)("start").as("bucket"), $"event_type")
+      .agg(
+        min_by($"value", ord).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", ord).as("close"),
+        dsum($"value").as("volume"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"bucket", $"event_type")
+  }
+
+  val resampleOhlc100msSql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value,
+      |    1704153600000 + event_id % 60000 AS ems
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events),
+      |ranked AS (
+      |  SELECT event_type, value,
+      |    make_timestamp((ems // 100 * 100) * 1000) AS bucket,
+      |    row_number() OVER (PARTITION BY event_type, ems // 100
+      |                       ORDER BY ems, event_id) AS rna,
+      |    row_number() OVER (PARTITION BY event_type, ems // 100
+      |                       ORDER BY ems DESC, event_id DESC) AS rnd
+      |  FROM e)
       |SELECT bucket, event_type,
       |  MAX(CASE WHEN rna = 1 THEN value END) AS open,
       |  MAX(value) AS high,
@@ -958,6 +1025,7 @@ object TimeSeriesQueries {
   val defs: Map[String, Q] = Map(
     "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
     "q154_resample_ohlc_10s" -> (resampleOhlc10s(_, _)),
+    "q155_resample_ohlc_100ms" -> (resampleOhlc100ms(_, _)),
     "q137_linear_interpolate" -> (linearInterpolate(_, _)),
     "q141_ema_hourly" -> (emaHourly(_, _)),
     "q150_seasonal_decompose" -> (seasonalDecompose(_, _)),
@@ -980,6 +1048,7 @@ object TimeSeriesQueries {
   val oracles: Map[String, String] = Map(
     "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
     "q154_resample_ohlc_10s" -> resampleOhlc10sSql,
+    "q155_resample_ohlc_100ms" -> resampleOhlc100msSql,
     "q137_linear_interpolate" -> linearInterpolateSql,
     "q141_ema_hourly" -> emaHourlySql,
     "q150_seasonal_decompose" -> seasonalDecomposeSql,

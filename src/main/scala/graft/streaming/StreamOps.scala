@@ -105,13 +105,22 @@ object StreamOps {
     * side is the bucketed signature table the batch pipeline
     * maintains; the anti join broadcasts or bucket-prunes exactly as
     * the batch plan does, per micro-batch.
+    *
+    * Batch-mode replay (the q48 pattern — q156 is the oracle-checked
+    * batch face): `dropDuplicatesWithinWatermark` is streaming-only
+    * by API, so a batch input takes plain `dropDuplicates` on the
+    * same key — the identical hash-set semantics with an arbitrary
+    * (batch) vs first-arrival (stream) survivor; consumers that need
+    * batch determinism must key on `h`, as q156 does.
     */
   def ingestionGate(stream: DataFrame, corpusHashes: DataFrame, tsCol: String,
-      lateness: String, textCol: String = "text"): DataFrame =
-    stream.withColumn("h", md5(col(textCol)))
+      lateness: String, textCol: String = "text"): DataFrame = {
+    val novel = stream.withColumn("h", md5(col(textCol)))
       .join(corpusHashes.select(col("h")), Seq("h"), "left_anti")
-      .withWatermark(tsCol, lateness)
-      .dropDuplicatesWithinWatermark("h")
+    if (stream.isStreaming)
+      novel.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark("h")
+    else novel.dropDuplicates("h")
+  }
 
   /** T1/T2 — snapshot semantics: latest row per key "as of now".
     * In foreachBatch this is the micro-batch refresh of the snapshot
