@@ -10,12 +10,19 @@ import org.apache.spark.sql.SparkSession
   * total; sub-0.3 s-warmup queries take one — they cannot move the 2×
   * bar), outlier re-measure via [[BenchCore]], a hard wall-clock
   * budget (SPARK_GRAFT_BENCH_BUDGET_S, default 1400 s), and
-  * incremental JSON persistence after every sample. The sf1 scale
-  * probe (warmup + 1 pass + ratio-alarm confirms,
-  * [[BenchCore.probeMeasure]]) persists per-entry samples/spread/pass
-  * counts and the budget left at its start/end, so a superlinear
-  * number in the artifact is re-measured evidence, never a
-  * budget-truncated single sample. Each query is forced through the
+  * incremental JSON persistence after every sample. Every run also
+  * records its process-CPU delta: the JSON carries per-query "cpu"
+  * (the CPU seconds of the pass that produced the min) and
+  * "cpu_passes", so a slow entry is attributable to plan compute vs
+  * a loaded box without a rerun. The sf1 scale probe (warmup + 1
+  * pass + ratio-alarm confirms, [[BenchCore.probeMeasure]]) persists
+  * per-entry samples/spread_all/pass counts (spread_all includes the
+  * seeded warmup, unlike the corpus "spread" — the probe seed runs
+  * in a warm JVM), names all-runs-failed entries in "failed" and
+  * budget-cut ones in "truncated" (value maps hold only measured
+  * entries), and records the budget left at its start/end, so a
+  * superlinear number in the artifact is re-measured evidence, never
+  * a budget-truncated single sample. Each query is forced through the
   * noop sink so every column is materialized (a bare count() would
   * let Catalyst prune the computation being measured).
   */
@@ -79,11 +86,23 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.isEmpty || wanted(n) }
 
+    // Each run also measures its process-CPU delta (BenchCore
+    // .processCpuSeconds) so a slow pass in the artifact is
+    // attributable to plan vs box without a rerun; single-threaded
+    // harness, so one mutable slot carries the last run's CPU to the
+    // caller that records it next to the wall sample.
+    var lastRunCpuS: Double = -1.0
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String = sfDir): Double = {
+      val c0 = BenchCore.processCpuSeconds()
       val t0 = System.nanoTime()
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case _: Throwable =>
+        lastRunCpuS = -1.0
+        return -1.0
+      }
+      val c1 = BenchCore.processCpuSeconds()
+      lastRunCpuS = if (c0 < 0 || c1 < 0) -1.0 else c1 - c0
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -116,11 +135,18 @@ object Bench {
     // two timed passes. Deadline-gated PER QUERY (a takeWhile over the
     // strict Seq would evaluate every predicate before any warmup ran
     // and then run them all ungated).
+    // CPU samples, positionally aligned with each query's wall-sample
+    // list as BenchCore.measure assembles it (valid seed first, then
+    // timed passes and reruns) — a FAILED warmup is skipped here
+    // exactly as measure() drops it from the sample list.
+    val cpuSoFar = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
     val warm = queries.flatMap { case (name, fn) =>
       if (outOfBudget()) None
       else {
         val t = runOnce(fn); spark.catalog.clearCache()
         samplesSoFar(name) = Vector(t); persistPartial()
+        if (t >= 0) cpuSoFar(name) = Vector(lastRunCpuS)
         Some(name -> t)
       }
     }.toMap
@@ -136,6 +162,7 @@ object Bench {
       val sec = runOnce(fns(name))
       spark.catalog.clearCache()
       samplesSoFar(name) = samplesSoFar.getOrElse(name, Vector.empty) :+ sec
+      cpuSoFar(name) = cpuSoFar(name) :+ lastRunCpuS
       persistPartial()
       sec
     }
@@ -195,10 +222,13 @@ object Bench {
         // useful where a blown driver timeout is not. Gated per entry
         // (not takeWhile: on a strict Seq the predicates all evaluate
         // before the first warmup runs).
+        val pCpu = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+          .withDefaultValue(Vector.empty)
         val pWarm = probe.flatMap { case (name, fn) =>
           if (outOfBudget()) None
           else {
             val t = runOnce(fn, sf1Dir); spark.catalog.clearCache()
+            if (t >= 0) pCpu(name) = Vector(lastRunCpuS)
             Some(name -> t)
           }
         }.toMap
@@ -206,6 +236,7 @@ object Bench {
         def probeRun(name: String): Double = {
           val sec = runOnce(pFns(name), sf1Dir)
           spark.catalog.clearCache()
+          pCpu(name) = pCpu(name) :+ lastRunCpuS
           sec
         }
         // warmup + 1 timed pass per entry; any entry whose best still
@@ -217,21 +248,38 @@ object Bench {
         val pMeasured = BenchCore.probeMeasure(probe.map(_._1), probeRun,
           baseline = results.toMap, ratioAlarm = 10.0,
           outOfBudget = outOfBudget, seed = pWarm)
-        def pField(f: BenchCore.ProbeResult => String): String =
-          probe.collect { case (name, _) if !pMeasured(name).truncated =>
-            "\"" + name + "\":" + f(pMeasured(name))
+        // Value fields carry only MEASURED entries: a probe whose
+        // every run failed (min = -1) is named in "failed", a probe
+        // the budget cut before any sample in "truncated" — neither
+        // may leak a -1 into the queries/ratio maps unmarked.
+        def pField(f: (String, BenchCore.ProbeResult) => String): String =
+          probe.collect { case (name, _)
+              if !pMeasured(name).truncated && pMeasured(name).min >= 0 =>
+            "\"" + name + "\":" + f(name, pMeasured(name))
           }.mkString("{", ",", "}")
-        val pq = pField(_.min.toString)
-        val pRatio = pField(r => f"${r.ratio}%.2f")
-        val pSpread = pField(r => f"${r.spread}%.3f")
-        val pPasses = pField(_.samples.size.toString)
-        val pSamples = pField(_.samples.mkString("[", ",", "]"))
+        val pq = pField((_, r) => r.min.toString)
+        val pRatio = pField((_, r) => f"${r.ratio}%.2f")
+        // "spread_all", not "spread": unlike the corpus section's
+        // spread (timed passes only, seed excluded), the probe spread
+        // includes the seeded warmup — the probe runs in a warm JVM,
+        // so its seed is a real sample; the name records the
+        // difference in semantics.
+        val pSpread = pField((_, r) => f"${r.spread}%.3f")
+        val pPasses = pField((_, r) => r.samples.size.toString)
+        val pSamples = pField((_, r) => r.samples.mkString("[", ",", "]"))
+        val pCpuOfMin = pField((n, r) =>
+          f"${BenchCore.cpuOfMin(r.samples, pCpu(n))}%.3f")
         val pTrunc = probe.collect { case (name, _) if pMeasured(name).truncated =>
           "\"" + name + "\""
         }.mkString("[", ",", "]")
+        val pFailed = probe.collect { case (name, _)
+            if !pMeasured(name).truncated && pMeasured(name).min < 0 =>
+          "\"" + name + "\""
+        }.mkString("[", ",", "]")
         s""","sf1":{"dir":"$sf1Dir","budget_left_start_s":${f"$budgetAtStart%.1f"},""" +
-          s""""queries":$pq,"ratio":$pRatio,"spread":$pSpread,""" +
-          s""""passes":$pPasses,"samples":$pSamples,"truncated":$pTrunc,""" +
+          s""""queries":$pq,"ratio":$pRatio,"spread_all":$pSpread,""" +
+          s""""passes":$pPasses,"samples":$pSamples,"cpu":$pCpuOfMin,""" +
+          s""""truncated":$pTrunc,"failed":$pFailed,""" +
           s""""budget_left_end_s":${f"$budgetLeftS%.1f"}}"""
       }
 
@@ -242,8 +290,18 @@ object Bench {
       "\"" + name + "\""
     }.mkString("[", ",", "]")
     val truncatedField = if (truncated == "[]") "" else s""","truncated":$truncated"""
+    // Per-query process-CPU seconds of the pass that produced the min
+    // (cpu ≈ wall × busy-cores → plan compute; cpu ≪ that → box/IO),
+    // plus every per-pass CPU sample aligned with "passes".
+    val cpuMin = queries.map { case (name, _) =>
+      "\"" + name + "\":" +
+        f"${BenchCore.cpuOfMin(measured(name).samples, cpuSoFar(name))}%.3f"
+    }.mkString("{", ",", "}")
+    val cpuPasses = queries.map { case (name, _) =>
+      "\"" + name + "\":[" + cpuSoFar(name).map(c => f"$c%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"spread":$spreads$rerunsField$truncatedField,"sf":"$sfDir"$sf1Section}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"spread":$spreads,"cpu":$cpuMin,"cpu_passes":$cpuPasses$rerunsField$truncatedField,"sf":"$sfDir"$sf1Section}"""
     println(json)
     // The console line can be lost to log-tail truncation (one line per
     // 114 queries is long); persist the identical JSON where the driver

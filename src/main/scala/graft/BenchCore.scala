@@ -27,6 +27,31 @@ package graft
   */
 object BenchCore {
 
+  /** Process-CPU clock in seconds (JVM-wide, monotonic). The delta
+    * around a run attributes a slow pass without a rerun: cpu ≈ wall ×
+    * busy-cores means the plan really computed that long (plan
+    * regression), cpu ≪ that means the box was loaded or the run
+    * blocked (noise). -1 when the JVM does not expose the extension.
+    */
+  def processCpuSeconds(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        val t = b.getProcessCpuTime
+        if (t < 0) -1.0 else t / 1e9
+      case _ => -1.0
+    }
+
+  /** The CPU sample paired with the minimum VALID wall sample — the
+    * pass the headline min came from. Pairs are positional; invalid
+    * entries (negative wall or cpu) are skipped, and only the zipped
+    * prefix counts if the lists diverge in length (a budget trip can
+    * cut recording short). -1 when no valid pair exists.
+    */
+  def cpuOfMin(walls: Seq[Double], cpus: Seq[Double]): Double = {
+    val pairs = walls.zip(cpus).filter(p => p._1 >= 0 && p._2 >= 0)
+    if (pairs.isEmpty) -1.0 else pairs.minBy(_._1)._2
+  }
+
   /** One query's measurement: best wall seconds, raw-pass spread
     * (max/min of the timed passes, excluding any seeded warmup sample,
     * before any rerun; 1.0 when all passes agree or fewer than two

@@ -219,6 +219,33 @@ class BenchSpec extends AnyFunSuite {
     assert(t("cut").truncated && t("cut").min == -1.0)
   }
 
+  test("cpuOfMin pairs the CPU sample with the winning wall pass") {
+    // min wall is the 3rd pass -> its cpu (2.0) is the answer, not the
+    // min cpu (0.5, which belongs to a failed-wall slot)
+    assert(BenchCore.cpuOfMin(Seq(3.0, -1.0, 1.0), Seq(9.0, 0.5, 2.0)) == 2.0)
+    // a negative cpu sample (unsupported JVM / failed run) disqualifies
+    // its pair, falling through to the next-best valid pair
+    assert(BenchCore.cpuOfMin(Seq(1.0, 2.0), Seq(-1.0, 4.0)) == 4.0)
+    // length mismatch (budget trip): only the zipped prefix counts
+    assert(BenchCore.cpuOfMin(Seq(2.0, 1.0, 0.1), Seq(5.0, 3.0)) == 3.0)
+    // nothing valid -> -1 sentinel
+    assert(BenchCore.cpuOfMin(Seq(-1.0), Seq(1.0)) == -1.0)
+    assert(BenchCore.cpuOfMin(Nil, Nil) == -1.0)
+  }
+
+  test("processCpuSeconds is monotonic and advances under compute") {
+    val c0 = BenchCore.processCpuSeconds()
+    assume(c0 >= 0, "JVM does not expose process CPU time")
+    // burn a visible amount of CPU
+    var x = 0L
+    val t0 = System.nanoTime
+    while (System.nanoTime - t0 < 50L * 1000 * 1000) { x += x * 31 + 1 }
+    assert(x != Long.MinValue) // keep the loop observable
+    val c1 = BenchCore.processCpuSeconds()
+    assert(c1 >= c0)
+    assert(c1 - c0 > 0.0) // the busy loop is attributed
+  }
+
   test("every sf1 probe name resolves to a registered query") {
     val missing = Bench.probeNames.filterNot(SparkEntry.queries.keySet)
     assert(missing.isEmpty,
