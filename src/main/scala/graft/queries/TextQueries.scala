@@ -1373,23 +1373,54 @@ object TextQueries {
     * q104's hash split, closing the eval-contamination hole a naive
     * per-document split leaves open: two near-duplicate documents
     * hashed independently can land in train AND test, leaking eval
-    * content into training. Here the split key is the near-dup
-    * CLUSTER's canonical id (q24 verified pairs → min-label
-    * components; singletons are their own canonical), so an entire
-    * cluster moves between folds as one unit and NO verified
-    * near-dup pair can straddle a fold boundary — by construction,
-    * and LeakageSplitSpec asserts it on the corpus.
+    * content into training. Here the split key is the duplicate
+    * CLUSTER's canonical id (q24 verified pairs ∪ q23 exact-md5 star
+    * edges → min-label components; singletons are their own
+    * canonical), so an entire cluster moves between folds as one unit
+    * and NO verified near-dup pair can straddle a fold boundary —
+    * LeakageSplitSpec asserts it on the corpus.
+    *
+    * The guarantee is CAP-BOUNDED on the near-dup side: the q24 pair
+    * list drops candidates whose EVERY shared band bucket exceeds
+    * [[lshBandMaxDf]] members, so a NEAR-dup (non-identical) clique
+    * larger than the cap can still hash its members independently —
+    * exactly why the EXACT-copy edges are routed in separately: an
+    * md5 clique of any size (the boilerplate case most likely to
+    * blow the cap, and the short-doc case whose empty shingle sets
+    * LSH cannot see) is chained to its min-id member directly,
+    * cap-independent, so identical texts can never straddle folds
+    * (LeakageSplitSpec plants an over-cap clique to prove it).
     *
     * Same fold geometry as q104 (md5 of the seeded canonical id;
     * ~5% test / ~5% val by hex-prefix range) so the two splits are
     * directly comparable. Scale shape: the q24/q82 pair+component
-    * machinery (bounded candidates, label propagation) plus one
-    * doc-keyed left join and per-row hashing — nothing new shuffles.
+    * machinery (bounded candidates, label propagation) plus an
+    * md5-keyed aggregate for the exact stars, one doc-keyed left
+    * join and per-row hashing — nothing new shuffles.
     */
-  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame =
+    leakageSafeSplitCore(
+      Tables.loadSpread(s, dir, "documents").select("doc_id", "text"),
+      lshBandMaxDf)
+
+  /** Core over any (doc_id, text) frame with an explicit band cap —
+    * fixture-testable; see [[leakageSafeSplit]].
+    */
+  def leakageSafeSplitCore(docsT: DataFrame, maxDf: Int): DataFrame = {
+    val s = docsT.sparkSession
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents").select($"doc_id")
-    val pairs = minhashNearDup(s, dir).select($"i", $"j")
+    val docs = docsT.select($"doc_id")
+    val lshPairs = minhashNearDupCore(docsT, maxDf).select($"i", $"j")
+    // exact-copy star edges (min-id member → each other copy): one
+    // md5-keyed aggregate, immune to the band cap by construction
+    val fp = docsT.select($"doc_id", md5($"text").as("fh"))
+    val dupGroups = fp.groupBy($"fh")
+      .agg(min($"doc_id").as("i"), count(lit(1)).as("n"))
+      .filter($"n" > 1)
+    val exactEdges = fp.join(dupGroups.select($"fh", $"i"), Seq("fh"))
+      .filter($"doc_id" =!= $"i")
+      .select($"i", $"doc_id".as("j"))
+    val pairs = lshPairs.unionByName(exactEdges)
     val comps = graft.operators.Components.minLabelComponents(pairs, iters = 6)
       .select($"id".as("doc_id"), $"comp")
     val p2 = substring($"h", 1, 2)
@@ -1411,9 +1442,18 @@ object TextQueries {
     s"""WITH RECURSIVE pairs AS (
        |$pairsSubquery
        |),
+       |fp AS (SELECT doc_id, md5(text) AS fh FROM documents),
+       |exact_edges AS (
+       |  SELECT g.i, f.doc_id AS j
+       |  FROM fp f JOIN (
+       |    SELECT fh, MIN(doc_id) AS i FROM fp
+       |    GROUP BY fh HAVING COUNT(*) > 1) g USING (fh)
+       |  WHERE f.doc_id <> g.i),
        |edges AS (
        |  SELECT i AS a, j AS b FROM pairs
-       |  UNION ALL SELECT j AS a, i AS b FROM pairs),
+       |  UNION ALL SELECT j AS a, i AS b FROM pairs
+       |  UNION ALL SELECT i AS a, j AS b FROM exact_edges
+       |  UNION ALL SELECT j AS a, i AS b FROM exact_edges),
        |nodes AS (SELECT DISTINCT a AS id FROM edges),
        |reach AS (
        |  SELECT id, id AS r FROM nodes

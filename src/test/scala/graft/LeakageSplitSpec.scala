@@ -45,4 +45,30 @@ class LeakageSplitSpec extends AnyFunSuite {
     assert(byFold.keySet == Set("train", "val", "test"))
     assert(byFold("train") > byFold("val") && byFold("train") > byFold("test"))
   }
+
+  test("an exact-copy clique larger than the band cap still moves as one unit") {
+    // every band bucket the clique occupies exceeds the cap, so q24
+    // generates NO pairs for it — the exact-md5 star edges are what
+    // must chain it to one canonical (the advice-flagged blind spot)
+    val cap = 8
+    val clique = (0 until cap + 4).map(i =>
+      (i.toLong, "terms of service apply to all content on this site today"))
+    val others = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "the quick brown fox jumps over the lazy dog again and once"),
+      (200L, "a completely unrelated document about distributed query engines"))
+    val docs = (clique ++ others).toDF("doc_id", "text")
+    val split = TextQueries.leakageSafeSplitCore(docs, cap)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3)))
+      .toMap
+    spark.catalog.clearCache()
+    // the whole clique: one canonical (its min id), one fold
+    assert((0 until cap + 4).map(i => split(i.toLong)).toSet.size == 1)
+    assert(split(0L)._1 == 0L)
+    // the sub-cap near-dup pair still moves together
+    assert(split(100L) == split(101L))
+    // the unrelated doc keeps the per-document geometry
+    assert(split(200L)._1 == 200L)
+  }
 }
