@@ -347,7 +347,11 @@ object CurationOps {
       array_distinct(transform(sequence(lit(1), size(w) - (k - 1)),
         i => concat_ws(" ", slice(w, i, lit(k))))))
       .otherwise(array().cast("array<string>"))
+    // staged: the benchmark-gram branch and the raw-side explode both
+    // read the gram kernel — one build instead of two (cache
+    // lifecycle is caller-owned, as with q24's signature staging)
     val tagged = docs.select(col(idCol), isBenchmark.as("__bm"), grams.as("__g"))
+      .persist()
     val benchGrams = tagged.filter(col("__bm"))
       .select(explode(col("__g")).as("__g")).distinct()
       .withColumn("__hit", lit(1L))

@@ -68,7 +68,11 @@ object RetrievalQueries {
     val emb = Tables.loadSpread(s, dir, "embeddings")
       .select($"vec_id".as("doc_id"), quantize($"embedding").as("q"))
       .withColumn("nsq", intNormSq($"q"))
-    val corpus = docs.join(emb, Seq("doc_id"))
+    // staged: the query-set filter, the dense scan, the posting build
+    // and the corpus stats all read this join + the quantize kernel —
+    // one build instead of four (cache lifecycle is caller-owned, as
+    // with q24's signature staging)
+    val corpus = docs.join(emb, Seq("doc_id")).persist()
 
     // ---- query set: 3 docs; sparse term = argmax (count, then min term)
     val qdocs = corpus.filter($"doc_id" < 3)
