@@ -857,7 +857,7 @@ object SimilarityQueries {
       .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
     require(book.size == M && book.values.forall(_.size == KS),
       s"PQ training left an empty cluster: ${book.view.mapValues(_.size).toMap}")
-    def litVec(a: Array[Long]) = array(a.map(lit(_)): _*)
+    def litVec(a: Array[Long]) = array(a.toIndexedSeq.map(lit(_)): _*)
     // The codebook enters the plan as ONE literal array of structs —
     // data in a single literal, not M×KS inlined expression trees.
     // The per-row argmin / table-build lambdas below are compiled

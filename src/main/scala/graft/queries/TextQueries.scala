@@ -1406,9 +1406,13 @@ object TextQueries {
   /** Core over any (doc_id, text) frame with an explicit band cap —
     * fixture-testable; see [[leakageSafeSplit]].
     */
-  def leakageSafeSplitCore(docsT: DataFrame, maxDf: Int): DataFrame = {
-    val s = docsT.sparkSession
+  def leakageSafeSplitCore(docsT0: DataFrame, maxDf: Int): DataFrame = {
+    val s = docsT0.sparkSession
     import s.implicits._
+    // staged: the signature build, the id projection and the md5
+    // fingerprints all scan this frame — one read instead of three
+    // (caller-owned cache lifecycle, the q24 staging discipline)
+    val docsT = docsT0.persist()
     val docs = docsT.select($"doc_id")
     val lshPairs = minhashNearDupCore(docsT, maxDf).select($"i", $"j")
     // exact-copy star edges (min-id member → each other copy): one
