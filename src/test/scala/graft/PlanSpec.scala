@@ -329,6 +329,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "the 24-offset contribution explode")
   }
 
+  test("q155 100ms resample: one data shuffle, no window (the q10 contract at the finest grain)") {
+    val p = plan(TimeSeriesQueries.resampleOhlc100ms(spark, dir))
+    assert(!p.contains("Window"), "resample must not need a window shuffle")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one data shuffle, plan:\n$p")
+  }
+
+  test("q156 ingestion gate (batch): anti-join present, no window, no nested loop") {
+    val p = plan(TextQueries.ingestionGateBatch(spark, dir))
+    assert(p.contains("LeftAnti"),
+      "the stream-static corpus exclusion must be a left-anti join:\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("q123 PQ serving: corpus never sort-merge-shuffles; codebook is literal data") {
+    // training runs at plan-construction (bounded sample + collect);
+    // the SERVING plan must keep the corpus map-side: queries and
+    // shortlists broadcast, no sort-merge join, no cartesian product
+    val df = SimilarityQueries.pqAdcSearch(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin"),
+      "PQ serving must never shuffle the corpus for a join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
   test("every broadcast() hint sits on a bounded-cardinality side") {
     // The q84/q86 regression class: a broadcast hint on a
     // vocabulary-sized aggregate works at sf0.1 and OOMs the driver at
