@@ -60,7 +60,12 @@ object Bench {
     // round 14: the calibration audit was the costliest sf0.1 query
     // pre-slim; its sf1 ratio now guards both the band-bucket cap and
     // the candidate-bounded shingle refetch
-    "q147_minhash_calibration")
+    "q147_minhash_calibration",
+    // round 15: the leakage-safe split is now the heaviest corpus
+    // query and composes the newest machinery end-to-end (LSH pairs ∪
+    // exact-md5 star edges → pointer-doubled components → fold hash) —
+    // a superlinear drift in any of those parts shows here first
+    "q102_leakage_safe_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
