@@ -67,11 +67,17 @@ object SessionDefaults {
     // the SQL row_number idiom into the bounded-heap aggregate — the
     // same plan contract the Column API gets.
     val base = Map("spark.sql.extensions" -> "graft.plans.GraftExtensions")
+    // Unknown profiles fail LOUDLY (the Bench unknown-query
+    // discipline): a typo like GRAFT_DEPLOY=Cluster silently falling
+    // back to the bench-box knobs would be exactly the 12.5M-task
+    // pathology this profile exists to prevent.
     val tuned = profile match {
       case "cluster" => Map.empty[String, String]
-      case _ => Map(
+      case "local" => Map(
         "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
         "spark.sql.files.maxPartitionBytes" -> (8 * 1024 * 1024).toString)
+      case other => throw new IllegalArgumentException(
+        s"GRAFT_DEPLOY must be 'local' or 'cluster', got '$other'")
     }
     val overrides = Seq(
       "GRAFT_MAX_PARTITION_BYTES" -> "spark.sql.files.maxPartitionBytes",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a near-duplicate PAIR list — the step
@@ -8,41 +8,54 @@ import org.apache.spark.sql.functions._
   * group transitively-linked documents into one cluster, elect the
   * min-id member as canonical, keep one row per cluster.
   *
-  * Algorithm: iterative min-label propagation — each round every node
-  * takes the minimum component label among itself, its neighbors, and
-  * its label's label (pointer doubling, below); a component converges
-  * once the pointer-chase covers its diameter (O(log d)). Near-dup
-  * graphs are overwhelmingly tiny cliques/chains (diameter ≤ a few),
-  * so a small fixed `iters` with a CONVERGENCE CHECK (one more round
-  * must change nothing — cheap: count of changed labels) is the
-  * honest distributed plan: each round is one join + one min
-  * aggregation on the edge key, partial-combined, no driver-side
-  * graph. Each round's label table is `localCheckpoint`ed: persist
-  * alone would leave the LOGICAL plan doubling every round (the
-  * classic iterative-join blowup — the plan tree, not the data,
-  * explodes), while the checkpoint truncates lineage so round N's
-  * plan is flat regardless of N. A fault-tolerant cluster deployment
-  * would use `checkpoint` with a reliable dir; the loop shape is
-  * identical.
+  * Two-tier algorithm:
   *
-  * Each round ALSO pointer-doubles: label(v) := min(..., label(
-  * label(v))) — the pointer-chase distance doubles per round, so a
-  * path of diameter d converges in O(log d) rounds instead of O(d);
-  * a boilerplate-heavy real corpus chains near-dups into long paths,
-  * and a 100 TB dedup run dying at hour N on a diameter check is
-  * expensive. The check still throws (loudly) if the graph outruns
-  * even the doubled schedule.
+  * FAST PATH — iterative min-label propagation with pointer
+  * doubling: each round every node takes the minimum label among
+  * itself, its neighbors, and its label's label. Near-dup graphs are
+  * overwhelmingly tiny cliques/chains, which this resolves in 2-3
+  * cheap rounds (one join + one min aggregate each). The
+  * convergence probe is SOUND: the update is a deterministic
+  * function of the labels, so an unchanged round is a genuine fixed
+  * point, and at any fixed point both endpoints of every edge share
+  * a label ≥-bounded by the component min that the min node itself
+  * pins — i.e. a detected fixed point IS the correct clustering.
+  * What is NOT guaranteed is the SPEED of reaching it: labels can
+  * anchor to local minima (e.g. a path with alternating small/large
+  * ids), degenerating to one position per round, so the round budget
+  * is id-order dependent.
+  *
+  * ESCALATION — if the budget trips before the fixed point, the
+  * computation restarts on the ALTERNATING star algorithm (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC
+  * 2014 — public): rounds of large-star (connect every larger
+  * neighbor to the neighborhood min) + small-star (connect the
+  * smaller neighbors and self to it) until the edge set is a fixed
+  * point — a disjoint union of stars centered on each component's
+  * min id. Convergence is O(log² n) rounds for ANY id order, so a
+  * boilerplate chain with unlucky doc_ids converges instead of
+  * killing a 100 TB run; the generous star cap exists only as a
+  * loud backstop against a logic bug, never as a tuning knob.
+  *
+  * Distribution shape (both tiers): per round, one or two min
+  * aggregates plus equi-joins on the node key — no driver-side
+  * graph, no collect. Every round's frame is `localCheckpoint`ed:
+  * persist alone would leave the LOGICAL plan doubling every round
+  * (the classic iterative-join blowup), while the checkpoint
+  * truncates lineage so round N's plan is flat regardless of N. A
+  * fault-tolerant cluster deployment would use `checkpoint` with a
+  * reliable dir; the loop shape is identical.
   *
   * Stage sizing: every frame in the loop is node/edge-cardinality —
-  * known-small relative to the corpus (pairs are LSH-capped upstream)
-  * — so each round's shuffles are pinned to an explicit small `width`
-  * rather than the session's full shuffle width. With AQE coalescing
-  * off engine-wide ([[graft.SessionDefaults]]), full-width tiny
-  * stages would pay ~shuffle-partitions task launches per round for
-  * rows that fit in a handful of tasks; `width` partitions keyed on
-  * the join/group keys keep every per-round exchange exchange-count-
-  * minimal AND exchange-width-minimal. On a cluster deploy `width`
-  * scales with the executor count, not the corpus.
+  * known-small relative to the corpus (pairs are LSH-capped
+  * upstream) — so each round's shuffles are pinned to an explicit
+  * small `width` rather than the session's full shuffle width. With
+  * AQE coalescing off engine-wide ([[graft.SessionDefaults]]),
+  * full-width tiny stages would pay ~shuffle-partitions task
+  * launches per round for rows that fit in a handful of tasks. The
+  * default width derives from the session's parallelism
+  * (max(8, defaultParallelism / 4)), so a cluster deployment widens
+  * automatically instead of inheriting the bench box's constant.
   */
 object Components {
 
@@ -50,16 +63,21 @@ object Components {
     * Returns `(id, component)` for every node appearing in an edge,
     * `component` = min node id reachable.
     *
-    * `width`: explicit partition count for the per-round label
-    * frames (see object doc). The repartition-before-groupBy trades
-    * map-side combine of the (cap-bounded) edge join away for
-    * narrow, uniformly-keyed stages — the right trade when rounds
-    * are many and rows are few.
+    * `iters`: FAST-PATH round budget. Exceeding it is not an error —
+    * the computation escalates to star rounds (see object doc), so
+    * the result is always the exact clustering; `iters` only bounds
+    * how long the cheap loop is tried first.
+    *
+    * `width`: explicit partition count for the per-round frames (see
+    * object doc); 0 (the default) derives it from the session.
     */
   def minLabelComponents(edges: DataFrame, iters: Int = 5,
-                         width: Int = 8): DataFrame = {
+                         width: Int = 0): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    val w =
+      if (width > 0) width
+      else math.max(8, s.sparkContext.defaultParallelism / 4)
     // Stage the pair list before mirroring it: the two union branches
     // below would otherwise each re-execute the caller's (typically
     // expensive — LSH candidate + verify) edge plan. One cached pass
@@ -67,23 +85,19 @@ object Components {
     val e = edges.persist()
     val und = e.select($"i".as("a"), $"j".as("b"))
       .unionByName(e.select($"j".as("a"), $"i".as("b")))
-      .repartition(width, $"b")
+      .repartition(w, $"b")
       .persist()
     // Round 1, fused: labels start as the identity, so the first
     // propagation's pointer jump is a no-op and its neighbor-min is
     // a single aggregate over the (symmetric) edges — one narrow
     // exchange replaces the distinct-nodes checkpoint + a full round.
     var labels = und
-      .repartition(width, $"a")
+      .repartition(w, $"a")
       .groupBy($"a").agg(min($"b").as("nbr_min"))
       .select($"a".as("id"), least($"a", $"nbr_min").as("comp"))
       .localCheckpoint(true)
     var round = 1
     var converged = false
-    def neighborMin(lbl: DataFrame): DataFrame = und
-      .join(lbl.select($"id".as("b"), $"comp".as("nbr_comp")), Seq("b"))
-      .repartition(width, $"a")
-      .groupBy($"a").agg(min($"nbr_comp").as("nbr_min"))
     while (round < iters && !converged) {
       // one join against the edges (neighbor min) + one join against
       // the labels themselves (pointer jump: comp2 = label(comp));
@@ -91,16 +105,19 @@ object Components {
       // per-round plan stays flat. The OLD label rides along as
       // `prev`, making the convergence probe a join-free scan of the
       // checkpoint instead of a second join per round.
+      val nbrMin = und
+        .join(labels.select($"id".as("b"), $"comp".as("nbr_comp")), Seq("b"))
+        .repartition(w, $"a")
+        .groupBy($"a").agg(min($"nbr_comp").as("nbr_min"))
       val next = labels
-        .join(neighborMin(labels).select($"a".as("id"), $"nbr_min"),
-          Seq("id"), "left")
+        .join(nbrMin.select($"a".as("id"), $"nbr_min"), Seq("id"), "left")
         .join(labels.select($"id".as("comp"), $"comp".as("comp2")),
           Seq("comp"), "left")
         .select($"id",
           least($"comp", coalesce($"nbr_min", $"comp"),
             coalesce($"comp2", $"comp")).as("comp"),
           $"comp".as("prev"))
-        .repartition(width, $"id")
+        .repartition(w, $"id")
         .localCheckpoint(true)
       labels = next.select($"id", $"comp")
       round += 1
@@ -111,19 +128,76 @@ object Components {
       // fixed point is round 2.
       converged = next.filter($"comp" =!= $"prev").limit(1).count() == 0
     }
-    if (!converged) {
-      // one verification round: if anything would still change, the
-      // graph's diameter exceeded the doubled schedule — fail loudly
-      val unstable = labels
-        .join(neighborMin(labels).select($"a".as("id"), $"nbr_min"),
-          Seq("id"), "left")
-        .filter(coalesce($"nbr_min", $"comp") < $"comp")
-        .limit(1).count() > 0
-      require(!unstable,
-        s"minLabelComponents did not converge in $iters rounds — raise iters")
-    }
+    val out =
+      if (converged) labels
+      else starComponents(s, und, w) // id-order-resistant escalation
     und.unpersist()
     e.unpersist()
-    labels
+    out
+  }
+
+  /** Alternating large-star / small-star rounds (see object doc) over
+    * a symmetric edge frame `(a, b)`; returns `(id, comp)` with comp
+    * = component min. Convergence is detected from the DATA (edge set
+    * unchanged); `maxRounds` is a loud backstop, generous beyond any
+    * real graph (O(log² n) bound).
+    */
+  private def starComponents(s: SparkSession, und: DataFrame,
+      w: Int, maxRounds: Int = 64): DataFrame = {
+    import s.implicits._
+    // Symmetric, distinct, loop-free edge set; every round keeps this
+    // representation. dropDuplicates after the keyed repartition runs
+    // exchange-free (HashPartitioning(a) satisfies the (a,b) dedup).
+    def canon(df: DataFrame): DataFrame = df
+      .filter($"a" =!= $"b")
+      .repartition(w, $"a")
+      .dropDuplicates(Seq("a", "b"))
+    var cur = canon(und).localCheckpoint(true)
+    var round = 0
+    var converged = cur.isEmpty // edge-less input: nothing to do
+    while (round < maxRounds && !converged) {
+      // LARGE-STAR: reducer at `a` over its full neighborhood emits
+      // (b, min(a, N(a))) for every LARGER neighbor b.
+      val mL = cur.groupBy($"a")
+        .agg(least($"a", min($"b")).as("m"))
+      val lsHalf = cur.filter($"b" > $"a").join(mL, Seq("a"))
+        .select($"b".as("x"), $"m".as("y"))
+      val ls = canon(
+        lsHalf.select($"x".as("a"), $"y".as("b"))
+          .unionByName(lsHalf.select($"y".as("a"), $"x".as("b"))))
+        .localCheckpoint(true)
+      // SMALL-STAR: orient each edge to its larger endpoint; reducer
+      // at `a` over its smaller neighbors S(a) emits (v, min(S(a)))
+      // for v ∈ S(a) ∪ {a}.
+      val oriented = ls.filter($"b" < $"a")
+      val mS = oriented.groupBy($"a").agg(min($"b").as("m"))
+      val ssHalf = oriented.join(mS, Seq("a"))
+        .select($"b".as("x"), $"m".as("y"))
+        .unionByName(mS.select($"a".as("x"), $"m".as("y")))
+      val ss = canon(
+        ssHalf.select($"x".as("a"), $"y".as("b"))
+          .unionByName(ssHalf.select($"y".as("a"), $"x".as("b"))))
+        .localCheckpoint(true)
+      // Fixed point: the round left the edge set unchanged. Count
+      // compare first (two cheap aggregates on checkpointed frames);
+      // equal counts plus an empty one-sided difference imply set
+      // equality, and the anti-join is exchange-free (both sides
+      // share the (a)-keyed partitioning).
+      converged = cur.count() == ss.count() &&
+        ss.join(cur, Seq("a", "b"), "left_anti").limit(1).count() == 0
+      cur = ss
+      round += 1
+    }
+    require(converged,
+      s"star rounds did not converge in $maxRounds — logic bug, not a data property")
+    // At the fixed point every component is a star centered on its
+    // min id: oriented edges are (leaf, center); centers map to
+    // themselves.
+    val oriented = cur.filter($"b" < $"a")
+    oriented.select($"a".as("id"), $"b".as("comp"))
+      .unionByName(
+        oriented.select($"b".as("id"), $"b".as("comp"))
+          .repartition(w, $"id").dropDuplicates(Seq("id")))
+      .localCheckpoint(true)
   }
 }

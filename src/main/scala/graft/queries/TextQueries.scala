@@ -1038,13 +1038,18 @@ object TextQueries {
       .orderBy($"h")
   }
 
+  // NOT EXISTS, not NOT IN: a single NULL hash on the corpus side
+  // would make NOT IN's three-valued logic drop EVERY novel row,
+  // while Spark's left_anti (null keys never match) keeps them —
+  // NOT EXISTS matches the anti-join semantics exactly.
   val ingestionGateBatchSql: String =
     """WITH inc AS (
       |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0),
       |cor AS (
       |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
       |novel AS (
-      |  SELECT DISTINCT h FROM inc WHERE h NOT IN (SELECT h FROM cor))
+      |  SELECT DISTINCT h FROM inc i
+      |  WHERE NOT EXISTS (SELECT 1 FROM cor c WHERE c.h = i.h))
       |SELECT h, MIN(doc_id) AS first_doc, COUNT(*) AS n_copies
       |FROM inc WHERE h IN (SELECT h FROM novel)
       |GROUP BY h
@@ -1257,7 +1262,7 @@ object TextQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = minhashNearDup(s, dir).select($"i", $"j")
-    graft.operators.Components.minLabelComponents(pairs, iters = 6)
+    graft.operators.Components.minLabelComponents(pairs)
       .select($"comp".as("component"), $"id".as("doc_id"))
       .withColumn("is_canonical", $"doc_id" === $"component")
       .orderBy($"component", $"doc_id")
@@ -1311,7 +1316,7 @@ object TextQueries {
     val docs = Tables.load(s, dir, "documents")
       .select($"doc_id", $"n_chars", $"source")
     val pairs = minhashNearDup(s, dir).select($"i", $"j")
-    val member = graft.operators.Components.minLabelComponents(pairs, iters = 6)
+    val member = graft.operators.Components.minLabelComponents(pairs)
       .select($"comp".as("component"), $"id".as("doc_id"))
       .join(docs.select($"doc_id", $"n_chars"), "doc_id")
     val kept = member.groupBy($"component")
@@ -1425,7 +1430,7 @@ object TextQueries {
       .filter($"doc_id" =!= $"i")
       .select($"i", $"doc_id".as("j"))
     val pairs = lshPairs.unionByName(exactEdges)
-    val comps = graft.operators.Components.minLabelComponents(pairs, iters = 6)
+    val comps = graft.operators.Components.minLabelComponents(pairs)
       .select($"id".as("doc_id"), $"comp")
     val p2 = substring($"h", 1, 2)
     docs.join(comps, Seq("doc_id"), "left")

@@ -39,6 +39,12 @@ class SessionDefaultsSpec extends AnyFunSuite {
     assert(c("spark.sql.extensions") == "graft.plans.GraftExtensions")
   }
 
+  test("an unknown profile fails loudly instead of inheriting bench-box knobs") {
+    val e = intercept[IllegalArgumentException](
+      SessionDefaults.profileConfigs("prod", env = Map.empty))
+    assert(e.getMessage.contains("GRAFT_DEPLOY"))
+  }
+
   test("explicit env overrides beat either profile") {
     val env = Map(
       "GRAFT_MAX_PARTITION_BYTES" -> "33554432",

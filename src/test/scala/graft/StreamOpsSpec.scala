@@ -390,4 +390,39 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(out == Seq(2L, 4L), s"gate passed: $out")
     } finally q.stop()
   }
+
+  test("ingestion gate: batch branch matches the stream branch on the hash set") {
+    import org.apache.spark.sql.functions.md5
+    implicit val sqlCtx = spark.sqlContext
+    // same rows through both arms of the isStreaming fork; the
+    // CONTRACT is the surviving hash SET (the batch survivor per hash
+    // is arbitrary, the stream's is first-arrival — q156 relies on
+    // exactly this equivalence)
+    val corpus = Seq("known text one", "known text two").toDF("text")
+      .select(md5($"text").as("h"))
+    val rows = Seq(
+      DocEv(ts("2024-01-01 10:00:00"), 1, "known text one"),
+      DocEv(ts("2024-01-01 10:01:00"), 2, "fresh text alpha"),
+      DocEv(ts("2024-01-01 10:02:00"), 3, "fresh text alpha"),
+      DocEv(ts("2024-01-01 10:03:00"), 4, "fresh text beta"))
+
+    val batchOut = StreamOps.ingestionGate(rows.toDF(), corpus, "ts", "10 minutes")
+      .select($"h").as[String].collect().toSet
+
+    val input = MemoryStream[DocEv]
+    val gated = StreamOps.ingestionGate(input.toDF(), corpus, "ts", "10 minutes")
+    val q = gated.writeStream.format("memory").queryName("gate_parity_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt6").toString)
+      .start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamOut = spark.table("gate_parity_out").select($"h")
+        .as[String].collect().toSet
+      assert(batchOut == streamOut,
+        s"batch $batchOut != stream $streamOut")
+      assert(batchOut.size == 2) // the two novel texts
+    } finally q.stop()
+  }
 }
