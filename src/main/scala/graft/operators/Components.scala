@@ -34,8 +34,9 @@ import org.apache.spark.sql.functions._
   * point — a disjoint union of stars centered on each component's
   * min id. Convergence is O(log² n) rounds for ANY id order, so a
   * boilerplate chain with unlucky doc_ids converges instead of
-  * killing a 100 TB run; the generous star cap exists only as a
-  * loud backstop against a logic bug, never as a tuning knob.
+  * killing a 100 TB run; the star cap is sized beyond the proven
+  * bound for any realistic n and exists only as a loud backstop,
+  * never as a tuning knob.
   *
   * Distribution shape (both tiers): per round, one or two min
   * aggregates plus equi-joins on the node key — no driver-side
@@ -59,9 +60,19 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** The one width policy every bounded iterative loop shares (the
+    * Lloyd trainers reference it too): narrow on the bench box,
+    * widening with the session's executor count on a deploy.
+    */
+  def defaultLoopWidth(s: SparkSession): Int =
+    math.max(8, s.sparkContext.defaultParallelism / 4)
+
   /** `edges`: two numeric-id columns `i`, `j` (undirected pairs).
-    * Returns `(id, component)` for every node appearing in an edge,
-    * `component` = min node id reachable.
+    * Returns `(id, component)` for every node appearing in a
+    * non-degenerate edge (self-loops are ignored; a node appearing
+    * ONLY in self-loops is not returned — normalized once at entry so
+    * both tiers see the same node set), `component` = min node id
+    * reachable.
     *
     * `iters`: FAST-PATH round budget. Exceeding it is not an error —
     * the computation escalates to star rounds (see object doc), so
@@ -71,13 +82,11 @@ object Components {
     * `width`: explicit partition count for the per-round frames (see
     * object doc); 0 (the default) derives it from the session.
     */
-  def minLabelComponents(edges: DataFrame, iters: Int = 5,
+  def minLabelComponents(edges: DataFrame, iters: Int = 6,
                          width: Int = 0): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val w =
-      if (width > 0) width
-      else math.max(8, s.sparkContext.defaultParallelism / 4)
+    val w = if (width > 0) width else defaultLoopWidth(s)
     // Stage the pair list before mirroring it: the two union branches
     // below would otherwise each re-execute the caller's (typically
     // expensive — LSH candidate + verify) edge plan. One cached pass
@@ -85,6 +94,7 @@ object Components {
     val e = edges.persist()
     val und = e.select($"i".as("a"), $"j".as("b"))
       .unionByName(e.select($"j".as("a"), $"i".as("b")))
+      .filter($"a" =!= $"b") // normalize ONCE: both tiers, same node set
       .repartition(w, $"b")
       .persist()
     // Round 1, fused: labels start as the identity, so the first
@@ -139,11 +149,13 @@ object Components {
   /** Alternating large-star / small-star rounds (see object doc) over
     * a symmetric edge frame `(a, b)`; returns `(id, comp)` with comp
     * = component min. Convergence is detected from the DATA (edge set
-    * unchanged); `maxRounds` is a loud backstop, generous beyond any
-    * real graph (O(log² n) bound).
+    * unchanged), so the cap never costs a converged graph anything;
+    * `maxRounds` covers the proven O(log² n) bound up to n ≈ 10^13
+    * (log₂² ≈ 1870) with headroom — a loud backstop, not a tuning
+    * knob.
     */
   private def starComponents(s: SparkSession, und: DataFrame,
-      w: Int, maxRounds: Int = 64): DataFrame = {
+      w: Int, maxRounds: Int = 2048): DataFrame = {
     import s.implicits._
     // Symmetric, distinct, loop-free edge set; every round keeps this
     // representation. dropDuplicates after the keyed repartition runs
@@ -153,8 +165,9 @@ object Components {
       .repartition(w, $"a")
       .dropDuplicates(Seq("a", "b"))
     var cur = canon(und).localCheckpoint(true)
+    var curCount = cur.count()
     var round = 0
-    var converged = cur.isEmpty // edge-less input: nothing to do
+    var converged = curCount == 0 // edge-less input: nothing to do
     while (round < maxRounds && !converged) {
       // LARGE-STAR: reducer at `a` over its full neighborhood emits
       // (b, min(a, N(a))) for every LARGER neighbor b.
@@ -179,17 +192,19 @@ object Components {
           .unionByName(ssHalf.select($"y".as("a"), $"x".as("b"))))
         .localCheckpoint(true)
       // Fixed point: the round left the edge set unchanged. Count
-      // compare first (two cheap aggregates on checkpointed frames);
-      // equal counts plus an empty one-sided difference imply set
-      // equality, and the anti-join is exchange-free (both sides
-      // share the (a)-keyed partitioning).
-      converged = cur.count() == ss.count() &&
+      // compare first (one cheap aggregate per round — the previous
+      // round's count is carried); equal counts plus an empty
+      // one-sided difference imply set equality, and the anti-join is
+      // exchange-free (both sides share the (a)-keyed partitioning).
+      val nNew = ss.count()
+      converged = curCount == nNew &&
         ss.join(cur, Seq("a", "b"), "left_anti").limit(1).count() == 0
       cur = ss
+      curCount = nNew
       round += 1
     }
     require(converged,
-      s"star rounds did not converge in $maxRounds — logic bug, not a data property")
+      s"star rounds did not converge in $maxRounds — raise maxRounds")
     // At the fixed point every component is a star centered on its
     // min id: oriented edges are (leaf, center); centers map to
     // themselves.

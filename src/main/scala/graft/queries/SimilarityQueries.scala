@@ -364,9 +364,9 @@ object SimilarityQueries {
     // pays ~shuffle-partitions task launches per stage for rows that
     // fit in a handful of tasks. Partitioning by the grouping key at
     // checkpoint time makes each iteration's groupBy exchange-free.
-    // Width derives from the session (the Components rule): the
-    // bench box lands on 8, a cluster widens with its executor count.
-    val trainWidth = math.max(8, s.sparkContext.defaultParallelism / 4)
+    // Width derives from the session (the shared Components rule):
+    // the bench box lands on 8, a cluster widens with its executors.
+    val trainWidth = graft.operators.Components.defaultLoopWidth(s)
     val sample = emb.filter(pmod($"vec_id", lit(4)) === 0)
       .repartition(trainWidth, $"vec_id").localCheckpoint()
     def d2(q: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
@@ -775,9 +775,8 @@ object SimilarityQueries {
     // training sample is bounded by design, so its Lloyd stages are
     // pinned narrow instead of shuffling at the session's full width
     // on every tiny per-iteration aggregate; width derives from the
-    // session (the Components rule), so a cluster widens with its
-    // executor count.
-    val trainWidth = math.max(8, s.sparkContext.defaultParallelism / 4)
+    // session via the shared Components rule.
+    val trainWidth = graft.operators.Components.defaultLoopWidth(s)
     val sample = emb.filter(pmod($"vec_id", lit(4)) === 0).localCheckpoint()
     // Per-subspace farthest-first seeds, one task over the staged
     // sample (q97's seeding, run once per subspace on the subvectors).
