@@ -60,12 +60,18 @@ object CurationOps {
     // list, not sequence(1, 0) = [1, 0].
     val positions = when(col("__n") >= k, sequence(lit(1), col("__n") - (k - 1)))
       .otherwise(array().cast("array<int>"))
+    // Staged (caller-owned lifecycle, the q24 discipline): the gram
+    // explode feeds the df filter AND the coverage join — one
+    // explode+persist instead of re-running the split/slice/join
+    // string pipeline per consumer. At warehouse scale this is the
+    // materialized gram table of Lee et al.'s exact-substring pass.
     val grams = base.select(
       col("doc_id"),
       explode(transform(positions, i =>
         struct(i.as("pos"), array_join(slice(col("__w"), i, lit(k)), " ").as("gram"))))
         .as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      .persist()
     val dupGrams = grams.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("gram")
@@ -295,9 +301,17 @@ object CurationOps {
     val bigrams = zip_with(
       slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
       (a, b) => concat(a, lit(" "), b))
+    // Staged (caller-owned lifecycle, the q24 discipline): the
+    // bucketed gram stream feeds the per-bucket counts AND the
+    // per-doc weight aggregate — one explode+md5 pass instead of two.
+    // The gram STRING is projected away before the persist: every
+    // consumer reads only the bucket key, so the staged frame is
+    // (id, flag, hex-prefix) — a fraction of the raw gram payload.
     val grams = docs.select(col(idCol), isTarget.as("__t"),
         explode(concat(w, bigrams)).as("__g"))
-      .withColumn("__b", substring(md5(col("__g")), 1, hexChars))
+      .select(col(idCol), col("__t"),
+        substring(md5(col("__g")), 1, hexChars).as("__b"))
+      .persist()
     val bc = grams.groupBy(col("__b")).agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
       sum(when(!col("__t"), 1L).otherwise(0L)).as("__cr"))

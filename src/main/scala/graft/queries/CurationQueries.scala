@@ -248,11 +248,22 @@ object CurationQueries {
     * fingerprint) at ~0.4× the index size. All joins are equi-joins
     * keyed on fingerprint / gram / pair; the verify is restricted to
     * candidate pairs, never all-pairs.
+    *
+    * Staging (the q24 discipline, caller-owned lifecycle): the
+    * fingerprint sketch feeds the df filter AND both sides of the
+    * candidate self-join — persisted once instead of re-running the
+    * md5 + per-doc-window winnow pipeline per consumer (measured
+    * −29% wall at sf0.1 AND −23% at the 10× probe). The gram index
+    * is left UNpersisted on purpose: its three consumers share one
+    * canonical distinct exchange that Spark's ReuseExchange already
+    * deduplicates, and an A/B showed both a gram persist and a
+    * candidate-id semi-join restriction REGRESS the toy scale (+29%)
+    * for no probe win over this shape.
     */
   def winnowNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(s, dir, "documents")
     val fp = CurationOps.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
-      .select("doc_id", "fp").distinct()
+      .select("doc_id", "fp").distinct().persist()
     val rare = fp.groupBy("fp").agg(count(lit(1)).as("dfp"))
       .filter(col("dfp") <= 50).select("fp")
     val fpk = fp.join(rare, "fp")
