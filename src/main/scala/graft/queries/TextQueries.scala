@@ -624,8 +624,13 @@ object TextQueries {
     import s.implicits._
     val docs = Tables.loadSpread(s, dir, "documents")
     val sh = shingles(words($"text"))
+    // staged (caller-owned lifecycle): the benchmark shingle set is
+    // consumed twice — the driver-built Bloom aggregate (an eager
+    // .head() action) and the exact semi-join verify — so without the
+    // persist its explode+distinct runs once per consumer. It is the
+    // SMALL side by construction (the held-out eval slice).
     val bench = docs.filter($"doc_id" % 100 === 0)
-      .select(explode(sh).as("sh")).distinct()
+      .select(explode(sh).as("sh")).distinct().persist()
     // driver-built sketch (~100 KB binary), probed with the native
     // codegen might_contain — the Spark-runtime-filter mechanism, not
     // a per-row Scala UDF closure
