@@ -86,6 +86,19 @@ object SessionDefaults {
     base ++ tuned ++ overrides
   }
 
+  /** True iff the deploy profile is `local` — the plan-shape switch
+    * behind [[Tables.loadSpreadLocal]]. Validates the profile with
+    * the same loud-failure rule as [[profileConfigs]].
+    */
+  def localProfile(
+      profile: String = sys.env.getOrElse("GRAFT_DEPLOY", "local")): Boolean =
+    profile match {
+      case "local" => true
+      case "cluster" => false
+      case other => throw new IllegalArgumentException(
+        s"GRAFT_DEPLOY must be 'local' or 'cluster', got '$other'")
+    }
+
   def apply(b: SparkSession.Builder): SparkSession.Builder = {
     val derby = new java.io.File("target/derby")
     derby.mkdirs()

@@ -134,6 +134,22 @@ object Tables {
   def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
     load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 
+  /** Deploy-aware spread for compute that is dense only RELATIVE TO A
+    * DEGENERATE SCAN WIDTH — the decimal moment aggregates of the
+    * relational family (~100 ns/row: trivial at cluster scan
+    * parallelism, but the toy single-row-group files serialize the
+    * whole partial aggregate onto one core). In the `local` profile
+    * this spreads like [[loadSpread]]; in the `cluster` profile it is
+    * the plain scan — real tables split by row group, and a
+    * round-robin of the raw rows before a partial-aggregable groupBy
+    * would ADD a full-table shuffle to the 100 TB plan. Kernels that
+    * are expensive per row at ANY width (text/similarity pipelines)
+    * keep using [[loadSpread]] unconditionally.
+    */
+  def loadSpreadLocal(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (SessionDefaults.localProfile()) loadSpread(spark, dir, name)
+    else load(spark, dir, name)
+
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

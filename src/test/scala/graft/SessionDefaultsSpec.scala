@@ -45,6 +45,14 @@ class SessionDefaultsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("GRAFT_DEPLOY"))
   }
 
+  test("localProfile mirrors the profile names and the loud-failure rule") {
+    assert(SessionDefaults.localProfile("local"))
+    assert(!SessionDefaults.localProfile("cluster"))
+    val e = intercept[IllegalArgumentException](
+      SessionDefaults.localProfile("Prod"))
+    assert(e.getMessage.contains("GRAFT_DEPLOY"))
+  }
+
   test("explicit env overrides beat either profile") {
     val env = Map(
       "GRAFT_MAX_PARTITION_BYTES" -> "33554432",
