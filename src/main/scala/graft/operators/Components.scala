@@ -87,13 +87,17 @@ object Components {
     val s = edges.sparkSession
     import s.implicits._
     val w = if (width > 0) width else defaultLoopWidth(s)
-    // Stage the pair list before mirroring it: the two union branches
-    // below would otherwise each re-execute the caller's (typically
-    // expensive — LSH candidate + verify) edge plan. One cached pass
-    // feeds both directions.
-    val e = edges.persist()
-    val und = e.select($"i".as("a"), $"j".as("b"))
-      .unionByName(e.select($"j".as("a"), $"i".as("b")))
+    // Mirror each pair in ONE pass over the caller's (typically
+    // expensive — LSH candidate + verify) edge plan: the explode
+    // emits both directions row-by-row, where a two-branch union
+    // would either re-execute the edge plan per branch or need an
+    // extra staging cache just to avoid that (profiled: the staged
+    // union shape cost two more materialization jobs per call).
+    val und = edges
+      .select(explode(array(
+        struct($"i".as("a"), $"j".as("b")),
+        struct($"j".as("a"), $"i".as("b")))).as("__e"))
+      .select($"__e.a".as("a"), $"__e.b".as("b"))
       .filter($"a" =!= $"b") // normalize ONCE: both tiers, same node set
       .repartition(w, $"b")
       .persist()
@@ -142,7 +146,6 @@ object Components {
       if (converged) labels
       else starComponents(s, und, w) // id-order-resistant escalation
     und.unpersist()
-    e.unpersist()
     out
   }
 
