@@ -167,7 +167,16 @@ object CalendarQueries {
     o.withColumn("legs_json",
         when($"order_id" % 5 === 0, threeLegs).otherwise(twoLegs))
       .withColumn("legs", from_json($"legs_json", legSchema))
-      .select($"order_id", posexplode($"legs").as(Seq("leg_idx", "leg")))
+      // posexplode_OUTER, deliberately: the inner generate makes
+      // Catalyst infer `size(legs) > 0` (InferFiltersFromGenerate)
+      // and push the WHOLE from_json kernel into the parquet scan as
+      // a data filter — the r14 scan-riding-kernel class, serialized
+      // at scan-split width and then evaluated a second time by the
+      // explode. Every legs array has 2–3 elements by construction,
+      // so outer == inner row-for-row; the outer form just cannot
+      // have the filter inferred, keeping the scan on o_orderkey and
+      // the JSON kernel after the spread. (PlanSpec pins the scan.)
+      .select($"order_id", posexplode_outer($"legs").as(Seq("leg_idx", "leg")))
       .select($"order_id", $"leg_idx",
         $"leg.symbol".as("symbol"), $"leg.ratio_qty".as("ratio_qty"),
         $"leg.side".as("side"), $"leg.position_intent".as("position_intent"))

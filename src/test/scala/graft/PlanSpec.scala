@@ -346,6 +346,16 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q68 multileg: the JSON kernel never rides the scan as a data filter") {
+    // InferFiltersFromGenerate once pushed `size(from_json(...)) > 0`
+    // into the orders scan (the r14 scan-riding-kernel class) — the
+    // posexplode_outer form must keep the scan on the key column only
+    val p = plan(CalendarQueries.multilegOrders(spark, dir))
+    val scanLines = p.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(!scanLines.contains("from_json"),
+      "JSON kernel must not be evaluated inside the scan:\n" + scanLines)
+  }
+
   test("q123 PQ serving: corpus never sort-merge-shuffles; codebook is literal data") {
     // training runs at plan-construction (bounded sample + collect);
     // the SERVING plan must keep the corpus map-side: queries and
