@@ -146,8 +146,9 @@ object Tables {
     * are expensive per row at ANY width (text/similarity pipelines)
     * keep using [[loadSpread]] unconditionally.
     */
-  def loadSpreadLocal(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (SessionDefaults.localProfile()) loadSpread(spark, dir, name)
+  def loadSpreadLocal(spark: SparkSession, dir: String, name: String,
+      spread: Boolean = SessionDefaults.localProfile()): DataFrame =
+    if (spread) loadSpread(spark, dir, name)
     else load(spark, dir, name)
 
   /** Register every table as a temp view so `spark.sql` works too. */

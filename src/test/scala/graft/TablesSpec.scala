@@ -38,6 +38,18 @@ class TablesSpec extends AnyFunSuite {
       scan)
   }
 
+  test("loadSpreadLocal: spreads on the local profile, plain scan on cluster") {
+    val dir = "/root/testdata/sf0.001"
+    val localPlan = Tables.loadSpreadLocal(spark, dir, "lineitem", spread = true)
+      .queryExecution.executedPlan.toString
+    assert(localPlan.contains("Exchange RoundRobinPartitioning"),
+      "local profile must round-robin the scan:\n" + localPlan)
+    val clusterPlan = Tables.loadSpreadLocal(spark, dir, "lineitem", spread = false)
+      .queryExecution.executedPlan.toString
+    assert(!clusterPlan.contains("Exchange"),
+      "cluster profile must be the untouched scan (row groups parallelize it):\n" + clusterPlan)
+  }
+
   test("assertSchemas passes on driver data and names a drifted column") {
     Tables.assertSchemas(spark, driverDir) // must not throw
     // plant a drifted copy: events.ts as bigint (the pre-drift shape
