@@ -167,7 +167,7 @@ object CurationQueries {
     * grams, guaranteed to catch any shared passage of ≥ 7 words).
     */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     val fps = CurationOps.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
       .groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
@@ -428,7 +428,7 @@ object CurationQueries {
     * the corpus — the corpus itself never shuffles.
     */
   def dsirSelectCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     CurationOps.dsirSelect(
         docs, "doc_id", "text", col("source").isin("src0", "src1"), 100)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
@@ -489,7 +489,7 @@ object CurationQueries {
     * across engines. Gram-less documents surface with 0, not dropped.
     */
   def contaminationFrac(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.loadSpread(s, dir, "documents")
     CurationOps.contaminationFraction(
         docs, "doc_id", "text", col("doc_id") % 7 === 0, 4)
       .orderBy("doc_id")

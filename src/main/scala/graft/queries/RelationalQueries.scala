@@ -162,7 +162,9 @@ object RelationalQueries {
   def topRevenueOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val orders = Tables.load(s, dir, "orders")
-    val li = Tables.load(s, dir, "lineitem")
+    // loadSpreadLocal: the per-order decimal partial agg rides the
+    // scan (see pricingSummary) — spread on the toy layout only
+    val li = Tables.loadSpreadLocal(s, dir, "lineitem")
     li.join(orders, li("l_orderkey") === orders("o_orderkey"))
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(revenueSum($"l_extendedprice", $"l_discount").as("revenue"))
