@@ -1088,7 +1088,11 @@ object TextQueries {
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairsCapped(s, dir, jaccardMaxDf)
 
-  def jaccardPairsCapped(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
+  def jaccardPairsCapped(s: SparkSession, dir: String, maxDf: Int): DataFrame =
+    jaccardPairsCappedCore(Tables.loadSpread(s, dir, "documents"), maxDf)
+
+  def jaccardPairsCappedCore(docs: DataFrame, maxDf: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     // ONE persisted posting table feeds everything: df counts, per-doc
     // set sizes (= posting rows per doc, shingles are distinct), and
@@ -1096,7 +1100,7 @@ object TextQueries {
     // would materialize between stages. Cache lifecycle is
     // caller-owned (see minhashNearDup): the materializing caller
     // clears the cache after the action.
-    val posting = Tables.loadSpread(s, dir, "documents")
+    val posting = docs
       .select($"doc_id", $"source", explode(shingles(words($"text"))).as("shingle"))
       .persist()
     val sizes = posting.groupBy($"source", $"doc_id").agg(count(lit(1)).as("n"))
@@ -1106,36 +1110,39 @@ object TextQueries {
     // their overlap added back on the already-candidate pairs — so the
     // df cap bounds the join's skew term without touching results for
     // any pair sharing at least one cool shingle.
-    // Shingles ABOVE the cap are few by construction (a vocabulary of
-    // truly hot n-grams), so they broadcast. The check is one tiny
-    // existence job (AQE-style runtime adaptation): a skew-free corpus
-    // pays only the df aggregation and runs the plain posting join.
-    val hotKeys = dfs.filter($"df" > maxDf).select($"source", $"shingle")
-    val hasHot = hotKeys.limit(1).count() > 0
-    val cool =
-      if (hasHot) posting.join(broadcast(hotKeys), Seq("source", "shingle"), "left_anti")
-      else posting
+    // PURE plan construction (the coolBanded discipline): the
+    // anti-join + add-back are ALWAYS in the plan — no existence job
+    // at build time. A skew-free corpus pays an anti-join against an
+    // empty aggregated side and two left joins against an empty
+    // hot-set frame, all runtime-broadcast by AQE. The joins are
+    // deliberately UN-hinted: hot-shingle counts grow with corpus
+    // size on boilerplate-heavy inputs (a forced broadcast would fail
+    // at exactly the scale the cap exists for); the planner
+    // broadcasts when small and shuffles when not.
+    // hotKeys is persisted (lazily — construction stays pure): it is
+    // consumed by three joins (the anti-join feeding both sides of the
+    // candidate self-join, and the hot-set semi-join), and without the
+    // cache boundary each consumer re-runs the full df aggregation.
+    val hotKeys = dfs.filter($"df" > maxDf).select($"source", $"shingle").persist()
+    val cool = posting.join(hotKeys, Seq("source", "shingle"), "left_anti")
     val co = cool.select($"source", $"shingle", $"doc_id".as("i"))
       .join(cool.select($"source", $"shingle", $"doc_id".as("j")),
         Seq("source", "shingle"))
       .filter($"i" < $"j")
       .groupBy($"source", $"i", $"j")
       .agg(count(lit(1)).cast("double").as("inter_cool"))
+    val hotSets = posting
+      .join(hotKeys, Seq("source", "shingle"), "left_semi")
+      .groupBy($"source", $"doc_id")
+      .agg(collect_list($"shingle").as("hot_sh"))
     val withInter =
-      if (!hasHot) co.withColumn("inter", $"inter_cool")
-      else {
-        val hotSets = posting
-          .join(broadcast(hotKeys), Seq("source", "shingle"), "left_semi")
-          .groupBy($"source", $"doc_id")
-          .agg(collect_list($"shingle").as("hot_sh"))
-        co.join(hotSets.select($"source", $"doc_id".as("i"), $"hot_sh".as("hot_i")),
-            Seq("source", "i"), "left")
-          .join(hotSets.select($"source", $"doc_id".as("j"), $"hot_sh".as("hot_j")),
-            Seq("source", "j"), "left")
-          .withColumn("inter", $"inter_cool" +
-            when($"hot_i".isNull || $"hot_j".isNull, lit(0.0))
-              .otherwise(size(array_intersect($"hot_i", $"hot_j")).cast("double")))
-      }
+      co.join(hotSets.select($"source", $"doc_id".as("i"), $"hot_sh".as("hot_i")),
+          Seq("source", "i"), "left")
+        .join(hotSets.select($"source", $"doc_id".as("j"), $"hot_sh".as("hot_j")),
+          Seq("source", "j"), "left")
+        .withColumn("inter", $"inter_cool" +
+          when($"hot_i".isNull || $"hot_j".isNull, lit(0.0))
+            .otherwise(size(array_intersect($"hot_i", $"hot_j")).cast("double")))
     withInter
       .join(sizes.select($"source", $"doc_id".as("i"), $"n".as("ni")), Seq("source", "i"))
       .join(sizes.select($"source", $"doc_id".as("j"), $"n".as("nj")), Seq("source", "j"))
