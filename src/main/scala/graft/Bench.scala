@@ -179,7 +179,15 @@ object Bench {
       seed = warm, outOfBudget = outOfBudget, quickThresholdS = 0.3)
     val results = queries.map { case (name, _) => name -> measured(name).min }
 
-    val qs = results.collect { case (k, v) if !measured(k).truncated =>
+    // Value maps carry only MEASURED entries (the probe section's
+    // rule, applied to the corpus too): a query whose every run
+    // failed (min = -1) is named in "failed", a budget-cut one in
+    // "truncated" — neither leaks a -1 into queries/spread/cpu
+    // unmarked. The raw passes/cpu_passes logs keep every sample,
+    // including failed (-1) ones, on purpose.
+    def measuredOk(k: String): Boolean =
+      !measured(k).truncated && measured(k).min >= 0
+    val qs = results.collect { case (k, v) if measuredOk(k) =>
       "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     // Every raw sample per query (3 passes + any outlier reruns), so a
@@ -189,7 +197,7 @@ object Bench {
     val ps = queries.map { case (name, _) =>
       "\"" + name + "\":[" + measured(name).samples.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val spreads = queries.map { case (name, _) =>
+    val spreads = queries.collect { case (name, _) if measuredOk(name) =>
       "\"" + name + "\":" + f"${measured(name).spread}%.3f"
     }.mkString("{", ",", "}")
     val reruns = queries.collect { case (name, _) if measured(name).reruns > 0 =>
@@ -295,10 +303,17 @@ object Bench {
       "\"" + name + "\""
     }.mkString("[", ",", "]")
     val truncatedField = if (truncated == "[]") "" else s""","truncated":$truncated"""
+    // All-runs-failed queries (min = -1, not budget-cut) — excluded
+    // from the value maps above, named here.
+    val failed = queries.collect { case (name, _)
+        if !measured(name).truncated && measured(name).min < 0 =>
+      "\"" + name + "\""
+    }.mkString("[", ",", "]")
+    val failedField = if (failed == "[]") "" else s""","failed":$failed"""
     // Per-query process-CPU seconds of the pass that produced the min
     // (cpu ≈ wall × busy-cores → plan compute; cpu ≪ that → box/IO),
     // plus every per-pass CPU sample aligned with "passes".
-    val cpuMin = queries.map { case (name, _) =>
+    val cpuMin = queries.collect { case (name, _) if measuredOk(name) =>
       "\"" + name + "\":" +
         f"${BenchCore.cpuOfMin(measured(name).samples, cpuSoFar(name))}%.3f"
     }.mkString("{", ",", "}")
@@ -306,7 +321,7 @@ object Bench {
       "\"" + name + "\":[" + cpuSoFar(name).map(c => f"$c%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"spread":$spreads,"cpu":$cpuMin,"cpu_passes":$cpuPasses$rerunsField$truncatedField,"sf":"$sfDir"$sf1Section}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"spread":$spreads,"cpu":$cpuMin,"cpu_passes":$cpuPasses$rerunsField$truncatedField$failedField,"sf":"$sfDir"$sf1Section}"""
     println(json)
     // The console line can be lost to log-tail truncation (one line per
     // 114 queries is long); persist the identical JSON where the driver

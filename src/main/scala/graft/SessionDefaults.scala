@@ -56,10 +56,20 @@ object SessionDefaults {
     * Explicit env overrides win over either profile:
     * `GRAFT_MAX_PARTITION_BYTES` → `spark.sql.files.maxPartitionBytes`,
     * `GRAFT_COALESCE` → `spark.sql.adaptive.coalescePartitions.enabled`.
+    *
+    * The env-map overload reads the PROFILE from the same injected
+    * map (`GRAFT_DEPLOY`) as the overrides — a hermetic caller
+    * injecting `Map.empty` gets the local default regardless of the
+    * ambient process env; the two-arg overload pins the profile
+    * explicitly (tests exercising both branches).
     */
-  def profileConfigs(
-      profile: String = sys.env.getOrElse("GRAFT_DEPLOY", "local"),
-      env: Map[String, String] = sys.env): Map[String, String] = {
+  def profileConfigs(): Map[String, String] = profileConfigs(sys.env)
+
+  def profileConfigs(env: Map[String, String]): Map[String, String] =
+    profileConfigs(env.getOrElse("GRAFT_DEPLOY", "local"), env)
+
+  def profileConfigs(profile: String,
+      env: Map[String, String]): Map[String, String] = {
     // The engine's own extensions are on in every profile, exactly as
     // a cluster deploy would set `spark.sql.extensions`: the native
     // SQL functions (trading_day_roll, bounded_top_k,
@@ -67,18 +77,11 @@ object SessionDefaults {
     // the SQL row_number idiom into the bounded-heap aggregate — the
     // same plan contract the Column API gets.
     val base = Map("spark.sql.extensions" -> "graft.plans.GraftExtensions")
-    // Unknown profiles fail LOUDLY (the Bench unknown-query
-    // discipline): a typo like GRAFT_DEPLOY=Cluster silently falling
-    // back to the bench-box knobs would be exactly the 12.5M-task
-    // pathology this profile exists to prevent.
-    val tuned = profile match {
-      case "cluster" => Map.empty[String, String]
-      case "local" => Map(
+    val tuned =
+      if (isLocalProfile(profile)) Map(
         "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
         "spark.sql.files.maxPartitionBytes" -> (8 * 1024 * 1024).toString)
-      case other => throw new IllegalArgumentException(
-        s"GRAFT_DEPLOY must be 'local' or 'cluster', got '$other'")
-    }
+      else Map.empty[String, String]
     val overrides = Seq(
       "GRAFT_MAX_PARTITION_BYTES" -> "spark.sql.files.maxPartitionBytes",
       "GRAFT_COALESCE" -> "spark.sql.adaptive.coalescePartitions.enabled")
@@ -86,18 +89,28 @@ object SessionDefaults {
     base ++ tuned ++ overrides
   }
 
-  /** True iff the deploy profile is `local` — the plan-shape switch
-    * behind [[Tables.loadSpreadLocal]]. Validates the profile with
-    * the same loud-failure rule as [[profileConfigs]].
+  /** The ONE profile-name parse (valid-name set + loud-failure rule)
+    * shared by [[profileConfigs]] and [[localProfile]], so the two
+    * can never drift apart. Unknown profiles fail LOUDLY (the Bench
+    * unknown-query discipline): a typo like GRAFT_DEPLOY=Cluster
+    * silently falling back to the bench-box knobs would be exactly
+    * the 12.5M-task pathology the profile exists to prevent.
     */
-  def localProfile(
-      profile: String = sys.env.getOrElse("GRAFT_DEPLOY", "local")): Boolean =
-    profile match {
-      case "local" => true
-      case "cluster" => false
-      case other => throw new IllegalArgumentException(
-        s"GRAFT_DEPLOY must be 'local' or 'cluster', got '$other'")
-    }
+  private def isLocalProfile(profile: String): Boolean = profile match {
+    case "local" => true
+    case "cluster" => false
+    case other => throw new IllegalArgumentException(
+      s"GRAFT_DEPLOY must be 'local' or 'cluster', got '$other'")
+  }
+
+  /** True iff the deploy profile is `local` — the plan-shape switch
+    * behind [[Tables.loadSpreadLocal]]. Same parse (and loud-failure
+    * rule) as [[profileConfigs]] via [[isLocalProfile]].
+    */
+  def localProfile(): Boolean =
+    isLocalProfile(sys.env.getOrElse("GRAFT_DEPLOY", "local"))
+
+  def localProfile(profile: String): Boolean = isLocalProfile(profile)
 
   def apply(b: SparkSession.Builder): SparkSession.Builder = {
     val derby = new java.io.File("target/derby")

@@ -54,18 +54,41 @@ import org.apache.spark.sql.functions._
   * AQE coalescing off engine-wide ([[graft.SessionDefaults]]),
   * full-width tiny stages would pay ~shuffle-partitions task
   * launches per round for rows that fit in a handful of tasks. The
-  * default width derives from the session's parallelism
-  * (max(8, defaultParallelism / 4)), so a cluster deployment widens
+  * default width derives from the session's configured shuffle width
+  * (max(8, shuffle.partitions / 4) — see [[defaultLoopWidth]] for why
+  * not defaultParallelism), so a cluster deployment widens
   * automatically instead of inheriting the bench box's constant.
   */
 object Components {
 
   /** The one width policy every bounded iterative loop shares (the
     * Lloyd trainers reference it too): narrow on the bench box,
-    * widening with the session's executor count on a deploy.
+    * widening with the session's configured shuffle width on a
+    * deploy. Derived from `spark.sql.shuffle.partitions` — a STATIC
+    * conf sized by the deployment — rather than
+    * `sparkContext.defaultParallelism`, which under dynamic
+    * allocation reflects however few executors happen to be
+    * registered at plan-build time (a loop planned first thing after
+    * startup would pin every round to the floor for its whole life).
     */
   def defaultLoopWidth(s: SparkSession): Int =
-    math.max(8, s.sparkContext.defaultParallelism / 4)
+    math.max(8, s.sessionState.conf.numShufflePartitions / 4)
+
+  /** Eagerly free a SUPERSEDED `localCheckpoint`'s cached blocks: the
+    * checkpointed Dataset's plan is a `LogicalRDD` over the persisted
+    * internal RDD, and `Dataset.unpersist` only consults the cache
+    * manager (it ignores checkpoint storage), so without this the
+    * loop's storage footprint grows by one materialized frame per
+    * round until the driver happens to GC the dead references — on an
+    * adversarial-id escalation running tens of star rounds, that is
+    * eviction churn exactly when memory is tightest. Non-blocking:
+    * freeing is advisory, never on the critical path.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** `edges`: two numeric-id columns `i`, `j` (undirected pairs).
     * Returns `(id, component)` for every node appearing in a
@@ -110,6 +133,10 @@ object Components {
       .groupBy($"a").agg(min($"b").as("nbr_min"))
       .select($"a".as("id"), least($"a", $"nbr_min").as("comp"))
       .localCheckpoint(true)
+    // the round's CHECKPOINTED frame (labels is its projection from
+    // round 2 on) — tracked so each superseded round's blocks are
+    // freed eagerly instead of accumulating until driver GC
+    var ckpt = labels
     var round = 1
     var converged = false
     while (round < iters && !converged) {
@@ -141,10 +168,17 @@ object Components {
       // changes its higher endpoint there, so the earliest possible
       // fixed point is round 2.
       converged = next.filter($"comp" =!= $"prev").limit(1).count() == 0
+      // `next` is materialized (eager checkpoint) and probed — the
+      // previous round's blocks are dead now; free them.
+      freeCheckpoint(ckpt)
+      ckpt = next
     }
     val out =
       if (converged) labels
-      else starComponents(s, und, w) // id-order-resistant escalation
+      else {
+        freeCheckpoint(ckpt) // fast-path labels are abandoned wholesale
+        starComponents(s, und, w) // id-order-resistant escalation
+      }
     und.unpersist()
     out
   }
@@ -194,6 +228,8 @@ object Components {
         ssHalf.select($"x".as("a"), $"y".as("b"))
           .unionByName(ssHalf.select($"y".as("a"), $"x".as("b"))))
         .localCheckpoint(true)
+      // ss is materialized; the large-star intermediate is dead.
+      freeCheckpoint(ls)
       // Fixed point: the round left the edge set unchanged. Count
       // compare first (one cheap aggregate per round — the previous
       // round's count is carried); equal counts plus an empty
@@ -202,6 +238,7 @@ object Components {
       val nNew = ss.count()
       converged = curCount == nNew &&
         ss.join(cur, Seq("a", "b"), "left_anti").limit(1).count() == 0
+      freeCheckpoint(cur) // the convergence probe was its last reader
       cur = ss
       curCount = nNew
       round += 1
@@ -212,10 +249,12 @@ object Components {
     // min id: oriented edges are (leaf, center); centers map to
     // themselves.
     val oriented = cur.filter($"b" < $"a")
-    oriented.select($"a".as("id"), $"b".as("comp"))
+    val out = oriented.select($"a".as("id"), $"b".as("comp"))
       .unionByName(
         oriented.select($"b".as("id"), $"b".as("comp"))
           .repartition(w, $"id").dropDuplicates(Seq("id")))
       .localCheckpoint(true)
+    freeCheckpoint(cur) // out is materialized; the edge set is dead
+    out
   }
 }

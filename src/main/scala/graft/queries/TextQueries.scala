@@ -1027,17 +1027,27 @@ object TextQueries {
     import s.implicits._
     val docs = Tables.loadSpread(s, dir, "documents")
       .select($"doc_id", $"text").persist()
+    // hashed ONCE (preHashed gate): the md5-over-full-text kernel is
+    // the slice's dominant map cost, and both the gate's anti-join
+    // input and the enrichment join consume the same (h, doc_id)
+    // rows — they are separate subtrees of one plan (ReuseExchange
+    // dedups exchanges, not arbitrary subtrees), so the slim hashed
+    // frame is persisted too (caller-owned lifecycle, the q24
+    // discipline)
     val incoming = docs.filter($"doc_id" % 5 === 0)
       // deterministic arrival time: one doc per second off a fixed base
       .withColumn("ts", timestamp_millis(lit(1704153600000L) + $"doc_id" * 1000))
+      .withColumn("h", md5($"text"))
+      .select($"h", $"doc_id", $"ts")
+      .persist()
     val corpusIndex = docs.filter($"doc_id" % 5 =!= 0)
       .select(md5($"text").as("h"))
     val gated = graft.streaming.StreamOps
-      .ingestionGate(incoming, corpusIndex, "ts", "10 minutes")
+      .ingestionGate(incoming, corpusIndex, "ts", "10 minutes",
+        preHashed = true)
       .select($"h")
     gated
-      .join(incoming.withColumn("h", md5($"text"))
-        .select($"h", $"doc_id"), Seq("h"))
+      .join(incoming.select($"h", $"doc_id"), Seq("h"))
       .groupBy($"h")
       .agg(min($"doc_id").as("first_doc"), count(lit(1)).as("n_copies"))
       .orderBy($"h")

@@ -112,10 +112,18 @@ object StreamOps {
     * same key — the identical hash-set semantics with an arbitrary
     * (batch) vs first-arrival (stream) survivor; consumers that need
     * batch determinism must key on `h`, as q156 does.
+    *
+    * `preHashed = true` skips the fingerprint step and trusts an
+    * existing `h` column — for callers that need the hash for their
+    * own downstream joins and would otherwise run the md5 kernel
+    * over the full text twice (q156's enrichment).
     */
   def ingestionGate(stream: DataFrame, corpusHashes: DataFrame, tsCol: String,
-      lateness: String, textCol: String = "text"): DataFrame = {
-    val novel = stream.withColumn("h", md5(col(textCol)))
+      lateness: String, textCol: String = "text",
+      preHashed: Boolean = false): DataFrame = {
+    val hashed =
+      if (preHashed) stream else stream.withColumn("h", md5(col(textCol)))
+    val novel = hashed
       .join(corpusHashes.select(col("h")), Seq("h"), "left_anti")
     if (stream.isStreaming)
       novel.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark("h")

@@ -35,40 +35,14 @@ class BandCapSpec extends AnyFunSuite {
 
   test("plan construction is pure: building the q24 frame launches zero jobs") {
     // the hot-bucket exclusion used to probe `limit(1).count()` at
-    // PLAN time; it must now be lazy — a listener counts job starts
-    // while the whole q24-family DataFrame (plan only) is built
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
-    // resolve the source BEFORE listening: spark.read.parquet pays its
-    // own footer/listing jobs, which are the scan's, not the query's
+    // PLAN time; it must now be lazy (PlanPurity counts job starts
+    // while the whole q24-family DataFrame — plan only — is built)
     val docs = Tables.loadSpread(spark, dir, "documents")
-    val planJobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val markerSeen = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        if (js.properties != null &&
-            "bandcap-marker" == js.properties.getProperty("spark.jobGroup.id"))
-          markerSeen.incrementAndGet()
-        else planJobs.incrementAndGet()
+    val jobs = PlanPurity.jobsDuringConstruction(spark) {
+      TextQueries.minhashNearDupCore(docs, TextQueries.lshBandMaxDf)
     }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val df = TextQueries.minhashNearDupCore(docs, TextQueries.lshBandMaxDf)
-      df.queryExecution.optimizedPlan // force analysis + optimization
-      // the listener bus is async and FIFO: run one tagged marker job
-      // and wait for ITS event — any construction-time job event would
-      // have to arrive before it
-      spark.sparkContext.setJobGroup("bandcap-marker", "listener flush")
-      try spark.range(1).count()
-      finally spark.sparkContext.clearJobGroup()
-      val deadline = System.nanoTime + 5L * 1000 * 1000 * 1000
-      while (markerSeen.get() == 0 && System.nanoTime < deadline) Thread.sleep(10)
-      assert(markerSeen.get() > 0, "listener flush marker never observed")
-      assert(planJobs.get() == 0,
-        s"constructing the q24 plan launched ${planJobs.get()} Spark job(s)")
-    } finally {
-      spark.sparkContext.removeSparkListener(listener)
-      spark.catalog.clearCache()
-    }
+    assert(jobs == 0,
+      s"constructing the q24 plan launched $jobs Spark job(s)")
   }
 
   test("an oversized clique is dropped; cool-bucket pairs survive untouched") {

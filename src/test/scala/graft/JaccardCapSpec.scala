@@ -37,39 +37,13 @@ class JaccardCapSpec extends AnyFunSuite {
   test("plan construction is pure: building the q25 frame launches zero jobs") {
     // the hot-shingle exclusion used to probe `limit(1).count()` at
     // PLAN time; the anti-join + add-back are now unconditionally in
-    // the plan (the coolBanded discipline) — a listener counts job
+    // the plan (the coolBanded discipline) — PlanPurity counts job
     // starts while the whole q25 DataFrame (plan only) is built
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
-    // resolve the source BEFORE listening: spark.read.parquet pays its
-    // own footer/listing jobs, which are the scan's, not the query's
     val docs = Tables.loadSpread(spark, dir, "documents")
-    val planJobs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val markerSeen = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        if (js.properties != null &&
-            "jaccap-marker" == js.properties.getProperty("spark.jobGroup.id"))
-          markerSeen.incrementAndGet()
-        else planJobs.incrementAndGet()
+    val jobs = PlanPurity.jobsDuringConstruction(spark) {
+      TextQueries.jaccardPairsCappedCore(docs, TextQueries.jaccardMaxDf)
     }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val df = TextQueries.jaccardPairsCappedCore(docs, TextQueries.jaccardMaxDf)
-      df.queryExecution.optimizedPlan // force analysis + optimization
-      // async FIFO listener bus: run one tagged marker job and wait
-      // for its event — any construction-time job event would have to
-      // arrive before it
-      spark.sparkContext.setJobGroup("jaccap-marker", "listener flush")
-      try spark.range(1).count()
-      finally spark.sparkContext.clearJobGroup()
-      val deadline = System.nanoTime + 5L * 1000 * 1000 * 1000
-      while (markerSeen.get() == 0 && System.nanoTime < deadline) Thread.sleep(10)
-      assert(markerSeen.get() > 0, "listener flush marker never observed")
-      assert(planJobs.get() == 0,
-        s"constructing the q25 plan launched ${planJobs.get()} Spark job(s)")
-    } finally {
-      spark.sparkContext.removeSparkListener(listener)
-      spark.catalog.clearCache()
-    }
+    assert(jobs == 0,
+      s"constructing the q25 plan launched $jobs Spark job(s)")
   }
 }
