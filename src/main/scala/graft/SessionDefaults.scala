@@ -112,6 +112,20 @@ object SessionDefaults {
 
   def localProfile(profile: String): Boolean = isLocalProfile(profile)
 
+  /** The session's stable full compute width — the target partition
+    * count for compute-dense spreads ([[Tables.loadSpread]], the q134
+    * block join). `spark.sql.shuffle.partitions` is a STATIC conf the
+    * deployment sizes to its executor fleet, unlike
+    * `sparkContext.defaultParallelism`, which under dynamic
+    * allocation reflects however few executors happen to be
+    * registered when the plan is built (a query planned right after
+    * startup would bake that floor into its partitioning for its
+    * whole run). On the bench/test boxes the two coincide (the entry
+    * points pin shuffle.partitions = cores).
+    */
+  def computeWidth(s: SparkSession): Int =
+    s.sessionState.conf.numShufflePartitions
+
   def apply(b: SparkSession.Builder): SparkSession.Builder = {
     val derby = new java.io.File("target/derby")
     derby.mkdirs()

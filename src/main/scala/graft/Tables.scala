@@ -132,7 +132,7 @@ object Tables {
     * isn't free).
     */
   def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
-    load(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+    load(spark, dir, name).repartition(SessionDefaults.computeWidth(spark))
 
   /** Deploy-aware spread for compute that is dense only RELATIVE TO A
     * DEGENERATE SCAN WIDTH — the decimal moment aggregates of the

@@ -72,7 +72,7 @@ object Components {
     * startup would pin every round to the floor for its whole life).
     */
   def defaultLoopWidth(s: SparkSession): Int =
-    math.max(8, s.sessionState.conf.numShufflePartitions / 4)
+    math.max(8, graft.SessionDefaults.computeWidth(s) / 4)
 
   /** Eagerly free a SUPERSEDED `localCheckpoint`'s cached blocks: the
     * checkpointed Dataset's plan is a `LogicalRDD` over the persisted

@@ -1636,7 +1636,7 @@ object TextQueries {
     //    count is the one thing it must respect. Co-partitioned
     //    inputs double as the 100 TB shape: both sides hash on blk
     //    once, the join is local, and the DP work spreads p-wide.
-    val p = s.sparkContext.defaultParallelism
+    val p = graft.SessionDefaults.computeWidth(s)
     blocked.select($"blk", $"doc_id".as("i"), $"head".as("hi"))
       .repartition(p, $"blk").hint("shuffle_hash")
       .join(blocked.select($"blk", $"doc_id".as("j"), $"head".as("hj"))

@@ -53,6 +53,16 @@ class SessionDefaultsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("GRAFT_DEPLOY"))
   }
 
+  test("computeWidth follows the configured shuffle width, not live parallelism") {
+    // the stable source for compute-dense spreads (loadSpread, the
+    // q134 block join, defaultLoopWidth): a static conf the deploy
+    // sizes, immune to dynamic allocation's registration timing
+    assert(SessionDefaults.computeWidth(spark) ==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    assert(graft.operators.Components.defaultLoopWidth(spark) ==
+      math.max(8, SessionDefaults.computeWidth(spark) / 4))
+  }
+
   test("explicit env overrides beat either profile") {
     val env = Map(
       "GRAFT_MAX_PARTITION_BYTES" -> "33554432",
