@@ -1104,45 +1104,42 @@ object TextQueries {
   def jaccardPairsCappedCore(docs: DataFrame, maxDf: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // ONE persisted posting table feeds everything: df counts, per-doc
-    // set sizes (= posting rows per doc, shingles are distinct), and
-    // the candidate join — the staging table a warehouse pipeline
-    // would materialize between stages. Cache lifecycle is
-    // caller-owned (see minhashNearDup): the materializing caller
-    // clears the cache after the action.
+    // ONE persisted posting table feeds everything: per-doc set sizes
+    // (= posting rows per doc, shingles are distinct) and the
+    // candidate join — the staging table a warehouse pipeline would
+    // materialize between stages. Each posting CARRIES its shingle's
+    // document frequency as a window count over (source, shingle):
+    // the same one exchange the standalone df aggregate needed, but
+    // the hot/cool split downstream becomes a FILTER on the cached
+    // frame instead of an anti-join + semi-join against a hot-key
+    // table — the join form re-ran the anti-join on both sides of the
+    // candidate self-join and paid a third posting pass for the hot
+    // sets (measured +1.0 s wall / +23 s CPU at sf0.1). Cache
+    // lifecycle is caller-owned (see minhashNearDup): the
+    // materializing caller clears the cache after the action.
     val posting = docs
       .select($"doc_id", $"source", explode(shingles(words($"text"))).as("shingle"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source", $"shingle")))
       .persist()
     val sizes = posting.groupBy($"source", $"doc_id").agg(count(lit(1)).as("n"))
-    val dfs = posting.groupBy($"source", $"shingle").agg(count(lit(1)).as("df"))
     // Sub-cap postings drive the posting join + count, exactly the
     // uncapped plan; hot shingles are carried as tiny per-doc sets and
     // their overlap added back on the already-candidate pairs — so the
     // df cap bounds the join's skew term without touching results for
-    // any pair sharing at least one cool shingle.
-    // PURE plan construction (the coolBanded discipline): the
-    // anti-join + add-back are ALWAYS in the plan — no existence job
-    // at build time. A skew-free corpus pays an anti-join against an
-    // empty aggregated side and two left joins against an empty
-    // hot-set frame, all runtime-broadcast by AQE. The joins are
-    // deliberately UN-hinted: hot-shingle counts grow with corpus
-    // size on boilerplate-heavy inputs (a forced broadcast would fail
-    // at exactly the scale the cap exists for); the planner
-    // broadcasts when small and shuffles when not.
-    // hotKeys is persisted (lazily — construction stays pure): it is
-    // consumed by three joins (the anti-join feeding both sides of the
-    // candidate self-join, and the hot-set semi-join), and without the
-    // cache boundary each consumer re-runs the full df aggregation.
-    val hotKeys = dfs.filter($"df" > maxDf).select($"source", $"shingle").persist()
-    val cool = posting.join(hotKeys, Seq("source", "shingle"), "left_anti")
+    // any pair sharing at least one cool shingle. PURE plan
+    // construction (the coolBanded discipline): the filter + add-back
+    // are ALWAYS in the plan — no existence job at build time; a
+    // skew-free corpus pays two left joins against an empty hot-set
+    // frame, runtime-broadcast by AQE.
+    val cool = posting.filter($"df" <= maxDf)
     val co = cool.select($"source", $"shingle", $"doc_id".as("i"))
       .join(cool.select($"source", $"shingle", $"doc_id".as("j")),
         Seq("source", "shingle"))
       .filter($"i" < $"j")
       .groupBy($"source", $"i", $"j")
       .agg(count(lit(1)).cast("double").as("inter_cool"))
-    val hotSets = posting
-      .join(hotKeys, Seq("source", "shingle"), "left_semi")
+    val hotSets = posting.filter($"df" > maxDf)
       .groupBy($"source", $"doc_id")
       .agg(collect_list($"shingle").as("hot_sh"))
     val withInter =
