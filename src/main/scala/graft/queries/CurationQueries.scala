@@ -266,11 +266,17 @@ object CurationQueries {
     */
   def winnowNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(s, dir, "documents")
+    // fingerprint df carried as a WINDOW count (the q24/q25 cap
+    // shape): the cap becomes a filter on the cached sketch instead
+    // of an aggregate + join whose plan re-executes on both sides of
+    // the candidate self-join below — and the window's exchange
+    // leaves the frame partitioned on exactly the join key
     val fp = CurationOps.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
-      .select("doc_id", "fp").distinct().persist()
-    val rare = fp.groupBy("fp").agg(count(lit(1)).as("dfp"))
-      .filter(col("dfp") <= 50).select("fp")
-    val fpk = fp.join(rare, "fp")
+      .select("doc_id", "fp").distinct()
+      .withColumn("dfp", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .persist()
+    val fpk = fp.filter(col("dfp") <= 50).select("fp", "doc_id")
     val cand = fpk.select(col("fp"), col("doc_id").as("i"))
       .join(fpk.select(col("fp"), col("doc_id").as("j")), "fp")
       .where(col("i") < col("j"))

@@ -769,22 +769,24 @@ object TextQueries {
     * (q24 core and q147): drop rows of buckets with more than `maxDf`
     * members before the candidate self-join. PURE plan construction —
     * building the frame launches no Spark jobs (asserted by a
-    * listener in BandCapSpec); the anti-join is always in the plan,
-    * exactly mirroring the oracle's unconditional HAVING. The
-    * anti-join is left UN-hinted on purpose: hot buckets are rare on
-    * clean corpora (AQE's runtime re-plan sees the tiny aggregated
-    * side and broadcasts it) but their COUNT grows with corpus size
-    * on boilerplate-heavy ones (up to bands·n/maxDf keys), so a
-    * forced broadcast would fail at exactly the scale the cap exists
-    * for — the planner broadcasts when small and shuffles when not.
+    * listener in BandCapSpec); the cap is always in the plan, exactly
+    * mirroring the oracle's unconditional HAVING. Bucket occupancy is
+    * a WINDOW count over (band, bkey) carried on the banded rows —
+    * one exchange (the same the standalone occupancy aggregate would
+    * need), after which the cap is a plain filter instead of an
+    * aggregate + anti-join whose plan re-executes on both sides of
+    * the downstream candidate self-join (the q25 lesson). The window
+    * also leaves the frame hash-partitioned on exactly the candidate
+    * join's key, so both filtered sides arrive co-partitioned.
     */
   private def coolBanded(banded: DataFrame, maxDf: Int): DataFrame = {
     val s = banded.sparkSession
     import s.implicits._
-    val hotBuckets = banded.groupBy($"band", $"bkey")
-      .agg(count(lit(1)).as("n")).filter($"n" > maxDf)
-      .select($"band", $"bkey")
-    banded.join(hotBuckets, Seq("band", "bkey"), "left_anti")
+    banded
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bkey")))
+      .filter($"__n" <= maxDf)
+      .drop("__n")
   }
 
   /** MinHash + LSH near-duplicate pairs, fully oracle-checked.
