@@ -123,7 +123,9 @@ object Tables {
       sys.error("[schema-guard] testdata drift detected:\n  " + problems.mkString("\n  "))
   }
 
-  /** Load and spread across the default parallelism. The test files
+  /** Load and spread across [[SessionDefaults.computeWidth]] (the
+    * configured shuffle width — a static conf, deliberately NOT the
+    * registration-timing-dependent defaultParallelism). The test files
     * are single-row-group parquet (one scan task); compute-dense
     * pipelines (UDF kernels, pairwise similarity, regex) must
     * redistribute or they run single-threaded. On a cluster the same

@@ -254,29 +254,35 @@ object CurationQueries {
     * candidate pairs, never all-pairs.
     *
     * Staging (the q24 discipline, caller-owned lifecycle): the
-    * fingerprint sketch feeds the df filter AND both sides of the
-    * candidate self-join — persisted once instead of re-running the
-    * md5 + per-doc-window winnow pipeline per consumer (measured
-    * −29% wall at sf0.1 AND −23% at the 10× probe). The gram index
-    * is left UNpersisted on purpose: its three consumers share one
-    * canonical distinct exchange that Spark's ReuseExchange already
-    * deduplicates, and an A/B showed both a gram persist and a
-    * candidate-id semi-join restriction REGRESS the toy scale (+29%)
-    * for no probe win over this shape.
+    * fingerprint sketch feeds the hot-set aggregate AND the capped
+    * sketch's fill — persisted instead of re-running the md5 +
+    * per-doc-window winnow pipeline per consumer (measured −29% wall
+    * at sf0.1 AND −23% at the 10× probe); the capped sketch `fpk` is
+    * persisted too so its anti-join runs once, not once per side of
+    * the candidate self-join. The gram index is left UNpersisted on
+    * purpose: its three consumers share one canonical distinct
+    * exchange that Spark's ReuseExchange already deduplicates, and an
+    * A/B showed both a gram persist and a candidate-id semi-join
+    * restriction REGRESS the toy scale (+29%) for no probe win over
+    * this shape.
     */
   def winnowNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSpread(s, dir, "documents")
-    // fingerprint df carried as a WINDOW count (the q24/q25 cap
-    // shape): the cap becomes a filter on the cached sketch instead
-    // of an aggregate + join whose plan re-executes on both sides of
-    // the candidate self-join below — and the window's exchange
-    // leaves the frame partitioned on exactly the join key
+    // the boilerplate cap is an aggregate (map-side partial) + an
+    // anti-join against the SMALL hot-fingerprint set — deliberately
+    // not a window count carried on the rows (tried and reverted —
+    // see TextQueries.coolBanded: a window funnels a hot
+    // fingerprint's whole row set through one un-splittable
+    // WindowExec task, while the anti-join is AQE-broadcastable and
+    // skew-splittable). `fpk` is persisted so the anti-join runs
+    // once, not once per side of the candidate self-join; `fp` stays
+    // persisted because the winnow pipeline (md5 + per-doc windows)
+    // feeds both the hot aggregate and fpk's fill.
     val fp = CurationOps.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
-      .select("doc_id", "fp").distinct()
-      .withColumn("dfp", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .persist()
-    val fpk = fp.filter(col("dfp") <= 50).select("fp", "doc_id")
+      .select("doc_id", "fp").distinct().persist()
+    val hot = fp.groupBy("fp").agg(count(lit(1)).as("dfp"))
+      .filter(col("dfp") > 50).select("fp")
+    val fpk = fp.join(hot, Seq("fp"), "left_anti").persist()
     val cand = fpk.select(col("fp"), col("doc_id").as("i"))
       .join(fpk.select(col("fp"), col("doc_id").as("j")), "fp")
       .where(col("i") < col("j"))

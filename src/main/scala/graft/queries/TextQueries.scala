@@ -769,24 +769,32 @@ object TextQueries {
     * (q24 core and q147): drop rows of buckets with more than `maxDf`
     * members before the candidate self-join. PURE plan construction —
     * building the frame launches no Spark jobs (asserted by a
-    * listener in BandCapSpec); the cap is always in the plan, exactly
-    * mirroring the oracle's unconditional HAVING. Bucket occupancy is
-    * a WINDOW count over (band, bkey) carried on the banded rows —
-    * one exchange (the same the standalone occupancy aggregate would
-    * need), after which the cap is a plain filter instead of an
-    * aggregate + anti-join whose plan re-executes on both sides of
-    * the downstream candidate self-join (the q25 lesson). The window
-    * also leaves the frame hash-partitioned on exactly the candidate
-    * join's key, so both filtered sides arrive co-partitioned.
+    * listener in BandCapSpec); the anti-join is always in the plan,
+    * exactly mirroring the oracle's unconditional HAVING. The
+    * anti-join is left UN-hinted on purpose: hot buckets are rare on
+    * clean corpora (AQE's runtime re-plan sees the tiny aggregated
+    * side and broadcasts it) but their COUNT grows with corpus size
+    * on boilerplate-heavy ones (up to bands·n/maxDf keys), so a
+    * forced broadcast would fail at exactly the scale the cap exists
+    * for — the planner broadcasts when small and shuffles when not.
+    *
+    * DELIBERATELY an aggregate + anti-join, NOT a window count
+    * carried on the rows (a shape that was tried and reverted): the
+    * aggregate's exchange moves map-side partially-aggregated
+    * (key, count) rows — a hot bucket costs one row per mapper — and
+    * the anti-join is AQE-broadcastable/skew-splittable, while
+    * `Window.partitionBy(band, bkey)` would funnel a hot bucket's
+    * ENTIRE row set through one un-splittable WindowExec task
+    * (window partitions are never skew-split) — serializing, spilling
+    * or OOMing at exactly the boilerplate scale the cap exists for.
     */
   private def coolBanded(banded: DataFrame, maxDf: Int): DataFrame = {
     val s = banded.sparkSession
     import s.implicits._
-    banded
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bkey")))
-      .filter($"__n" <= maxDf)
-      .drop("__n")
+    val hotBuckets = banded.groupBy($"band", $"bkey")
+      .agg(count(lit(1)).as("n")).filter($"n" > maxDf)
+      .select($"band", $"bkey")
+    banded.join(hotBuckets, Seq("band", "bkey"), "left_anti")
   }
 
   /** MinHash + LSH near-duplicate pairs, fully oracle-checked.
@@ -1106,42 +1114,49 @@ object TextQueries {
   def jaccardPairsCappedCore(docs: DataFrame, maxDf: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // ONE persisted posting table feeds everything: per-doc set sizes
-    // (= posting rows per doc, shingles are distinct) and the
-    // candidate join — the staging table a warehouse pipeline would
-    // materialize between stages. Each posting CARRIES its shingle's
-    // document frequency as a window count over (source, shingle):
-    // the same one exchange the standalone df aggregate needed, but
-    // the hot/cool split downstream becomes a FILTER on the cached
-    // frame instead of an anti-join + semi-join against a hot-key
-    // table — the join form re-ran the anti-join on both sides of the
-    // candidate self-join and paid a third posting pass for the hot
-    // sets (measured +1.0 s wall / +23 s CPU at sf0.1). Cache
-    // lifecycle is caller-owned (see minhashNearDup): the
-    // materializing caller clears the cache after the action.
+    // ONE persisted posting table feeds everything: df counts, per-doc
+    // set sizes (= posting rows per doc, shingles are distinct), and
+    // the candidate join — the staging table a warehouse pipeline
+    // would materialize between stages. Cache lifecycle is
+    // caller-owned (see minhashNearDup): the materializing caller
+    // clears the cache after the action.
     val posting = docs
       .select($"doc_id", $"source", explode(shingles(words($"text"))).as("shingle"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"source", $"shingle")))
       .persist()
     val sizes = posting.groupBy($"source", $"doc_id").agg(count(lit(1)).as("n"))
+    val dfs = posting.groupBy($"source", $"shingle").agg(count(lit(1)).as("df"))
     // Sub-cap postings drive the posting join + count, exactly the
     // uncapped plan; hot shingles are carried as tiny per-doc sets and
     // their overlap added back on the already-candidate pairs — so the
     // df cap bounds the join's skew term without touching results for
     // any pair sharing at least one cool shingle. PURE plan
-    // construction (the coolBanded discipline): the filter + add-back
-    // are ALWAYS in the plan — no existence job at build time; a
-    // skew-free corpus pays two left joins against an empty hot-set
-    // frame, runtime-broadcast by AQE.
-    val cool = posting.filter($"df" <= maxDf)
+    // construction (the coolBanded discipline): the anti-join +
+    // add-back are ALWAYS in the plan — no existence job at build
+    // time; a skew-free corpus pays joins against empty frames that
+    // AQE broadcasts at runtime. Hot detection is DELIBERATELY an
+    // aggregate + anti-join, not a window count carried on the rows
+    // (tried and reverted — see coolBanded: a window would funnel a
+    // hot shingle's whole posting list through one un-splittable
+    // WindowExec task, while the aggregate partial-aggregates
+    // map-side and the anti-join is AQE-broadcastable/skew-split).
+    // `cool` is persisted so the anti-join runs once, not once per
+    // side of the candidate self-join (measured: the uncached form
+    // cost ~+20 s CPU at sf0.1) — at warehouse scale this is the
+    // capped-postings staging table.
+    // hotKeys persisted (lazily — construction stays pure): consumed
+    // by the anti-join and the hot-set semi-join; without the cache
+    // boundary each consumer re-runs the df aggregation.
+    val hotKeys = dfs.filter($"df" > maxDf).select($"source", $"shingle").persist()
+    val cool = posting.join(hotKeys, Seq("source", "shingle"), "left_anti")
+      .persist()
     val co = cool.select($"source", $"shingle", $"doc_id".as("i"))
       .join(cool.select($"source", $"shingle", $"doc_id".as("j")),
         Seq("source", "shingle"))
       .filter($"i" < $"j")
       .groupBy($"source", $"i", $"j")
       .agg(count(lit(1)).cast("double").as("inter_cool"))
-    val hotSets = posting.filter($"df" > maxDf)
+    val hotSets = posting
+      .join(hotKeys, Seq("source", "shingle"), "left_semi")
       .groupBy($"source", $"doc_id")
       .agg(collect_list($"shingle").as("hot_sh"))
     val withInter =
