@@ -267,6 +267,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("df/occupancy caps are join-based, never a bucket-key window") {
+    // A window partitioned by the bucket key funnels a hot bucket's
+    // ENTIRE row set through one un-splittable WindowExec task (AQE
+    // skew-splits joins, never windows) — tried round 15, reverted;
+    // this pins the skew-safe shape so a future "optimization" can't
+    // silently reintroduce it. q24/q25 tolerate no window at all;
+    // q113's winnow sketch keeps its PER-DOC window (bounded by
+    // document length), so only a fingerprint-key window is banned.
+    val p24 = plan(TextQueries.minhashNearDup(spark, dir))
+    assert(!p24.contains("Window"), p24)
+    val p25 = plan(TextQueries.jaccardPairs(spark, dir))
+    assert(!p25.contains("Window"), p25)
+    val p113 = plan(CurationQueries.winnowNearDup(spark, dir))
+    assert(!p113.contains("windowspecdefinition(fp"), p113)
+  }
+
   test("q116 DSIR select: top-k heap + broadcast of the selected ids, no window") {
     val df = CurationQueries.dsirSelectCorpus(spark, dir)
     val p = plan(df)
