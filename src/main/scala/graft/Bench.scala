@@ -198,7 +198,7 @@ object Bench {
       "\"" + name + "\":[" + measured(name).samples.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val spreads = queries.collect { case (name, _) if measuredOk(name) =>
-      "\"" + name + "\":" + f"${measured(name).spread}%.3f"
+      "\"" + name + "\":" + BenchCore.jnum(measured(name).spread, 3)
     }.mkString("{", ",", "}")
     val reruns = queries.collect { case (name, _) if measured(name).reruns > 0 =>
       "\"" + name + "\":" + measured(name).reruns
@@ -261,6 +261,20 @@ object Bench {
         val pMeasured = BenchCore.probeMeasure(probe.map(_._1), probeRun,
           baseline = results.toMap, ratioAlarm = 10.0,
           outOfBudget = outOfBudget, seed = pWarm)
+        // Output-row count per entry (one count() job each, budget-
+        // gated): a wall ratio alone cannot distinguish "superlinear
+        // plan" from "the OUTPUT grew superlinearly" — q88's standing
+        // 3.2x is pair-output growth, and cost-per-output-row is the
+        // machine-readable way the artifact says so instead of a prose
+        // re-explanation each round.
+        val pRows = probe.flatMap { case (name, fn) =>
+          if (outOfBudget()) None
+          else {
+            val n = try fn(spark, sf1Dir).count() catch { case _: Throwable => -1L }
+            spark.catalog.clearCache()
+            if (n >= 0) Some(name -> n) else None
+          }
+        }.toMap
         // Value fields carry only MEASURED entries: a probe whose
         // every run failed (min = -1) is named in "failed", a probe
         // the budget cut before any sample in "truncated" — neither
@@ -271,17 +285,17 @@ object Bench {
             "\"" + name + "\":" + f(name, pMeasured(name))
           }.mkString("{", ",", "}")
         val pq = pField((_, r) => r.min.toString)
-        val pRatio = pField((_, r) => f"${r.ratio}%.2f")
+        val pRatio = pField((_, r) => BenchCore.jnum(r.ratio, 2))
         // "spread_all", not "spread": unlike the corpus section's
         // spread (timed passes only, seed excluded), the probe spread
         // includes the seeded warmup — the probe runs in a warm JVM,
         // so its seed is a real sample; the name records the
         // difference in semantics.
-        val pSpread = pField((_, r) => f"${r.spread}%.3f")
+        val pSpread = pField((_, r) => BenchCore.jnum(r.spread, 3))
         val pPasses = pField((_, r) => r.samples.size.toString)
         val pSamples = pField((_, r) => r.samples.mkString("[", ",", "]"))
         val pCpuOfMin = pField((n, r) =>
-          f"${BenchCore.cpuOfMin(r.samples, pCpu(n))}%.3f")
+          BenchCore.jnum(BenchCore.cpuOfMin(r.samples, pCpu(n)), 3))
         val pTrunc = probe.collect { case (name, _) if pMeasured(name).truncated =>
           "\"" + name + "\""
         }.mkString("[", ",", "]")
@@ -289,11 +303,14 @@ object Bench {
             if !pMeasured(name).truncated && pMeasured(name).min < 0 =>
           "\"" + name + "\""
         }.mkString("[", ",", "]")
-        s""","sf1":{"dir":"$sf1Dir","budget_left_start_s":${f"$budgetAtStart%.1f"},""" +
+        val pRowsJson = probe.collect { case (name, _) if pRows.contains(name) =>
+          "\"" + name + "\":" + pRows(name)
+        }.mkString("{", ",", "}")
+        s""","sf1":{"dir":"$sf1Dir","budget_left_start_s":${BenchCore.jnum(budgetAtStart, 1)},""" +
           s""""queries":$pq,"ratio":$pRatio,"spread_all":$pSpread,""" +
           s""""passes":$pPasses,"samples":$pSamples,"cpu":$pCpuOfMin,""" +
-          s""""truncated":$pTrunc,"failed":$pFailed,""" +
-          s""""budget_left_end_s":${f"$budgetLeftS%.1f"}}"""
+          s""""rows_out":$pRowsJson,"truncated":$pTrunc,"failed":$pFailed,""" +
+          s""""budget_left_end_s":${BenchCore.jnum(budgetLeftS, 1)}}"""
       }
 
     val rerunsField = if (reruns == "{}") "" else s""","reruns":$reruns"""
@@ -315,10 +332,10 @@ object Bench {
     // plus every per-pass CPU sample aligned with "passes".
     val cpuMin = queries.collect { case (name, _) if measuredOk(name) =>
       "\"" + name + "\":" +
-        f"${BenchCore.cpuOfMin(measured(name).samples, cpuSoFar(name))}%.3f"
+        BenchCore.jnum(BenchCore.cpuOfMin(measured(name).samples, cpuSoFar(name)), 3)
     }.mkString("{", ",", "}")
     val cpuPasses = queries.map { case (name, _) =>
-      "\"" + name + "\":[" + cpuSoFar(name).map(c => f"$c%.3f").mkString(",") + "]"
+      "\"" + name + "\":[" + cpuSoFar(name).map(c => BenchCore.jnum(c, 3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"spread":$spreads,"cpu":$cpuMin,"cpu_passes":$cpuPasses$rerunsField$truncatedField$failedField,"sf":"$sfDir"$sf1Section}"""

@@ -41,15 +41,29 @@ object BenchCore {
       case _ => -1.0
     }
 
+  /** Locale-independent fixed-decimal rendering for the bench JSON.
+    * The f-interpolator uses the JVM default locale, so under e.g.
+    * de_DE the decimal separator becomes ',' and the artifact is
+    * malformed JSON; every numeric field the bench emits goes through
+    * here instead.
+    */
+  def jnum(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   /** The CPU sample paired with the minimum VALID wall sample — the
-    * pass the headline min came from. Pairs are positional; invalid
-    * entries (negative wall or cpu) are skipped, and only the zipped
-    * prefix counts if the lists diverge in length (a budget trip can
-    * cut recording short). -1 when no valid pair exists.
+    * pass the headline min came from. Pairs are positional; if THAT
+    * pass's CPU sample is missing or invalid (the recording loop can
+    * be cut short by a budget trip), the answer is -1 (unattributable)
+    * — substituting a different pass's CPU would silently mislabel the
+    * artifact, attributing the min wall to compute it didn't do.
     */
   def cpuOfMin(walls: Seq[Double], cpus: Seq[Double]): Double = {
-    val pairs = walls.zip(cpus).filter(p => p._1 >= 0 && p._2 >= 0)
-    if (pairs.isEmpty) -1.0 else pairs.minBy(_._1)._2
+    val validWalls = walls.zipWithIndex.filter(_._1 >= 0)
+    if (validWalls.isEmpty) -1.0
+    else {
+      val minIdx = validWalls.minBy(_._1)._2
+      cpus.lift(minIdx).filter(_ >= 0).getOrElse(-1.0)
+    }
   }
 
   /** One query's measurement: best wall seconds, raw-pass spread

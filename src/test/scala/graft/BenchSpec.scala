@@ -223,14 +223,31 @@ class BenchSpec extends AnyFunSuite {
     // min wall is the 3rd pass -> its cpu (2.0) is the answer, not the
     // min cpu (0.5, which belongs to a failed-wall slot)
     assert(BenchCore.cpuOfMin(Seq(3.0, -1.0, 1.0), Seq(9.0, 0.5, 2.0)) == 2.0)
-    // a negative cpu sample (unsupported JVM / failed run) disqualifies
-    // its pair, falling through to the next-best valid pair
-    assert(BenchCore.cpuOfMin(Seq(1.0, 2.0), Seq(-1.0, 4.0)) == 4.0)
-    // length mismatch (budget trip): only the zipped prefix counts
-    assert(BenchCore.cpuOfMin(Seq(2.0, 1.0, 0.1), Seq(5.0, 3.0)) == 3.0)
+    // the MIN-WALL pass's cpu sample is invalid: the answer is -1
+    // (unattributable), NOT the next-best pass's cpu — substituting a
+    // slower pass's cpu would silently mislabel the artifact
+    assert(BenchCore.cpuOfMin(Seq(1.0, 2.0), Seq(-1.0, 4.0)) == -1.0)
+    // same when the recording loop was cut short and the min-wall pass
+    // simply has no cpu slot at all
+    assert(BenchCore.cpuOfMin(Seq(2.0, 1.0, 0.1), Seq(5.0, 3.0)) == -1.0)
+    // ...but a short cpu list still resolves when the min-wall pass is
+    // inside the recorded prefix
+    assert(BenchCore.cpuOfMin(Seq(2.0, 1.0, 5.0), Seq(5.0, 3.0)) == 3.0)
     // nothing valid -> -1 sentinel
     assert(BenchCore.cpuOfMin(Seq(-1.0), Seq(1.0)) == -1.0)
     assert(BenchCore.cpuOfMin(Nil, Nil) == -1.0)
+  }
+
+  test("jnum renders fixed decimals independent of the default locale") {
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(BenchCore.jnum(1234.5678, 3) == "1234.568")
+      assert(BenchCore.jnum(-1.0, 2) == "-1.00")
+      // contrast: the f-interpolator under de_DE uses ',' — the bug
+      // jnum exists to avoid
+      assert(f"${1.5}%.1f" == "1,5")
+    } finally java.util.Locale.setDefault(saved)
   }
 
   test("processCpuSeconds is monotonic and advances under compute") {
