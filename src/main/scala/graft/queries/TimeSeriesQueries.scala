@@ -173,6 +173,52 @@ object TimeSeriesQueries {
       |GROUP BY bucket, event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** q157: the TICK passthrough — the last enumerated entry of the v3
+    * interval surface (vars.py:200-216). "tick" names the raw feed:
+    * the reference's converter has no millisecond value for it
+    * (validateInterval treats it as 0 ms) and a tick "resample" is the
+    * identity on timestamps — NO bucketing, no grid; the only
+    * transform is the feed contract that at most one row survives per
+    * exact (key, timestamp), keep-last by arrival. Driven through the
+    * real gate with the minimum lowered to admit it
+    * (`validateInterval("tick", "0ms")` must return 0 — asserted — and
+    * the default "1s" minimum still rejects it, IntervalsSpec). The
+    * hourly corpus has no exact-ts duplicates, so events map onto a
+    * DENSE 600 ms SLICE deterministically (base + event_id mod 600
+    * milliseconds — pure arithmetic both engines replay exactly),
+    * which makes every grid cell multiply occupied from sf0.001 up.
+    * Scale shape: one hash aggregation keyed on (event_type, mts) —
+    * exactly [[dedupKeepLast]]'s max_by, partial-aggregable map-side;
+    * no windows, no joins. With q154 (10 s), q155 (100 ms) and the
+    * hourly family, every v3 interval class is now executed.
+    */
+  def resampleTick(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Intervals
+    val tickMs = Intervals.validateInterval("tick", minimum = "0ms")
+    require(tickMs == 0L, s"tick must resolve to 0 ms, got $tickMs")
+    // 2024-01-02 00:00:00 UTC in epoch ms (q155's base)
+    val baseMs = 1704153600000L
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("mts",
+        timestamp_millis(lit(baseMs) + pmod($"event_id", lit(600L))))
+      .select($"event_type", $"mts", $"event_id", $"value")
+    dedupKeepLast(ev, Seq("event_type", "mts"), Seq("event_id"))
+      .orderBy($"event_type", $"mts")
+  }
+
+  val resampleTickSql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    make_timestamp((1704153600000 + event_id % 600) * 1000) AS mts,
+      |    event_id, value,
+      |    row_number() OVER (PARTITION BY event_type, event_id % 600
+      |                       ORDER BY event_id DESC) AS rn
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events) events)
+      |SELECT event_type, mts, event_id, value
+      |FROM e WHERE rn = 1
+      |ORDER BY event_type, mts""".stripMargin
+
   /** W1/W2 — keep-last dedup on a composite key (utils.py:684-690,
     * v2.py:1658-1663): latest event per (user_id, event_type), arrival
     * order made explicit via (ts, event_id).
@@ -1026,6 +1072,7 @@ object TimeSeriesQueries {
     "q10_resample_ohlc_1h" -> (resampleOhlc1h(_, _)),
     "q154_resample_ohlc_10s" -> (resampleOhlc10s(_, _)),
     "q155_resample_ohlc_100ms" -> (resampleOhlc100ms(_, _)),
+    "q157_resample_tick" -> (resampleTick(_, _)),
     "q137_linear_interpolate" -> (linearInterpolate(_, _)),
     "q141_ema_hourly" -> (emaHourly(_, _)),
     "q150_seasonal_decompose" -> (seasonalDecompose(_, _)),
@@ -1049,6 +1096,7 @@ object TimeSeriesQueries {
     "q10_resample_ohlc_1h" -> resampleOhlc1hSql,
     "q154_resample_ohlc_10s" -> resampleOhlc10sSql,
     "q155_resample_ohlc_100ms" -> resampleOhlc100msSql,
+    "q157_resample_tick" -> resampleTickSql,
     "q137_linear_interpolate" -> linearInterpolateSql,
     "q141_ema_hourly" -> emaHourlySql,
     "q150_seasonal_decompose" -> seasonalDecomposeSql,
