@@ -173,13 +173,24 @@ object Components {
       freeCheckpoint(ckpt)
       ckpt = next
     }
-    val out =
-      if (converged) labels
+    // `terminal` is the CHECKPOINTED frame the returned labels read
+    // from (for the converged path `labels` is its projection, so the
+    // projection's analyzed plan would not match freeCheckpoint's
+    // LogicalRDD case — the checkpoint frame itself is what frees).
+    // Its blocks must outlive this call (the result is lazy), so it
+    // cannot be freed here; a Staging scope, when one is active, frees
+    // it after the caller's materializing action — otherwise it lives
+    // until driver GC, the documented caller-owned residue
+    // (ComponentsSpec pins that it is exactly ONE frame per call).
+    val (out, terminal) =
+      if (converged) (labels, ckpt)
       else {
         freeCheckpoint(ckpt) // fast-path labels are abandoned wholesale
-        starComponents(s, und, w) // id-order-resistant escalation
+        val st = starComponents(s, und, w) // id-order-resistant escalation
+        (st, st)
       }
     und.unpersist()
+    Staging.onScopeExit(() => freeCheckpoint(terminal))
     out
   }
 

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Scoped lifecycle for the staged (persisted) frames the query cores
+  * build internally (the q24 sigs table, q25's capped postings, q156's
+  * hashed batch, …).
+  *
+  * Those persists are load-bearing — each staged frame feeds several
+  * consumers that would otherwise recompute a heavy kernel — but their
+  * lifecycle is caller-owned: the core returns a LAZY frame, so it
+  * cannot unpersist (the blocks would drop before first use). The
+  * harness callers (Verify, Bench) clear the cache after every query;
+  * an interactive library user composing the same cores would instead
+  * accumulate one orphaned cached frame per call. This object closes
+  * that gap without changing the harness path:
+  *
+  *  - cores mark their staging persists with [[staged]] — outside any
+  *    scope it is exactly `.persist()` (harness behavior unchanged);
+  *  - library callers wrap build + action in [[scoped]] (or the
+  *    convenience [[run]]), and every frame staged during the block —
+  *    transitively, through any core the block calls — is unpersisted
+  *    when the block exits, success or failure.
+  *
+  * Scopes are per-thread and nest (inner scopes release only their own
+  * frames), matching the build-then-materialize shape of interactive
+  * use. At warehouse scale the same staging tables are what a pipeline
+  * writes between stages; this is the in-session analog with a
+  * deterministic release point.
+  */
+object Staging {
+
+  private val scopes =
+    new ThreadLocal[List[collection.mutable.ListBuffer[() => Unit]]] {
+      override def initialValue(): List[collection.mutable.ListBuffer[() => Unit]] = Nil
+    }
+
+  /** Register a cleanup with the innermost active scope on this
+    * thread; NO-OP when none is active (the harness path). For
+    * resources `Dataset.unpersist` cannot reach — e.g. the terminal
+    * `localCheckpoint` blocks of [[Components.minLabelComponents]],
+    * which the cache manager never sees.
+    */
+  def onScopeExit(cleanup: () => Unit): Unit = scopes.get() match {
+    case buf :: _ => buf += cleanup
+    case Nil      =>
+  }
+
+  /** Persist `ds`; when a [[scoped]] block is active on this thread,
+    * register it for release at scope exit. Outside a scope this is
+    * exactly `ds.persist()` — the caller-owned lifecycle the harness
+    * relies on (clearCache per query) is unchanged.
+    */
+  def staged[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    onScopeExit(() => ds.unpersist(blocking = false))
+    ds
+  }
+
+  /** Run `body` under a fresh staging scope: every cleanup it
+    * registers (each staged frame's unpersist, checkpoint frees) runs
+    * in finally. Returns `body`'s value — which must therefore not be
+    * a lazy frame still depending on the staged blocks; materialize
+    * inside the scope (that is [[run]]'s shape).
+    */
+  def scoped[T](body: => T): T = {
+    val buf = collection.mutable.ListBuffer.empty[() => Unit]
+    scopes.set(buf :: scopes.get())
+    try body
+    finally {
+      scopes.set(scopes.get().tail)
+      buf.foreach { c =>
+        try c()
+        catch { case _: Throwable => () } // a stopped session must not mask body's result
+      }
+    }
+  }
+
+  /** The library entry point: build a frame (its construction may
+    * stage internal tables), run `action` against it (the
+    * materializing step — collect/write/count), release every staged
+    * block in finally.
+    *
+    * {{{
+    * val pairs = Staging.run(TextQueries.minhashNearDup(spark, dir))(_.collect())
+    * // zero staged blocks remain cached here
+    * }}}
+    */
+  def run[R](build: => DataFrame)(action: DataFrame => R): R =
+    scoped(action(build))
+}

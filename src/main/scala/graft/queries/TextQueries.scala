@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Staging
 import graft.functions.TextOps._
 
 /** Text-analysis + deduplication operator family over the `documents`
@@ -825,12 +826,14 @@ object TextQueries {
     // Cache lifecycle is caller-owned: the query returns lazily, so
     // unpersisting here would drop the blocks before first use — the
     // materializing caller clears the cache after the action (Verify
-    // and Bench both clearCache() per query).
+    // and Bench both clearCache() per query); library callers wrap
+    // build+action in Staging.run/scoped, which releases every frame
+    // marked via Staging.staged at scope exit.
     val sigs = docs
       .select($"doc_id", shingles(words($"text")).as("sh"))
       .select($"doc_id", $"sh",
         array((0 until bands).map(b => bandKey($"sh", b, rowsPerBand)): _*).as("bkeys"))
-      .persist()
+      .transform(Staging.staged(_))
     val banded = sigs.select($"doc_id",
       posexplode($"bkeys").as(Seq("band", "bkey")))
     val cool = coolBanded(banded, maxDf)
@@ -1036,20 +1039,20 @@ object TextQueries {
   def ingestionGateBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.loadSpread(s, dir, "documents")
-      .select($"doc_id", $"text").persist()
+      .select($"doc_id", $"text").transform(Staging.staged(_))
     // hashed ONCE (preHashed gate): the md5-over-full-text kernel is
     // the slice's dominant map cost, and both the gate's anti-join
     // input and the enrichment join consume the same (h, doc_id)
     // rows — they are separate subtrees of one plan (ReuseExchange
     // dedups exchanges, not arbitrary subtrees), so the slim hashed
     // frame is persisted too (caller-owned lifecycle, the q24
-    // discipline)
+    // discipline; Staging.run-scopable like every staged frame)
     val incoming = docs.filter($"doc_id" % 5 === 0)
       // deterministic arrival time: one doc per second off a fixed base
       .withColumn("ts", timestamp_millis(lit(1704153600000L) + $"doc_id" * 1000))
       .withColumn("h", md5($"text"))
       .select($"h", $"doc_id", $"ts")
-      .persist()
+      .transform(Staging.staged(_))
     val corpusIndex = docs.filter($"doc_id" % 5 =!= 0)
       .select(md5($"text").as("h"))
     val gated = graft.streaming.StreamOps
@@ -1119,10 +1122,10 @@ object TextQueries {
     // the candidate join — the staging table a warehouse pipeline
     // would materialize between stages. Cache lifecycle is
     // caller-owned (see minhashNearDup): the materializing caller
-    // clears the cache after the action.
+    // clears the cache after the action, or scopes it (Staging.run).
     val posting = docs
       .select($"doc_id", $"source", explode(shingles(words($"text"))).as("shingle"))
-      .persist()
+      .transform(Staging.staged(_))
     val sizes = posting.groupBy($"source", $"doc_id").agg(count(lit(1)).as("n"))
     val dfs = posting.groupBy($"source", $"shingle").agg(count(lit(1)).as("df"))
     // Sub-cap postings drive the posting join + count, exactly the
@@ -1146,9 +1149,10 @@ object TextQueries {
     // hotKeys persisted (lazily — construction stays pure): consumed
     // by the anti-join and the hot-set semi-join; without the cache
     // boundary each consumer re-runs the df aggregation.
-    val hotKeys = dfs.filter($"df" > maxDf).select($"source", $"shingle").persist()
+    val hotKeys = Staging.staged(
+      dfs.filter($"df" > maxDf).select($"source", $"shingle"))
     val cool = posting.join(hotKeys, Seq("source", "shingle"), "left_anti")
-      .persist()
+      .transform(Staging.staged(_))
     val co = cool.select($"source", $"shingle", $"doc_id".as("i"))
       .join(cool.select($"source", $"shingle", $"doc_id".as("j")),
         Seq("source", "shingle"))

@@ -109,8 +109,17 @@ object StreamOps {
     * Batch-mode replay (the q48 pattern — q156 is the oracle-checked
     * batch face): `dropDuplicatesWithinWatermark` is streaming-only
     * by API, so a batch input takes plain `dropDuplicates` on the
-    * same key — the identical hash-set semantics with an arbitrary
-    * (batch) vs first-arrival (stream) survivor; consumers that need
+    * same key. The two arms agree on the SURVIVOR SET only for
+    * duplicates that arrive within the watermark window of each
+    * other: the streaming arm expires its dedup state once the
+    * watermark passes `lateness` beyond a hash's last sighting, so a
+    * duplicate re-arriving LATER than that passes the stream gate
+    * (state gone) but is dropped in batch replay (global hash set).
+    * That divergence is intended — unbounded stream state is exactly
+    * what `dropDuplicatesWithinWatermark` exists to avoid; callers
+    * that need exactly-once across arbitrarily late re-arrivals must
+    * refresh the STATIC corpus index with emitted hashes (the q124
+    * merge cycle) rather than widen stream state. Consumers that need
     * batch determinism must key on `h`, as q156 does.
     *
     * `preHashed = true` skips the fingerprint step and trusts an

@@ -74,4 +74,62 @@ class ComponentsSpec extends AnyFunSuite {
     val got = comps(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("localCheckpoint's analyzed plan is LogicalRDD (freeCheckpoint's match)") {
+    // freeCheckpoint (Components.scala) pattern-matches the analyzed
+    // plan of a localCheckpoint'ed frame as execution.LogicalRDD to
+    // reach its persisted RDD. A Spark upgrade that changes that plan
+    // shape would silently turn every eager free into a no-op and the
+    // loop's storage footprint would grow one frame per round again —
+    // this is the loud canary for that match.
+    val df = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    assert(df.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      s"localCheckpoint plan shape changed: ${df.queryExecution.analyzed.getClass}")
+    df.unpersist()
+  }
+
+  test("superseded round checkpoints are actually freed (storage probe)") {
+    // End-to-end guard on the same invariant: after a multi-round run,
+    // the ONLY persistent RDD the call may leave behind is the
+    // terminal checkpoint (the returned labels read it — it cannot be
+    // freed until the caller materializes). If freeCheckpoint ever
+    // stops hitting, every superseded round's blocks linger and the
+    // added-RDD count grows with the round count.
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // ascending chain: multiple fast-path rounds (pointer doubling)
+    val edges = (1L until 16L).map(i => (i, i + 1)).toDF("i", "j")
+    val out = Components.minLabelComponents(edges, iters = 8)
+    assert(out.count() == 16) // materialize through the terminal checkpoint
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size == 1,
+      s"expected only the terminal checkpoint to remain, found ${added.size}")
+
+    // Same invariant through the ESCALATION tier (star rounds free
+    // large-star intermediates and superseded edge sets per round).
+    val before2 = spark.sparkContext.getPersistentRDDs.keySet
+    val out2 = Components.minLabelComponents(edges, iters = 2) // trip the budget
+    assert(out2.count() == 16)
+    val added2 = spark.sparkContext.getPersistentRDDs.keySet -- before2
+    assert(added2.size == 1,
+      s"star path: expected only the terminal checkpoint, found ${added2.size}")
+  }
+
+  test("a Staging scope frees the terminal checkpoint after the action") {
+    // The one frame a bare call leaves behind (previous test) is
+    // released when the caller runs under Staging.run/scoped — the
+    // library-caller lifecycle (VERDICT r15 advice: terminal
+    // checkpoint lifetime).
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = (1L until 16L).map(i => (i, i + 1)).toDF("i", "j")
+    val n = graft.operators.Staging.scoped {
+      Components.minLabelComponents(edges, iters = 8).count()
+    }
+    assert(n == 16)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty,
+      s"scope exit must free the terminal checkpoint too, found ${added.size}")
+  }
 }

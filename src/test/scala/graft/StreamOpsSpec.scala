@@ -425,4 +425,51 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(batchOut.size == 2) // the two novel texts
     } finally q.stop()
   }
+
+  test("ingestion gate: beyond-watermark re-arrival is the INTENDED divergence") {
+    import org.apache.spark.sql.functions.md5
+    implicit val sqlCtx = spark.sqlContext
+    // The batch/stream parity above holds only for duplicates arriving
+    // within the watermark window of each other. A duplicate that
+    // re-arrives AFTER the stream's dedup state expired (watermark
+    // moved past first-sighting + lateness) PASSES the stream gate but
+    // is dropped by batch replay's global hash set. That divergence is
+    // by design — bounded state is the point of
+    // dropDuplicatesWithinWatermark; exactly-once across arbitrarily
+    // late re-arrivals is the static corpus index's job (q124 merge
+    // cycle), not stream state. This case pins the behavior so a
+    // future "fix" that widens stream state unboundedly fails loudly.
+    val corpus = Seq("known text one").toDF("text")
+      .select(md5($"text").as("h"))
+    val first    = DocEv(ts("2024-01-01 10:00:00"), 1, "fresh text alpha")
+    val pusher   = DocEv(ts("2024-01-01 11:00:00"), 2, "watermark pusher")
+    val reArrive = DocEv(ts("2024-01-01 11:01:00"), 3, "fresh text alpha")
+
+    val input = MemoryStream[DocEv]
+    val gated = StreamOps.ingestionGate(input.toDF(), corpus, "ts", "10 minutes")
+    val q = gated.writeStream.format("memory").queryName("gate_late_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt7").toString)
+      .start()
+    try {
+      input.addData(first)     // alpha enters dedup state
+      q.processAllAvailable()
+      input.addData(pusher)    // watermark -> 10:50, alpha state (10:00
+      q.processAllAvailable()  // + 10 min lateness) expires
+      input.addData(reArrive)  // same text, state gone -> passes
+      q.processAllAvailable()
+      val streamIds = spark.table("gate_late_out").select($"doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(streamIds == Seq(1L, 2L, 3L),
+        s"stream gate should re-admit the beyond-watermark dup: $streamIds")
+    } finally q.stop()
+
+    // batch replay of the identical rows: the global hash set drops
+    // the re-arrival — one survivor per hash, period
+    val batchIds = StreamOps.ingestionGate(
+        Seq(first, pusher, reArrive).toDF(), corpus, "ts", "10 minutes")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(batchIds.length == 2 && batchIds.contains(2L),
+      s"batch replay should keep one survivor per hash: $batchIds")
+  }
 }
