@@ -251,17 +251,32 @@ object TextQueries {
     * corpus, so AQE decides at runtime whether that side is small
     * enough to broadcast. Only the single-row vocabulary count rides
     * along as a broadcast scalar. No windows, no collects.
+    *
+    * Staging (the r15→r16 q84 lesson): this query consumes the
+    * documents scan through THREE differently-pruned branches
+    * (bigram join input, bigram model agg, unigram agg), so a bare
+    * `loadSpread` re-ran the round-robin exchange of the full text
+    * column once per branch — A/B'd at sf0.1: 3.6 s wall / 44.7 s
+    * CPU vs 1.8 s / 14.6 s for the unspread scan. The staged shape
+    * here beats both (1.57 s / 14.0 s): ONE spread exchange
+    * materialized once ([[graft.operators.Staging.staged]] — the
+    * slim (doc_id, text) frame), and the exploded bigram stream
+    * staged too so the explode kernel runs once at full width
+    * instead of once per consumer. At warehouse scale these are the
+    * tokenized staging tables a pipeline writes between stages.
     */
   def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.loadSpread(s, dir, "documents")
+    val docs = Staging.staged(
+      Tables.loadSpread(s, dir, "documents").select($"doc_id", $"text"))
     val w = words($"text")
     val bigrams = zip_with(
       slice(w, lit(1), size(w) - 1),
       slice(w, lit(2), size(w) - 1),
       (a, b) => concat(a, lit(" "), b))
-    val docBigrams = docs.select($"doc_id", explode(bigrams).as("bigram"))
-      .withColumn("w1", split($"bigram", " ").getItem(0))
+    val docBigrams = Staging.staged(
+      docs.select($"doc_id", explode(bigrams).as("bigram"))
+        .withColumn("w1", split($"bigram", " ").getItem(0)))
     val uni = docs.select(explode(w).as("w1"))
       .groupBy($"w1").agg(count(lit(1)).as("cu"))
     val vocab = uni.agg(count(lit(1)).as("v"))
