@@ -65,7 +65,12 @@ object Bench {
     // query and composes the newest machinery end-to-end (LSH pairs ∪
     // exact-md5 star edges → pointer-doubled components → fold hash) —
     // a superlinear drift in any of those parts shows here first
-    "q102_leakage_safe_split")
+    "q102_leakage_safe_split",
+    // round 16: chunk retrieval was the cluster-profile probe's worst
+    // coalescing casualty (31.6 s serialized -> 4.7 s after the
+    // spread + literal-df rework); its ratio now guards the chunker
+    // spread and the bounded-collect scoring shape
+    "q125_chunk_retrieval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

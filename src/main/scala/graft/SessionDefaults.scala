@@ -81,10 +81,27 @@ object SessionDefaults {
       if (isLocalProfile(profile)) Map(
         "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
         "spark.sql.files.maxPartitionBytes" -> (8 * 1024 * 1024).toString)
-      else Map.empty[String, String]
+      else Map(
+        // Measured (round 16, sf1 probe under this profile): AQE's
+        // post-shuffle coalescing is blind to compute-dense rows, and
+        // its 1 MB minPartitionSize floor defeats parallelismFirst on
+        // small-byte stages — q134's blocked Levenshtein join
+        // coalesced to ~1 task and ran 13.3 s vs 1.9 s coalescing-off
+        // (2.5 s with this floor). Lowering the floor to 64 KB only
+        // binds when totalBytes/defaultParallelism < 1 MB — i.e.
+        // exactly the small-byte compute-dense class; a real 100 TB
+        // stage's bytes/parallelism is far above either floor, so its
+        // coalescing is unchanged. Preferred over the deprecated
+        // minPartitionNum, which Spark 4 ignores (measured: no
+        // effect), and over disabling coalescing wholesale.
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "65536")
     val overrides = Seq(
       "GRAFT_MAX_PARTITION_BYTES" -> "spark.sql.files.maxPartitionBytes",
-      "GRAFT_COALESCE" -> "spark.sql.adaptive.coalescePartitions.enabled")
+      "GRAFT_COALESCE" -> "spark.sql.adaptive.coalescePartitions.enabled",
+      "GRAFT_MIN_PARTITION_NUM" ->
+        "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+      "GRAFT_MIN_PARTITION_SIZE" ->
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize")
       .flatMap { case (e, k) => env.get(e).map(k -> _) }
     base ++ tuned ++ overrides
   }

@@ -218,7 +218,16 @@ final class BulkApi(
             .otherwise(col("strike") - col("underlier_price")), lit(0.0)) +
           col("underlier_price") *
             (lit(0.08) + (dayofmonth(col("datetime")) % 11).cast("double") / 200.0))
-    RiskKernels.calcRisksVerified(base, "price")
+    // Explicit pre-kernel spread (round-16 cluster-profile lesson):
+    // the IV solves + greeks below are expensive PER ROW at any width,
+    // and without this the kernel rides whatever partitioning the
+    // ffill window left — which AQE's byte-blind coalescing shrinks to
+    // ~1 task on small-byte frames (q81 ran 4.2 s vs 2.1 s
+    // coalescing-off at sf1). An explicit repartition is never
+    // coalesced, so the kernel holds computeWidth under every profile;
+    // the exchange itself moves only the slim EOD frame.
+    val spread = base.repartition(graft.SessionDefaults.computeWidth(base.sparkSession))
+    RiskKernels.calcRisksVerified(spread, "price")
       .select(col("datetime"), col("option_tick"), col("root").as("underlier"),
         col("expiration"), col("right"), col("strike"),
         col("open"), col("high"), col("low"), col("close"), col("volume"),

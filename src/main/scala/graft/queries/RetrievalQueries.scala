@@ -149,16 +149,24 @@ object RetrievalQueries {
     */
   def chunkRetrieval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents")
+    // Spread scan (round-16 cluster-profile lesson): the chunker and
+    // the posting explode are expensive PER ROW at any width, so they
+    // must never ride the scan's split count — under the cluster
+    // profile's 128 MB splits the toy corpus is ONE split and both
+    // kernels serialized (~17 s single-task stages at sf1). The two
+    // consumers of the spread frame (the chunker below and the
+    // query-term scan) each execute the slim text exchange once —
+    // cheaper than caching the text (measured: a staged variant cost
+    // more CPU in cache builds than it saved).
+    val docs = Tables.loadSpread(s, dir, "documents").select($"doc_id", $"text")
     // chunk_words from the chunker IS the chunk's word count — reuse
     // it as BM25's dl instead of re-splitting chunk_text per consumer
     // persisted: chunking feeds both the posting explode and the
-    // corpus stats — one build instead of two (cache lifecycle is
-    // caller-owned, as with q24's signature staging)
-    val chunks = graft.operators.CurationOps
+    // corpus stats — one build instead of two (Staging.staged: the
+    // caller-owned / scope-released lifecycle, as with q24)
+    val chunks = graft.operators.Staging.staged(graft.operators.CurationOps
       .chunkDocuments(docs, "doc_id", "text", chunkWords = 32, stride = 24)
-      .select($"doc_id", $"chunk_id", $"chunk_words".as("dl"), $"chunk_text")
-      .persist()
+      .select($"doc_id", $"chunk_id", $"chunk_words".as("dl"), $"chunk_text"))
     // query terms: the corpus top-3 words over FULL documents — the
     // same query set q86 answers, so the two retrieval layers compare
     val top3 = docs.select(explode(words($"text")).as("term"))
@@ -168,25 +176,34 @@ object RetrievalQueries {
     // the broadcast term filter sits BELOW the tf aggregate: the
     // shuffle carries only query-term occurrences (vocabulary-fold
     // smaller than the full posting build), tf of the surviving terms
-    // unchanged. Remaining sf0.1 wall time is per-job scheduling
-    // across the pipeline's ~8 small jobs (every stage measures
-    // ≤0.3 s warm in isolation) — fixed overhead, not data volume.
-    // persisted: `pruned` feeds BOTH the df aggregate and the scoring
-    // join — without staging, the whole chunk-explode pipeline (and
-    // the top3 broadcast sub-job) executes once per consumer. After
-    // the 3-term filter this is ≤ 3 rows per chunk — cache-trivial.
-    // Cache lifecycle is caller-owned (Verify/Bench clearCache per
-    // query), same as q24's signature staging.
-    val pruned = chunks
+    // unchanged.
+    // persisted: `pruned` feeds the df collect AND the scoring
+    // projection — without staging, the whole chunk-explode pipeline
+    // executes once per consumer.
+    val pruned = graft.operators.Staging.staged(chunks
       .select($"doc_id", $"chunk_id", $"dl", explode(words($"chunk_text")).as("term"))
       .join(broadcast(top3), Seq("term"))
-      .groupBy($"doc_id", $"chunk_id", $"term", $"dl").agg(count(lit(1)).as("tf"))
-      .persist()
-    val dfreq = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
-    val stats = chunks.agg(count(lit(1)).as("n_docs"),
-      sum($"dl".cast("long")).as("total_len"))
-    val scored = bm25ScoreFx(
-      pruned.join(dfreq, Seq("term")).crossJoin(broadcast(stats)))
+      .groupBy($"doc_id", $"chunk_id", $"term", $"dl").agg(count(lit(1)).as("tf")))
+    // Bounded collects (the PQ-codebook discipline,
+    // SimilarityQueries q123): df has ONE row per query term (3 —
+    // bounded by the query set at any corpus size) and the corpus
+    // stats are two scalars, so both enter the plan as LITERALS and
+    // scoring is a pure projection over `pruned`. This removes the
+    // term-keyed scoring exchange — whose task ceiling is |terms| and
+    // which AQE coalesced to ONE serialized task at sf1 under the
+    // cluster profile (~15 s of BM25 arithmetic, twice) — and leaves
+    // no broadcast subqueries to race the staged caches (racing
+    // consumers of an unmaterialized cache each recompute its full
+    // plan; measured ~5x pipeline CPU). The blocking collects also
+    // materialize the staged frames in strict dependency order.
+    val dfMap = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = chunks.agg(count(lit(1)).as("n_docs"),
+      sum($"dl".cast("long")).as("total_len")).collect()(0)
+    val scored = bm25ScoreFx(pruned
+      .withColumn("df", element_at(typedLit(dfMap), $"term"))
+      .withColumn("n_docs", lit(st.getLong(0)))
+      .withColumn("total_len", lit(st.getLong(1))))
     val capped = scored.groupBy($"term", $"doc_id")
       .agg(boundedTopK(struct((-$"score_fx").as("negs"), $"chunk_id", $"score_fx"), 2).as("top"))
       .select($"term", $"doc_id", explode($"top").as("r"))

@@ -35,8 +35,22 @@ class SessionDefaultsSpec extends AnyFunSuite {
     // default and AQE coalescing comes back on
     assert(!c.contains("spark.sql.files.maxPartitionBytes"))
     assert(!c.contains("spark.sql.adaptive.coalescePartitions.enabled"))
+    // ...but the coalescing FLOOR is lowered (round-16 measurement:
+    // the 1 MB minPartitionSize defeated parallelismFirst on q134's
+    // small-byte compute-dense join, 13.3 s vs 2.5 s at sf1; inert on
+    // real-scale stages where bytes/parallelism >> 1 MB)
+    assert(c("spark.sql.adaptive.coalescePartitions.minPartitionSize") == "65536")
     // the extensions are profile-independent
     assert(c("spark.sql.extensions") == "graft.plans.GraftExtensions")
+  }
+
+  test("coalescing-floor and minPartitionNum env overrides are wired") {
+    val env = Map(
+      "GRAFT_MIN_PARTITION_SIZE" -> "1m",
+      "GRAFT_MIN_PARTITION_NUM" -> "16")
+    val c = SessionDefaults.profileConfigs("cluster", env)
+    assert(c("spark.sql.adaptive.coalescePartitions.minPartitionSize") == "1m")
+    assert(c("spark.sql.adaptive.coalescePartitions.minPartitionNum") == "16")
   }
 
   test("an unknown profile fails loudly instead of inheriting bench-box knobs") {
