@@ -74,6 +74,17 @@ object Components {
   def defaultLoopWidth(s: SparkSession): Int =
     math.max(8, graft.SessionDefaults.computeWidth(s) / 4)
 
+  /** Diagnostics from the most recent `minLabelComponents` call on
+    * this JVM — probe/bench ATTRIBUTION only, not part of the result
+    * contract: whether the fast-path budget tripped into the star
+    * escalation, and how many alternating star rounds it took
+    * (-1 = the fast path converged, no escalation ran). Volatile
+    * single-slot; the harnesses that read them (StarProbe,
+    * ComponentsSpec) are single-threaded.
+    */
+  @volatile var lastEscalated: Boolean = false
+  @volatile var lastStarRounds: Int = -1
+
   /** Eagerly free a SUPERSEDED `localCheckpoint`'s cached blocks: the
     * checkpointed Dataset's plan is a `LogicalRDD` over the persisted
     * internal RDD, and `Dataset.unpersist` only consults the cache
@@ -110,6 +121,8 @@ object Components {
     val s = edges.sparkSession
     import s.implicits._
     val w = if (width > 0) width else defaultLoopWidth(s)
+    lastEscalated = false
+    lastStarRounds = -1
     // Mirror each pair in ONE pass over the caller's (typically
     // expensive — LSH candidate + verify) edge plan: the explode
     // emits both directions row-by-row, where a two-branch union
@@ -186,6 +199,7 @@ object Components {
       if (converged) (labels, ckpt)
       else {
         freeCheckpoint(ckpt) // fast-path labels are abandoned wholesale
+        lastEscalated = true
         val st = starComponents(s, und, w) // id-order-resistant escalation
         (st, st)
       }
@@ -256,6 +270,7 @@ object Components {
     }
     require(converged,
       s"star rounds did not converge in $maxRounds — raise maxRounds")
+    lastStarRounds = round
     // At the fixed point every component is a star centered on its
     // min id: oriented edges are (leaf, center); centers map to
     // themselves.

@@ -37,6 +37,12 @@ class ComponentsSpec extends AnyFunSuite {
     // anyway, never a partial one
     val path = (1L to 200L).sliding(2).map(s => (s(0), s(1))).toSeq
     assert(comps(path, iters = 2).values.toSet == Set(1L))
+    // the diagnostic slots (StarProbe's attribution source) record the
+    // escalation: tripped, and a positive star-round count
+    assert(Components.lastEscalated && Components.lastStarRounds > 0)
+    // ...and a fast-path-converged call resets them
+    assert(comps(Seq((7L, 8L))) == Map(7L -> 7L, 8L -> 7L))
+    assert(!Components.lastEscalated && Components.lastStarRounds == -1)
   }
 
   test("long ascending chain resolves (doubling covers it within the fast budget)") {
