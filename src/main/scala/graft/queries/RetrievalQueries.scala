@@ -70,18 +70,26 @@ object RetrievalQueries {
       .withColumn("nsq", intNormSq($"q"))
     // staged: the query-set filter, the dense scan, the posting build
     // and the corpus stats all read this join + the quantize kernel —
-    // one build instead of four (cache lifecycle is caller-owned, as
-    // with q24's signature staging)
-    val corpus = docs.join(emb, Seq("doc_id")).persist()
+    // one build instead of four (Staging.staged: caller-owned /
+    // scope-released lifecycle, as with q24's signature staging)
+    val corpus = graft.operators.Staging.staged(docs.join(emb, Seq("doc_id")))
 
     // ---- query set: 3 docs; sparse term = argmax (count, then min term)
     val qdocs = corpus.filter($"doc_id" < 3)
       .select($"doc_id".as("qid"), $"text", $"q".as("qv"), $"nsq".as("qn"))
-    val qterms = qdocs
+    // collected (|Q| = 3 rows — bounded by the query set at any corpus
+    // size, the q125/PQ-codebook discipline). The blocking collect is
+    // also the FIRST job, so it materializes the corpus cache before
+    // any concurrent consumer could race it; the literal qterms frame
+    // (LocalRelation) then broadcasts without a subquery job.
+    val qtRows = qdocs
       .select($"qid", explode(words($"text")).as("term"))
       .groupBy($"qid", $"term").agg(count(lit(1)).as("cnt"))
       .groupBy($"qid")
       .agg(min_by($"term", struct((-$"cnt").as("negc"), $"term")).as("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val qterms = qtRows.toSeq.toDF("qid", "term")
+    val termList = qtRows.map(_._2).distinct.toSeq
 
     // ---- dense ranking: one corpus pass, queries broadcast, bounded top-20
     val dscored = corpus.join(broadcast(qdocs.select($"qid", $"qv", $"qn")),
@@ -95,22 +103,29 @@ object RetrievalQueries {
     // ---- sparse ranking: postings pruned to query terms BELOW the
     // tf aggregate, so the shuffle carries only matching occurrences
     val w = words($"text")
-    // persisted: consumed by the df aggregate AND the scoring join
-    // (see q125's staging note) — ≤ |Q| rows per doc after the prune
-    val postings = corpus
+    // persisted: consumed by the df collect AND the scoring pass —
+    // ≤ |Q| rows per doc after the literal term prune (which pushes
+    // below the tf aggregate, so the shuffle carries only matches)
+    val postings = graft.operators.Staging.staged(corpus
       .select($"doc_id", size(w).cast("long").as("dl"), explode(w).as("term"))
-      .join(broadcast(qterms.select($"term").distinct()), Seq("term"))
-      .groupBy($"doc_id", $"term", $"dl").agg(count(lit(1)).as("tf"))
-      .persist()
-    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
-    val stats = corpus.agg(count(lit(1)).as("n_docs"),
-      sum(size(words($"text")).cast("long")).as("total_len"))
+      .filter($"term".isin(termList: _*))
+      .groupBy($"doc_id", $"term", $"dl").agg(count(lit(1)).as("tf")))
+    // df + corpus stats as bounded collected literals (q86/q125
+    // discipline): the former `.join(dfreq, Seq("term"))` shuffled the
+    // scored rows on term — a ≤|Q|-key exchange whose task ceiling is
+    // the query-set size at ANY corpus scale. Scoring now rides the
+    // posting aggregate's own partitioning as a pure projection.
+    val dfMap = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = corpus.agg(count(lit(1)).as("n_docs"),
+      sum(size(words($"text")).cast("long")).as("total_len")).collect()(0)
     val sscored = bm25ScoreFx(
       postings
         .join(broadcast(qterms), Seq("term"))
         .filter($"doc_id" =!= $"qid")
-        .join(dfreq, Seq("term"))
-        .crossJoin(broadcast(stats)))
+        .withColumn("df", element_at(typedLit(dfMap), $"term"))
+        .withColumn("n_docs", lit(st.getLong(0)))
+        .withColumn("total_len", lit(st.getLong(1))))
     val sparse = sscored.groupBy($"qid")
       .agg(boundedTopK(struct((-$"score_fx").as("negs"), $"doc_id"), 20).as("top"))
       .select($"qid", posexplode($"top").as(Seq("pos", "r")))

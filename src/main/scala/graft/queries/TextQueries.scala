@@ -523,14 +523,18 @@ object TextQueries {
     * idf×tf product is split quotient/remainder so it stays in range
     * even for df=1 terms on a 10^10-document corpus.
     *
-    * Scale shape: postings = one explode + one (doc_id, term) count
-    * agg; the 3 query terms and the 2-column stats row broadcast
-    * against the postings; the per-term document-frequency side is an
-    * unbounded vocabulary-sized aggregate, so it joins by shuffle on
-    * term (AQE may still broadcast it when it turns out small);
-    * per-term top-10 via the BoundedTopK aggregate — no
-    * low-cardinality window, ≤10 rows per term per partition on the
-    * wire.
+    * Scale shape (round-16 rework): postings = one explode + one
+    * (doc_id, term) count agg, STAGED once; the query terms, their
+    * document frequencies and the corpus stats are bounded collects
+    * (≤|query terms| rows + two scalars) that enter the plan as
+    * literals, so scoring is a pure projection riding the posting
+    * aggregate's own wide partitioning. The previous
+    * `.join(dfreq, Seq("term"))` shuffled every scored row on term —
+    * a |query-terms|-key exchange whose task ceiling is 3 at ANY
+    * corpus size (and which AQE coalescing merged to ONE task under
+    * the cluster profile). Per-term top-10 via the BoundedTopK
+    * aggregate — no low-cardinality window, ≤10 rows per term per
+    * partition on the wire.
     */
   def bm25TopK(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -538,23 +542,41 @@ object TextQueries {
     val S = 1000000L
     val docs = Tables.loadSpread(s, dir, "documents")
     val w = words($"text")
-    val postings = docs.select($"doc_id", size(w).cast("long").as("dl"), explode(w).as("term"))
-      .groupBy($"doc_id", $"term", $"dl").agg(count(lit(1)).as("tf"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(w).cast("long")).as("total_len"))
-    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
-    // top-3 corpus terms by total frequency: derived from postings
-    // (sum of per-doc tf == corpus frequency) instead of re-exploding
-    // the corpus — one less full explode+shuffle, and the postings
-    // aggregation's exchange is reused across all three consumers
-    val termFreq = postings.groupBy($"term").agg(sum($"tf").as("n"))
-    val top3 = termFreq
+    // The ONE staged posting table (Staging.staged — scope-releasable
+    // by library callers): the word explode runs once; the query-term
+    // selection, their document frequencies, the corpus stats and the
+    // scoring pass all read the cache, in strict dependency order
+    // (blocking collects — nothing races an unmaterialized cache).
+    val postings = Staging.staged(
+      docs.select($"doc_id", size(w).cast("long").as("dl"), explode(w).as("term"))
+        .groupBy($"doc_id", $"term", $"dl").agg(count(lit(1)).as("tf")))
+    // top-3 corpus terms by total frequency (sum of per-doc tf)
+    val terms = postings.groupBy($"term").agg(sum($"tf").as("n"))
       .agg(boundedTopK(struct((-$"n").as("negn"), $"term"), 3).as("t"))
       .select(explode($"t.term").as("term"))
+      .collect().map(_.getString(0)).toSeq
+    // Bounded collects into LITERALS (the q125/PQ-codebook
+    // discipline): df has one row per query term and the stats are
+    // two scalars, so scoring is a pure projection riding the posting
+    // aggregate's own (wide) partitioning. The former
+    // `.join(dfreq, Seq("term"))` shuffled the scored rows on term —
+    // a |query-terms|-key exchange whose task ceiling is 3 at ANY
+    // corpus size (hash(term) concentrates the BM25 arithmetic on 3
+    // tasks; AQE coalescing merged them to ONE under the cluster
+    // profile). n_docs/total_len come from ONE map-side pass over the
+    // raw scan — two scalars never justify a shuffle (re-aggregating
+    // the posting table by doc_id would move the whole corpus).
+    val dfMap = postings.filter($"term".isin(terms: _*))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = Tables.load(s, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words($"text")).cast("long")).as("total_len")).collect()(0)
     val scored = postings
-      .join(broadcast(top3), Seq("term"))
-      .join(dfreq, Seq("term"))
-      .crossJoin(broadcast(stats))
+      .filter($"term".isin(terms: _*))
+      .withColumn("df", element_at(typedLit(dfMap), $"term"))
+      .withColumn("n_docs", lit(st.getLong(0)))
+      .withColumn("total_len", lit(st.getLong(1)))
       .withColumn("avgdl_fx", expr(s"(total_len * ${S}L) DIV n_docs"))
       .withColumn("norm_fx", expr(s"250000 + (750000 * dl * ${S}L) DIV avgdl_fx"))
       // tf·(k1+1)/(tf + k1·norm) with num and den divided by tf: the

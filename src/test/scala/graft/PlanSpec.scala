@@ -139,6 +139,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q86/q122/q125 scoring: no shuffle join on the query-term key") {
+    // The BM25 df side is bounded by the query set (<=3 rows) and
+    // enters the plan as a collected literal (q125/PQ-codebook
+    // discipline); a shuffle join keyed on `term` would cap the
+    // scoring stage at |query terms| tasks at ANY corpus size — the
+    // round-16 cluster finding, where AQE merged those 3 effective
+    // partitions into ONE serialized task. The only term-keyed
+    // exchanges left feed the bounded-top-k FINAL aggregates, whose
+    // input is already partial-aggregated to O(partitions) rows.
+    for (q <- Seq("q86_bm25_topk", "q122_hybrid_rrf", "q125_chunk_retrieval")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("SortMergeJoin [term") && !p.contains("ShuffledHashJoin [term"),
+        s"$q shuffles scored rows on the query-term key")
+    }
+  }
+
   test("q26: signature frame is cache-staged so the kernel runs once") {
     val p = plan(TextQueries.simhashNearDup(spark, dir))
     assert(p.contains("InMemoryTableScan"), p.take(2000))
