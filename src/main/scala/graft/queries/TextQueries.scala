@@ -2133,6 +2133,15 @@ object TextQueries {
       .select($"doc_id", shingles(words($"text")).as("sh"))
       .join(sigs, "doc_id")
       .persist()
+    // Ordered materialization (the q86/q125 discipline): the final
+    // three-way join schedules its independent sides CONCURRENTLY,
+    // and concurrent stages racing an UNbuilt cache each recompute
+    // its plan — for sigs that is the 8-seed MinHash kernel, the
+    // query's dominant cost. Measured bimodal: ~21 s process-CPU when
+    // one pass got the cache built first vs ~41 s when the race
+    // duplicated it (r15/r16 cpu_passes). Two blocking builds pin the
+    // low mode deterministically.
+    sigs.count(); candPayload.count()
     cand
       .join(candPayload.select($"doc_id".as("i"), $"sh".as("sh_i"), $"mh".as("mh_i")), "i")
       .join(candPayload.select($"doc_id".as("j"), $"sh".as("sh_j"), $"mh".as("mh_j")), "j")
