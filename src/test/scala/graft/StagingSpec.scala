@@ -73,4 +73,14 @@ class StagingSpec extends AnyFunSuite {
     assert(pairs.nonEmpty, "the exact-duplicate pair must surface")
     assert(cacheEmpty, "no staged block may outlive the action")
   }
+
+  test("Staging.run releases a multi-frame core over real tables (q156)") {
+    // ingestionGateBatch stages TWO frames (the slim doc scan and the
+    // pre-hashed incoming slice); a scoped run must release both
+    spark.catalog.clearCache()
+    val n = Staging.run(
+      TextQueries.ingestionGateBatch(spark, "/root/testdata/sf0.001"))(_.count())
+    assert(n > 0)
+    assert(cacheEmpty, "q156's staged frames must not outlive the action")
+  }
 }
