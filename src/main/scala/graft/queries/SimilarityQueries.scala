@@ -1160,6 +1160,74 @@ object SimilarityQueries {
        |FROM qs LEFT JOIN hit ON qs.qid = hit.qid
        |ORDER BY qs.qid""".stripMargin
 
+  /** q158: nDCG@5 of the LSH candidate ranking — the GRADED
+    * ranking-quality eval that completes the q127 recall/MRR layer
+    * (recall treats every true neighbor alike; nDCG rewards putting
+    * the BEST neighbors first, the metric retrieval stacks actually
+    * tune against). Ground truth: the exact brute-force top-10 per
+    * query graded 4/3/3/2/2/2/1/1/1/1 by exact rank; system list: the
+    * q31 LSH-bucket top-5.
+    *
+    * Determinism (cross-engine): nDCG's log2 discounts are irrational
+    * and libm `log` is not correctly rounded, so the discount vector
+    * enters BOTH engines as the same five fixed-point INTEGER
+    * literals (⌊10⁹/log₂(i+1)⌋), the ideal-DCG denominator is the
+    * integer constant the fixed grade profile implies, and every
+    * step — grade lookup, gain product, sum, ppm division — is exact
+    * integer arithmetic (the q84 discipline). Only display casts
+    * produce doubles.
+    *
+    * Scale shape: two bounded ranked lists (≤10·|Q| and ≤5·|Q| rows)
+    * equi-joined on (qid, cid), one |Q|-row aggregate — evaluation
+    * never touches the corpus beyond what q30/q31 already scan.
+    */
+  def ndcgEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ⌊1e9 / log2(i+1)⌋ for i = 1..5 — shared literals with the oracle
+    val disc = Seq(1000000000L, 630929753L, 500000000L, 430676558L, 386852807L)
+    // ideal top-5 grade profile [4,3,3,2,2] · disc
+    val idcgFx = 4L * disc(0) + 3L * (disc(1) + disc(2)) + 2L * (disc(3) + disc(4))
+    val exact = knnBruteForce(s, dir).filter($"rank" <= 10)
+      .select($"qid", $"cid",
+        when($"rank" === 1, 4L).when($"rank" <= 3, 3L)
+          .when($"rank" <= 6, 2L).otherwise(1L).as("rel"))
+    val approx = annLshBuckets(s, dir).filter($"rank" <= 5)
+      .select($"qid", $"cid", $"rank".cast("int").as("arank"))
+    val dcg = approx.join(exact, Seq("qid", "cid"), "left")
+      .withColumn("gain",
+        coalesce($"rel", lit(0L)) * element_at(typedLit(disc), $"arank"))
+      .groupBy($"qid").agg(sum($"gain").as("dcg_fx"))
+    exact.select($"qid").distinct()
+      .join(dcg, Seq("qid"), "left")
+      .select($"qid",
+        coalesce($"dcg_fx", lit(0L)).as("dcg_fx"),
+        expr(s"coalesce(dcg_fx, 0L) * 1000000 DIV ${idcgFx}L").as("ndcg_ppm"))
+      .orderBy($"qid")
+  }
+
+  val ndcgEvalSql: String =
+    s"""WITH exact AS MATERIALIZED (
+       |  SELECT qid, cid,
+       |    CASE WHEN rank = 1 THEN 4 WHEN rank <= 3 THEN 3
+       |         WHEN rank <= 6 THEN 2 ELSE 1 END AS rel
+       |  FROM ($knnBruteForceSql) WHERE rank <= 10),
+       |approx AS MATERIALIZED (
+       |  SELECT qid, cid, rank AS arank FROM ($annLshBucketsSql) WHERE rank <= 5),
+       |d AS (SELECT * FROM (VALUES
+       |  (1, 1000000000), (2, 630929753), (3, 500000000),
+       |  (4, 430676558), (5, 386852807)) AS t(arank, disc)),
+       |g AS (
+       |  SELECT a.qid, CAST(COALESCE(e.rel, 0) AS BIGINT) * d.disc AS gain
+       |  FROM approx a JOIN d USING (arank)
+       |  LEFT JOIN exact e ON a.qid = e.qid AND a.cid = e.cid),
+       |dcg AS (SELECT qid, CAST(SUM(gain) AS BIGINT) AS dcg_fx FROM g GROUP BY qid),
+       |qs AS (SELECT DISTINCT qid FROM exact)
+       |SELECT qs.qid,
+       |  COALESCE(dcg_fx, CAST(0 AS BIGINT)) AS dcg_fx,
+       |  CAST(COALESCE(dcg_fx, 0) * 1000000 // 9027847989 AS BIGINT) AS ndcg_ppm
+       |FROM qs LEFT JOIN dcg ON qs.qid = dcg.qid
+       |ORDER BY qs.qid""".stripMargin
+
   /** q132: the source-similarity matrix mixture design starts from —
     * per-source mean embedding (the "domain centroid"), then pairwise
     * cosine between every pair of source centroids. Two domains whose
@@ -1278,6 +1346,7 @@ object SimilarityQueries {
     "q97_ivf_kmeans" -> (ivfKmeans(_, _)),
     "q123_pq_adc_search" -> (pqAdcSearch(_, _)),
     "q127_ann_recall_eval" -> (annRecallEval(_, _)),
+    "q158_ndcg_eval" -> (ndcgEval(_, _)),
     "q129_rp_sketch_search" -> (rpSketchSearch(_, _)),
     "q132_source_centroid_sim" -> (sourceCentroidSim(_, _)))
 
@@ -1293,6 +1362,7 @@ object SimilarityQueries {
     "q97_ivf_kmeans" -> ivfKmeansSql,
     "q123_pq_adc_search" -> pqAdcSearchSql,
     "q127_ann_recall_eval" -> annRecallEvalSql,
+    "q158_ndcg_eval" -> ndcgEvalSql,
     "q129_rp_sketch_search" -> rpSketchSearchSql,
     "q132_source_centroid_sim" -> sourceCentroidSimSql)
 }
