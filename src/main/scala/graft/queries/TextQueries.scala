@@ -252,31 +252,35 @@ object TextQueries {
     * enough to broadcast. Only the single-row vocabulary count rides
     * along as a broadcast scalar. No windows, no collects.
     *
-    * Staging (the r15→r16 q84 lesson): this query consumes the
-    * documents scan through THREE differently-pruned branches
-    * (bigram join input, bigram model agg, unigram agg), so a bare
-    * `loadSpread` re-ran the round-robin exchange of the full text
-    * column once per branch — A/B'd at sf0.1: 3.6 s wall / 44.7 s
-    * CPU vs 1.8 s / 14.6 s for the unspread scan. The staged shape
-    * here beats both (1.57 s / 14.0 s): ONE spread exchange
-    * materialized once ([[graft.operators.Staging.staged]] — the
-    * slim (doc_id, text) frame), and the exploded bigram stream
-    * staged too so the explode kernel runs once at full width
-    * instead of once per consumer. At warehouse scale these are the
-    * tokenized staging tables a pipeline writes between stages.
+    * Scan shape (the r15→r17 q84 lesson, settled by a five-way A/B
+    * at HEAD, sf0.1, same JVM, min-of-3): the PLAIN scan with no
+    * staging wins outright — 1.30 s wall / 5.7 s CPU vs 1.75/14.2
+    * for staged-plain-scan, 1.83/19.3 for the staged-spread shape
+    * r16 committed, and 2.5/37 for a pre-aggregated probe. Two
+    * mechanisms: (a) `loadSpread`'s round-robin exchange
+    * re-serializes the full text column — that exchange alone costs
+    * more CPU than the whole query; (b) caching the exploded bigram
+    * stream pays columnar-cache serialization of every bigram
+    * string, which costs MORE than re-running the codegen'd
+    * explode once per consumer branch (3×). Recompute beats
+    * cache-serialize for cheap codegen kernels over tiny rows — the
+    * inverse of the q86/q147 case, where the staged kernel (MinHash,
+    * posting agg) dominates its serialization. At warehouse scale
+    * the 3× corpus re-scan is real IO, but the fix there is a
+    * WRITTEN tokenized staging table between pipeline stages, not an
+    * in-session memory cache of an exploded string stream.
     */
   def bigramLmScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Staging.staged(
-      Tables.loadSpread(s, dir, "documents").select($"doc_id", $"text"))
+    val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
     val w = words($"text")
     val bigrams = zip_with(
       slice(w, lit(1), size(w) - 1),
       slice(w, lit(2), size(w) - 1),
       (a, b) => concat(a, lit(" "), b))
-    val docBigrams = Staging.staged(
+    val docBigrams =
       docs.select($"doc_id", explode(bigrams).as("bigram"))
-        .withColumn("w1", split($"bigram", " ").getItem(0)))
+        .withColumn("w1", split($"bigram", " ").getItem(0))
     val uni = docs.select(explode(w).as("w1"))
       .groupBy($"w1").agg(count(lit(1)).as("cu"))
     val vocab = uni.agg(count(lit(1)).as("v"))
