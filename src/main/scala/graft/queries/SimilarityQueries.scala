@@ -312,11 +312,40 @@ object SimilarityQueries {
        |SELECT qid, cid, cluster, cos, rank FROM ranked WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  /** Hard row cap for coarse-quantizer training frames: everything
+    * the single-task farthest-first seeding and the Lloyd loop touch
+    * is bounded by this, independent of corpus size.
+    */
+  private[graft] val TrainCap = 100000L
+
+  /** Sampling modulus targeting ≤[[TrainCap]] expected training rows:
+    * `ceil(n / TrainCap)`, floored at 4 — the floor is what the
+    * DuckDB oracle mirrors (`vec_id % 4 = 0`), and it is the value
+    * this returns for every n ≤ 4·TrainCap, i.e. at all oracle
+    * scales by construction.
+    */
+  private[graft] def trainModulus(n: Long): Long =
+    math.max(4L, (n + TrainCap - 1L) / TrainCap)
+
+  /** The bounded training sample: modulo-filter with the derived
+    * modulus (expected size ≤ TrainCap for roughly-uniform ids), then
+    * a deterministic orderBy+limit HARD cap for adversarial id
+    * distributions — plans as TakeOrderedAndProject (per-partition
+    * top-k, one-task merge: no full sort, and the single task is the
+    * one the seeding runs in anyway). Inert at oracle scales: the
+    * limit only binds past 4·TrainCap rows. Spec'd on an oversized
+    * frame by KmeansTrainBoundSpec.
+    */
+  private[graft] def trainingSample(emb: DataFrame, n: Long): DataFrame =
+    emb.filter(pmod(col("vec_id"), lit(trainModulus(n))) === 0)
+      .orderBy(col("vec_id")).limit(TrainCap.toInt)
+
   /** IVF with LEARNED centroids — the real coarse-quantizer training
     * step (q33/q80 use the label column as a fixed quantizer; a real
-    * IVF fits k-means): Lloyd's algorithm on a deterministic 25%
-    * sample (`vec_id % 4 = 0` — at 100 TB this is the "sample ≤100k
-    * vectors" step; training never scans the corpus), seeded by
+    * IVF fits k-means): Lloyd's algorithm on a deterministic sample
+    * (`vec_id % m = 0`, m derived from the row count and hard-capped
+    * at ≤[[TrainCap]] vectors by [[trainingSample]] — at 100 TB
+    * training never scans the corpus), seeded by
     * FARTHEST-FIRST traversal (first seed = min-md5 sample vector,
     * each next seed maximizes its distance to the chosen set — the
     * 2-approximation of k-center that lands one seed per natural
@@ -357,17 +386,29 @@ object SimilarityQueries {
     // of re-scanning parquet and re-quantizing each time — at 100 TB
     // this is "stage the ≤100k-vector sample", the standard IVF
     // training shape.
-    // Training frames are sample-bounded (≤100k vectors by design),
-    // so every Lloyd-loop stage is pinned to a small explicit width:
-    // with AQE coalescing off (SessionDefaults), letting these tiny
-    // per-iteration aggregates shuffle at the session's full width
-    // pays ~shuffle-partitions task launches per stage for rows that
-    // fit in a handful of tasks. Partitioning by the grouping key at
-    // checkpoint time makes each iteration's groupBy exchange-free.
-    // Width derives from the session (the shared Components rule):
-    // the bench box lands on 8, a cluster widens with its executors.
+    // The ≤[[TrainCap]]-vector bound is ENFORCED, not asserted (the
+    // r16 finding: a fixed `% 4` modulus is 25% of the corpus at any
+    // size — 25 TB through the one seeding task at 100 TB). Two
+    // layers: the modulus derives from the table count (parquet
+    // metadata — no data scan) so the expected sample targets
+    // TrainCap, and a deterministic orderBy+limit hard-caps it even
+    // if the id distribution is adversarial for modulo sampling
+    // (TakeOrderedAndProject: per-partition top-k, single-task merge
+    // — the same single task the seeding needs anyway). Both layers
+    // are inert at oracle scales (n ≤ 4·TrainCap ⇒ modulus = 4,
+    // limit never binds), so the DuckDB mirror keeps `% 4 = 0`.
+    // Every Lloyd-loop stage is then pinned to a small explicit
+    // width: with AQE coalescing off (SessionDefaults), letting
+    // these tiny per-iteration aggregates shuffle at the session's
+    // full width pays ~shuffle-partitions task launches per stage
+    // for rows that fit in a handful of tasks. Partitioning by the
+    // grouping key at checkpoint time makes each iteration's groupBy
+    // exchange-free. Width derives from the session (the shared
+    // Components rule): the bench box lands on 8, a cluster widens
+    // with its executors.
     val trainWidth = graft.operators.Components.defaultLoopWidth(s)
-    val sample = emb.filter(pmod($"vec_id", lit(4)) === 0)
+    val nVec = Tables.load(s, dir, "embeddings").count()
+    val sample = trainingSample(emb, nVec)
       .repartition(trainWidth, $"vec_id").localCheckpoint()
     def d2(q: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
       aggregate(zip_with(q, c, (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v)
