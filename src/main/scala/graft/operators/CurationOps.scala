@@ -65,13 +65,12 @@ object CurationOps {
     // explode+persist instead of re-running the split/slice/join
     // string pipeline per consumer. At warehouse scale this is the
     // materialized gram table of Lee et al.'s exact-substring pass.
-    val grams = base.select(
+    val grams = Staging.staged(base.select(
       col("doc_id"),
       explode(transform(positions, i =>
         struct(i.as("pos"), array_join(slice(col("__w"), i, lit(k)), " ").as("gram"))))
         .as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-      .persist()
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram")))
     val dupGrams = grams.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("gram")
@@ -307,11 +306,10 @@ object CurationOps {
     // The gram STRING is projected away before the persist: every
     // consumer reads only the bucket key, so the staged frame is
     // (id, flag, hex-prefix) — a fraction of the raw gram payload.
-    val grams = docs.select(col(idCol), isTarget.as("__t"),
+    val grams = Staging.staged(docs.select(col(idCol), isTarget.as("__t"),
         explode(concat(w, bigrams)).as("__g"))
       .select(col(idCol), col("__t"),
-        substring(md5(col("__g")), 1, hexChars).as("__b"))
-      .persist()
+        substring(md5(col("__g")), 1, hexChars).as("__b")))
     val bc = grams.groupBy(col("__b")).agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
       sum(when(!col("__t"), 1L).otherwise(0L)).as("__cr"))
@@ -364,8 +362,8 @@ object CurationOps {
     // staged: the benchmark-gram branch and the raw-side explode both
     // read the gram kernel — one build instead of two (cache
     // lifecycle is caller-owned, as with q24's signature staging)
-    val tagged = docs.select(col(idCol), isBenchmark.as("__bm"), grams.as("__g"))
-      .persist()
+    val tagged = Staging.staged(
+      docs.select(col(idCol), isBenchmark.as("__bm"), grams.as("__g")))
     val benchGrams = tagged.filter(col("__bm"))
       .select(explode(col("__g")).as("__g")).distinct()
       .withColumn("__hit", lit(1L))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.CurationOps
+import graft.operators.{CurationOps, Staging}
 import graft.plans.NativeFunctions
 
 /** Corpus-curation query family: span-level substring dedup, RAG-style
@@ -278,11 +278,12 @@ object CurationQueries {
     // once, not once per side of the candidate self-join; `fp` stays
     // persisted because the winnow pipeline (md5 + per-doc windows)
     // feeds both the hot aggregate and fpk's fill.
-    val fp = CurationOps.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
-      .select("doc_id", "fp").distinct().persist()
+    val fp = Staging.staged(
+      CurationOps.winnowFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+        .select("doc_id", "fp").distinct())
     val hot = fp.groupBy("fp").agg(count(lit(1)).as("dfp"))
       .filter(col("dfp") > 50).select("fp")
-    val fpk = fp.join(hot, Seq("fp"), "left_anti").persist()
+    val fpk = Staging.staged(fp.join(hot, Seq("fp"), "left_anti"))
     val cand = fpk.select(col("fp"), col("doc_id").as("i"))
       .join(fpk.select(col("fp"), col("doc_id").as("j")), "fp")
       .where(col("i") < col("j"))

@@ -671,8 +671,8 @@ object TextQueries {
     // .head() action) and the exact semi-join verify — so without the
     // persist its explode+distinct runs once per consumer. It is the
     // SMALL side by construction (the held-out eval slice).
-    val bench = docs.filter($"doc_id" % 100 === 0)
-      .select(explode(sh).as("sh")).distinct().persist()
+    val bench = Staging.staged(docs.filter($"doc_id" % 100 === 0)
+      .select(explode(sh).as("sh")).distinct())
     // driver-built sketch (~100 KB binary), probed with the native
     // codegen might_contain — the Spark-runtime-filter mechanism, not
     // a per-row Scala UDF closure
@@ -946,8 +946,8 @@ object TextQueries {
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Tables.loadSpread(s, dir, "documents")
-      .select($"doc_id", $"text").persist()
+    val base = Staging.staged(Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", $"text"))
     incrementalDedupCore(
       base.filter($"doc_id" % 5 === 0), base.filter($"doc_id" % 5 =!= 0))
   }
@@ -966,8 +966,8 @@ object TextQueries {
         array((0 until bands).map(b => bandKey($"sh", b, rowsPerBand)): _*).as("bkeys"))
     // both signature sets are reused by several joins below — persist
     // (at warehouse scale the `ex` side is the PERSISTED daily index)
-    val inc = sig(inc0).persist()
-    val ex = sig(ex0).persist()
+    val inc = Staging.staged(sig(inc0))
+    val ex = Staging.staged(sig(ex0))
     val base = inc.unionByName(ex)
     val incBand = inc.select($"doc_id", posexplode($"bkeys").as(Seq("band", "bkey")))
     val exBand = ex.select($"doc_id", posexplode($"bkeys").as(Seq("band", "bkey")))
@@ -1263,10 +1263,9 @@ object TextQueries {
     // kernel ran at scan-split parallelism before the spread exchange
     // could help. With the cache, the kernel runs exactly once,
     // post-spread, and the join filters hit cached longs.
-    val docs = Tables.loadSpread(s, dir, "documents")
+    val docs = Staging.staged(Tables.loadSpread(s, dir, "documents")
       .select($"doc_id",
-        graft.plans.NativeFunctions.simhash64(shingles(words($"text"))).as("h"))
-      .persist()
+        graft.plans.NativeFunctions.simhash64(shingles(words($"text"))).as("h")))
     // Pigeonhole LSH: hamming(a,b) <= 3 over 4 disjoint 16-bit chunks
     // forces at least one IDENTICAL chunk — candidates come from an
     // equi-join on (chunk_id, chunk_value) instead of the O(n^2)
@@ -1498,7 +1497,7 @@ object TextQueries {
     // staged: the signature build, the id projection and the md5
     // fingerprints all scan this frame — one read instead of three
     // (caller-owned cache lifecycle, the q24 staging discipline)
-    val docsT = docsT0.persist()
+    val docsT = Staging.staged(docsT0)
     val docs = docsT.select($"doc_id")
     val lshPairs = minhashNearDupCore(docsT, maxDf).select($"i", $"j")
     // exact-copy star edges (min-id member → each other copy): one
@@ -2106,12 +2105,11 @@ object TextQueries {
     // the parquet scan and re-evaluates the whole shingling expression
     // per row at scan-split parallelism (r14 profiling finding); the
     // word-count form pushes down as one cheap split+size.
-    val sigs = docs
+    val sigs = Staging.staged(docs
       .filter(size(words($"text")) >= 3)
       .select($"doc_id", shingles(words($"text")).as("sh"))
       .select($"doc_id",
-        array((0 until bands * rowsPerBand).map(i => minhash($"sh", i)): _*).as("mh"))
-      .persist()
+        array((0 until bands * rowsPerBand).map(i => minhash($"sh", i)): _*).as("mh")))
     val banded = sigs.select($"doc_id",
       posexplode(array((0 until bands).map(b => concat_ws("|",
         (0 until rowsPerBand).map(r =>
@@ -2123,20 +2121,18 @@ object TextQueries {
     // self-join + distinct shuffle re-runs per consumer. It is
     // bucket-bounded by construction (≤ cap²/2 per bucket), the
     // smallest table in the query.
-    val cand = cool.select($"band", $"bkey", $"doc_id".as("i"))
+    val cand = Staging.staged(cool.select($"band", $"bkey", $"doc_id".as("i"))
       .join(cool.select($"band", $"bkey", $"doc_id".as("j")), Seq("band", "bkey"))
       .filter($"i" < $"j")
-      .select($"i", $"j").distinct()
-      .persist()
+      .select($"i", $"j").distinct())
     // shingle arrays only for docs that are actually in a candidate
     // pair: join text to the (small) candidate id set FIRST, so the
     // shingle recompute and the array payload are candidate-bounded
     val candIds = cand.select($"i".as("doc_id"))
       .union(cand.select($"j".as("doc_id"))).distinct()
-    val candPayload = docs.join(candIds, "doc_id")
+    val candPayload = Staging.staged(docs.join(candIds, "doc_id")
       .select($"doc_id", shingles(words($"text")).as("sh"))
-      .join(sigs, "doc_id")
-      .persist()
+      .join(sigs, "doc_id"))
     // Ordered materialization (the q86/q125 discipline): the final
     // three-way join schedules its independent sides CONCURRENTLY,
     // and concurrent stages racing an UNbuilt cache each recompute

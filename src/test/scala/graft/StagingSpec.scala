@@ -74,6 +74,30 @@ class StagingSpec extends AnyFunSuite {
     assert(cacheEmpty, "no staged block may outlive the action")
   }
 
+  test("Staging.run releases incrementalDedup's three staged frames (q124)") {
+    // the r16 gap: the q124 wrapper's base frame was a bare persist()
+    // outside Staging, so a library caller leaked one cached frame per
+    // call even under Staging.run — now base + both signature sets are
+    // staged and a scoped run must release all three
+    spark.catalog.clearCache()
+    val n = Staging.run(
+      TextQueries.incrementalDedup(spark, "/root/testdata/sf0.001"))(_.count())
+    assert(n > 0)
+    assert(cacheEmpty, "q124's staged frames must not outlive the action")
+  }
+
+  test("Staging.run releases the winnow near-dup staging (q113) and substring gram table (q107)") {
+    spark.catalog.clearCache()
+    val pairs = Staging.run(
+      graft.queries.CurationQueries.winnowNearDup(spark, "/root/testdata/sf0.001"))(_.count())
+    assert(pairs >= 0)
+    assert(cacheEmpty, "q113's fp/fpk staged frames must not outlive the action")
+    val sub = Staging.run(
+      graft.queries.CurationQueries.substringDedup(spark, "/root/testdata/sf0.001"))(_.count())
+    assert(sub > 0)
+    assert(cacheEmpty, "q107's gram table must not outlive the action")
+  }
+
   test("Staging.run releases a multi-frame core over real tables (q156)") {
     // ingestionGateBatch stages TWO frames (the slim doc scan and the
     // pre-hashed incoming slice); a scoped run must release both
