@@ -48,7 +48,24 @@ object BenchCore {
     * here instead.
     */
   def jnum(v: Double, decimals: Int): String =
-    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    if (v.isNaN || v.isInfinite) "-1" // JSON has no NaN/Infinity literal
+    else String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
+  /** Post-hoc CPU-spread race flag for the bench artifact: a query
+    * whose WARM cpu passes (seed excluded — the seed pays JIT) spread
+    * past `ratio` with an absolute gap past `floorS`, AND whose plan
+    * holds a multi-consumer cache, is flagged. With
+    * [[graft.operators.Staging.pinCaches]] in the bench's run path
+    * this should never fire for a cache race — a firing means either
+    * box contention or a pinning gap worth an isolated re-measure;
+    * it does not by itself convict the plan.
+    */
+  def cpuRaceFlag(warmCpu: Seq[Double], multiUseCache: Boolean,
+      ratio: Double = 1.5, floorS: Double = 5.0): Boolean = {
+    val valid = warmCpu.filter(_ >= 0)
+    multiUseCache && valid.size >= 2 && valid.min > 0 &&
+      valid.max / valid.min > ratio && valid.max - valid.min > floorS
+  }
 
   /** The CPU sample paired with the minimum VALID wall sample — the
     * pass the headline min came from. Pairs are positional; if THAT

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Staging
+
+/** The structural form of the ordered-materialization discipline
+  * (r16 verdict #4): a cached frame consumed by ≥2 branches of a plan
+  * whose buffers are NOT materialized when the action starts is a
+  * scheduler race — the final join runs its independent sides
+  * concurrently, and every side that loses the cache-build race
+  * recomputes the staged kernel (q84's r15/r16 regression: up to 94 s
+  * of duplicated explode CPU, visible only as bimodal cpu_passes).
+  *
+  * The engine's resolution keeps query cores PURE at plan-build time
+  * (the BandCapSpec/JaccardCapSpec zero-jobs contract) and pins the
+  * race at the ACTION layer: Bench.runOnce, Verify's dump and
+  * Staging.run all call [[Staging.pinCaches]], which builds each
+  * unloaded multi-consumer cache with one sequential job before the
+  * consuming action. This spec drives that machinery over EVERY
+  * SparkEntry query at sf0.001 and asserts the post-pin plan is
+  * race-free — the check the q84 regression would have failed.
+  */
+class RaceDisciplineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("after pinCaches, no query plan holds an unmaterialized multi-consumer cache") {
+    val dir = "/root/testdata/sf0.001"
+    val skipped = collection.mutable.ListBuffer[String]()
+    val violations = collection.mutable.ListBuffer[String]()
+    var pinnedSomewhere = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      spark.catalog.clearCache()
+      val df =
+        try Some(fn(spark, dir))
+        catch { case e: Throwable => skipped += s"$name (${e.getClass.getSimpleName})"; None }
+      df.foreach { d =>
+        pinnedSomewhere += Staging.pinCaches(d)
+        val v = Staging.unpinnedMultiUse(d)
+        if (v.nonEmpty) violations += s"$name: ${v.mkString(", ")}"
+      }
+    }
+    spark.catalog.clearCache()
+    // every query must at least BUILD here — a skip means the spec
+    // lost coverage, which must be loud, not silent
+    assert(skipped.isEmpty, s"queries failed to build: ${skipped.mkString("; ")}")
+    assert(violations.isEmpty,
+      s"race-prone caches survived pinCaches:\n  ${violations.mkString("\n  ")}")
+    // the machinery must be exercised for real: the pure staged cores
+    // (q24/q25/q113/...) guarantee unloaded multi-use caches exist
+    // pre-pin; if this hits zero the detector is broken, and a silent
+    // no-op here would un-catch the whole q84 class
+    assert(pinnedSomewhere > 0,
+      "pinCaches materialized nothing across all queries — detector broken?")
+  }
+
+  test("pinCaches builds each multi-consumer cache exactly once, dependencies included") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    // nested staging: child cache inside a parent cache, parent
+    // consumed twice — the fp/fpk (q113) shape
+    val child = Staging.staged(spark.range(100).select($"id", ($"id" * 2).as("y")))
+    val parent = Staging.staged(child.filter($"id" % 2 === 0))
+    val two = parent.select($"id").union(parent.select($"y"))
+    assert(Staging.unpinnedMultiUse(two).nonEmpty)
+    val built = Staging.pinCaches(two)
+    assert(built == 1, s"expected to build the one multi-use cache, built $built")
+    assert(Staging.unpinnedMultiUse(two).isEmpty)
+    // idempotent: a second pin is a no-op
+    assert(Staging.pinCaches(two) == 0)
+    assert(two.count() == 100)
+    spark.catalog.clearCache()
+  }
+}
