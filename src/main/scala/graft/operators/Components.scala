@@ -75,15 +75,21 @@ object Components {
     math.max(8, graft.SessionDefaults.computeWidth(s) / 4)
 
   /** Diagnostics from the most recent `minLabelComponents` call on
-    * this JVM — probe/bench ATTRIBUTION only, not part of the result
-    * contract: whether the fast-path budget tripped into the star
-    * escalation, and how many alternating star rounds it took
-    * (-1 = the fast path converged, no escalation ran). Volatile
-    * single-slot; the harnesses that read them (StarProbe,
-    * ComponentsSpec) are single-threaded.
+    * the CALLING THREAD — probe/bench ATTRIBUTION only, not part of
+    * the result contract: whether the fast-path budget tripped into
+    * the star escalation, and how many alternating star rounds it
+    * took (-1 = the fast path converged, no escalation ran;
+    * meaningful only together with `lastEscalated`). ThreadLocal so
+    * concurrent library callers sharing the session can't
+    * cross-attribute each other's runs (r16 advice); the harness
+    * readers (StarProbe, ComponentsSpec) call and read on one thread.
     */
-  @volatile var lastEscalated: Boolean = false
-  @volatile var lastStarRounds: Int = -1
+  private val lastEscalatedTL = ThreadLocal.withInitial[java.lang.Boolean](() => false)
+  private val lastStarRoundsTL = ThreadLocal.withInitial[java.lang.Integer](() => -1)
+  def lastEscalated: Boolean = lastEscalatedTL.get()
+  def lastStarRounds: Int = lastStarRoundsTL.get()
+  private def lastEscalated_=(v: Boolean): Unit = lastEscalatedTL.set(v)
+  private def lastStarRounds_=(v: Int): Unit = lastStarRoundsTL.set(v)
 
   /** Eagerly free a SUPERSEDED `localCheckpoint`'s cached blocks: the
     * checkpointed Dataset's plan is a `LogicalRDD` over the persisted
