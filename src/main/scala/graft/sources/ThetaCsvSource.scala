@@ -84,10 +84,12 @@ final class ThetaCsvTable(props: Map[String, String])
     new ThetaCsvScanBuilder(
       options.getOrDefault("root", props.getOrElse("root", "SPY")),
       options.getOrDefault("start", props.getOrElse("start", "2024-01-02")),
-      options.getOrDefault("days", props.getOrElse("days", "5")).toInt)
+      options.getOrDefault("days", props.getOrElse("days", "5")).toInt,
+      Option(options.get("transport")).orElse(props.get("transport")))
 }
 
-final class ThetaCsvScanBuilder(root: String, start: String, nDays: Int)
+final class ThetaCsvScanBuilder(root: String, start: String, nDays: Int,
+    transport: Option[String])
     extends ScanBuilder with SupportsPushDownFilters {
 
   private var pushed: Array[Filter] = Array.empty
@@ -108,11 +110,13 @@ final class ThetaCsvScanBuilder(root: String, start: String, nDays: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new ThetaCsvScan(root, start, nDays, pushed)
+  override def build(): Scan =
+    new ThetaCsvScan(root, start, nDays, pushed, transport)
 }
 
 final class ThetaCsvScan(root: String, start: String, nDays: Int,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], transport: Option[String])
+    extends Scan with Batch {
 
   override def readSchema(): StructType = ThetaCsvSource.schema
   override def toBatch: Batch = this
@@ -132,7 +136,7 @@ final class ThetaCsvScan(root: String, start: String, nDays: Int,
   override def planInputPartitions(): Array[InputPartition] = {
     val startDay = ThetaCsvSource.dayNumber(start)
     (0 until nDays).map(startDay + _).filter(dayAllowed)
-      .map(d => DayPartition(root, d): InputPartition).toArray
+      .map(d => DayPartition(root, d, transport): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -140,24 +144,26 @@ final class ThetaCsvScan(root: String, start: String, nDays: Int,
       new DayCsvReader(partition.asInstanceOf[DayPartition])
 }
 
-final case class DayPartition(root: String, dayNum: Int) extends InputPartition
+final case class DayPartition(root: String, dayNum: Int,
+    transport: Option[String]) extends InputPartition
 
 /** Parses one day's CSV text into rows — the reference's
-  * `_parse_csv_to_dataframe` path. A live deployment would swap
-  * [[csvForDay]] for the HTTP GET; everything else is identical.
+  * `_parse_csv_to_dataframe` path. The fetch goes through the typed
+  * error taxonomy + exponential-backoff retry ([[ThetaStatus]] —
+  * utils.py:599–658 / ThetaExceptions.py semantics): transient
+  * failures (429/474/571) retry in-task up to 5 tries; every other
+  * status raises its typed error with this split's (root, day), so a
+  * failed task tells the operator whether a rerun can help.
   */
 final class DayCsvReader(p: DayPartition) extends PartitionReader[InternalRow] {
 
-  /** Deterministic canned CSV (mock_responses.py shape): hourly bars
-    * from 09:30, header + rows.
-    */
   private def csvForDay: String = {
-    val rows = (0 until ThetaCsvSource.barsPerDay).map { h =>
-      val minOfDay = 570 + h * 30
-      val base = 100.0 + (p.dayNum % 50) + h * 0.25
-      f"$minOfDay%d,${base}%.2f,${base + 0.8}%.2f,${base - 0.6}%.2f,${base + 0.3}%.2f,${(p.dayNum % 1000) * 10 + h}%d"
+    val t = TransportRegistry.resolve(p.transport)
+    ThetaStatus.retryWithBackoff(maxTries = 5, baseDelayMs = 10) {
+      val (code, body) = t.fetch(p.root, p.dayNum)
+      ThetaStatus.raiseForStatus(code, s"root=${p.root} day=${p.dayNum}")
+      body
     }
-    "ms_of_day,open,high,low,close,volume\n" + rows.mkString("\n")
   }
 
   private val lines = csvForDay.split('\n').iterator
