@@ -946,8 +946,13 @@ object TextQueries {
     */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Staging.staged(Tables.loadSpread(s, dir, "documents")
-      .select($"doc_id", $"text"))
+    // spread but NOT cached (q84 cache-or-recompute, A/B'd r17:
+    // 2.63 s / 33.2 s CPU vs 2.82 / 35.5 with a staged text frame):
+    // the expensive MinHash signatures are staged inside the core
+    // (inc/ex); caching the raw text above them only adds the
+    // columnar serialization of the text column
+    val base = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", $"text")
     incrementalDedupCore(
       base.filter($"doc_id" % 5 === 0), base.filter($"doc_id" % 5 =!= 0))
   }
@@ -1079,15 +1084,20 @@ object TextQueries {
     */
   def ingestionGateBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.loadSpread(s, dir, "documents")
-      .select($"doc_id", $"text").transform(Staging.staged(_))
+    // Plain scan, NOT cached (the q84 cache-or-recompute rule, A/B'd
+    // r17: 0.79 s / 5.4 s CPU vs 1.04 / 11.3 for a staged+spread text
+    // frame): md5 is a cheap codegen kernel, so re-scanning parquet
+    // for the two branches beats serializing the full text column
+    // into a cache both would read once.
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text")
     // hashed ONCE (preHashed gate): the md5-over-full-text kernel is
     // the slice's dominant map cost, and both the gate's anti-join
     // input and the enrichment join consume the same (h, doc_id)
     // rows — they are separate subtrees of one plan (ReuseExchange
-    // dedups exchanges, not arbitrary subtrees), so the slim hashed
-    // frame is persisted too (caller-owned lifecycle, the q24
-    // discipline; Staging.run-scopable like every staged frame)
+    // dedups exchanges, not arbitrary subtrees), so the SLIM hashed
+    // frame IS staged (caller-owned lifecycle, the q24 discipline;
+    // Staging.run-scopable like every staged frame)
     val incoming = docs.filter($"doc_id" % 5 === 0)
       // deterministic arrival time: one doc per second off a fixed base
       .withColumn("ts", timestamp_millis(lit(1704153600000L) + $"doc_id" * 1000))

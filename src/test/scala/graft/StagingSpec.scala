@@ -74,11 +74,12 @@ class StagingSpec extends AnyFunSuite {
     assert(cacheEmpty, "no staged block may outlive the action")
   }
 
-  test("Staging.run releases incrementalDedup's three staged frames (q124)") {
+  test("Staging.run releases incrementalDedup's staged signature frames (q124)") {
     // the r16 gap: the q124 wrapper's base frame was a bare persist()
-    // outside Staging, so a library caller leaked one cached frame per
-    // call even under Staging.run — now base + both signature sets are
-    // staged and a scoped run must release all three
+    // outside Staging, leaking one cached frame per call even under
+    // Staging.run; r17 dropped the text-frame cache entirely (the q84
+    // cache-or-recompute rule) — the staged inc/ex signature sets
+    // must still release on scope exit
     spark.catalog.clearCache()
     val n = Staging.run(
       TextQueries.incrementalDedup(spark, "/root/testdata/sf0.001"))(_.count())
