@@ -152,7 +152,7 @@ object CalendarQueries {
       StructField("ratio_qty", DoubleType),
       StructField("side", StringType),
       StructField("position_intent", StringType))))
-    val o = Tables.loadSpread(s, dir, "orders")
+    val o = Tables.load(s, dir, "orders")
       .filter($"o_orderkey" < 2000)
       .select($"o_orderkey".as("order_id"))
     val twoLegs = format_string(

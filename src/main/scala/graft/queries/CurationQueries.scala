@@ -369,7 +369,7 @@ object CurationQueries {
     * the summed weight absorbs summation-order ulps (q110 precedent).
     */
   def dsirResample(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(s, dir, "documents")
+    val docs = Tables.load(s, dir, "documents")
     val weights = CurationOps.dsirLogWeights(
       docs, "doc_id", "text", col("source").isin("src0", "src1"))
     val hex6 = substring(
@@ -441,7 +441,7 @@ object CurationQueries {
     * the corpus — the corpus itself never shuffles.
     */
   def dsirSelectCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(s, dir, "documents")
+    val docs = Tables.load(s, dir, "documents")
     CurationOps.dsirSelect(
         docs, "doc_id", "text", col("source").isin("src0", "src1"), 100)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
@@ -502,7 +502,7 @@ object CurationQueries {
     * across engines. Gram-less documents surface with 0, not dropped.
     */
   def contaminationFrac(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.loadSpread(s, dir, "documents")
+    val docs = Tables.load(s, dir, "documents")
     CurationOps.contaminationFraction(
         docs, "doc_id", "text", col("doc_id") % 7 === 0, 4)
       .orderBy("doc_id")

@@ -29,7 +29,7 @@ object FinanceQueries {
     // Expirations anchored in 2026+ so the OCC YYMMDD year is
     // unambiguous under both Spark's reduced-year (base 2000) and
     // DuckDB's POSIX %y pivot.
-    Tables.loadSpread(s, dir, "orders")
+    Tables.load(s, dir, "orders")
       .select(
         $"o_orderkey",
         regexp_replace(upper($"o_orderpriority"), "[^A-Z]", "").as("root"),
@@ -584,7 +584,7 @@ object FinanceQueries {
     */
   def orderLifecycle(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val o = Tables.loadSpread(s, dir, "orders").filter($"o_orderkey" < 3000)
+    val o = Tables.load(s, dir, "orders").filter($"o_orderkey" < 3000)
       .select($"o_orderkey".as("order_id"),
         (lit(10L) + $"o_orderkey" % 90).as("qty"),
         (lit(50.0) + ($"o_orderkey" % 200).cast("double") * 0.5).as("price"))
@@ -664,7 +664,7 @@ object FinanceQueries {
     */
   def orderValidation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val shaped = Tables.loadSpread(s, dir, "orders")
+    val shaped = Tables.load(s, dir, "orders")
       .filter($"o_orderkey" < 4000)
       .select($"o_orderkey".as("order_id"))
       .withColumn("order_class",

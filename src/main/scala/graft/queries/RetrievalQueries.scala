@@ -65,7 +65,7 @@ object RetrievalQueries {
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
-    val emb = Tables.loadSpread(s, dir, "embeddings")
+    val emb = Tables.load(s, dir, "embeddings")
       .select($"vec_id".as("doc_id"), quantize($"embedding").as("q"))
       .withColumn("nsq", intNormSq($"q"))
     // staged: the query-set filter, the dense scan, the posting build

@@ -465,7 +465,7 @@ object TextQueries {
     */
   def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.loadSpread(s, dir, "documents")
+    val docs = Tables.load(s, dir, "documents")
     val w = words($"text")
     val chunkArr = transform(
       sequence(lit(0L), expr("CAST((size(split(text, ' ')) + 15) DIV 16 - 1 AS BIGINT)")),
