@@ -29,7 +29,12 @@ object FinanceQueries {
     // Expirations anchored in 2026+ so the OCC YYMMDD year is
     // unambiguous under both Spark's reduced-year (base 2000) and
     // DuckDB's POSIX %y pivot.
-    Tables.load(s, dir, "orders")
+    // loadSpread STAYS here (r17 lesson on shared helpers): this
+    // frame feeds q43/q89's IV root-finding — expensive per row at
+    // ANY width — and a plain scan serialized that kernel onto one
+    // split (1.1 s / 20 s CPU parallel -> 15.8 s wall ≈ CPU, the r14
+    // scan-riding failure class, re-measured before reverting).
+    Tables.loadSpread(s, dir, "orders")
       .select(
         $"o_orderkey",
         regexp_replace(upper($"o_orderpriority"), "[^A-Z]", "").as("root"),
