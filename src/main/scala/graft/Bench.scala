@@ -176,15 +176,26 @@ object Bench {
     val multiUse = collection.mutable.LinkedHashMap[String, Boolean]()
       .withDefaultValue(false)
     val unpinned = collection.mutable.LinkedHashMap[String, Seq[String]]()
+    // queries whose warmup produced a valid seed sample — their cpu
+    // vector starts with the seed, so race analysis drops slot 0;
+    // a failed-warmup query's vector holds timed passes only
+    val seeded = collection.mutable.Set[String]()
+    // plan diagnostics refresh on EVERY successful pass (a query whose
+    // warmup failed would otherwise never surface in cpu_race_flags /
+    // unpinned_caches no matter how its timed passes behave)
+    def recordDiagnostics(name: String): Unit = {
+      multiUse(name) = lastMultiUseCache
+      if (lastUnpinned.nonEmpty) unpinned(name) = lastUnpinned
+    }
     val warm = queries.flatMap { case (name, fn) =>
       if (outOfBudget()) None
       else {
         val t = runOnce(fn); spark.catalog.clearCache()
         samplesSoFar(name) = Vector(t); persistPartial()
         if (t >= 0) {
+          seeded += name
           cpuSoFar(name) = Vector(lastRunCpuS)
-          multiUse(name) = lastMultiUseCache
-          if (lastUnpinned.nonEmpty) unpinned(name) = lastUnpinned
+          recordDiagnostics(name)
         }
         Some(name -> t)
       }
@@ -202,6 +213,7 @@ object Bench {
       spark.catalog.clearCache()
       samplesSoFar(name) = samplesSoFar.getOrElse(name, Vector.empty) :+ sec
       cpuSoFar(name) = cpuSoFar(name) :+ lastRunCpuS
+      if (sec >= 0) recordDiagnostics(name)
       persistPartial()
       sec
     }
@@ -386,14 +398,15 @@ object Bench {
     // caches pinCaches built); RaceDisciplineSpec asserts the pinned
     // plans are race-free for every query.
     val raceFlags = queries.collect { case (name, _)
-        if BenchCore.cpuRaceFlag(cpuSoFar(name).drop(1), multiUse(name)) =>
+        if BenchCore.cpuRaceFlag(
+          if (seeded(name)) cpuSoFar(name).drop(1) else cpuSoFar(name),
+          multiUse(name)) =>
       "\"" + name + "\""
     }.mkString("[", ",", "]")
     val raceField = if (raceFlags == "[]") "" else s""","cpu_race_flags":$raceFlags"""
     val unpinnedJson = unpinned.map { case (name, caches) =>
       "\"" + name + "\":[" +
-        caches.map(c => "\"" + c.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-          .mkString(",") + "]"
+        caches.map(BenchCore.jstr).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val unpinnedField = if (unpinnedJson == "{}") "" else s""","unpinned_caches":$unpinnedJson"""
     val json =

@@ -51,6 +51,22 @@ object BenchCore {
     if (v.isNaN || v.isInfinite) "-1" // JSON has no NaN/Infinity literal
     else String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
 
+  /** Full JSON string escape — backslash, quote, and ALL control
+    * chars (<0x20). Cache names in the bench artifact are abbreviated
+    * plan strings, which can carry tabs or odd literals; a partial
+    * escaper here would make the whole artifact unparseable (the
+    * failure class Verify.scala's escaper documents).
+    */
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** Post-hoc CPU-spread race flag for the bench artifact: a query
     * whose WARM cpu passes (seed excluded — the seed pays JIT) spread
     * past `ratio` with an absolute gap past `floorS`, AND whose plan

@@ -96,65 +96,47 @@ object Staging {
   def run[R](build: => DataFrame)(action: DataFrame => R): R =
     scoped { val df = build; pinCaches(df); action(df) }
 
-  /** Cached relations in `df`'s cache-substituted plan, grouped by
-    * cache identity: (short cache name, number of plan occurrences,
-    * buffers fully materialized?).
+  /** Cached relations reachable from `df`'s plan — including caches
+    * NESTED inside other caches' plans (an `InMemoryRelation` is a
+    * LeafNode, so the q113 fp-inside-fpk shape never appears at top
+    * level) — as (short cache name, plan occurrences, buffers fully
+    * materialized?). Plumbing over `private[sql]` internals lives in
+    * [[org.apache.spark.sql.graftshim.CacheShim]].
     */
-  def cacheUse(df: DataFrame): Seq[(String, Int, Boolean)] = {
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
-    val builders = df.queryExecution.withCachedData.collect {
-      case r: InMemoryRelation => r.cacheBuilder
-    }
-    builders.groupBy(System.identityHashCode(_)).values.toSeq.map { g =>
-      // cachedName for an un-named cache is the whole plan string —
-      // compress to a short head so reports stay readable
-      val name = g.head.cachedName.linesIterator
-        .map(_.trim).filter(_.nonEmpty).take(2).mkString(" | ").take(120)
-      (name, g.size, g.head.isCachedColumnBuffersLoaded)
-    }
-  }
+  def cacheUse(df: DataFrame): Seq[(String, Int, Boolean)] =
+    org.apache.spark.sql.graftshim.CacheShim.cacheUse(df)
+      .map(c => (c.name, c.occurrences, c.loaded))
 
   /** Multi-consumer caches that are unmaterialized at build time —
-    * the q84-class race precondition: the final plan schedules its
-    * independent sides concurrently, and every stage that loses the
-    * cache-build race recomputes the staged kernel from scratch
-    * (r15/r16 q84: up to 94 s of duplicated explode CPU, visible only
-    * as bimodal cpu_passes). Single-occurrence caches cannot race.
+    * the q84-class race precondition: a plan (or a cache build job)
+    * schedules its independent stages concurrently, and every stage
+    * that loses the cache-build race recomputes the staged kernel
+    * from scratch (r15/r16 q84: up to 94 s of duplicated explode CPU,
+    * visible only as bimodal cpu_passes). Single-occurrence caches
+    * cannot race — exactly one scan node, hence one stage, reads
+    * them.
     */
   def unpinnedMultiUse(df: DataFrame): Seq[String] =
     cacheUse(df).collect { case (name, n, loaded) if n >= 2 && !loaded => name }
 
   /** Ordered materialization, generalized (r16 verdict #4): build
-    * every unloaded multi-consumer cache in `df`'s plan with one
-    * sequential Spark job each, BEFORE the consuming action runs.
-    * Within a single job there is no concurrency, hence no race — a
-    * cache's own upstream caches are computed (and their blocks
-    * stored — that is what a persisted RDD's iteration does) en route,
-    * exactly once. This keeps query cores PURE at plan-construction
-    * time (the BandCapSpec/JaccardCapSpec zero-jobs contract — a
-    * library caller composing frames pays no hidden jobs) while
-    * giving the executing layer (Bench, Verify, [[run]]) the
-    * deterministic low-CPU mode the per-core blocking-count
-    * discipline (q86/q125/q147) achieved by hand. Returns the number
-    * of caches materialized. RaceDisciplineSpec asserts every
-    * SparkEntry query plan is race-free after this call.
+    * every unloaded multi-consumer cache reachable from `df`'s plan —
+    * nested ones included — with one Spark job each, dependencies
+    * first, BEFORE the consuming action runs. Children-first order is
+    * what makes the guarantee hold: independent stages of a SINGLE
+    * job also run concurrently (the DAGScheduler submits every stage
+    * whose parents are done), so building a parent cache whose own
+    * plan reads an unbuilt multi-consumer child would re-create the
+    * race inside the pin job itself; with children built first, every
+    * build and the final action read only finished caches. This keeps
+    * query cores PURE at plan-construction time (the
+    * BandCapSpec/JaccardCapSpec zero-jobs contract — a library caller
+    * composing frames pays no hidden jobs) while giving the executing
+    * layer (Bench, Verify, [[run]]) the deterministic low-CPU mode
+    * the per-core blocking-count discipline achieved by hand. Returns
+    * the number of caches materialized. RaceDisciplineSpec asserts
+    * every SparkEntry query plan is race-free after this call.
     */
-  def pinCaches(df: DataFrame): Int = {
-    import org.apache.spark.sql.execution.columnar.InMemoryRelation
-    val builders = df.queryExecution.withCachedData.collect {
-      case r: InMemoryRelation => r.cacheBuilder
-    }
-    val multiUse = builders.groupBy(System.identityHashCode(_)).values
-      .filter(_.size >= 2).map(_.head)
-    var built = 0
-    multiUse.foreach { b =>
-      if (!b.isCachedColumnBuffersLoaded) {
-        val rdd = b.cachedColumnBuffers
-        rdd.sparkContext.runJob(rdd,
-          (it: Iterator[_]) => { while (it.hasNext) it.next(); () })
-        built += 1
-      }
-    }
-    built
-  }
+  def pinCaches(df: DataFrame): Int =
+    org.apache.spark.sql.graftshim.CacheShim.pinMultiUse(df)
 }

@@ -2143,15 +2143,16 @@ object TextQueries {
     val candPayload = Staging.staged(docs.join(candIds, "doc_id")
       .select($"doc_id", shingles(words($"text")).as("sh"))
       .join(sigs, "doc_id"))
-    // Ordered materialization (the q86/q125 discipline): the final
-    // three-way join schedules its independent sides CONCURRENTLY,
-    // and concurrent stages racing an UNbuilt cache each recompute
-    // its plan — for sigs that is the 8-seed MinHash kernel, the
-    // query's dominant cost. Measured bimodal: ~21 s process-CPU when
-    // one pass got the cache built first vs ~41 s when the race
-    // duplicated it (r15/r16 cpu_passes). Two blocking builds pin the
-    // low mode deterministically.
-    sigs.count(); candPayload.count()
+    // Ordered materialization now lives at the ACTION layer
+    // (Staging.pinCaches, r17): the final three-way join schedules
+    // its independent sides concurrently, and stages racing an
+    // unbuilt cache each recompute its plan — for sigs that is the
+    // 8-seed MinHash kernel, this query's dominant cost (measured
+    // bimodal ~21 s vs ~41 s process-CPU in the r15/r16 artifacts).
+    // The r16 fix was two blocking count()s HERE; r17 removed them so
+    // construction is pure again (zero hidden jobs for library
+    // composition) — Bench/Verify/Staging.run pin sigs, cand and
+    // candPayload in dependency order before any consumer runs.
     cand
       .join(candPayload.select($"doc_id".as("i"), $"sh".as("sh_i"), $"mh".as("mh_i")), "i")
       .join(candPayload.select($"doc_id".as("j"), $"sh".as("sh_j"), $"mh".as("mh_j")), "j")

@@ -34,24 +34,32 @@ class KmeansTrainBoundSpec extends AnyFunSuite {
 
   test("hard cap holds on an oversized frame with modulo-adversarial ids") {
     val cap = SimilarityQueries.TrainCap
-    // 450k rows > 4*TrainCap, every id divisible by every plausible
-    // modulus' worst case: ids are multiples of 2^20, so for m a
-    // power-of-two-ish divisor the modulo filter keeps far MORE than
-    // n/m — the exact distribution that defeats expected-size
-    // sampling and makes the limit layer load-bearing.
+    // 450k rows > 4*TrainCap with EVERY id a multiple of the derived
+    // modulus (trainModulus(450000) = 5; ids are 5·i), so the modulo
+    // filter keeps ALL 450k rows — the distribution that defeats
+    // expected-size sampling outright and makes the orderBy+limit
+    // layer load-bearing. (The first version of this fixture used
+    // 2^20·i ids, but 2^20 ≡ 1 (mod 5), so the filter silently kept
+    // exactly n/5 and the limit never bound — caught in review.)
     val n = 450000L
+    val m = SimilarityQueries.trainModulus(n)
     val emb = spark.range(n)
-      .selectExpr("id * 1048576 AS vec_id", "array(id, id + 1) AS q")
+      .selectExpr(s"id * $m AS vec_id", "array(id, id + 1) AS q")
+    // prove the adversarial premise: the modulo layer alone is blown
+    val preLimit = emb.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.lit(m)) === 0).count()
+    assert(preLimit == n, s"fixture must defeat the modulo filter (kept $preLimit of $n)")
     val sample = SimilarityQueries.trainingSample(emb, n)
     val got = sample.count()
-    assert(got <= cap, s"training sample $got rows > TrainCap $cap")
-    assert(got > 0, "sample must not be empty")
-    // deterministic: the cap keeps the SMALLEST vec_ids
+    assert(got == cap, s"hard cap must bind exactly: got $got, cap $cap")
+    // deterministic: the cap keeps exactly the SMALLEST vec_ids
     val maxId = sample.agg(org.apache.spark.sql.functions.max($"vec_id"))
       .as[Long].collect().head
     val rerun = SimilarityQueries.trainingSample(emb, n).count()
     assert(rerun == got, "hard-capped sample must be deterministic")
-    assert(maxId < n * 1048576L, "ids out of the generated domain")
+    assert(maxId == (cap - 1) * m,
+      s"cap must keep the smallest ids: max $maxId != ${(cap - 1) * m}")
   }
 
   test("both layers are inert at oracle scales (sf0.01 sample is exactly vec_id % 4 = 0)") {

@@ -58,7 +58,8 @@ class RaceDisciplineSpec extends AnyFunSuite {
     import spark.implicits._
     spark.catalog.clearCache()
     // nested staging: child cache inside a parent cache, parent
-    // consumed twice — the fp/fpk (q113) shape
+    // consumed twice; the child is single-use (one scan node inside
+    // the parent) so only the parent needs a build
     val child = Staging.staged(spark.range(100).select($"id", ($"id" * 2).as("y")))
     val parent = Staging.staged(child.filter($"id" % 2 === 0))
     val two = parent.select($"id").union(parent.select($"y"))
@@ -69,6 +70,33 @@ class RaceDisciplineSpec extends AnyFunSuite {
     // idempotent: a second pin is a no-op
     assert(Staging.pinCaches(two) == 0)
     assert(two.count() == 100)
+    spark.catalog.clearCache()
+  }
+
+  test("a multi-consumer cache NESTED inside another cache is found and pinned first") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    // the q113 fp-inside-fpk shape that the first (top-level-only)
+    // pinCaches missed: `fp` is consumed TWICE inside `fpk`'s cached
+    // plan (directly and through the anti-join's aggregate side) and
+    // never appears in the top-level plan — InMemoryRelation is a
+    // LeafNode. The DAGScheduler runs the anti-join's independent
+    // stages of fpk's ONE build job concurrently, so an unbuilt fp is
+    // a real race even inside a single pin job; children must build
+    // first.
+    val fp = Staging.staged(
+      spark.range(1000).select(($"id" % 97).as("k"), $"id".as("v")))
+    val hot = fp.groupBy($"k").count().filter($"count" > 15).select($"k")
+    val fpk = Staging.staged(fp.join(hot, Seq("k"), "left_anti"))
+    val top = fpk.select($"v".as("i")).union(fpk.select($"v".as("j")))
+    // detection: BOTH caches are unpinned multi-use (fpk twice at top
+    // level; fp twice inside fpk's plan)
+    assert(Staging.cacheUse(top).count { case (_, n, _) => n >= 2 } == 2,
+      s"nested multi-use cache not detected: ${Staging.cacheUse(top)}")
+    val built = Staging.pinCaches(top)
+    assert(built == 2, s"expected child+parent builds, built $built")
+    assert(Staging.unpinnedMultiUse(top).isEmpty)
+    assert(top.count() > 0)
     spark.catalog.clearCache()
   }
 }
