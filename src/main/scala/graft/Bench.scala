@@ -75,14 +75,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SessionDefaults(SparkSession.builder()
-      .master(s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val master = SessionDefaults.master(cpus)
+    val spark = SessionDefaults.masterConfigs(master).foldLeft(
+      SessionDefaults(SparkSession.builder()
+        .master(master))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Deployment-independent CPU attribution (and shuffle-transport
+    // evidence) via task metrics — see TaskMetricsProbe for why the
+    // process clock alone is blind under a forked-executor master.
+    val taskMetrics = TaskMetricsProbe.install(spark)
 
     // Optional args: query names to bench (default: all). Unknown
     // names are a hard error — a misspelled filter would otherwise
@@ -102,6 +109,7 @@ object Bench {
     // harness, so one mutable slot carries the last run's CPU to the
     // caller that records it next to the wall sample.
     var lastRunCpuS: Double = -1.0
+    var lastRunTaskCpuS: Double = -1.0
     // Plan-inspection slots, refreshed per run (see cpu_race_flags):
     // multi-consumer caches in the final plan, and — checked BEFORE
     // execution, when it is meaningful — the ones unmaterialized at
@@ -110,6 +118,11 @@ object Bench {
     var lastUnpinned: Seq[String] = Nil
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String = sfDir): Double = {
+      // boundary snapshot: drain the async listener bus so the delta
+      // holds exactly this run's tasks (drain cost sits OUTSIDE the
+      // timed window on both ends)
+      TaskMetricsProbe.drain(spark)
+      val tm0 = taskMetrics.snapshot()
       val c0 = BenchCore.processCpuSeconds()
       val t0 = System.nanoTime()
       try {
@@ -128,12 +141,15 @@ object Bench {
         val c1 = BenchCore.processCpuSeconds()
         lastRunCpuS = if (c0 < 0 || c1 < 0) -1.0 else c1 - c0
         val wall = (System.nanoTime() - t0) / 1e9
+        TaskMetricsProbe.drain(spark)
+        lastRunTaskCpuS = (taskMetrics.snapshot() - tm0).cpuS
         // occurrence count is stable across execution; checked outside
         // the timed window
         lastMultiUseCache = graft.operators.Staging.cacheUse(df).exists(_._2 >= 2)
         wall
       } catch { case _: Throwable =>
         lastRunCpuS = -1.0
+        lastRunTaskCpuS = -1.0
         -1.0
       }
     }
@@ -173,6 +189,11 @@ object Bench {
     // exactly as measure() drops it from the sample list.
     val cpuSoFar = collection.mutable.LinkedHashMap[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
+    // Task-metric CPU, same positional alignment as cpuSoFar (see
+    // TaskMetricsProbe: the process clock and the task clock diverge
+    // exactly when the master forks executors).
+    val taskCpuSoFar = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
     val multiUse = collection.mutable.LinkedHashMap[String, Boolean]()
       .withDefaultValue(false)
     val unpinned = collection.mutable.LinkedHashMap[String, Seq[String]]()
@@ -195,6 +216,7 @@ object Bench {
         if (t >= 0) {
           seeded += name
           cpuSoFar(name) = Vector(lastRunCpuS)
+          taskCpuSoFar(name) = Vector(lastRunTaskCpuS)
           recordDiagnostics(name)
         }
         Some(name -> t)
@@ -213,6 +235,7 @@ object Bench {
       spark.catalog.clearCache()
       samplesSoFar(name) = samplesSoFar.getOrElse(name, Vector.empty) :+ sec
       cpuSoFar(name) = cpuSoFar(name) :+ lastRunCpuS
+      taskCpuSoFar(name) = taskCpuSoFar(name) :+ lastRunTaskCpuS
       if (sec >= 0) recordDiagnostics(name)
       persistPartial()
       sec
@@ -283,11 +306,16 @@ object Bench {
         // before the first warmup runs).
         val pCpu = collection.mutable.LinkedHashMap[String, Vector[Double]]()
           .withDefaultValue(Vector.empty)
+        val pTaskCpu = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+          .withDefaultValue(Vector.empty)
         val pWarm = probe.flatMap { case (name, fn) =>
           if (outOfBudget()) None
           else {
             val t = runOnce(fn, sf1Dir); spark.catalog.clearCache()
-            if (t >= 0) pCpu(name) = Vector(lastRunCpuS)
+            if (t >= 0) {
+              pCpu(name) = Vector(lastRunCpuS)
+              pTaskCpu(name) = Vector(lastRunTaskCpuS)
+            }
             Some(name -> t)
           }
         }.toMap
@@ -296,6 +324,7 @@ object Bench {
           val sec = runOnce(pFns(name), sf1Dir)
           spark.catalog.clearCache()
           pCpu(name) = pCpu(name) :+ lastRunCpuS
+          pTaskCpu(name) = pTaskCpu(name) :+ lastRunTaskCpuS
           sec
         }
         // warmup + 1 timed pass per entry; any entry whose best still
@@ -342,6 +371,8 @@ object Bench {
         val pSamples = pField((_, r) => r.samples.mkString("[", ",", "]"))
         val pCpuOfMin = pField((n, r) =>
           BenchCore.jnum(BenchCore.cpuOfMin(r.samples, pCpu(n)), 3))
+        val pTaskCpuOfMin = pField((n, r) =>
+          BenchCore.jnum(BenchCore.cpuOfMin(r.samples, pTaskCpu(n)), 3))
         val pTrunc = probe.collect { case (name, _) if pMeasured(name).truncated =>
           "\"" + name + "\""
         }.mkString("[", ",", "]")
@@ -361,6 +392,7 @@ object Bench {
         s""","sf1":{"dir":"$sf1Dir","budget_left_start_s":${BenchCore.jnum(budgetAtStart, 1)},""" +
           s""""queries":$pq,"ratio":$pRatio,"spread_all":$pSpread,""" +
           s""""passes":$pPasses,"samples":$pSamples,"cpu":$pCpuOfMin,""" +
+          s""""cpu_task":$pTaskCpuOfMin,""" +
           s""""rows_out":$pRowsJson,"truncated":$pTrunc,"failed":$pFailed,""" +
           s""""budget_left_end_s":${BenchCore.jnum(budgetLeftS, 1)}}"""
       }
@@ -389,6 +421,17 @@ object Bench {
     val cpuPasses = queries.map { case (name, _) =>
       "\"" + name + "\":[" + cpuSoFar(name).map(c => BenchCore.jnum(c, 3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // Task-metric CPU of the min pass + every pass, aligned exactly
+    // like cpu/cpu_passes. On local[n] cpu_task ≈ cpu minus harness
+    // threads; under a forked-executor master cpu_task is the ONLY
+    // valid plan-CPU attribution (cpu collapses to driver overhead).
+    val cpuTaskMin = queries.collect { case (name, _) if measuredOk(name) =>
+      "\"" + name + "\":" +
+        BenchCore.jnum(BenchCore.cpuOfMin(measured(name).samples, taskCpuSoFar(name)), 3)
+    }.mkString("{", ",", "}")
+    val cpuTaskPasses = queries.map { case (name, _) =>
+      "\"" + name + "\":[" + taskCpuSoFar(name).map(c => BenchCore.jnum(c, 3)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // The q84-class race, machine-visible (r16 verdict #4): queries
     // whose warm CPU passes spread >1.5x (gap >5s) WITH a
     // multi-consumer cache in the plan. Since pinCaches runs in every
@@ -409,8 +452,20 @@ object Bench {
         caches.map(BenchCore.jstr).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val unpinnedField = if (unpinnedJson == "{}") "" else s""","unpinned_caches":$unpinnedJson"""
+    // Whole-run shuffle transport totals (all passes, warmups and the
+    // probe included): remote vs local read bytes split by the
+    // BlockManager locality of the fetch. remote_mb > 0 is the
+    // machine-readable attestation that this run moved shuffle blocks
+    // between executor JVMs over the wire — impossible on local[n],
+    // expected under local-cluster.
+    TaskMetricsProbe.drain(spark)
+    val tmTotal = taskMetrics.snapshot()
+    val shuffleField =
+      s""","shuffle":{"remote_mb":${BenchCore.jnum(tmTotal.remoteShuffleBytes / 1048576.0, 1)},""" +
+        s""""local_mb":${BenchCore.jnum(tmTotal.localShuffleBytes / 1048576.0, 1)},""" +
+        s""""tasks":${tmTotal.tasks}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"spread":$spreads,"cpu":$cpuMin,"cpu_passes":$cpuPasses$rerunsField$truncatedField$failedField$raceField$unpinnedField,"sf":"$sfDir"$sf1Section}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","master":${BenchCore.jstr(master)},"queries":$qs,"passes":$ps,"spread":$spreads,"cpu":$cpuMin,"cpu_passes":$cpuPasses,"cpu_task":$cpuTaskMin,"cpu_task_passes":$cpuTaskPasses$rerunsField$truncatedField$failedField$raceField$unpinnedField$shuffleField,"sf":"$sfDir"$sf1Section}"""
     println(json)
     // The console line can be lost to log-tail truncation (one line per
     // 114 queries is long); persist the identical JSON where the driver

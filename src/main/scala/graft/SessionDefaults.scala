@@ -129,6 +129,69 @@ object SessionDefaults {
 
   def localProfile(profile: String): Boolean = isLocalProfile(profile)
 
+  /** Session master for the entry points: `GRAFT_MASTER` env wins
+    * (any Spark master URL), else `local[cpus]`. The value this
+    * exists for is `local-cluster[workers,coresEach,memEachMB]` —
+    * Spark's own multi-executor test topology: a real standalone
+    * master + workers in the driver JVM and one FORKED executor JVM
+    * per worker, so every claim local[32] cannot test (one
+    * BlockManager per executor, real Netty shuffle + broadcast
+    * transport, cross-executor cache misses) executes for real on one
+    * box. The caller keeps `spark.sql.shuffle.partitions` /
+    * SPARK_GRAFT_CPUS sized to the TOTAL core count either way.
+    */
+  def master(cpus: String): String = master(cpus, sys.env)
+
+  def master(cpus: String, env: Map[String, String]): String =
+    env.getOrElse("GRAFT_MASTER", s"local[$cpus]")
+
+  /** The executor-JVM flags a forked-executor master needs and
+    * in-process masters ignore. Mirrors build.sbt's driver-side list
+    * (org.apache.spark.launcher.JavaModuleOptions): spark-submit
+    * injects these for executors, but local-cluster executors are
+    * forked by ExecutorRunner from $SPARK_HOME, which on JDK 17 needs
+    * the same --add-opens set, plus this build's classes on the
+    * executor classpath (the driver got them from sbt).
+    */
+  private val executorAddOpens: String = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  /** Extra session confs a master needs beyond the profile set; empty
+    * for in-process masters. For `local-cluster` the executor fork
+    * also needs two env vars this JVM cannot set for itself — both
+    * validated LOUDLY here (the profile-typo rule): SPARK_HOME (where
+    * ExecutorRunner finds the distribution; use
+    * tools/mk_local_cluster_home.sh for a writable shim so executor
+    * sandboxes land under target/, not /opt/spark) and
+    * SPARK_SCALA_VERSION (load-spark-env.sh normally sets it; without
+    * it the launcher's classpath builder dies with "Cannot find any
+    * build directories").
+    */
+  def masterConfigs(master: String): Map[String, String] =
+    masterConfigs(master, sys.env)
+
+  def masterConfigs(master: String, env: Map[String, String]): Map[String, String] =
+    if (!master.startsWith("local-cluster")) Map.empty
+    else {
+      val missing =
+        Seq("SPARK_HOME", "SPARK_SCALA_VERSION").filterNot(env.contains)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"master '$master' forks executor JVMs and needs env " +
+          s"${missing.mkString(", ")} — e.g. " +
+          "SPARK_HOME=$(tools/mk_local_cluster_home.sh) SPARK_SCALA_VERSION=2.13")
+      Map(
+        "spark.executor.extraClassPath" ->
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath,
+        "spark.executor.extraJavaOptions" -> executorAddOpens)
+    }
+
   /** The session's stable full compute width — the target partition
     * count for compute-dense spreads ([[Tables.loadSpread]], the q134
     * block join). `spark.sql.shuffle.partitions` is a STATIC conf the

@@ -10,16 +10,22 @@ object Verify {
     // the driver always passes exactly two args → full dump)
     val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SessionDefaults(SparkSession.builder()
-      .master(s"local[$cpus]"))
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // NOTE: default INT96 parquet timestamps are intentional — they
-      // read back as tz-naive values matching the DuckDB oracle's
-      // naive timestamps; TIMESTAMP_MICROS would add a UTC tz
-      // annotation and break value comparison.
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GRAFT_MASTER support (SessionDefaults.master): the multi-executor
+    // attestation reruns this SAME dump under local-cluster, proving
+    // the oracle-green results hold across real executor boundaries.
+    val master = SessionDefaults.master(cpus)
+    val spark = SessionDefaults.masterConfigs(master).foldLeft(
+      SessionDefaults(SparkSession.builder()
+        .master(master))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        // NOTE: default INT96 parquet timestamps are intentional — they
+        // read back as tz-naive values matching the DuckDB oracle's
+        // naive timestamps; TIMESTAMP_MICROS would add a UTC tz
+        // annotation and break value comparison.
+        .config("spark.ui.enabled", "false")) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Fail LOUDLY before any query runs if the driver regenerated the
     // testdata with different column types (the Aug-13 drift cost 39

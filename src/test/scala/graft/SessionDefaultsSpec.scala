@@ -77,6 +77,37 @@ class SessionDefaultsSpec extends AnyFunSuite {
       math.max(8, SessionDefaults.computeWidth(spark) / 4))
   }
 
+  test("master resolution: GRAFT_MASTER wins, else local[cpus]") {
+    assert(SessionDefaults.master("32", Map.empty) == "local[32]")
+    assert(SessionDefaults.master("32",
+      Map("GRAFT_MASTER" -> "local-cluster[4,8,7168]")) ==
+      "local-cluster[4,8,7168]")
+  }
+
+  test("masterConfigs: in-process masters need nothing extra") {
+    assert(SessionDefaults.masterConfigs("local[32]", Map.empty).isEmpty)
+    assert(SessionDefaults.masterConfigs("local[*]", Map.empty).isEmpty)
+  }
+
+  test("masterConfigs: local-cluster ships classes + JDK flags to the forked executors") {
+    val env = Map("SPARK_HOME" -> "/tmp/sh", "SPARK_SCALA_VERSION" -> "2.13")
+    val c = SessionDefaults.masterConfigs("local-cluster[2,8,2048]", env)
+    assert(c("spark.executor.extraClassPath").endsWith("target/scala-2.13/classes"))
+    assert(c("spark.executor.extraJavaOptions")
+      .contains("--add-opens=java.base/sun.nio.ch=ALL-UNNAMED"))
+  }
+
+  test("masterConfigs: a local-cluster master without the fork env fails loudly") {
+    // the executor fork reads SPARK_HOME/SPARK_SCALA_VERSION from the
+    // process env, which this JVM cannot set for itself — silently
+    // proceeding would die later with the launcher's opaque "Cannot
+    // find any build directories"
+    val e = intercept[IllegalArgumentException](
+      SessionDefaults.masterConfigs("local-cluster[2,8,2048]",
+        Map("SPARK_HOME" -> "/tmp/sh")))
+    assert(e.getMessage.contains("SPARK_SCALA_VERSION"))
+  }
+
   test("explicit env overrides beat either profile") {
     val env = Map(
       "GRAFT_MAX_PARTITION_BYTES" -> "33554432",
