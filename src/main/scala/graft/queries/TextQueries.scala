@@ -1134,6 +1134,96 @@ object TextQueries {
       |GROUP BY h
       |ORDER BY h""".stripMargin
 
+  /** q159: the STREAMING NEAR-dup ingestion gate run in batch mode
+    * (the q156/q48 pattern — [[graft.streaming.StreamOps.nearDupGate]]
+    * is the same transform a `readStream` pipes through; StreamOpsSpec
+    * asserts stream==batch parity through MemoryStream). q156's md5
+    * gate only stops EXACT copies; here the same incoming slice
+    * (doc_id % 5 = 0, one deterministic arrival second per doc) is
+    * gated on its MinHash band buckets (q24's geometry: 4 bands × 2
+    * rows) against the static corpus band index: a doc passes iff ALL
+    * 4 of its buckets are corpus-novel; any shared bucket is possible
+    * near-dup evidence and conservatively rejects (the
+    * recall-oriented crawl gate — precision verification of rejects
+    * is q124's downstream batch job, where both texts are at hand).
+    *
+    * NULL bkey contract (explicit `when` below): a doc too short to
+    * shingle gets NULL band keys, which never match an equi-join key
+    * on either engine, so it passes — LSH cannot see an empty shingle
+    * set (q102 routes exact copies of such docs separately). NOTE
+    * [[graft.functions.TextOps.bandKey]] alone would emit '' for an
+    * empty shingle set (concat_ws skips the NULL minhashes) and ''
+    * IS joinable — the `when` restores the NULL the oracle's
+    * `mh || '|' || mh` NULL-propagation produces naturally.
+    *
+    * Scale shape: the corpus participates only through its (band,
+    * bkey) index — the signature table the batch pipeline maintains,
+    * bucket-prunable per micro-batch; the anti-join is stream-static
+    * (stateless); the all-bands check is one aggregation whose state
+    * the watermark evicts (see nearDupGate). Nothing here scans
+    * corpus text.
+    */
+  def nearDupGateBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // spread scan (the q81/q125 rule: the per-row minhash kernel must
+    // not ride the toy file's split count) but NOT cached (the q84
+    // cache-or-recompute rule): each side's shingle+minhash kernel is
+    // computed exactly once in a single plan tree, nothing to share
+    val docs = Tables.loadSpread(s, dir, "documents").select($"doc_id", $"text")
+    def bkeys(d: DataFrame): DataFrame = d
+      .withColumn("sh", shingles(words($"text")))
+      .select(d.columns.filter(_ != "text").map(col) :+
+        posexplode(array((0 until lshBands).map(b =>
+          when(size($"sh") > 0, bandKey($"sh", b, lshRowsPerBand))
+            .otherwise(lit(null).cast("string"))): _*))
+          .as(Seq("band", "bkey")): _*)
+    val incoming = bkeys(docs.filter($"doc_id" % 5 === 0)
+      .withColumn("ts",
+        timestamp_millis(lit(1704153600000L) + $"doc_id" * 1000)))
+    val corpusIndex = bkeys(docs.filter($"doc_id" % 5 =!= 0))
+      .where($"bkey".isNotNull)
+      .select($"band", $"bkey").distinct()
+    graft.streaming.StreamOps
+      .nearDupGate(incoming, corpusIndex, "ts", "10 minutes", lshBands)
+      .orderBy($"doc_id")
+  }
+
+  val nearDupGateBatchSql: String = {
+    val mh = (seed: Int) => s"list_min(list_transform(sh, x -> md5('$seed:' || x)))"
+    val bkey = (band: Int) => s"${mh(band * 2)} || '|' || ${mh(band * 2 + 1)}"
+    val bandedCase =
+      s"""band, CASE band
+         |    WHEN 0 THEN ${bkey(0)}
+         |    WHEN 1 THEN ${bkey(1)}
+         |    WHEN 2 THEN ${bkey(2)}
+         |    WHEN 3 THEN ${bkey(3)} END AS bkey""".stripMargin
+    // NOT EXISTS (not NOT IN): the q156 three-valued-logic note, plus
+    // here the NULL side flips — short docs' NULL bkeys must SURVIVE
+    // the anti-join so all 4 of their band rows count as novel.
+    s"""WITH inc AS (
+       |  SELECT doc_id, $shinglesSqlExpr AS sh FROM documents
+       |  WHERE doc_id % 5 = 0),
+       |cor AS (
+       |  SELECT doc_id, $shinglesSqlExpr AS sh FROM documents
+       |  WHERE doc_id % 5 <> 0),
+       |inc_b AS (
+       |  SELECT doc_id, $bandedCase
+       |  FROM inc, (SELECT unnest([0,1,2,3]) AS band)),
+       |cor_b AS (
+       |  SELECT DISTINCT band, bkey FROM (
+       |    SELECT $bandedCase
+       |    FROM cor, (SELECT unnest([0,1,2,3]) AS band))
+       |  WHERE bkey IS NOT NULL),
+       |surv AS (
+       |  SELECT i.doc_id, COUNT(*) AS novel_bands
+       |  FROM inc_b i
+       |  WHERE NOT EXISTS (SELECT 1 FROM cor_b c
+       |    WHERE c.band = i.band AND c.bkey = i.bkey)
+       |  GROUP BY i.doc_id)
+       |SELECT doc_id FROM surv WHERE novel_bands = $lshBands
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** N-gram Jaccard near-dup pairs via an INVERTED-INDEX join — the
     * exact (non-approximate) dedup baseline the MinHash path is checked
     * against.
@@ -2240,6 +2330,7 @@ object TextQueries {
     "q24_minhash_near_dup" -> (minhashNearDup(_, _)),
     "q124_incremental_dedup" -> (incrementalDedup(_, _)),
     "q156_ingestion_gate" -> (ingestionGateBatch(_, _)),
+    "q159_neardup_gate" -> (nearDupGateBatch(_, _)),
     "q25_jaccard_pairs" -> (jaccardPairs(_, _)),
     "q26_simhash_near_dup" -> (simhashNearDup(_, _)),
     "q79_repetition_ratio" -> (repetitionRatio(_, _)),
@@ -2275,6 +2366,7 @@ object TextQueries {
     "q24_minhash_near_dup" -> minhashNearDupSql,
     "q124_incremental_dedup" -> incrementalDedupSql,
     "q156_ingestion_gate" -> ingestionGateBatchSql,
+    "q159_neardup_gate" -> nearDupGateBatchSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
     "q26_simhash_near_dup" -> simhashNearDupSql,
     "q79_repetition_ratio" -> repetitionRatioSql,

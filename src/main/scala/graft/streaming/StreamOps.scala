@@ -139,6 +139,50 @@ object StreamOps {
     else novel.dropDuplicates("h")
   }
 
+  /** Streaming NEAR-dup ingestion gate — the LSH sibling of
+    * [[ingestionGate]] (which only stops EXACT copies): a document
+    * whose text was lightly edited sails through an md5 gate, so a
+    * crawl ingester gates on MinHash band buckets instead. Input is
+    * the document's EXPLODED band rows (doc_id, tsCol, band, bkey —
+    * `nBands` rows per doc, all carrying the doc's one arrival
+    * timestamp), matched against the static corpus band index the
+    * batch dedup pipeline maintains (q24's signature table; refreshed
+    * index picked up per micro-batch exactly as in ingestionGate).
+    *
+    * Gate rule: a doc passes iff ALL `nBands` of its buckets are
+    * corpus-novel. Any shared bucket means a possible near-dup and
+    * conservatively rejects — the RECALL-oriented production gate;
+    * precision (exact-Jaccard verification of the rejects) belongs
+    * downstream in the batch pipeline (q124's incremental shape),
+    * where the text of both sides is at hand. Docs with no shingles
+    * (too short for the gram size) have NULL bkeys, which never
+    * match an equi-join key: they pass, by design — LSH cannot see
+    * an empty shingle set (same contract as q102's exact-edge
+    * routing).
+    *
+    * Streaming legality at scale: the anti-join is stream-static
+    * (stateless, bucket-prunable); the all-bands check is one
+    * aggregation grouped on (window(tsCol), doc_id) — every band row
+    * of a doc shares its single arrival timestamp, so the window adds
+    * NO semantic grouping, only the event-time key that lets
+    * append-mode emit and the watermark EVICT per-doc state (a bare
+    * groupBy(doc_id) would grow state with every doc ever seen).
+    * Batch face: identical expressions (window() groups in batch
+    * too), the oracle-checked q159.
+    */
+  def nearDupGate(bandRows: DataFrame, corpusIndex: DataFrame,
+      tsCol: String, lateness: String, nBands: Int): DataFrame = {
+    val wm =
+      if (bandRows.isStreaming) bandRows.withWatermark(tsCol, lateness)
+      else bandRows
+    wm.join(corpusIndex.select(col("band"), col("bkey")),
+        Seq("band", "bkey"), "left_anti")
+      .groupBy(window(col(tsCol), lateness), col("doc_id"))
+      .agg(count(lit(1)).as("novel_bands"))
+      .filter(col("novel_bands") === nBands)
+      .select(col("doc_id"))
+  }
+
   /** T1/T2 — snapshot semantics: latest row per key "as of now".
     * In foreachBatch this is the micro-batch refresh of the snapshot
     * table; same expression works on a batch frame.

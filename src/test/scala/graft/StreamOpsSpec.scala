@@ -17,6 +17,8 @@ case class PurchaseEv(b_user: Long, b_ts: Timestamp, b_id: Long, b_value: Double
 
 case class DocEv(ts: Timestamp, doc_id: Long, text: String)
 
+case class BandRow(ts: Timestamp, doc_id: Long, band: Int, bkey: String)
+
 case class QuoteRow(root: Long, expiration: java.sql.Date, right: String,
     strike: Double, ts: Timestamp, seq: Long, bid: Double, ask: Double,
     bid_size: Long, ask_size: Long)
@@ -471,5 +473,48 @@ class StreamOpsSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(batchIds.length == 2 && batchIds.contains(2L),
       s"batch replay should keep one survivor per hash: $batchIds")
+  }
+
+  test("near-dup gate: all-bands-novel passes, any-shared rejects, NULL bkeys pass; stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // Band-row fixtures (4 bands per doc, one arrival ts each):
+    //  doc 1 — four novel buckets            -> PASS
+    //  doc 2 — one bucket shared with corpus -> REJECT (conservative)
+    //  doc 3 — too short to shingle: NULL bkeys never equi-match -> PASS
+    //  doc 9 — watermark pusher (shares a bucket -> rejected BOTH arms,
+    //          so the parity set is identical even though append mode
+    //          never emits its still-open window)
+    def bandRows(id: Long, t: Timestamp, keys: Seq[String]) =
+      keys.zipWithIndex.map { case (k, b) => BandRow(t, id, b, k) }
+    val rows =
+      bandRows(1, ts("2024-01-01 10:00:01"), Seq("n1", "n2", "n3", "n4")) ++
+      bandRows(2, ts("2024-01-01 10:00:02"), Seq("x1", "HOT", "x3", "x4")) ++
+      bandRows(3, ts("2024-01-01 10:00:03"), Seq(null, null, null, null)) ++
+      bandRows(9, ts("2024-01-01 12:00:00"), Seq("HOT", "HOT", "HOT", "HOT"))
+    val corpusIndex = Seq((0, "HOT"), (1, "HOT"), (2, "HOT"), (3, "HOT"),
+      (2, "other")).toDF("band", "bkey")
+
+    val batchIds = StreamOps.nearDupGate(
+        rows.toDF(), corpusIndex, "ts", "10 minutes", nBands = 4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchIds == Set(1L, 3L), s"batch gate: $batchIds")
+
+    val input = MemoryStream[BandRow]
+    val gated = StreamOps.nearDupGate(
+      input.toDF(), corpusIndex, "ts", "10 minutes", nBands = 4)
+    val q = gated.writeStream.format("memory").queryName("ndgate_out")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt8").toString)
+      .start()
+    try {
+      input.addData(rows.take(12): _*) // docs 1-3
+      q.processAllAvailable()
+      input.addData(rows.drop(12): _*) // doc 9 pushes the watermark
+      q.processAllAvailable()          // past the 10:00 window
+      val streamIds = spark.table("ndgate_out").select($"doc_id")
+        .as[Long].collect().toSet
+      assert(streamIds == batchIds,
+        s"stream $streamIds != batch $batchIds")
+    } finally q.stop()
   }
 }
