@@ -298,8 +298,25 @@ object CurationQueries {
         array_join(slice(w, i, lit(4)), " "))).as("gram"))
       .distinct()
     val gcnt = gs.groupBy("doc_id").agg(count(lit(1)).as("ng"))
-    val inter = cand
+    // shuffle_hash on the two gs verify joins: gs is CORPUS-LINEAR
+    // (every doc's distinct grams), and the planner's size estimate
+    // for it flows through Generate(explode)+distinct, which
+    // undersizes badly — at the 10x probe it statically planned gs
+    // (~10M (doc_id, gram) rows) as a BROADCAST build side. local[n]
+    // masks the bomb (a local broadcast shares the driver's object:
+    // no per-executor deserialization, no memory bill) but under real
+    // executors (GRAFT_MASTER=local-cluster, 4x7 GB)
+    // UnsafeHashedRelation.read OOM'd every executor — the r18
+    // multiexec probe's one failure. The hint pins what the
+    // bounded-broadcast rule already says: a frame that grows with
+    // the corpus never enters as a broadcast build, at ANY estimate;
+    // the candidate-bounded left side is the per-partition hash build
+    // instead. gcnt (one slim row per doc, ~1 MB at the probe) stays
+    // un-hinted: its real size self-selects broadcast at bench scales
+    // and a shuffle at warehouse scales.
+    val inter = cand.hint("shuffle_hash")
       .join(gs.select(col("doc_id").as("i"), col("gram")), "i")
+      .hint("shuffle_hash")
       .join(gs.select(col("doc_id").as("j"), col("gram")), Seq("j", "gram"))
       .groupBy("i", "j", "n_shared_fp").agg(count(lit(1)).as("inter"))
     inter
