@@ -70,7 +70,11 @@ object Bench {
     // coalescing casualty (31.6 s serialized -> 4.7 s after the
     // spread + literal-df rework); its ratio now guards the chunker
     // spread and the bounded-collect scoring shape
-    "q125_chunk_retrieval")
+    "q125_chunk_retrieval",
+    // round 18: the streaming LSH gate's batch face — its ratio
+    // guards the stream-static anti-join + windowed all-bands check
+    // over the full band index (and the corpus-side kernel spread)
+    "q159_neardup_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
