@@ -74,7 +74,12 @@ object Bench {
     // round 18: the streaming LSH gate's batch face — its ratio
     // guards the stream-static anti-join + windowed all-bands check
     // over the full band index (and the corpus-side kernel spread)
-    "q159_neardup_gate")
+    "q159_neardup_gate",
+    // round 19: the composed IVFADC index — assignment/encode must
+    // stay one map-only corpus scan (both quantizers enter as
+    // literals), so its sf1 ratio guards the whole literal-index
+    // discipline; scoring is cell-restricted (~nprobe/nlist)
+    "q160_ivfpq_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -781,49 +781,39 @@ object SimilarityQueries {
        |FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM pruned)
        |ORDER BY vec_id""".stripMargin
 
-  /** Product-quantization ADC search (Jégou et al., TPAMI 2011) — the
-    * COMPRESSION member of the ANN family: q31/q33/q80/q97 prune the
-    * candidate set, PQ shrinks the per-vector memory so the scan side
-    * fits in RAM at corpus scale. The 64-dim vector splits into M = 8
-    * subspaces of 8 dims; each subspace gets a KS = 16-codeword
-    * codebook (farthest-first seeding + 2 Lloyd iterations on the
-    * q97 sample, all exact int64 arithmetic / round-to-long means, so
-    * DuckDB replays training bit-identically); every corpus vector is
-    * encoded as 8 four-bit codes (256 B float / 512 B quantized → 4 B,
-    * 64×); each query precomputes an M×KS distance table and scores
-    * candidates by Asymmetric Distance Computation — table lookups,
-    * never a vector op per pair — then the ADC top-50 shortlist is
-    * re-ranked with exact cosine (the standard over-fetch + re-rank
-    * serving shape; embeddings are unit-norm so ADC-L2 and cosine
-    * agree up to quantization error).
-    *
-    * Scale shape: training touches only the bounded sample; the
-    * learned codebook (M×KS = 64 rows — bounded by construction, the
-    * same class as catalog metadata) is COLLECTED and embedded as
-    * literal arrays, so encoding and the per-query distance tables
-    * are pure map-side expressions: the whole search is one corpus
-    * scan (no join shuffle — queries broadcast) + the bounded top-k
-    * aggregate. At 100 TB the codes column is what you'd persist;
-    * here it is derived in-flight to keep the query self-contained.
+  /** Exact int64 squared L2 between two equal-length quantized
+    * vectors — the distance every PQ kernel below shares.
     */
-  def pqAdcSearch(s: SparkSession, dir: String): DataFrame = {
+  private def sqDist(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Shared product-quantizer trainer (q123 trains on raw vectors,
+    * q160 on IVF residuals): per-subspace farthest-first seeding +
+    * `iters` Lloyd iterations over `sample0` — (vec_id: Long,
+    * v: M·D-dim int64 array), already bounded ≤[[TrainCap]] rows by
+    * [[trainingSample]] — with every distance exact int64 L2 and
+    * every recenter a round-to-long mean, so the DuckDB CTE block
+    * from [[pqTrainSqlBlock]] replays training bit-identically.
+    *
+    * Returns the learned codebook as ONE literal
+    * `array<struct<sub,ccid,cvec>>` column (M×KS rows — bounded by
+    * construction, the same class as catalog metadata), sub-major /
+    * ccid-ascending: ADC `element_at` indexing relies on that order.
+    * Training-loop frames are bounded by design and localCheckpoint'd
+    * at the narrow shared loop width; the terminal frame is collected
+    * here, so no unmaterialized cache outlives the call.
+    */
+  private def pqTrainBookLit(s: SparkSession, sample0: DataFrame,
+      M: Int, D: Int, KS: Int, iters: Int): org.apache.spark.sql.Column = {
     import s.implicits._
-    import graft.plans.BoundedTopK.boundedTopK
-    val M = 8; val D = 8; val KS = 16; val ITERS = 2
-    val emb = Tables.loadSpread(s, dir, "embeddings")
-      .select($"vec_id", quantize($"embedding").as("q"))
-    // Same small-explicit-width discipline as [[ivfKmeans]]: the
-    // training sample is bounded by design, so its Lloyd stages are
-    // pinned narrow instead of shuffling at the session's full width
-    // on every tiny per-iteration aggregate; width derives from the
-    // session via the shared Components rule.
     val trainWidth = graft.operators.Components.defaultLoopWidth(s)
-    val sample = emb.filter(pmod($"vec_id", lit(4)) === 0).localCheckpoint()
+    val sample = sample0.localCheckpoint()
     // Per-subspace farthest-first seeds, one task over the staged
-    // sample (q97's seeding, run once per subspace on the subvectors).
+    // sample (single-node by design — see ivfKmeans' seeding note).
     val seeds = sample
       .withColumn("h", md5($"vec_id".cast("string")))
-      .select($"h", $"vec_id", $"q")
+      .select($"h", $"vec_id", $"v")
       .as[(String, Long, Array[Long])]
       .coalesce(1)
       .mapPartitions { it =>
@@ -868,16 +858,14 @@ object SimilarityQueries {
     // once, partitioned by the assignment key so every iteration's
     // groupBy(vec_id, sub) runs exchange-free.
     val ssub = sample
-      .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("sub"), $"q")
-      .select($"vec_id", $"sub", slice($"q", $"sub" * D + 1, lit(D)).as("sv"))
+      .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("sub"), $"v")
+      .select($"vec_id", $"sub", slice($"v", $"sub" * D + 1, lit(D)).as("sv"))
       .repartition(trainWidth, $"vec_id")
       .localCheckpoint()
-    def d2c(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
     var cent = seeds
-    for (_ <- 1 to ITERS) {
+    for (_ <- 1 to iters) {
       val assign = ssub.join(broadcast(cent), Seq("sub"))
-        .select($"vec_id", $"sub", $"sv", $"ccid", d2c($"sv", $"cvec").as("d2"))
+        .select($"vec_id", $"sub", $"sv", $"ccid", sqDist($"sv", $"cvec").as("d2"))
         .groupBy($"vec_id", $"sub")
         .agg(min_by(struct($"sv", $"ccid"), struct($"d2", $"ccid")).as("r"))
         .select($"sub", $"r.ccid".as("ccid"), $"r.sv".as("sv"))
@@ -893,7 +881,7 @@ object SimilarityQueries {
           x => round(x("c")).cast("long")).as("cvec"))
         .localCheckpoint()
     }
-    // Collect the bounded codebook (M×KS rows) → literal expressions.
+    // Collect the bounded codebook (M×KS rows) → one literal column.
     val book: Map[Int, Seq[(Int, Array[Long])]] = cent
       .select($"sub", $"ccid", $"cvec").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
@@ -902,28 +890,125 @@ object SimilarityQueries {
     require(book.size == M && book.values.forall(_.size == KS),
       s"PQ training left an empty cluster: ${book.view.mapValues(_.size).toMap}")
     def litVec(a: Array[Long]) = array(a.toIndexedSeq.map(lit(_)): _*)
-    // The codebook enters the plan as ONE literal array of structs —
-    // data in a single literal, not M×KS inlined expression trees.
-    // The per-row argmin / table-build lambdas below are compiled
-    // once, which removes the dominant toy-scale driver cost
-    // (analysis + codegen of 128 distance subtrees) while staying a
-    // pure map — no joins, no shuffles, identical arithmetic. Order
-    // is sub-major, ccid-ascending: the ADC element_at indexing
-    // relies on it.
-    val bookLit = array((for (sp <- 0 until M; (ccid, cv) <- book(sp)) yield
+    array((for (sp <- 0 until M; (ccid, cv) <- book(sp)) yield
       struct(lit(sp).as("sub"), lit(ccid).as("ccid"),
         litVec(cv).as("cvec"))): _*)
+  }
+
+  /** DuckDB fragment: exact int64 squared L2 over D=8 subvector lists
+    * — the SQL mirror of [[sqDist]] on PQ subspaces.
+    */
+  private def d2s8(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+
+  /** The DuckDB mirror of [[pqTrainBookLit]]: a CTE block (each CTE
+    * followed by a trailing comma) that expects a prior CTE
+    * `sample(vec_id, q)` holding the bounded training vectors and
+    * defines `subs` plus the seeding/Lloyd chain ending in
+    * `cent$iters(sub, ccid, cvec)` — the trained codebook callers
+    * join their encode/ADC CTEs against.
+    */
+  private def pqTrainSqlBlock(M: Int, KS: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""subs AS MATERIALIZED (
+       |  SELECT vec_id, s.range AS sub,
+       |    list_transform(range(1, 9), i -> q[s.range * 8 + i]) AS sv
+       |  FROM sample, range(0, $M) s),
+       |s1 AS MATERIALIZED (
+       |  SELECT sub, 1 AS ccid, sv AS cvec FROM subs
+       |  WHERE vec_id = (SELECT vec_id FROM sample
+       |                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)),
+       |""".stripMargin
+    for (t <- 2 to KS) {
+      sb ++= s"""s$t AS MATERIALIZED (
+         |  SELECT * FROM s${t - 1}
+         |  UNION ALL
+         |  SELECT sub, $t AS ccid, sv AS cvec FROM (
+         |    SELECT sub, vec_id, sv,
+         |      row_number() OVER (PARTITION BY sub ORDER BY mind2 DESC, vec_id) AS rn
+         |    FROM (
+         |      SELECT t.sub, t.vec_id, any_value(t.sv) AS sv,
+         |        MIN(${d2s8("t.sv", "s.cvec")}) AS mind2
+         |      FROM subs t JOIN s${t - 1} s ON t.sub = s.sub
+         |      GROUP BY t.sub, t.vec_id) u) v
+         |  WHERE rn = 1),
+         |""".stripMargin
+    }
+    sb ++= s"cent0 AS MATERIALIZED (SELECT * FROM s$KS),\n"
+    for (it <- 1 to iters) {
+      sb ++= s"""a$it AS MATERIALIZED (
+         |  SELECT sub, ccid, sv FROM (
+         |    SELECT t.sub, t.sv, c.ccid,
+         |      row_number() OVER (PARTITION BY t.sub, t.vec_id
+         |        ORDER BY ${d2s8("t.sv", "c.cvec")}, c.ccid) AS rn
+         |    FROM subs t JOIN cent${it - 1} c ON t.sub = c.sub) x WHERE rn = 1),
+         |cent$it AS MATERIALIZED (
+         |  SELECT sub, ccid, list(cv ORDER BY pos) AS cvec FROM (
+         |    SELECT sub, ccid, r.range AS pos,
+         |      CAST(round(CAST(SUM(sv[r.range]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+         |    FROM a$it, range(1, 9) r GROUP BY sub, ccid, r.range) g
+         |  GROUP BY sub, ccid),
+         |""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Product-quantization ADC search (Jégou et al., TPAMI 2011) — the
+    * COMPRESSION member of the ANN family: q31/q33/q80/q97 prune the
+    * candidate set, PQ shrinks the per-vector memory so the scan side
+    * fits in RAM at corpus scale. The 64-dim vector splits into M = 8
+    * subspaces of 8 dims; each subspace gets a KS = 16-codeword
+    * codebook (farthest-first seeding + 2 Lloyd iterations on the
+    * q97 sample, all exact int64 arithmetic / round-to-long means, so
+    * DuckDB replays training bit-identically); every corpus vector is
+    * encoded as 8 four-bit codes (256 B float / 512 B quantized → 4 B,
+    * 64×); each query precomputes an M×KS distance table and scores
+    * candidates by Asymmetric Distance Computation — table lookups,
+    * never a vector op per pair — then the ADC top-50 shortlist is
+    * re-ranked with exact cosine (the standard over-fetch + re-rank
+    * serving shape; embeddings are unit-norm so ADC-L2 and cosine
+    * agree up to quantization error).
+    *
+    * Scale shape: training touches only the bounded sample; the
+    * learned codebook (M×KS = 64 rows — bounded by construction, the
+    * same class as catalog metadata) is COLLECTED and embedded as
+    * literal arrays, so encoding and the per-query distance tables
+    * are pure map-side expressions: the whole search is one corpus
+    * scan (no join shuffle — queries broadcast) + the bounded top-k
+    * aggregate. At 100 TB the codes column is what you'd persist;
+    * here it is derived in-flight to keep the query self-contained.
+    */
+  def pqAdcSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.BoundedTopK.boundedTopK
+    val M = 8; val D = 8; val KS = 16; val ITERS = 2
+    val emb = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"))
+    // The training sample is bounded by [[trainingSample]] — the r16
+    // q97 finding applied here too: a bare `% 4` modulus is 25% of
+    // the corpus at ANY size, funneled through the one seeding task.
+    // Both bound layers are inert at oracle scales (modulus = 4,
+    // limit never binds), so the DuckDB mirror keeps `% 4 = 0`.
+    val nVec = Tables.load(s, dir, "embeddings").count()
+    // Shared trainer — see [[pqTrainBookLit]]: the codebook enters
+    // the plan as ONE literal array of structs (data in a single
+    // literal, not M×KS inlined expression trees), so the per-row
+    // argmin / table-build lambdas below are compiled once and stay a
+    // pure map — no joins, no shuffles.
+    val bookLit = pqTrainBookLit(s,
+      trainingSample(emb, nVec).select($"vec_id", $"q".as("v")),
+      M, D, KS, ITERS)
     // code_s = argmin_c d2(subvec_s, centroid_{s,c}) — pure map expr;
     // ties break to the smallest ccid via the (d2, ccid) struct min,
     // exactly as the inlined form did
     val codeCol = transform(sequence(lit(0), lit(M - 1)), sp =>
       array_min(transform(filter(bookLit, e => e("sub") === sp), e =>
-        struct(d2c(slice($"q", sp * D + lit(1), lit(D)), e("cvec")).as("d2"),
+        struct(sqDist(slice($"q", sp * D + lit(1), lit(D)), e("cvec")).as("d2"),
           e("ccid").as("ccid"))))("ccid"))
     val coded = emb.select($"vec_id", codeCol.as("code"))
     // per-query ADC table: dt[(1-based) s*KS + ccid] = d2(query_sub, centroid)
     val dtExpr = transform(bookLit, e =>
-      d2c(slice($"qv", e("sub") * D + lit(1), lit(D)), e("cvec")))
+      sqDist(slice($"qv", e("sub") * D + lit(1), lit(D)), e("cvec")))
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"q".as("qv"))
       .select($"qid", dtExpr.as("dt"))
@@ -957,53 +1042,14 @@ object SimilarityQueries {
 
   val pqAdcSearchSql: String = {
     val M = 8; val KS = 16; val ITERS = 2
-    def d2s(a: String, b: String) =
-      s"CAST(list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    def d2s(a: String, b: String) = d2s8(a, b)
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (
        |  SELECT vec_id, $quantSql AS q FROM embeddings),
        |sample AS MATERIALIZED (
        |  SELECT vec_id, q FROM e WHERE vec_id % 4 = 0),
-       |subs AS MATERIALIZED (
-       |  SELECT vec_id, s.range AS sub,
-       |    list_transform(range(1, 9), i -> q[s.range * 8 + i]) AS sv
-       |  FROM sample, range(0, $M) s),
-       |s1 AS MATERIALIZED (
-       |  SELECT sub, 1 AS ccid, sv AS cvec FROM subs
-       |  WHERE vec_id = (SELECT vec_id FROM sample
-       |                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)),
        |""".stripMargin
-    for (t <- 2 to KS) {
-      sb ++= s"""s$t AS MATERIALIZED (
-         |  SELECT * FROM s${t - 1}
-         |  UNION ALL
-         |  SELECT sub, $t AS ccid, sv AS cvec FROM (
-         |    SELECT sub, vec_id, sv,
-         |      row_number() OVER (PARTITION BY sub ORDER BY mind2 DESC, vec_id) AS rn
-         |    FROM (
-         |      SELECT t.sub, t.vec_id, any_value(t.sv) AS sv,
-         |        MIN(${d2s("t.sv", "s.cvec")}) AS mind2
-         |      FROM subs t JOIN s${t - 1} s ON t.sub = s.sub
-         |      GROUP BY t.sub, t.vec_id) u) v
-         |  WHERE rn = 1),
-         |""".stripMargin
-    }
-    sb ++= s"cent0 AS MATERIALIZED (SELECT * FROM s$KS),\n"
-    for (it <- 1 to ITERS) {
-      sb ++= s"""a$it AS MATERIALIZED (
-         |  SELECT sub, ccid, sv FROM (
-         |    SELECT t.sub, t.sv, c.ccid,
-         |      row_number() OVER (PARTITION BY t.sub, t.vec_id
-         |        ORDER BY ${d2s("t.sv", "c.cvec")}, c.ccid) AS rn
-         |    FROM subs t JOIN cent${it - 1} c ON t.sub = c.sub) x WHERE rn = 1),
-         |cent$it AS MATERIALIZED (
-         |  SELECT sub, ccid, list(cv ORDER BY pos) AS cvec FROM (
-         |    SELECT sub, ccid, r.range AS pos,
-         |      CAST(round(CAST(SUM(sv[r.range]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
-         |    FROM a$it, range(1, 9) r GROUP BY sub, ccid, r.range) g
-         |  GROUP BY sub, ccid),
-         |""".stripMargin
-    }
+    sb ++= pqTrainSqlBlock(M, KS, ITERS)
     sb ++= s"""esubs AS (
        |  SELECT vec_id, s.range AS sub,
        |    list_transform(range(1, 9), i -> q[s.range * 8 + i]) AS sv
@@ -1039,6 +1085,203 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
        |  FROM rr)
        |SELECT qid, cid, adist, cos, rank FROM ranked WHERE rank <= 10
+       |ORDER BY qid, rank""".stripMargin
+    sb.toString
+  }
+
+  /** q160: IVF-PQ (IVFADC) search — the COMPOSED billion-scale ANN
+    * serving shape (Jégou et al., TPAMI 2011 §V — the FAISS "IVFADC"
+    * index): the coarse inverted file (q33's label-centroid
+    * quantizer) prunes candidates to each query's nprobe = 2 nearest
+    * cells, and product quantization compresses what remains — but on
+    * RESIDUALS (vector − its cell centroid), which hold exactly the
+    * variance the coarse cells leave behind, so the same
+    * 8-subspace × 16-codeword budget quantizes far finer than q123's
+    * raw-vector codes. Each (query, probed cell) pair precomputes its
+    * OWN ADC table from the query's residual w.r.t. THAT cell's
+    * centroid (residual ADC is per-cell by construction); candidates
+    * score by pure table lookup against their stored codes; the ≤50
+    * ADC shortlist per query re-ranks with exact cosine (over-fetch +
+    * re-rank, as q123).
+    *
+    * Scale shape — the part q33 and q123 each only half have: the
+    * corpus side is ONE map-only scan. Assignment, residual, and
+    * encoding are pure expressions over two bounded literals — the
+    * collected label-centroid array (|labels| rows, catalog-metadata
+    * class) and the trained codebook — so there is NO corpus shuffle
+    * and NO corpus-side broadcast build (the q113 rule: corpus-linear
+    * frames never enter as broadcast builds; here the broadcast side
+    * is the |Q|×nprobe query-table frame). Scoring touches only the
+    * probed cells' rows (~nprobe/nlist of the corpus); training
+    * touches only the ≤[[TrainCap]] residual sample. At 100 TB the
+    * (cluster, code) pair IS the persisted index — the scan reads
+    * 4-byte codes instead of 512-byte vectors — and queries stay a
+    * broadcast at any corpus size.
+    */
+  def ivfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.BoundedTopK.boundedTopK
+    val M = 8; val D = 8; val KS = 16; val ITERS = 2
+    val NPROBE = 2; val SHORTLIST = 50; val K = 10
+    val emb = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id", quantize($"embedding").as("q"), $"label")
+    // Coarse quantizer: q33's per-label centroids, COLLECTED into one
+    // literal array of structs — bounded by the label domain, the
+    // same catalog-metadata class as the PQ codebook. One map-side
+    // partial-agg shuffle of |labels|×64 rows, once, at build time.
+    val centRows = emb
+      .select($"label", posexplode($"q").as(Seq("pos", "qv")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => round(x("c")).cast("long")).as("cvec"))
+      .select($"label".cast("long").as("clabel"), $"cvec")
+      .collect()
+    def litVec(a: Array[Long]) = array(a.toIndexedSeq.map(lit(_)): _*)
+    val centLit = array(centRows
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+      .map { case (l, cv) =>
+        struct(lit(l).as("clabel"), litVec(cv).as("cvec")) }.toIndexedSeq: _*)
+    // nearest cell = lexicographic struct min over (d2, clabel) —
+    // ties to the smaller label, exactly the oracle's ORDER BY
+    val chosen = array_min(transform(centLit, e =>
+      struct(sqDist($"q", e("cvec")).as("d2"), e("clabel").as("clabel"),
+        e("cvec").as("cvec"))))
+    val resid = emb
+      .withColumn("ch", chosen)
+      .select($"vec_id", $"ch.clabel".as("cluster"),
+        zip_with($"q", $"ch.cvec", (x, y) => x - y).as("r"))
+    // PQ trained on the bounded RESIDUAL sample (same two-layer bound
+    // as q97/q123; the oracle mirrors `% 4 = 0`, inert at its scales)
+    val nVec = Tables.load(s, dir, "embeddings").count()
+    val bookLit = pqTrainBookLit(s,
+      trainingSample(resid, nVec).select($"vec_id", $"r".as("v")),
+      M, D, KS, ITERS)
+    val codeCol = transform(sequence(lit(0), lit(M - 1)), sp =>
+      array_min(transform(filter(bookLit, e => e("sub") === sp), e =>
+        struct(sqDist(slice($"r", sp * D + lit(1), lit(D)), e("cvec")).as("d2"),
+          e("ccid").as("ccid"))))("ccid"))
+    // the persisted-index shape: (vec_id, cluster, 8×4-bit code)
+    val coded = resid.select($"vec_id", $"cluster", codeCol.as("code"))
+    // Query side: nprobe nearest cells per query, each carrying its
+    // OWN ADC table built from the query's residual w.r.t. that cell.
+    val probesCol = slice(array_sort(transform(centLit, e =>
+      struct(sqDist($"q", e("cvec")).as("d2"), e("clabel").as("clabel"),
+        e("cvec").as("cvec")))), 1, NPROBE)
+    val qprobes = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"q", explode(probesCol).as("p"))
+      .select($"qid", $"p.clabel".as("cluster"),
+        zip_with($"q", $"p.cvec", (x, y) => x - y).as("rq"))
+      .select($"qid", $"cluster",
+        transform(bookLit, e =>
+          sqDist(slice($"rq", e("sub") * D + lit(1), lit(D)), e("cvec"))).as("dt"))
+    // inverted-file restriction: candidates join their cell's probes
+    // (the self-exclusion lives in the join condition, as q123's —
+    // one operator, and the broadcast audit's bounded-side descent
+    // sees Aggregate→Project→Join directly)
+    val scored = coded.join(
+        broadcast(qprobes.withColumnRenamed("cluster", "pcluster")),
+        $"cluster" === $"pcluster" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("cid"), $"cluster",
+        aggregate(sequence(lit(0), lit(M - 1)), lit(0L), (acc, sp) =>
+          acc + element_at($"dt", sp * KS + element_at($"code", sp + 1))).as("adist"))
+    val short = scored.groupBy($"qid")
+      .agg(boundedTopK(struct($"adist", $"cid", $"cluster"), SHORTLIST).as("top"))
+      .select($"qid", explode($"top").as("r"))
+      .select($"qid", $"r.cid".as("cid"), $"r.cluster".as("cluster"),
+        $"r.adist".as("adist"))
+    // exact re-rank of the bounded shortlist (map-side semi-join
+    // against the corpus — never a shuffle of it)
+    val qside = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qqid"), $"q".as("qv2"))
+      .withColumn("qn", intNormSq($"qv2"))
+    val rr = emb.join(broadcast(short), $"vec_id" === $"cid")
+      .join(broadcast(qside), $"qid" === $"qqid")
+      .select($"qid", $"cid", $"cluster", $"adist",
+        cosine(intDot($"qv2", $"q"), $"qn", intNormSq($"q")).as("cos"))
+    rr.groupBy($"qid")
+      .agg(boundedTopK(struct((-$"cos").as("negc"), $"cid", $"cluster",
+        $"adist", $"cos"), K).as("top"))
+      .select($"qid", posexplode($"top").as(Seq("pos", "r")))
+      .select($"qid", $"r.cid".as("cid"), $"r.cluster".as("cluster"),
+        $"r.adist".as("adist"), $"r.cos".as("cos"),
+        ($"pos" + 1).cast("long").as("rank"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val ivfPqSearchSql: String = {
+    val M = 8; val KS = 16; val ITERS = 2
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+       |  SELECT vec_id, label, $quantSql AS q FROM embeddings),
+       |centl AS (
+       |  SELECT CAST(label AS BIGINT) AS clabel, r.range AS pos,
+       |    CAST(round(CAST(SUM(q[r.range]) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+       |  FROM e, range(1, 65) r GROUP BY label, r.range),
+       |cent AS (
+       |  SELECT clabel, list(cv ORDER BY pos) AS cvec FROM centl GROUP BY clabel),
+       |dist AS (
+       |  SELECT e.vec_id, e.q, c.clabel, c.cvec,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (q[i] - cvec[i]) * (q[i] - cvec[i]))) AS BIGINT) AS d2
+       |  FROM e, cent c),
+       |resid AS MATERIALIZED (
+       |  SELECT vec_id, clabel AS cluster,
+       |    list_transform(range(1, 65), i -> q[i] - cvec[i]) AS r
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+       |        FROM dist) t WHERE rn = 1),
+       |sample AS MATERIALIZED (
+       |  SELECT vec_id, r AS q FROM resid WHERE vec_id % 4 = 0),
+       |""".stripMargin
+    sb ++= pqTrainSqlBlock(M, KS, ITERS)
+    sb ++= s"""esubs AS (
+       |  SELECT vec_id, cluster, s.range AS sub,
+       |    list_transform(range(1, 9), i -> r[s.range * 8 + i]) AS sv
+       |  FROM resid, range(0, $M) s),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, cluster, sub, ccid AS code FROM (
+       |    SELECT es.vec_id, es.cluster, es.sub, c.ccid,
+       |      row_number() OVER (PARTITION BY es.vec_id, es.sub
+       |        ORDER BY ${d2s8("es.sv", "c.cvec")}, c.ccid) AS rn
+       |    FROM esubs es JOIN cent$ITERS c ON es.sub = c.sub) t WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS qid, clabel AS cluster, cvec
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+       |        FROM dist WHERE vec_id < 10) t WHERE rn <= 2),
+       |qsubs AS (
+       |  SELECT p.qid, p.cluster, s.range AS sub,
+       |    list_transform(range(1, 9),
+       |      i -> e.q[s.range * 8 + i] - p.cvec[s.range * 8 + i]) AS sv
+       |  FROM probes p JOIN e ON e.vec_id = p.qid, range(0, $M) s),
+       |dt AS MATERIALIZED (
+       |  SELECT qs.qid, qs.cluster, qs.sub, c.ccid, ${d2s8("qs.sv", "c.cvec")} AS qd2
+       |  FROM qsubs qs JOIN cent$ITERS c ON qs.sub = c.sub),
+       |scored AS MATERIALIZED (
+       |  SELECT dt.qid, codes.vec_id AS cid, codes.cluster,
+       |    CAST(SUM(dt.qd2) AS BIGINT) AS adist
+       |  FROM codes JOIN dt ON codes.cluster = dt.cluster AND codes.sub = dt.sub
+       |                    AND codes.code = dt.ccid
+       |  WHERE codes.vec_id != dt.qid
+       |  GROUP BY dt.qid, codes.vec_id, codes.cluster),
+       |short AS MATERIALIZED (
+       |  SELECT qid, cid, cluster, adist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rn
+       |    FROM scored) t WHERE rn <= 50),
+       |qv AS MATERIALIZED (
+       |  SELECT vec_id AS qid, q AS qv, ${dotSql("q", "q")} AS qn
+       |  FROM e WHERE vec_id < 10),
+       |rr AS MATERIALIZED (
+       |  SELECT s.qid, s.cid, s.cluster, s.adist,
+       |    CAST(${dotSql("qv.qv", "e.q")} AS DOUBLE)
+       |      / (sqrt(CAST(qv.qn AS DOUBLE)) * sqrt(CAST(${dotSql("e.q", "e.q")} AS DOUBLE))) AS cos
+       |  FROM short s JOIN e ON e.vec_id = s.cid JOIN qv ON qv.qid = s.qid),
+       |ranked AS (
+       |  SELECT qid, cid, cluster, adist, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM rr)
+       |SELECT qid, cid, cluster, adist, cos, rank FROM ranked WHERE rank <= 10
        |ORDER BY qid, rank""".stripMargin
     sb.toString
   }
@@ -1386,6 +1629,7 @@ object SimilarityQueries {
     "q83_semantic_dedup" -> (semanticDedup(_, _)),
     "q97_ivf_kmeans" -> (ivfKmeans(_, _)),
     "q123_pq_adc_search" -> (pqAdcSearch(_, _)),
+    "q160_ivfpq_search" -> (ivfPqSearch(_, _)),
     "q127_ann_recall_eval" -> (annRecallEval(_, _)),
     "q158_ndcg_eval" -> (ndcgEval(_, _)),
     "q129_rp_sketch_search" -> (rpSketchSearch(_, _)),
@@ -1402,6 +1646,7 @@ object SimilarityQueries {
     "q83_semantic_dedup" -> semanticDedupSql,
     "q97_ivf_kmeans" -> ivfKmeansSql,
     "q123_pq_adc_search" -> pqAdcSearchSql,
+    "q160_ivfpq_search" -> ivfPqSearchSql,
     "q127_ann_recall_eval" -> annRecallEvalSql,
     "q158_ndcg_eval" -> ndcgEvalSql,
     "q129_rp_sketch_search" -> rpSketchSearchSql,
