@@ -448,11 +448,16 @@ object Bench {
     // the shortlist for an isolated re-measure. "unpinned_caches"
     // records which query plans REQUIRED pinning (pure cores whose
     // caches pinCaches built); RaceDisciplineSpec asserts the pinned
-    // plans are race-free for every query.
+    // plans are race-free for every query. BOTH cpu series feed the
+    // flag: under a forked-executor master the process clock collapses
+    // to driver overhead (a race there would be invisible to it), so
+    // the task-metric series carries the detection; in local mode the
+    // process series additionally sees driver-side compute.
     val raceFlags = queries.collect { case (name, _)
-        if BenchCore.cpuRaceFlag(
-          if (seeded(name)) cpuSoFar(name).drop(1) else cpuSoFar(name),
-          multiUse(name)) =>
+        if Seq(cpuSoFar(name), taskCpuSoFar(name)).exists(series =>
+          BenchCore.cpuRaceFlag(
+            if (seeded(name)) series.drop(1) else series,
+            multiUse(name))) =>
       "\"" + name + "\""
     }.mkString("[", ",", "]")
     val raceField = if (raceFlags == "[]") "" else s""","cpu_race_flags":$raceFlags"""

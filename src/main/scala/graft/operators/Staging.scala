@@ -138,5 +138,5 @@ object Staging {
     * every SparkEntry query plan is race-free after this call.
     */
   def pinCaches(df: DataFrame): Int =
-    org.apache.spark.sql.graftshim.CacheShim.pinMultiUse(df)
+    org.apache.spark.sql.graftshim.CacheShim.pinMultiUse(df).size
 }

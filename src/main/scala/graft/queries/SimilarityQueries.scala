@@ -411,7 +411,7 @@ object SimilarityQueries {
     val sample = trainingSample(emb, nVec)
       .repartition(trainWidth, $"vec_id").localCheckpoint()
     def d2(q: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-      aggregate(zip_with(q, c, (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v)
+      sqDist(q, c)
     // Farthest-first seeds, computed in ONE task over the staged
     // sample (k sequential Spark jobs of ~500 rows each would pay
     // ~k job launches for no parallelism — the sample is single-node
@@ -1042,7 +1042,6 @@ object SimilarityQueries {
 
   val pqAdcSearchSql: String = {
     val M = 8; val KS = 16; val ITERS = 2
-    def d2s(a: String, b: String) = d2s8(a, b)
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (
        |  SELECT vec_id, $quantSql AS q FROM embeddings),
@@ -1058,10 +1057,10 @@ object SimilarityQueries {
        |  SELECT vec_id, sub, ccid AS code FROM (
        |    SELECT es.vec_id, es.sub, c.ccid,
        |      row_number() OVER (PARTITION BY es.vec_id, es.sub
-       |        ORDER BY ${d2s("es.sv", "c.cvec")}, c.ccid) AS rn
+       |        ORDER BY ${d2s8("es.sv", "c.cvec")}, c.ccid) AS rn
        |    FROM esubs es JOIN cent$ITERS c ON es.sub = c.sub) t WHERE rn = 1),
        |dt AS MATERIALIZED (
-       |  SELECT es.vec_id AS qid, es.sub, c.ccid, ${d2s("es.sv", "c.cvec")} AS qd2
+       |  SELECT es.vec_id AS qid, es.sub, c.ccid, ${d2s8("es.sv", "c.cvec")} AS qd2
        |  FROM esubs es JOIN cent$ITERS c ON es.sub = c.sub WHERE es.vec_id < 10),
        |scored AS MATERIALIZED (
        |  SELECT dt.qid, codes.vec_id AS cid, CAST(SUM(dt.qd2) AS BIGINT) AS adist

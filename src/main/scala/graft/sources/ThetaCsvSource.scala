@@ -132,11 +132,18 @@ final class ThetaCsvScan(root: String, start: String, nDays: Int,
     case _ => true
   }
 
-  /** One split per surviving day — pruned BEFORE any fetch. */
+  /** One split per surviving day — pruned BEFORE any fetch. The
+    * transport NAME resolves here, on the driver, and the resolved
+    * (Serializable) instance ships inside each partition: a name
+    * resolved in the reader would hit the executor JVM's registry,
+    * which is empty under any forked-executor master
+    * (local-cluster / a real cluster).
+    */
   override def planInputPartitions(): Array[InputPartition] = {
+    val t = TransportRegistry.resolve(transport)
     val startDay = ThetaCsvSource.dayNumber(start)
     (0 until nDays).map(startDay + _).filter(dayAllowed)
-      .map(d => DayPartition(root, d, transport): InputPartition).toArray
+      .map(d => DayPartition(root, d, t): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -145,7 +152,7 @@ final class ThetaCsvScan(root: String, start: String, nDays: Int,
 }
 
 final case class DayPartition(root: String, dayNum: Int,
-    transport: Option[String]) extends InputPartition
+    transport: DayTransport) extends InputPartition
 
 /** Parses one day's CSV text into rows — the reference's
   * `_parse_csv_to_dataframe` path. The fetch goes through the typed
@@ -158,7 +165,7 @@ final case class DayPartition(root: String, dayNum: Int,
 final class DayCsvReader(p: DayPartition) extends PartitionReader[InternalRow] {
 
   private def csvForDay: String = {
-    val t = TransportRegistry.resolve(p.transport)
+    val t = p.transport
     ThetaStatus.retryWithBackoff(maxTries = 5, baseDelayMs = 10) {
       val (code, body) = t.fetch(p.root, p.dayNum)
       ThetaStatus.raiseForStatus(code, s"root=${p.root} day=${p.dayNum}")

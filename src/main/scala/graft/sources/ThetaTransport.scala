@@ -129,9 +129,12 @@ object FixtureTransport extends DayTransport {
   override def fetch(root: String, dayNum: Int): (Int, String) = (200, csv(root, dayNum))
 }
 
-/** Named transports for tests (local-mode JVM-shared; a cluster test
-  * would ship the transport itself, which is Serializable). The scan
-  * option `transport=<name>` selects one; unset means fixture.
+/** Named transports for tests. The scan option `transport=<name>`
+  * selects one; unset means fixture. Resolution happens ONCE, on the
+  * driver, at partition-planning time — the resolved Serializable
+  * instance ships inside each [[DayPartition]], so injected
+  * transports work under forked-executor masters (local-cluster, a
+  * real cluster) whose executor JVMs never saw `register`.
   */
 object TransportRegistry {
   private val byName = new ConcurrentHashMap[String, DayTransport]()

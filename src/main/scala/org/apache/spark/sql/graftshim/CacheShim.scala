@@ -25,7 +25,18 @@ object CacheShim {
 
   final case class CacheInfo(name: String, occurrences: Int, loaded: Boolean)
 
-  private def idOf(b: CachedRDDBuilder): Int = System.identityHashCode(b)
+  /** Dense per-call ids keyed on REFERENCE equality —
+    * System.identityHashCode is a 31-bit value that may collide for
+    * two coexisting builders, which would merge two distinct caches
+    * into one graph node (one of them then never pinned).
+    */
+  private final class Ids {
+    private val m = new java.util.IdentityHashMap[CachedRDDBuilder, Integer]
+    def apply(b: CachedRDDBuilder): Int = {
+      val got = m.get(b)
+      if (got != null) got.intValue else { val id = m.size; m.put(b, id); id }
+    }
+  }
 
   private def shortName(b: CachedRDDBuilder): String =
     b.cachedName.linesIterator
@@ -36,7 +47,8 @@ object CacheShim {
     * parent's physical plan is walked exactly once, so a child
     * consumed twice inside one parent counts twice.
     */
-  private def cacheGraph(df: DataFrame): Seq[(CachedRDDBuilder, Int, Set[Int])] = {
+  private def cacheGraph(df: DataFrame): Seq[(Int, CachedRDDBuilder, Int, Set[Int])] = {
+    val idOf = new Ids
     val occ = collection.mutable.LinkedHashMap.empty[Int, (CachedRDDBuilder, Int)]
     val deps = collection.mutable.Map.empty[Int, Set[Int]].withDefaultValue(Set.empty)
     def note(b: CachedRDDBuilder): Unit = {
@@ -67,30 +79,45 @@ object CacheShim {
         visited += k
         val inner = physicalCaches(b.cachedPlan)
         inner.foreach(note)
-        deps(k) = deps(k) ++ inner.map(idOf).toSet
+        deps(k) = deps(k) ++ inner.map(idOf(_)).toSet
         frontier = inner.toList ::: frontier
       }
     }
-    occ.values.toSeq.map { case (b, n) => (b, n, deps(idOf(b))) }
+    occ.toSeq.map { case (k, (b, n)) => (k, b, n, deps(k)) }
   }
 
   def cacheUse(df: DataFrame): Seq[CacheInfo] =
-    cacheGraph(df).map { case (b, n, _) =>
+    cacheGraph(df).map { case (_, b, n, _) =>
       CacheInfo(shortName(b), n, b.isCachedColumnBuffersLoaded)
     }
 
   /** Build every unloaded multi-consumer cache, dependencies first;
-    * returns the number of caches materialized.
+    * returns the built caches' names in build order (callers wanting
+    * a count take `.size`; the order is what StagingSpec's nested
+    * topology asserts).
     */
-  def pinMultiUse(df: DataFrame): Int = {
+  def pinMultiUse(df: DataFrame): Seq[String] = {
     val graph = cacheGraph(df)
-    val byId = graph.map { case (b, n, d) => idOf(b) -> ((b, n, d)) }.toMap
+    val byId = graph.map { case (k, b, n, d) => k -> ((b, n, d)) }.toMap
+    // Readiness must see TRANSITIVE dependencies: a pending cache
+    // reached only through a NON-pending intermediate (single-use, or
+    // already loaded) still races if the parent builds first — the
+    // parent's job computes the intermediate inline, whose
+    // independent stages hit the unbuilt grandchild concurrently.
+    val closure = collection.mutable.Map.empty[Int, Set[Int]]
+    def reach(k: Int, onPath: Set[Int]): Set[Int] =
+      closure.getOrElse(k, {
+        val direct = byId(k)._3 -- onPath // acyclic by construction; defensive
+        val r = direct ++ direct.flatMap(d => reach(d, onPath + k))
+        closure(k) = r
+        r
+      })
     val pending = collection.mutable.LinkedHashSet(graph.collect {
-      case (b, n, _) if n >= 2 && !b.isCachedColumnBuffersLoaded => idOf(b)
+      case (k, b, n, _) if n >= 2 && !b.isCachedColumnBuffersLoaded => k
     }: _*)
-    var built = 0
+    val built = collection.mutable.ListBuffer.empty[String]
     while (pending.nonEmpty) {
-      val ready = pending.find(k => byId(k)._3.forall(d => !pending.contains(d)))
+      val ready = pending.find(k => reach(k, Set(k)).forall(d => !pending.contains(d)))
         .getOrElse(pending.head) // acyclic by construction; defensive
       pending -= ready
       val b = byId(ready)._1
@@ -98,9 +125,9 @@ object CacheShim {
         val rdd = b.cachedColumnBuffers
         rdd.sparkContext.runJob(rdd,
           (it: Iterator[_]) => { while (it.hasNext) it.next(); () })
-        built += 1
+        built += shortName(b)
       }
     }
-    built
+    built.toSeq
   }
 }

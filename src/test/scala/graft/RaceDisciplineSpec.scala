@@ -99,4 +99,32 @@ class RaceDisciplineSpec extends AnyFunSuite {
     assert(top.count() > 0)
     spark.catalog.clearCache()
   }
+
+  test("pin order follows TRANSITIVE deps through a non-pending intermediate") {
+    import org.apache.spark.sql.graftshim.CacheShim
+    import spark.implicits._
+    spark.catalog.clearCache()
+    // G (multi-use, pending) is reachable from P (multi-use, pending)
+    // only THROUGH C — a single-use cache that is NOT in the pending
+    // set. Direct-dependency readiness would see P's deps = {C},
+    // C ∉ pending, and build P first; P's one job then computes C
+    // inline, whose anti-join stages race the unbuilt G. Readiness
+    // must follow the dependency CLOSURE, so G builds before P.
+    val g = Staging.staged(
+      spark.range(500).select(($"id" % 31).as("k"), $"id".as("v")))
+    val hotG = g.groupBy($"k").count().filter($"count" > 20).select($"k")
+    val c = Staging.staged(g.join(hotG, Seq("k"), "left_anti"))
+    val p = Staging.staged(c.select(($"v" * 31337).as("w"), $"k"))
+    val top = p.select($"w").union(p.select($"w" + $"k"))
+    val multiUse = Staging.cacheUse(top).collect { case (n, occ, _) if occ >= 2 => n }
+    assert(multiUse.size == 2, s"expected P and G multi-use, got: ${Staging.cacheUse(top)}")
+    val Seq(pName, gName) = multiUse // discovery order: top-level P, then nested G
+    val builtOrder = CacheShim.pinMultiUse(top)
+    assert(builtOrder.size == 2, s"expected 2 builds, got $builtOrder")
+    assert(builtOrder.indexOf(gName) < builtOrder.indexOf(pName),
+      s"grandchild must build before parent: built $builtOrder")
+    assert(Staging.unpinnedMultiUse(top).isEmpty)
+    assert(top.count() > 0)
+    spark.catalog.clearCache()
+  }
 }

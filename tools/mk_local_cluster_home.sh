@@ -18,6 +18,11 @@ H=target/spark-home
 mkdir -p "$H/work"
 for d in jars bin sbin conf data python R examples licenses kubernetes \
     yarn LICENSE NOTICE RELEASE README.md; do
-  [ -e "$H/$d" ] || ln -s "/opt/spark/$d" "$H/$d"
+  # -h too: -e follows symlinks, so a dangling link (distribution
+  # missing that entry) would read as absent and the re-run's ln -s
+  # would die on "File exists" under set -e
+  if [ ! -e "$H/$d" ] && [ ! -h "$H/$d" ] && [ -e "/opt/spark/$d" ]; then
+    ln -s "/opt/spark/$d" "$H/$d"
+  fi
 done
 echo "$PWD/$H"
