@@ -410,8 +410,6 @@ object SimilarityQueries {
     val nVec = Tables.load(s, dir, "embeddings").count()
     val sample = trainingSample(emb, nVec)
       .repartition(trainWidth, $"vec_id").localCheckpoint()
-    def d2(q: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-      sqDist(q, c)
     // Farthest-first seeds, computed in ONE task over the staged
     // sample (k sequential Spark jobs of ~500 rows each would pay
     // ~k job launches for no parallelism — the sample is single-node
@@ -462,7 +460,7 @@ object SimilarityQueries {
     var cent = seeds
     for (_ <- 1 to iters) {
       val assign = sample.crossJoin(broadcast(cent))
-        .select($"vec_id", $"q", $"ccid", d2($"q", $"cvec").as("d2"))
+        .select($"vec_id", $"q", $"ccid", sqDist($"q", $"cvec").as("d2"))
         .groupBy($"vec_id")
         .agg(min_by(struct($"q", $"ccid"), struct($"d2", $"ccid")).as("r"))
         .select($"r.ccid".as("ccid"), $"r.q".as("q"))
@@ -486,7 +484,7 @@ object SimilarityQueries {
     // search: the q33 inverted-file restriction, learned quantizer
     val withN = emb.withColumn("nsq", intNormSq($"q"))
     val dist = withN.crossJoin(broadcast(cent))
-      .select($"vec_id", $"q", $"nsq", $"ccid", d2($"q", $"cvec").as("d2"))
+      .select($"vec_id", $"q", $"nsq", $"ccid", sqDist($"q", $"cvec").as("d2"))
     val assigned = dist.groupBy($"vec_id")
       .agg(min_by(struct($"q", $"nsq", $"ccid"), struct($"d2", $"ccid")).as("r"))
       .select($"vec_id", $"r.q".as("q"), $"r.nsq".as("nsq"),

@@ -93,8 +93,8 @@ object CacheShim {
 
   /** Build every unloaded multi-consumer cache, dependencies first;
     * returns the built caches' names in build order (callers wanting
-    * a count take `.size`; the order is what StagingSpec's nested
-    * topology asserts).
+    * a count take `.size`; the order is what RaceDisciplineSpec's
+    * transitive-deps topology asserts).
     */
   def pinMultiUse(df: DataFrame): Seq[String] = {
     val graph = cacheGraph(df)

@@ -14,6 +14,13 @@ import graft.sources.dsv2.{DayTransport, FixtureTransport, ThetaStatus, Transpor
   * backoff schedule, fail-fast on permanent errors, and the DSv2
   * end-to-end behavior with an injected flaky transport.
   */
+object ThetaTransportSpec {
+  /** JVM-global fetch counter for the flaky-transport test — static so
+    * the per-task deserialized transport copies all hit ONE map.
+    */
+  val perDay = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
+}
+
 class ThetaTransportSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import ThetaStatus._
@@ -89,13 +96,20 @@ class ThetaTransportSpec extends AnyFunSuite {
   }
 
   test("DSv2 scan retries a transient transport and returns complete data") {
-    // per-(day) call counter: first two fetches of each day fail with
-    // the transient triple, third succeeds — the scan must return the
-    // same rows as the clean fixture
-    val perDay = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
+    // Per-day call counter, JVM-GLOBAL (companion object): the scan
+    // ships the resolved transport INSTANCE into each task, so a
+    // counter captured in the instance would be a per-task serialized
+    // copy and the driver-side assertions below would pass vacuously
+    // over an empty map. Tasks share this JVM on the local master, so
+    // the static map sees every fetch. (Under a forked-executor
+    // master the counts would be per-executor — this spec pins the
+    // retry contract, which is master-independent, on local.)
+    val perDay = ThetaTransportSpec.perDay
+    perDay.clear()
     TransportRegistry.register("spec-flaky", new DayTransport {
       override def fetch(root: String, dayNum: Int): (Int, String) = {
-        val n = perDay.computeIfAbsent(dayNum, _ => new AtomicInteger(0))
+        val n = ThetaTransportSpec.perDay
+          .computeIfAbsent(dayNum, _ => new AtomicInteger(0))
           .incrementAndGet()
         if (n == 1) (429, "") else if (n == 2) (571, "")
         else FixtureTransport.fetch(root, dayNum)
@@ -112,6 +126,9 @@ class ThetaTransportSpec extends AnyFunSuite {
       }
       assert(read(Some("spec-flaky")) == read(None),
         "flaky-then-ok transport must yield the clean fixture rows")
+      // vacuity guard first: an empty map means the counter stopped
+      // being shared with the tasks and the count assert proves nothing
+      assert(perDay.size() == 3, s"expected 3 counted days, got ${perDay.size()}")
       assert(perDay.values().stream().allMatch(_.get() == 3),
         "each day must have been fetched exactly 3 times")
     } finally TransportRegistry.remove("spec-flaky")
