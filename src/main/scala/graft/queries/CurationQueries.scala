@@ -782,7 +782,58 @@ object CurationQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q161: deterministic global shuffle + shard assignment — the LAST
+    * stage of every training-data pipeline (the "shuffle and shard"
+    * step before tokenization): each kept document gets a
+    * reproducible pseudo-random (shard, pos) — the shard file it
+    * lands in and its offset within that file — derived ONLY from its
+    * id and a seed constant, so two runs (or two engines) emit the
+    * identical training order, and a resumed/partial re-run places
+    * every document exactly where the first run did.
+    *
+    * Permutation key = md5(seed || doc_id); shard = first-16-bits mod
+    * k (uniform by construction; the conv↔strpos hex decode is the
+    * q114 DSIR convention); pos = rank of the key within the shard.
+    * Scale shape: there is NO global sort and no driver state — the
+    * only ordering work is the per-shard rank, and a shard's size is
+    * capped BY CONSTRUCTION because k is chosen ∝ corpus/shard-file
+    * size (100 TB at 1 GB shards ⇒ k ≈ 10⁵, each window partition one
+    * file's worth — the q113 per-doc-window boundedness argument, with
+    * the file taking the document's role; a shard must be written
+    * sequentially by one task anyway, so the rank costs nothing
+    * extra). k = 8 here so the toy corpus still fills every shard.
+    */
+  def trainingShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val h = md5(concat(lit("shuffle-v1:"), col("doc_id").cast("string")))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard",
+        pmod(conv(substring(col("h"), 1, 4), 16, 10).cast("long"), lit(k)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val trainingShuffleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, h,
+      |    CAST(list_sum(list_transform(range(1, 5), i ->
+      |      (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+      |      * CAST(pow(16, 4 - i) AS BIGINT))) AS BIGINT) % 8 AS shard
+      |  FROM h)
+      |SELECT doc_id, shard,
+      |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q161_training_shuffle" -> (trainingShuffle(_, _)),
     "q149_score_normalize" -> (scoreNormalize(_, _)),
     "q107_substring_dedup" -> (substringDedup(_, _)),
     "q108_chunk_documents" -> (chunkDocuments(_, _)),
@@ -799,6 +850,7 @@ object CurationQueries {
     "q130_source_datacard" -> (sourceDatacard(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q161_training_shuffle" -> trainingShuffleSql,
     "q149_score_normalize" -> scoreNormalizeSql,
     "q107_substring_dedup" -> substringDedupSql,
     "q108_chunk_documents" -> chunkDocumentsSql,
