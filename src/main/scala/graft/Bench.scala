@@ -79,7 +79,14 @@ object Bench {
     // stay one map-only corpus scan (both quantizers enter as
     // literals), so its sf1 ratio guards the whole literal-index
     // discipline; scoring is cell-restricted (~nprobe/nlist)
-    "q160_ivfpq_search")
+    "q160_ivfpq_search",
+    // round 19: the global shuffle's per-shard rank is the newest
+    // corpus-wide window — its ratio guards the derived-k shard
+    // bound (k floors at 8 across probe scales, so the window
+    // partition grows with the corpus here; sub-linear wall means
+    // the 8-task sort is not yet the bottleneck, and past 8·100k
+    // docs k itself grows)
+    "q161_training_shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

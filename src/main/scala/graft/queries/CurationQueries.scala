@@ -794,20 +794,29 @@ object CurationQueries {
     * Permutation key = md5(seed || doc_id); shard = first-16-bits mod
     * k (uniform by construction; the conv↔strpos hex decode is the
     * q114 DSIR convention); pos = rank of the key within the shard.
-    * Scale shape: there is NO global sort and no driver state — the
-    * only ordering work is the per-shard rank, and a shard's size is
-    * capped BY CONSTRUCTION because k is chosen ∝ corpus/shard-file
-    * size (100 TB at 1 GB shards ⇒ k ≈ 10⁵, each window partition one
-    * file's worth — the q113 per-doc-window boundedness argument, with
-    * the file taking the document's role; a shard must be written
-    * sequentially by one task anyway, so the rank costs nothing
-    * extra). k = 8 here so the toy corpus still fills every shard.
+    * Scale shape: no driver state, and the only semantic ordering
+    * work is the per-shard rank, whose window partition is capped BY
+    * CONSTRUCTION — k is DERIVED from the corpus row count
+    * ([[shardCount]]: ceil(n / [[ShardDocs]]), floored at 8), so a
+    * shard stays file-sized at any corpus size (100 TB ⇒ k ≈ 10⁵;
+    * the q113 per-doc-window boundedness argument with the shard
+    * file in the document's role — a shard is written sequentially
+    * by one task anyway, so the rank costs nothing extra). The floor
+    * is what the DuckDB oracle mirrors (`% 8`), and it is the value
+    * at every oracle/probe scale by construction (binds only past
+    * 8·ShardDocs documents) — the q97/q123 inert-bound convention.
+    * The closing `.orderBy(shard, pos)` is the deterministic
+    * PRESENTATION order the hash-compare gate requires of every
+    * registered query, not part of the operator: the production
+    * shape writes `partitionBy(shard)` + `sortWithinPartitions(pos)`
+    * — shard-local sorts, no global exchange.
     */
   def trainingShuffle(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val k = 8
+    val docs = Tables.load(s, dir, "documents")
+    val k = shardCount(docs.count())
     val h = md5(concat(lit("shuffle-v1:"), col("doc_id").cast("string")))
-    Tables.load(s, dir, "documents")
+    docs
       .select(col("doc_id"), h.as("h"))
       .withColumn("shard",
         pmod(conv(substring(col("h"), 1, 4), 16, 10).cast("long"), lit(k)))
@@ -817,6 +826,22 @@ object CurationQueries {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
   }
+
+  /** Target shard payload for [[trainingShuffle]]: ~docs per shard
+    * file. With k = ceil(n / ShardDocs) a window partition never
+    * exceeds ~ShardDocs rows regardless of corpus size — the bound
+    * the per-shard rank's safety rests on, ENFORCED (not asserted)
+    * like the q97/q123 training caps.
+    */
+  private[graft] val ShardDocs = 100000L
+
+  /** Shard count for an n-document corpus: ceil(n / [[ShardDocs]]),
+    * floored at 8 (the oracle-mirrored value; the floor binds at
+    * every scale the DuckDB gate or the sf1 probe runs — k only
+    * grows past 8·ShardDocs docs, where no fixed-k oracle exists).
+    */
+  private[graft] def shardCount(n: Long): Long =
+    math.max(8L, (n + ShardDocs - 1L) / ShardDocs)
 
   val trainingShuffleSql: String =
     """WITH h AS (

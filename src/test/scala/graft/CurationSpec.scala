@@ -519,5 +519,13 @@ class CurationSpec extends AnyFunSuite {
     val again = CurationQueries.trainingShuffle(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == out.toSeq, "shuffle must be reproducible")
+    // the shard-size bound is ENFORCED, not asserted: k derives from
+    // the corpus count (floored at the oracle-mirrored 8), so a
+    // window partition never exceeds ~ShardDocs rows at any scale
+    assert(CurationQueries.shardCount(500) == 8L)
+    assert(CurationQueries.shardCount(800000) == 8L)   // floor's last value
+    assert(CurationQueries.shardCount(800001) == 9L)   // derivation takes over
+    assert(CurationQueries.shardCount(10000000L) == 100L)
+    assert(CurationQueries.shardCount(10000000000L) == 100000L) // ~100 TB
   }
 }
