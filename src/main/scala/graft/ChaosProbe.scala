@@ -1,0 +1,162 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved, SparkListenerStageSubmitted, SparkListenerTaskEnd, SparkListenerTaskStart}
+import org.apache.spark.sql.SparkSession
+
+/** Deliberate-executor-loss attestation (a `main`, like [[Bench]]):
+  * under `GRAFT_MASTER=local-cluster[w,c,m]` — the only master that
+  * forks REAL executor JVMs — run each probe query twice: once
+  * healthy to fix the expected result hash, once while this driver
+  * kills one executor JVM (SIGKILL via ProcessHandle) mid-flight. The
+  * claim being attested is the weekly reality of any 1000-executor
+  * fleet: an executor dies, its shuffle map outputs vanish,
+  * MetadataFetchFailed triggers stage retry, the standalone master
+  * re-allocates an executor, and the job completes with EXACTLY the
+  * same result. DESIGN.md argued this; this probe executes it.
+  *
+  * Kill discipline: the chaos thread waits until the listener has
+  * seen the query's tasks actually START (the job is mid-shuffle),
+  * then force-kills one `CoarseGrainedExecutorBackend` process chosen
+  * from the live fleet. Evidence recorded per query: executor-removed
+  * events, failed-task count, stage re-attempts, and the hash
+  * equality — a kill that lands after the job finished would show
+  * zero removals during the run and the probe FAILS (no vacuous
+  * passes, the ThetaTransportSpec rule).
+  *
+  * Prints one JSON line per query plus a summary line:
+  * {"query":…,"equal":…,"killed_pid":…,"executors_removed":…,
+  *  "tasks_failed":…,"stage_reattempts":…,"wall_healthy_s":…,
+  *  "wall_chaos_s":…}
+  */
+object ChaosProbe {
+
+  /** Canonical result hash: rows rendered, sorted, md5'd — order- and
+    * partitioning-independent, so a healthy and a post-retry run
+    * compare by content only.
+    */
+  def canonicalHash(rows: Array[org.apache.spark.sql.Row]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.map(_.toString).sorted.foreach(s => md.update(s.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Live executor-backend JVMs forked by the local-cluster workers —
+    * never this driver JVM (its command line is sbt/ChaosProbe, not
+    * the backend class).
+    */
+  def executorPids(): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val self = ProcessHandle.current().pid()
+    ProcessHandle.allProcesses().iterator().asScala
+      .filter(p => p.pid() != self && p.isAlive)
+      .filter(_.info().commandLine().map[Boolean](
+        _.contains("CoarseGrainedExecutorBackend")).orElse(false))
+      .map(_.pid()).toSeq.sorted
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q113_winnow_near_dup", "q82_dedup_clusters",
+        "q102_leakage_safe_split", "q160_ivfpq_search")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val master = SessionDefaults.master(cpus)
+    require(master.startsWith("local-cluster"),
+      s"ChaosProbe needs forked executors: GRAFT_MASTER=local-cluster[...], got $master")
+    val spark = SessionDefaults.masterConfigs(master).foldLeft(
+      SessionDefaults(SparkSession.builder().master(master))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // per-run chaos telemetry
+    val tasksStarted = new AtomicInteger(0)
+    val tasksFailed = new AtomicInteger(0)
+    val executorsRemoved = new AtomicInteger(0)
+    val stageReattempts = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskStart(e: SparkListenerTaskStart): Unit =
+        tasksStarted.incrementAndGet()
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.reason != org.apache.spark.Success) tasksFailed.incrementAndGet()
+      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
+        executorsRemoved.incrementAndGet()
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+        if (e.stageInfo.attemptNumber() > 0) stageReattempts.incrementAndGet()
+    })
+
+    def waitForFleet(n: Int): Unit = {
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (executorPids().size < n && System.nanoTime() < deadline)
+        Thread.sleep(250)
+      require(executorPids().size >= n,
+        s"fleet never reached $n executors: ${executorPids()}")
+    }
+    val fleetSize = master.drop("local-cluster[".length).takeWhile(_ != ',').toInt
+    waitForFleet(fleetSize)
+
+    var allEqual = true
+    val results = names.map { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      spark.catalog.clearCache()
+
+      val t0 = System.nanoTime()
+      val healthy = canonicalHash(fn(spark, sfDir).collect())
+      val wallHealthy = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+
+      // chaos run: kill one executor once tasks are demonstrably
+      // in flight (a fraction of the healthy wall, floor 150 ms)
+      tasksStarted.set(0); tasksFailed.set(0)
+      executorsRemoved.set(0); stageReattempts.set(0)
+      val killedPid = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val killerDone = new AtomicBoolean(false)
+      val killer = new Thread(() => {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (tasksStarted.get() < 8 && System.nanoTime() < deadline)
+          Thread.sleep(10)
+        Thread.sleep(math.max(150L, (wallHealthy * 1000 / 4).toLong))
+        executorPids().headOption.foreach { pid =>
+          ProcessHandle.of(pid).ifPresent { h =>
+            if (h.destroyForcibly()) killedPid.set(pid)
+          }
+        }
+        killerDone.set(true)
+      }, s"chaos-killer-$name")
+      killer.setDaemon(true)
+
+      val t1 = System.nanoTime()
+      killer.start()
+      val chaos = canonicalHash(fn(spark, sfDir).collect())
+      val wallChaos = (System.nanoTime() - t1) / 1e9
+      killer.join(90000)
+      spark.catalog.clearCache()
+
+      val equal = healthy == chaos
+      val removed = executorsRemoved.get()
+      // vacuity guard: the kill must have landed DURING the run
+      val landed = killedPid.get() > 0 && removed > 0
+      allEqual &&= (equal && landed)
+      println(s"""{"query":"$name","equal":$equal,"killed_pid":${killedPid.get()},""" +
+        s""""executors_removed":$removed,"tasks_failed":${tasksFailed.get()},""" +
+        s""""stage_reattempts":${stageReattempts.get()},""" +
+        f""""wall_healthy_s":$wallHealthy%.2f,"wall_chaos_s":$wallChaos%.2f}""")
+
+      // let the standalone master re-provision before the next query
+      waitForFleet(fleetSize)
+      (name, equal, landed)
+    }
+
+    val failed = results.collect { case (n, eq, landed) if !eq || !landed => n }
+    println(s"""{"metric":"chaos_probe","queries":${results.size},""" +
+      s""""all_equal_and_landed":$allEqual,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")
+    spark.stop()
+    if (!allEqual) sys.exit(1)
+  }
+}

@@ -30,7 +30,8 @@ object SparkEntry {
       (OlapQueries.defs, OlapQueries.oracles),
       (BulkQueries.defs, BulkQueries.oracles),
       (CurationQueries.defs, CurationQueries.oracles),
-      (RetrievalQueries.defs, RetrievalQueries.oracles))
+      (RetrievalQueries.defs, RetrievalQueries.oracles),
+      (CrawlQueries.defs, CrawlQueries.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     families.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding APPLY — real merge-table tokenization, closing
+  * the gap between the q20/q92 `chars/4` token ESTIMATE and actual
+  * token budgeting. This is the serving-side half of BPE (Sennrich
+  * 2016 §3; the GPT-2 `bpe()` loop): the merge table is trained
+  * offline and ships as a bounded artifact, so it enters the plan as
+  * an expression constant — the PQ-codebook literal discipline — and
+  * the corpus side stays ONE map-only codegen scan, no shuffle, no
+  * broadcast, at any corpus size.
+  *
+  * Semantics (the true tokenizer loop, not the once-per-merge
+  * shortcut): per word, start from characters; repeatedly find the
+  * LOWEST-RANK adjacent pair present and merge every occurrence
+  * left-to-right; stop when no table pair remains. The two differ
+  * exactly when a later-rank merge creates an earlier-rank pair
+  * ([[BpeMerges.default]] ranks 6/7 construct that case; CrawlSpec
+  * asserts it), so the loop order is load-bearing.
+  *
+  * Words are whitespace runs of the input (this corpus is already
+  * pre-tokenized text; compose with the q27 regex pre-tokenizer for
+  * raw prose); output is every word's tokens joined by single spaces
+  * — replayable downstream as `split(out, ' ')`.
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_encode"
+
+  /** rank by "a b" pair key; lower = earlier-trained = higher priority. */
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+    m
+  }
+
+  def encode(text: UTF8String): UTF8String = {
+    val words = text.toString.split("\\s+")
+    val out = new java.lang.StringBuilder(text.numChars() * 2)
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var toks = new java.util.ArrayList[String](w.length)
+        var ci = 0
+        while (ci < w.length) {
+          // character tokens split by Java char; the corpus is ASCII —
+          // a production multi-byte vocab would seed from UTF-8 bytes
+          toks.add(String.valueOf(w.charAt(ci)))
+          ci += 1
+        }
+        var done = false
+        while (!done && toks.size > 1) {
+          // lowest-rank adjacent pair present in this word
+          var best = -1
+          var bestRank = Integer.MAX_VALUE
+          var i = 0
+          while (i < toks.size - 1) {
+            val r = rank.get(toks.get(i) + " " + toks.get(i + 1))
+            if (r != null && r < bestRank) { bestRank = r; best = i }
+            i += 1
+          }
+          if (best < 0) done = true
+          else {
+            val a = toks.get(best)
+            val b = toks.get(best + 1)
+            // merge every occurrence left-to-right (non-overlapping)
+            val next = new java.util.ArrayList[String](toks.size)
+            var j = 0
+            while (j < toks.size) {
+              if (j < toks.size - 1 && toks.get(j) == a && toks.get(j + 1) == b) {
+                next.add(a + b); j += 2
+              } else { next.add(toks.get(j)); j += 1 }
+            }
+            toks = next
+          }
+        }
+        var t = 0
+        while (t < toks.size) {
+          if (out.length() > 0) out.append(' ')
+          out.append(toks.get(t))
+          t += 1
+        }
+      }
+      wi += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpe", this, classOf[BpeEncode].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+/** The shipped merge table. A real deployment loads this from the
+  * tokenizer artifact; this fixed table is trained-shaped for the
+  * test corpus vocabulary and deliberately contains a rank INVERSION
+  * — rank 5 `(s, ca)` is applicable only after rank 6 `(c, a)` fires
+  * — so any implementation taking the once-per-merge shortcut
+  * diverges on the word `scan` (CrawlSpec pins this; the DuckDB
+  * oracle replays the same loop via a recursive CTE).
+  */
+object BpeMerges {
+  val default: Seq[(String, String)] = Seq(
+    "e" -> "r", "t" -> "a", "ta" -> "b", "l" -> "e", "tab" -> "le",
+    "s" -> "ca", "c" -> "a", "sca" -> "n", "i" -> "n", "o" -> "w",
+    "in" -> "d", "w" -> "ind", "wind" -> "ow", "v" -> "a", "va" -> "l",
+    "u" -> "e", "val" -> "ue", "s" -> "t", "st" -> "r", "e" -> "a",
+    "str" -> "ea", "strea" -> "m", "r" -> "t", "o" -> "rt", "s" -> "ort")
+
+  def bpeEncode(c: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(BpeEncode(ColumnShim.expression(c), default))
+  }
+
+  /** SQL builder: `bpe_encode(text[, array('a b', ...)])` — optional
+    * literal merge strings ("left right"), default table otherwise.
+    */
+  private[plans] def build(exprs: Seq[Expression]): BpeEncode = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val merges = exprs.lift(1) match {
+      case None => default
+      case Some(m) if m.foldable =>
+        val arr = m.eval().asInstanceOf[ArrayData]
+        (0 until arr.numElements()).map { i =>
+          arr.getUTF8String(i).toString.split(" ", 2) match {
+            case Array(a, b) => (a, b)
+            case _ => throw new IllegalArgumentException(
+              "bpe_encode merges must be 'left right' pairs")
+          }
+        }
+      case Some(_) => throw new IllegalArgumentException(
+        "bpe_encode merges must be a literal array of 'left right' strings")
+    }
+    BpeEncode(exprs.head, merges)
+  }
+}

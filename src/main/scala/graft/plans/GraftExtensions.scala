@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bounded_rank_top_k"),
       new ExpressionInfo(classOf[BoundedRankTopK].getName, "bounded_rank_top_k"),
       (exprs: Seq[Expression]) => GraftExtensions.buildBoundedRankTopK(exprs)))
+    e.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      (exprs: Seq[Expression]) => BpeMerges.build(exprs)))
   }
 }
 

@@ -384,5 +384,7 @@ object NativeFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bounded_rank_top_k", exprs => GraftExtensions.buildBoundedRankTopK(exprs),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode", exprs => BpeMerges.build(exprs), "built-in")
   }
 }

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.CrawlOps
+import graft.plans.BpeMerges
+
+/** Crawl-side extraction family — the operators UPSTREAM of every
+  * dedup/quality query in this engine: HTML → main text (q162), URL
+  * canonicalization + host grouping (q163), and real BPE
+  * tokenizer-apply (q164). The fixture convention is the multimodal
+  * one (q96/q101/q117): the raw input (HTML page, crawl URL) is
+  * synthesized DETERMINISTICALLY from the documents row, the engine
+  * runs the real extraction operator over it, and the DuckDB oracle
+  * checks against ground truth it can derive from the same row — so
+  * the differential exercises the operator, not the fixture.
+  */
+object CrawlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic crawled-page fixture for one documents row: head
+    * with title/style/script, a comment, an all-links nav, the
+    * content paragraph (with an in-prose link, an `&amp;` entity and
+    * an escaped `&lt;raw&gt;` tag-lookalike), an appendix paragraph
+    * for every third doc, an ad block for every second doc, and an
+    * all-links footer. Boilerplate outweighs content in block count —
+    * the realistic shape.
+    */
+  private def htmlFixture(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("<html><head><title>Doc "), docId,
+      lit("</title><style>p{margin:0}</style><script>var x=1;</script></head>"),
+      lit("<body><!-- crawler:generated -->"),
+      lit("<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/about\">About</a></div>"),
+      lit("<p>"), text,
+      lit(" see <a href=\"/ref\">reference</a> notes &amp; more &lt;raw&gt;</p>"),
+      when(docId % 3 === 0,
+        concat(lit("<p>appendix for "), source, lit("</p>"))).otherwise(lit("")),
+      when(docId % 2 === 0,
+        lit("<div class=\"ads\"><a href=\"/buy\">Buy</a> <a href=\"/now\">Now</a></div>"))
+        .otherwise(lit("")),
+      lit("<div class=\"footer\"><a href=\"/terms\">Terms</a>" +
+        " <a href=\"/privacy\">Privacy</a></div></body></html>"))
+
+  /** q162 — HTML boilerplate strip ([[CrawlOps.extractMainText]]):
+    * head/script/style/comment removal, block segmentation,
+    * link-density filtering, tag strip, entity decode. Stateless
+    * map-only scan (PlanSpec: no exchange before the presentation
+    * sort) — at 100 TB this runs at scan parallelism on the raw crawl
+    * and fuses into the downstream dedup's first aggregation.
+    */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpreadLocal(s, dir, "documents")
+    docs
+      .select($"doc_id",
+        CrawlOps.extractMainText(
+          htmlFixture($"doc_id", $"text", $"source")).as("x"))
+      .select($"doc_id", $"x.clean_text", $"x.n_blocks_kept", $"x.n_blocks_dropped")
+      .orderBy($"doc_id")
+  }
+
+  /** Ground truth by construction: the content paragraph's visible
+    * text (with the fixture's suffix, entities decoded), the appendix
+    * when present; nav + footer (+ ads when present) are the dropped
+    * blocks. Text whitespace is collapsed exactly as the engine's
+    * block normalization does.
+    */
+  val htmlExtractSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(text, '\s+', ' ', 'g'))
+      |    || ' see reference notes & more <raw>'
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' appendix for ' || source ELSE '' END
+      |    AS clean_text,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_blocks_kept,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_blocks_dropped
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deterministic crawl-URL fixture: scheme/host case, `www.`,
+    * default and non-default ports, trailing slashes, tracking
+    * params, param order and fragments all vary per row — the messy
+    * surface a crawler actually sees for one logical URL.
+    */
+  private def urlFixture(docId: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column,
+      lang: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      element_at(array(lit("HTTPS"), lit("https"), lit("HTTP"), lit("http")),
+        (docId % 4 + 1).cast("int")),
+      lit("://"),
+      when(docId % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      source, lit(".Example.COM"),
+      element_at(array(lit(":443"), lit(":80"), lit(":8080"), lit(""), lit("")),
+        (docId % 5 + 1).cast("int")),
+      lit("/Docs/"), docId % 50,
+      when(docId % 3 === 0, lit("/")).otherwise(lit("")),
+      element_at(array(
+        concat(lit("?utm_source=feed&b="), lang, lit("&a=1")),
+        concat(lit("?a=1&b="), lang),
+        lit("")), (docId % 3 + 1).cast("int")),
+      when(docId % 7 === 0, lit("#Section-2")).otherwise(lit("")))
+
+  /** q163 — URL canonicalization + host-level grouping
+    * ([[CrawlOps.canonicalUrl]]): the q23-class exact dedup on the
+    * CANONICAL url, rolled up per registrable host. The canonical
+    * form is computed in the scan projection, so the only exchanges
+    * are count_distinct's standard pair — partial agg by (host,
+    * canon), then the host rollup over already-deduped keys
+    * (CrawlSpec pins exactly two) — and at 100 TB the map side
+    * partially aggregates before either shuffle.
+    */
+  def urlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpreadLocal(s, dir, "documents")
+    val urls = docs.select(
+      urlFixture($"doc_id", $"source", $"lang").as("url"))
+    urls
+      .select(CrawlOps.canonicalHost($"url").as("host"),
+        CrawlOps.canonicalUrl($"url").as("canon"))
+      .groupBy($"host")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct($"canon").as("n_urls"),
+        min($"canon").as("sample_url"))
+      .orderBy($"host")
+  }
+
+  /** Ground truth replays the canonicalization RULES on the fixture
+    * arithmetic (not a parser): scheme case folds to its variant
+    * class, `www.` drops, ports survive only when non-default FOR
+    * THAT SCHEME (the http+443 / https+80 cross cases are the point),
+    * trailing slash and fragment drop, `utm_*` drops and the rest
+    * sorts.
+    */
+  val urlCanonicalizeSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, source || '.example.com' AS host,
+      |    CASE WHEN doc_id % 4 <= 1 THEN 'https' ELSE 'http' END
+      |      || '://' || source || '.example.com'
+      |      || CASE WHEN doc_id % 5 = 2 THEN ':8080'
+      |              WHEN doc_id % 5 = 0 AND doc_id % 4 >= 2 THEN ':443'
+      |              WHEN doc_id % 5 = 1 AND doc_id % 4 <= 1 THEN ':80'
+      |              ELSE '' END
+      |      || '/Docs/' || CAST(doc_id % 50 AS VARCHAR)
+      |      || CASE WHEN doc_id % 3 <= 1 THEN '?a=1&b=' || lang ELSE '' END
+      |      AS canon
+      |  FROM documents)
+      |SELECT host, count(*) AS n_docs,
+      |  count(DISTINCT canon) AS n_urls, min(canon) AS sample_url
+      |FROM c GROUP BY host ORDER BY host""".stripMargin
+
+  /** q164 — BPE tokenizer-apply ([[graft.plans.BpeEncode]]): real
+    * merge-table tokenization per document, one codegen scan with the
+    * bounded merge table as an expression constant. Closes the gap
+    * between the q20 `chars/4` token ESTIMATE and actual token
+    * budgeting (q92/q121). The signature column makes the gate
+    * sensitive to every token boundary, not just the count.
+    */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents")
+    docs
+      .select($"doc_id", BpeMerges.bpeEncode($"text").as("toks"))
+      .select($"doc_id",
+        size(split($"toks", " ")).cast("long").as("n_tokens"),
+        md5($"toks").as("tok_sig"))
+      .orderBy($"doc_id")
+  }
+
+  /** The oracle replays the TRUE tokenizer loop (lowest-rank
+    * applicable pair, merged exhaustively, repeat) as a recursive CTE
+    * over the distinct word vocabulary — including the table's
+    * deliberate rank inversion (ranks 6/7), so a once-per-merge
+    * shortcut in the engine diverges on `scan`. Merge ranks here are
+    * 1-based; the engine's 0-based indices order identically.
+    */
+  val bpeApplySql: String =
+    """WITH RECURSIVE
+      |merges(rk, ma, mb) AS (
+      |  SELECT * FROM (VALUES
+      |    (1,'e','r'),(2,'t','a'),(3,'ta','b'),(4,'l','e'),(5,'tab','le'),
+      |    (6,'s','ca'),(7,'c','a'),(8,'sca','n'),(9,'i','n'),(10,'o','w'),
+      |    (11,'in','d'),(12,'w','ind'),(13,'wind','ow'),(14,'v','a'),(15,'va','l'),
+      |    (16,'u','e'),(17,'val','ue'),(18,'s','t'),(19,'st','r'),(20,'e','a'),
+      |    (21,'str','ea'),(22,'strea','m'),(23,'r','t'),(24,'o','rt'),(25,'s','ort')
+      |  ) m(rk, ma, mb)),
+      |words AS (
+      |  SELECT doc_id, i, w[i] AS word
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+      |  LATERAL UNNEST(generate_series(1, len(w))) AS t(i)
+      |  WHERE w[i] <> ''),
+      |vocab AS (SELECT DISTINCT word FROM words),
+      |init AS (
+      |  SELECT word, array_to_string(list_transform(range(1, len(word) + 1),
+      |    i -> substr(word, CAST(i AS INT), 1)), ' ') AS toks
+      |  FROM vocab),
+      |bpe(word, toks, step) AS (
+      |  SELECT word, toks, 0 FROM init
+      |  UNION ALL
+      |  SELECT b.word,
+      |    trim(replace(' ' || b.toks || ' ',
+      |      ' ' || m.ma || ' ' || m.mb || ' ', ' ' || m.ma || m.mb || ' ')),
+      |    b.step + 1
+      |  FROM bpe b, LATERAL (
+      |    SELECT ma, mb FROM merges
+      |    WHERE strpos(' ' || b.toks || ' ', ' ' || ma || ' ' || mb || ' ') > 0
+      |    ORDER BY rk LIMIT 1) m),
+      |fin AS (
+      |  SELECT word, toks FROM bpe
+      |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1)
+      |SELECT w.doc_id,
+      |  CAST(sum(len(string_split(f.toks, ' '))) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(f.toks, ' ' ORDER BY w.i)) AS tok_sig
+      |FROM words w JOIN fin f USING (word)
+      |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+    "q162_html_extract" -> (htmlExtract(_, _)),
+    "q163_url_canonicalize" -> (urlCanonicalize(_, _)),
+    "q164_bpe_apply" -> (bpeApply(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q162_html_extract" -> htmlExtractSql,
+    "q163_url_canonicalize" -> urlCanonicalizeSql,
+    "q164_bpe_apply" -> bpeApplySql)
+}

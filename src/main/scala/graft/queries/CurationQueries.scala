@@ -812,9 +812,29 @@ object CurationQueries {
     * — shard-local sorts, no global exchange.
     */
   def trainingShuffle(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(s, dir, "documents")
     val k = shardCount(docs.count())
+    // This registered def IS the hash-compare gate, and the DuckDB
+    // oracle hard-codes the k=8 floor. The floor binds at every scale
+    // the gate runs by construction (k grows only past 8·ShardDocs
+    // docs), but "by construction" must fail LOUDLY if it ever stops
+    // holding — a silently diverging fixed-modulus oracle is the exact
+    // class the schema guard exists for. Production callers with a
+    // bigger corpus use [[shardAssignment]] with their derived k.
+    require(k == 8L, s"trainingShuffle oracle gate: derived shard count $k != " +
+      s"the oracle's fixed modulus 8 — corpus exceeds ${8 * ShardDocs} docs; " +
+      "use shardAssignment(docs, k) directly (no fixed-k oracle exists)")
+    shardAssignment(docs, k).orderBy(col("shard"), col("pos"))
+  }
+
+  /** Production face of q161: the deterministic (shard, pos)
+    * assignment for an explicit shard count — no count() pass, no
+    * presentation orderBy (the production write is `partitionBy(shard)
+    * + sortWithinPartitions(pos)`, shard-local sorts only, which
+    * ShardWriteSpec executes and asserts against the physical plan).
+    */
+  def shardAssignment(docs: DataFrame, k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val h = md5(concat(lit("shuffle-v1:"), col("doc_id").cast("string")))
     docs
       .select(col("doc_id"), h.as("h"))
@@ -824,7 +844,6 @@ object CurationQueries {
         Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
         .cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
-      .orderBy(col("shard"), col("pos"))
   }
 
   /** Target shard payload for [[trainingShuffle]]: ~docs per shard

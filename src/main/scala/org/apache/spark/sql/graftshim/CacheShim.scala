@@ -104,11 +104,20 @@ object CacheShim {
     // already loaded) still races if the parent builds first — the
     // parent's job computes the intermediate inline, whose
     // independent stages hit the unbuilt grandchild concurrently.
+    // Computed as an iterative BFS with a visited set — no
+    // path-dependent pruning, so the memoized closure is the same for
+    // every caller (a recursive `-- onPath` variant would cache a
+    // mid-path-pruned closure and silently reuse it for other roots),
+    // and termination holds even on a (never-expected) cyclic graph.
     val closure = collection.mutable.Map.empty[Int, Set[Int]]
-    def reach(k: Int, onPath: Set[Int]): Set[Int] =
+    def reach(k: Int): Set[Int] =
       closure.getOrElse(k, {
-        val direct = byId(k)._3 -- onPath // acyclic by construction; defensive
-        val r = direct ++ direct.flatMap(d => reach(d, onPath + k))
+        var r = Set.empty[Int]
+        var frontier = byId(k)._3.toList
+        while (frontier.nonEmpty) {
+          val d = frontier.head; frontier = frontier.tail
+          if (d != k && !r.contains(d)) { r += d; frontier = byId(d)._3.toList ::: frontier }
+        }
         closure(k) = r
         r
       })
@@ -117,7 +126,7 @@ object CacheShim {
     }: _*)
     val built = collection.mutable.ListBuffer.empty[String]
     while (pending.nonEmpty) {
-      val ready = pending.find(k => reach(k, Set(k)).forall(d => !pending.contains(d)))
+      val ready = pending.find(k => reach(k).forall(d => !pending.contains(d)))
         .getOrElse(pending.head) // acyclic by construction; defensive
       pending -= ready
       val b = byId(ready)._1

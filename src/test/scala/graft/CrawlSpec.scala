@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CrawlOps
+import graft.plans.BpeMerges
+import graft.queries.CrawlQueries
+
+/** Crawl-extraction family locks (q162–q164): the sanitizer ordering
+  * and link-density edges of the HTML strip, the scheme-aware port
+  * cases of URL canonicalization, the TRUE-loop-order contract of the
+  * BPE apply, and the families' plan shapes (stateless scans; one
+  * keyed agg for the host rollup).
+  */
+class CrawlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).head.get(0)
+
+  private def extract(html: String): (String, Long, Long) = {
+    val r = Seq(1).toDF("x")
+      .select(CrawlOps.extractMainText(lit(html)).as("e"))
+      .select($"e.clean_text", $"e.n_blocks_kept", $"e.n_blocks_dropped").head
+    (r.getString(0), r.getLong(1), r.getLong(2))
+  }
+
+  // ---- q162: HTML main-text extraction ----
+
+  test("entities decode AFTER tag strip: escaped tags survive as text") {
+    // if decode ran first, '&lt;script&gt;' would become a real tag and
+    // be stripped (or worse, swallow the rest) — the sanitizer bug
+    val (txt, kept, dropped) = extract(
+      "<p>&lt;script&gt;x&lt;/script&gt; hello world from a long enough paragraph</p>")
+    assert(txt == "<script>x</script> hello world from a long enough paragraph")
+    assert(kept == 1L && dropped == 0L)
+  }
+
+  test("head, script, style and comments are stripped wholesale") {
+    val (txt, kept, _) = extract(
+      "<html><head><title>T</title><style>p{}</style></head><body>" +
+        "<!-- note --><script>var a='</p>';</script>" +
+        "<p>only the body paragraph text remains here</p></body></html>")
+    assert(txt == "only the body paragraph text remains here")
+    assert(kept == 1L)
+  }
+
+  test("link-density: all-links nav drops, in-prose link keeps, boundary is <=") {
+    val (txt, kept, dropped) = extract(
+      "<div><a href='/'>Home</a> <a href='/a'>About</a></div>" +
+        "<p>prose with one <a href='/r'>link</a> inside a long paragraph body</p>")
+    assert(txt == "prose with one link inside a long paragraph body")
+    assert(kept == 1L && dropped == 1L)
+    // exactly at the 1/3 boundary: 12 link chars, 36 text chars (11 +
+    // space + 12 + space + 11 — tag strip inserts the spaces) → kept
+    val (t2, k2, d2) = extract("<p>abcdefghijk<a href='x'>linkedtxtabc</a>abcdefghijk</p>")
+    assert(t2.length == 36 && k2 == 1L && d2 == 0L, s"got '$t2' $k2/$d2")
+    // one char fewer of plain text → over the boundary → dropped
+    val (_, k3, d3) = extract("<p>abcdefghijk<a href='x'>linkedtxtabc</a>abcdefghij</p>")
+    assert(k3 == 0L && d3 == 1L)
+  }
+
+  test("tag-only fragments count as neither kept nor dropped") {
+    val (txt, kept, dropped) = extract("<div></div><p>real paragraph text here</p></body></html>")
+    assert(txt == "real paragraph text here")
+    assert(kept == 1L && dropped == 0L)
+  }
+
+  // ---- q163: URL canonicalization ----
+
+  private def canon(url: String): Any = one(CrawlOps.canonicalUrl(lit(url)))
+
+  test("canonicalization: case, www, tracking params, sort, fragment, trailing slash") {
+    assert(canon("HTTP://WWW.Foo.Example.COM:80/A/b/?utm_source=x&z=2&a=3#frag")
+      == "http://foo.example.com/A/b?a=3&z=2")
+  }
+
+  test("default ports drop only for the matching scheme") {
+    assert(canon("https://h.example.com:443/x") == "https://h.example.com/x")
+    assert(canon("http://h.example.com:80/x") == "http://h.example.com/x")
+    // the cross cases: non-default for THAT scheme → kept
+    assert(canon("http://h.example.com:443/x") == "http://h.example.com:443/x")
+    assert(canon("https://h.example.com:80/x") == "https://h.example.com:80/x")
+    assert(canon("https://h.example.com:8080/x") == "https://h.example.com:8080/x")
+  }
+
+  test("root path normalizes to '/', empty query drops, malformed → NULL") {
+    assert(canon("https://h.example.com") == "https://h.example.com/")
+    assert(canon("https://h.example.com/?utm_only=1") == "https://h.example.com/")
+    assert(canon("not a url") == null)
+  }
+
+  // ---- q164: BPE apply ----
+
+  private def bpe(text: String): String =
+    one(BpeMerges.bpeEncode(lit(text))).asInstanceOf[String]
+
+  test("true loop order: the rank inversion fully merges 'scan'") {
+    // (c,a) ranks AFTER (s,ca), yet must fire FIRST to enable it
+    assert(bpe("scan") == "scan")
+    // the once-per-merge shortcut, replayed here, diverges — proving
+    // the engine cannot take it and the table exercises the case
+    val shortcut = BpeMerges.default.foldLeft("s c a n".split(" ").toList) {
+      case (toks, (a, b)) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < toks.length)
+          if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += toks(i); i += 1 }
+        out.toList
+    }.mkString(" ")
+    assert(shortcut == "s ca n", s"shortcut gave '$shortcut'")
+    assert(shortcut != bpe("scan"))
+  }
+
+  test("merges apply lowest-rank-first and exhaustively; unknown pairs stay") {
+    assert(bpe("table") == "table")
+    assert(bpe("window") == "window")
+    assert(bpe("the") == "t h e") // no applicable merges
+    assert(bpe("data") == "d a ta") // partial merge only
+    assert(bpe("order merge") == "o r d er m er g e") // (e,r) everywhere
+  }
+
+  test("whitespace runs split words; empties vanish; output is replayable") {
+    assert(bpe("scan  the") == "scan t h e")
+    assert(bpe(" scan ") == "scan")
+    assert(bpe("") == "")
+  }
+
+  // ---- plan shapes: the 100 TB contract ----
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q162/q164 are stateless scans: no exchange before the presentation sort") {
+    for (q <- Seq(CrawlQueries.htmlExtract(spark, dir),
+        CrawlQueries.bpeApply(spark, dir))) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"extraction must not shuffle:\n${p.take(600)}")
+      assert(!p.contains("Window"), p.take(300))
+    }
+  }
+
+  test("q163: keyed rollup with map-side partial combine, no extra exchange") {
+    val p = plan(CrawlQueries.urlCanonicalize(spark, dir))
+    // count_distinct expands to the standard two-level plan: partial
+    // agg by (host, canon) → exchange → merge → exchange on host —
+    // the second exchange carries ALREADY-DEDUPED keys (≤ one row per
+    // distinct url), so it is scan-size-independent. Anything beyond
+    // those two means the canonicalization itself started shuffling.
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"host rollup = distinct pair only, saw $exchanges:\n${p.take(900)}")
+    assert(p.contains("partial_count"), "map-side partial aggregation expected\n" + p.take(600))
+  }
+
+  test("q164: the BPE scan stays inside whole-stage codegen") {
+    // a CodegenFallback expression would break the codegen span
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.plans.BpeEncode]))
+    val df = CrawlQueries.bpeApply(spark, dir)
+    df.collect() // AQE: codegen spans materialize only in the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    // '*(n)' is the WholeStageCodegen span marker in the compact plan
+    // string — the projection computing bpe_encode must carry one
+    assert(p.linesIterator.exists(l => l.contains("bpe_encode") && l.contains("*(")),
+      s"bpe_encode projection not inside a codegen span:\n${p.take(700)}")
+  }
+}

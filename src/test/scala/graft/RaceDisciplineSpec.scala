@@ -119,8 +119,15 @@ class RaceDisciplineSpec extends AnyFunSuite {
     val multiUse = Staging.cacheUse(top).collect { case (n, occ, _) if occ >= 2 => n }
     assert(multiUse.size == 2, s"expected P and G multi-use, got: ${Staging.cacheUse(top)}")
     val Seq(pName, gName) = multiUse // discovery order: top-level P, then nested G
+    // pinMultiUse reports 120-char truncated names; the indexOf order
+    // comparison below is only meaningful if the two names differ —
+    // guard against a future refactor giving P and G a shared prefix.
+    assert(pName != gName,
+      s"cache names must be distinct for the order assertion: $multiUse")
     val builtOrder = CacheShim.pinMultiUse(top)
     assert(builtOrder.size == 2, s"expected 2 builds, got $builtOrder")
+    assert(builtOrder.distinct.size == builtOrder.size,
+      s"built names must be unique for indexOf comparison: $builtOrder")
     assert(builtOrder.indexOf(gName) < builtOrder.indexOf(pName),
       s"grandchild must build before parent: built $builtOrder")
     assert(Staging.unpinnedMultiUse(top).isEmpty)

@@ -37,8 +37,10 @@ class StreamRecoverySpec extends AnyFunSuite {
   private def addFile(dir: Path, name: String, rows: Seq[Tick]): Unit = {
     val tmp = Files.createTempDirectory("stage")
     rows.toDF().coalesce(1).write.mode("overwrite").json(tmp.toString)
-    val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+    val listing = Files.list(tmp) // stream holds a directory handle — close it
+    val part = try listing.toArray.map(_.asInstanceOf[Path])
       .find(_.getFileName.toString.endsWith(".json")).get
+    finally listing.close()
     Files.move(part, dir.resolve(name))
   }
 

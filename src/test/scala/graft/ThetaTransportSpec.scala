@@ -104,6 +104,13 @@ class ThetaTransportSpec extends AnyFunSuite {
     // the static map sees every fetch. (Under a forked-executor
     // master the counts would be per-executor — this spec pins the
     // retry contract, which is master-independent, on local.)
+    // NOTE: the counter (and TransportRegistry itself) is JVM-global
+    // mutable state. Safe because ScalaTest runs tests WITHIN a suite
+    // sequentially (no ParallelTestExecution here) and every suite
+    // registers under its own unique transport name; a second suite
+    // clearing THIS counter concurrently would break the asserts —
+    // keep `perDay` private to this spec.
+    val nDays = 3 // drives BOTH the scan option and the count asserts below
     val perDay = ThetaTransportSpec.perDay
     perDay.clear()
     TransportRegistry.register("spec-flaky", new DayTransport {
@@ -118,7 +125,8 @@ class ThetaTransportSpec extends AnyFunSuite {
     try {
       def read(t: Option[String]) = {
         val r = spark.read.format("graft.sources.dsv2.ThetaCsvSource")
-          .option("root", "AAPL").option("days", "3").option("start", "2024-01-02")
+          .option("root", "AAPL").option("days", nDays.toString)
+          .option("start", "2024-01-02")
         // client-side sort: an orderBy would add a RangePartitioner
         // SAMPLE pass over the scan, fetching every day twice
         t.fold(r)(n => r.option("transport", n)).load()
@@ -128,7 +136,8 @@ class ThetaTransportSpec extends AnyFunSuite {
         "flaky-then-ok transport must yield the clean fixture rows")
       // vacuity guard first: an empty map means the counter stopped
       // being shared with the tasks and the count assert proves nothing
-      assert(perDay.size() == 3, s"expected 3 counted days, got ${perDay.size()}")
+      assert(perDay.size() == nDays,
+        s"expected $nDays counted days, got ${perDay.size()}")
       assert(perDay.values().stream().allMatch(_.get() == 3),
         "each day must have been fetched exactly 3 times")
     } finally TransportRegistry.remove("spec-flaky")
