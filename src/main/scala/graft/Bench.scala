@@ -86,7 +86,13 @@ object Bench {
     // partition grows with the corpus here; sub-linear wall means
     // the 8-task sort is not yet the bottleneck, and past 8·100k
     // docs k itself grows)
-    "q161_training_shuffle")
+    "q161_training_shuffle",
+    // round 18 (driver): the two compute-densest crawl extractions —
+    // the HTML strip is ~20 regex passes/row and the BPE apply an
+    // O(word²·merges) worst-case loop; both must stay linear map-only
+    // scans, so their sf1 ratio guards the kernel-spread shape (the
+    // URL family rides the same scan and is strictly cheaper)
+    "q162_html_extract", "q164_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

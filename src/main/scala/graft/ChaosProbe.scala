@@ -65,6 +65,12 @@ object ChaosProbe {
     val master = SessionDefaults.master(cpus)
     require(master.startsWith("local-cluster"),
       s"ChaosProbe needs forked executors: GRAFT_MASTER=local-cluster[...], got $master")
+    // Snapshot BEFORE the session forks its fleet: backend JVMs
+    // orphaned by earlier (killed) sessions on this box must never be
+    // offered to the killer — shooting a zombie registers no
+    // executor-removed event and the run fails its own vacuity guard
+    // instead of attesting anything.
+    val preexisting = executorPids().toSet
     val spark = SessionDefaults.masterConfigs(master).foldLeft(
       SessionDefaults(SparkSession.builder().master(master))
         .config("spark.sql.shuffle.partitions", cpus)
@@ -90,12 +96,13 @@ object ChaosProbe {
         if (e.stageInfo.attemptNumber() > 0) stageReattempts.incrementAndGet()
     })
 
+    def fleetPids(): Seq[Long] = executorPids().filterNot(preexisting)
     def waitForFleet(n: Int): Unit = {
       val deadline = System.nanoTime() + 120e9.toLong
-      while (executorPids().size < n && System.nanoTime() < deadline)
+      while (fleetPids().size < n && System.nanoTime() < deadline)
         Thread.sleep(250)
-      require(executorPids().size >= n,
-        s"fleet never reached $n executors: ${executorPids()}")
+      require(fleetPids().size >= n,
+        s"fleet never reached $n executors: ${fleetPids()}")
     }
     val fleetSize = master.drop("local-cluster[".length).takeWhile(_ != ',').toInt
     waitForFleet(fleetSize)
@@ -121,8 +128,11 @@ object ChaosProbe {
         val deadline = System.nanoTime() + 60e9.toLong
         while (tasksStarted.get() < 8 && System.nanoTime() < deadline)
           Thread.sleep(10)
-        Thread.sleep(math.max(150L, (wallHealthy * 1000 / 4).toLong))
-        executorPids().headOption.foreach { pid =>
+        // fire EARLY in the run: chaos runs are warm (often 2-3×
+        // faster than the healthy pass), so healthy/4 can land in the
+        // job's final second and the removal event races the finish
+        Thread.sleep(math.max(300L, (wallHealthy * 1000 / 8).toLong))
+        fleetPids().headOption.foreach { pid =>
           ProcessHandle.of(pid).ifPresent { h =>
             if (h.destroyForcibly()) killedPid.set(pid)
           }
@@ -136,6 +146,12 @@ object ChaosProbe {
       val chaos = canonicalHash(fn(spark, sfDir).collect())
       val wallChaos = (System.nanoTime() - t1) / 1e9
       killer.join(90000)
+      // the master's executor-removed event is asynchronous — a kill
+      // landing in the job's last second reports a beat after collect
+      val graceDeadline = System.nanoTime() + 15e9.toLong
+      while (killedPid.get() > 0 && executorsRemoved.get() == 0 &&
+          System.nanoTime() < graceDeadline)
+        Thread.sleep(200)
       spark.catalog.clearCache()
 
       val equal = healthy == chaos

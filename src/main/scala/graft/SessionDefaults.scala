@@ -212,7 +212,17 @@ object SessionDefaults {
     System.setProperty("derby.system.home", derby.getAbsolutePath)
     profileConfigs().foldLeft(
       b.config("spark.sql.warehouse.dir",
-        new java.io.File("target/spark-warehouse").toURI.toString)) {
+        new java.io.File("target/spark-warehouse").toURI.toString)
+        // Reliable-checkpoint home for [[graft.operators.Checkpoints]]
+        // (the cluster profile's executor-loss-tolerant lineage cut —
+        // the r18 chaos finding). Valid here because every
+        // local-cluster executor shares this filesystem; a multi-NODE
+        // deployment overrides it with a DFS path. The cleaner conf
+        // lets superseded loop-round checkpoints delete their files
+        // once the driver GCs the RDD reference.
+        .config("spark.checkpoint.dir",
+          new java.io.File("target/checkpoints").toURI.toString)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")) {
       case (bb, (k, v)) => bb.config(k, v)
     }
   }

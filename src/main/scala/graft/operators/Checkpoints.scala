@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+import graft.SessionDefaults
+
+/** Deploy-aware lineage cut for the engine's bounded loop/training
+  * frames (the [[Components]] round frames, the k-means/PQ training
+  * frames, the token-budget bucket table).
+  *
+  * These frames MUST materialize with truncated lineage — a persist
+  * alone leaves the iterative plan doubling per round, and training
+  * samples must freeze so a recompute can never silently diverge
+  * mid-query. But HOW they materialize is a deploy decision, and the
+  * r18 chaos probe measured why: `localCheckpoint` stores its blocks
+  * on whichever executors computed them, replication 1, with lineage
+  * GONE — so one lost executor JVM makes the block unrecoverable and
+  * aborts the whole job ([CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND] on
+  * q160's training frame under a deliberate mid-query executor kill,
+  * CHAOS_r18.md). On a 1000-executor fleet an executor loss is a
+  * weekly event, not a chaos experiment.
+  *
+  *  - `cluster` profile (forked/remote executors): RELIABLE
+  *    `checkpoint` — files under `spark.checkpoint.dir`
+  *    ([[SessionDefaults]] defaults it to target/checkpoints for the
+  *    shared-filesystem local-cluster topology; a multi-node deploy
+  *    sets a DFS path). Any executor can read them, any loss is
+  *    survivable. The frames are bounded by construction (edge-sized
+  *    loop rounds, ≤100k-row training samples), so the file I/O is
+  *    corpus-size-independent.
+  *  - `local` profile: `localCheckpoint` — an in-process master
+  *    cannot lose an executor, so the memory-speed path is safe
+  *    exactly where it is used.
+  */
+object Checkpoints {
+
+  def stable[T](ds: Dataset[T]): Dataset[T] = stable(ds, reliable())
+
+  def stable[T](ds: Dataset[T], reliable: Boolean): Dataset[T] =
+    if (reliable) ds.checkpoint(eager = true)
+    else ds.localCheckpoint(eager = true)
+
+  /** Reliable iff the deploy profile models remote executors. */
+  def reliable(): Boolean = !SessionDefaults.localProfile()
+}

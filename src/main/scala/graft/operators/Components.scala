@@ -40,12 +40,15 @@ import org.apache.spark.sql.functions._
   *
   * Distribution shape (both tiers): per round, one or two min
   * aggregates plus equi-joins on the node key — no driver-side
-  * graph, no collect. Every round's frame is `localCheckpoint`ed:
-  * persist alone would leave the LOGICAL plan doubling every round
-  * (the classic iterative-join blowup), while the checkpoint
-  * truncates lineage so round N's plan is flat regardless of N. A
-  * fault-tolerant cluster deployment would use `checkpoint` with a
-  * reliable dir; the loop shape is identical.
+  * graph, no collect. Every round's frame materializes with CUT
+  * lineage ([[Checkpoints.stable]]): persist alone would leave the
+  * LOGICAL plan doubling every round (the classic iterative-join
+  * blowup), while the checkpoint truncates lineage so round N's plan
+  * is flat regardless of N. The cut is deploy-aware — localCheckpoint
+  * under the in-process local profile, a RELIABLE checkpoint under
+  * the cluster profile, because a lineage-less local block lost with
+  * a dead executor is unrecoverable (the r18 chaos finding,
+  * CHAOS_r18.md).
   *
   * Stage sizing: every frame in the loop is node/edge-cardinality —
   * known-small relative to the corpus (pairs are LSH-capped
@@ -91,7 +94,10 @@ object Components {
   private def lastEscalated_=(v: Boolean): Unit = lastEscalatedTL.set(v)
   private def lastStarRounds_=(v: Int): Unit = lastStarRoundsTL.set(v)
 
-  /** Eagerly free a SUPERSEDED `localCheckpoint`'s cached blocks: the
+  /** Eagerly free a SUPERSEDED checkpoint's cached blocks (under the
+    * cluster profile's RELIABLE checkpoints the data lives as files —
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` deletes them
+    * on driver GC and this unpersist is a harmless no-op): the
     * checkpointed Dataset's plan is a `LogicalRDD` over the persisted
     * internal RDD, and `Dataset.unpersist` only consults the cache
     * manager (it ignores checkpoint storage), so without this the
@@ -151,7 +157,7 @@ object Components {
       .repartition(w, $"a")
       .groupBy($"a").agg(min($"b").as("nbr_min"))
       .select($"a".as("id"), least($"a", $"nbr_min").as("comp"))
-      .localCheckpoint(true)
+      .transform(Checkpoints.stable(_))
     // the round's CHECKPOINTED frame (labels is its projection from
     // round 2 on) — tracked so each superseded round's blocks are
     // freed eagerly instead of accumulating until driver GC
@@ -178,7 +184,7 @@ object Components {
             coalesce($"comp2", $"comp")).as("comp"),
           $"comp".as("prev"))
         .repartition(w, $"id")
-        .localCheckpoint(true)
+        .transform(Checkpoints.stable(_))
       labels = next.select($"id", $"comp")
       round += 1
       // convergence probe: one tiny existence scan per round (the q25
@@ -232,7 +238,7 @@ object Components {
       .filter($"a" =!= $"b")
       .repartition(w, $"a")
       .dropDuplicates(Seq("a", "b"))
-    var cur = canon(und).localCheckpoint(true)
+    var cur = canon(und).transform(Checkpoints.stable(_))
     var curCount = cur.count()
     var round = 0
     var converged = curCount == 0 // edge-less input: nothing to do
@@ -246,7 +252,7 @@ object Components {
       val ls = canon(
         lsHalf.select($"x".as("a"), $"y".as("b"))
           .unionByName(lsHalf.select($"y".as("a"), $"x".as("b"))))
-        .localCheckpoint(true)
+        .transform(Checkpoints.stable(_))
       // SMALL-STAR: orient each edge to its larger endpoint; reducer
       // at `a` over its smaller neighbors S(a) emits (v, min(S(a)))
       // for v ∈ S(a) ∪ {a}.
@@ -258,7 +264,7 @@ object Components {
       val ss = canon(
         ssHalf.select($"x".as("a"), $"y".as("b"))
           .unionByName(ssHalf.select($"y".as("a"), $"x".as("b"))))
-        .localCheckpoint(true)
+        .transform(Checkpoints.stable(_))
       // ss is materialized; the large-star intermediate is dead.
       freeCheckpoint(ls)
       // Fixed point: the round left the edge set unchanged. Count
@@ -285,7 +291,7 @@ object Components {
       .unionByName(
         oriented.select($"b".as("id"), $"b".as("comp"))
           .repartition(w, $"id").dropDuplicates(Seq("id")))
-      .localCheckpoint(true)
+      .transform(Checkpoints.stable(_))
     freeCheckpoint(cur) // out is materialized; the edge set is dead
     out
   }

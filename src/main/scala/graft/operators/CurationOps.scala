@@ -389,10 +389,11 @@ object CurationOps {
     * sum — a single-reducer window, the one shape that cannot scale.
     * This runs it as: (1) one grouped aggregate of token totals per
     * score BUCKET — the caller passes a ROUNDED score, so the bucket
-    * table is bounded by score granularity; it is localCheckpoint-ed
-    * before the broadcast hint so the bound is the MATERIALIZED row
-    * count, not a promise (the q97 centroid discipline, enforced by
-    * PlanSpec's broadcast audit); (2) an exclusive prefix sum over
+    * table is bounded by score granularity; it is checkpointed
+    * ([[Checkpoints.stable]] — deploy-aware lineage cut) before the
+    * broadcast hint so the bound is the MATERIALIZED row count, not a
+    * promise (the q97 centroid discipline, enforced by PlanSpec's
+    * broadcast audit); (2) an exclusive prefix sum over
     * that tiny table; (3) every non-boundary bucket decides by pure
     * comparison (`prefix + bucket_total ≤ budget` keeps the whole
     * bucket, `prefix ≥ budget` drops it) — NO window touches those
@@ -427,7 +428,7 @@ object CurationOps {
     val cum = buckets
       .withColumn("__prev", sum(col("__btok")).over(wCum) - col("__btok"))
       .crossJoin(broadcast(total))
-      .localCheckpoint()
+      .transform(Checkpoints.stable(_))
     val budget = expr(s"__tot * $budgetPercent div 100")
     val joined = base.join(broadcast(cum), Seq("score"))
     val decided = joined

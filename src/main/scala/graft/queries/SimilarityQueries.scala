@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Checkpoints
 import graft.functions.VectorOps._
 
 /** Similarity-search operator family over the `embeddings` table
@@ -409,7 +410,7 @@ object SimilarityQueries {
     val trainWidth = graft.operators.Components.defaultLoopWidth(s)
     val nVec = Tables.load(s, dir, "embeddings").count()
     val sample = trainingSample(emb, nVec)
-      .repartition(trainWidth, $"vec_id").localCheckpoint()
+      .repartition(trainWidth, $"vec_id").transform(Checkpoints.stable(_))
     // Farthest-first seeds, computed in ONE task over the staged
     // sample (k sequential Spark jobs of ~500 rows each would pay
     // ~k job launches for no parallelism — the sample is single-node
@@ -455,7 +456,7 @@ object SimilarityQueries {
         }
       }
       .toDF("ccid", "cvec")
-      .localCheckpoint()
+      .transform(Checkpoints.stable(_))
     // Lloyd: assign sample to nearest centroid, recenter, repeat
     var cent = seeds
     for (_ <- 1 to iters) {
@@ -479,7 +480,7 @@ object SimilarityQueries {
         .select($"ccid", transform($"cvec0", x =>
           round(x.cast("double") / sqrt($"csq".cast("double")) * lit(1e6))
             .cast("long")).as("cvec"))
-        .localCheckpoint()
+        .transform(Checkpoints.stable(_))
     }
     // search: the q33 inverted-file restriction, learned quantizer
     val withN = emb.withColumn("nsq", intNormSq($"q"))
@@ -798,7 +799,7 @@ object SimilarityQueries {
     * `array<struct<sub,ccid,cvec>>` column (M×KS rows — bounded by
     * construction, the same class as catalog metadata), sub-major /
     * ccid-ascending: ADC `element_at` indexing relies on that order.
-    * Training-loop frames are bounded by design and localCheckpoint'd
+    * Training-loop frames are bounded by design and lineage-cut (Checkpoints.stable — reliable under the cluster profile, the r18 chaos rule)
     * at the narrow shared loop width; the terminal frame is collected
     * here, so no unmaterialized cache outlives the call.
     */
@@ -806,7 +807,7 @@ object SimilarityQueries {
       M: Int, D: Int, KS: Int, iters: Int): org.apache.spark.sql.Column = {
     import s.implicits._
     val trainWidth = graft.operators.Components.defaultLoopWidth(s)
-    val sample = sample0.localCheckpoint()
+    val sample = sample0.transform(Checkpoints.stable(_))
     // Per-subspace farthest-first seeds, one task over the staged
     // sample (single-node by design — see ivfKmeans' seeding note).
     val seeds = sample
@@ -850,7 +851,7 @@ object SimilarityQueries {
           out.result().iterator
         }
       }
-      .toDF("sub", "ccid", "cvec").localCheckpoint()
+      .toDF("sub", "ccid", "cvec").transform(Checkpoints.stable(_))
     // Lloyd on the sample subvectors, all M subspaces per pass. The
     // exploded subvector table is static across iterations — staged
     // once, partitioned by the assignment key so every iteration's
@@ -859,7 +860,7 @@ object SimilarityQueries {
       .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("sub"), $"v")
       .select($"vec_id", $"sub", slice($"v", $"sub" * D + 1, lit(D)).as("sv"))
       .repartition(trainWidth, $"vec_id")
-      .localCheckpoint()
+      .transform(Checkpoints.stable(_))
     var cent = seeds
     for (_ <- 1 to iters) {
       val assign = ssub.join(broadcast(cent), Seq("sub"))
@@ -877,7 +878,7 @@ object SimilarityQueries {
         .groupBy($"sub", $"ccid")
         .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
           x => round(x("c")).cast("long")).as("cvec"))
-        .localCheckpoint()
+        .transform(Checkpoints.stable(_))
     }
     // Collect the bounded codebook (M×KS rows) → one literal column.
     val book: Map[Int, Seq[(Int, Array[Long])]] = cent
