@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.Dataset
 
-import graft.SessionDefaults
-
 /** Deploy-aware lineage cut for the engine's bounded loop/training
   * frames (the [[Components]] round frames, the k-means/PQ training
   * frames, the token-budget bucket table).
@@ -20,26 +18,30 @@ import graft.SessionDefaults
   * CHAOS_r18.md). On a 1000-executor fleet an executor loss is a
   * weekly event, not a chaos experiment.
   *
-  *  - `cluster` profile (forked/remote executors): RELIABLE
-  *    `checkpoint` — files under `spark.checkpoint.dir`
-  *    ([[SessionDefaults]] defaults it to target/checkpoints for the
-  *    shared-filesystem local-cluster topology; a multi-node deploy
-  *    sets a DFS path). Any executor can read them, any loss is
-  *    survivable. The frames are bounded by construction (edge-sized
-  *    loop rounds, ≤100k-row training samples), so the file I/O is
-  *    corpus-size-independent.
-  *  - `local` profile: `localCheckpoint` — an in-process master
-  *    cannot lose an executor, so the memory-speed path is safe
-  *    exactly where it is used.
+  *  - remote-executor masters (`local-cluster`, standalone, YARN,
+  *    K8s — `sparkContext.isLocal == false`): RELIABLE `checkpoint`
+  *    — files under `spark.checkpoint.dir` ([[SessionDefaults]]
+  *    defaults it to target/checkpoints for the shared-filesystem
+  *    local-cluster topology; a multi-node deploy sets a DFS path).
+  *    Any executor can read them, any loss is survivable. The frames
+  *    are bounded by construction (edge-sized loop rounds, ≤100k-row
+  *    training samples), so the file I/O is corpus-size-independent.
+  *  - in-process masters (`local[n]`): `localCheckpoint` — the
+  *    driver JVM cannot lose an executor, so the memory-speed path
+  *    is safe exactly where it is used.
+  *
+  * The switch is the MASTER (a runtime fact), not the GRAFT_DEPLOY
+  * planner profile: a cluster-profile bench on local[32] would
+  * otherwise pay real file I/O against a risk that structurally
+  * cannot occur, and a local-profile run on a real fleet would carry
+  * the unrecoverable-block hole.
   */
 object Checkpoints {
 
-  def stable[T](ds: Dataset[T]): Dataset[T] = stable(ds, reliable())
+  def stable[T](ds: Dataset[T]): Dataset[T] =
+    stable(ds, !ds.sparkSession.sparkContext.isLocal)
 
   def stable[T](ds: Dataset[T], reliable: Boolean): Dataset[T] =
     if (reliable) ds.checkpoint(eager = true)
     else ds.localCheckpoint(eager = true)
-
-  /** Reliable iff the deploy profile models remote executors. */
-  def reliable(): Boolean = !SessionDefaults.localProfile()
 }
