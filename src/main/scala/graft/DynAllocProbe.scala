@@ -90,12 +90,21 @@ object DynAllocProbe {
     val requery = fn(spark, sfDir).collect()
     val requeryOk = ChaosProbe.canonicalHash(requery) == steadyHash
 
+    // vacuity guards (the ThetaTransportSpec rule): the probe claims
+    // "under ramp-up" and "after decay" — both trajectories must have
+    // actually HAPPENED or the three hash checks attest nothing
+    // dynamic-allocation-specific
+    val ramped = added.get() >= 2 // beyond the single initial executor
+    val decayed = removed.get() > 0 // idle decommission actually fired
+
     println(s"""{"metric":"dynalloc_probe","dp_at_start":$dp0,""" +
       s""""compute_width":$width,"spread_partitions":$spreadParts,""" +
       s""""width_pinned":$widthPinned,"execs_added":${added.get()},""" +
-      s""""execs_removed":${removed.get()},"hash_equal":$hashEqual,""" +
+      s""""execs_removed":${removed.get()},"ramped":$ramped,""" +
+      s""""decayed":$decayed,"hash_equal":$hashEqual,""" +
       s""""requery_ok":$requeryOk}""")
     spark.stop()
-    if (!widthPinned || !hashEqual || !requeryOk) sys.exit(1)
+    if (!widthPinned || !hashEqual || !requeryOk || !ramped || !decayed)
+      sys.exit(1)
   }
 }

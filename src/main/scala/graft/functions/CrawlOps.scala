@@ -103,13 +103,24 @@ object CrawlOps {
     * of killing the scan, the only acceptable error contract when one
     * bad row in 100 TB of crawl would otherwise fail the stage.
     */
+  /** Authority minus userinfo (`user@` prefixes the host in the raw
+    * AUTHORITY and must not poison the grouping key), lowercased.
+    */
+  private def bareAuthority(url: Column): Column =
+    regexp_replace(lower(try_parse_url(url, lit("AUTHORITY"))), "^[^@]*@", "")
+
+  /** Host of a bare authority: strip the TRAILING `:digits` port only
+    * — an IPv6 literal's colons live inside `[...]` and a first-colon
+    * split would cut `[2001:db8::1]:8080` at `[2001`.
+    */
+  private def authorityHost(bare: Column): Column =
+    regexp_replace(regexp_replace(bare, ":[0-9]+$", ""), "^www\\.", "")
+
   def canonicalUrl(url: Column): Column = {
     val proto = lower(try_parse_url(url, lit("PROTOCOL")))
-    val authority = lower(try_parse_url(url, lit("AUTHORITY")))
-    val hostRaw = element_at(split(authority, ":", 2), 1)
-    val host = regexp_replace(hostRaw, "^www\\.", "")
-    val port = when(size(split(authority, ":", 2)) > 1,
-      element_at(split(authority, ":", 2), 2)).otherwise(lit(""))
+    val bare = bareAuthority(url)
+    val host = authorityHost(bare)
+    val port = regexp_extract(bare, ":([0-9]+)$", 1)
     val portPart = when(
       (proto === "http" && port === "80") ||
         (proto === "https" && port === "443") || port === "",
@@ -125,11 +136,10 @@ object CrawlOps {
     concat(proto, lit("://"), host, portPart, path, query)
   }
 
-  /** Canonical registrable host of a URL (lowercased, `www.`
-    * stripped) — the grouping key for host-level crawl stats.
+  /** Canonical registrable host of a URL (lowercased, userinfo and
+    * port stripped, `www.` stripped) — the grouping key for
+    * host-level crawl stats.
     */
   def canonicalHost(url: Column): Column =
-    regexp_replace(
-      element_at(split(lower(try_parse_url(url, lit("AUTHORITY"))), ":", 2), 1),
-      "^www\\.", "")
+    authorityHost(bareAuthority(url))
 }

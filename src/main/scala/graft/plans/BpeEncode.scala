@@ -135,13 +135,22 @@ object BpeMerges {
     val merges = exprs.lift(1) match {
       case None => default
       case Some(m) if m.foldable =>
-        val arr = m.eval().asInstanceOf[ArrayData]
-        (0 until arr.numElements()).map { i =>
-          arr.getUTF8String(i).toString.split(" ", 2) match {
-            case Array(a, b) => (a, b)
-            case _ => throw new IllegalArgumentException(
-              "bpe_encode merges must be 'left right' pairs")
-          }
+        m.eval() match {
+          // a NULL literal is foldable too — it must hit the clean
+          // error, not an NPE inside numElements()
+          case arr: ArrayData =>
+            (0 until arr.numElements()).map { i =>
+              val el = arr.getUTF8String(i)
+              if (el == null) throw new IllegalArgumentException(
+                "bpe_encode merges must not contain null entries")
+              el.toString.split(" ", 2) match {
+                case Array(a, b) => (a, b)
+                case _ => throw new IllegalArgumentException(
+                  "bpe_encode merges must be 'left right' pairs")
+              }
+            }
+          case _ => throw new IllegalArgumentException(
+            "bpe_encode merges must be a non-null literal array of 'left right' strings")
         }
       case Some(_) => throw new IllegalArgumentException(
         "bpe_encode merges must be a literal array of 'left right' strings")

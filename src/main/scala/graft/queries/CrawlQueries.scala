@@ -29,9 +29,21 @@ object CrawlQueries {
     * all-links footer. Boilerplate outweighs content in block count —
     * the realistic shape.
     */
+  /** Entity-escape text for embedding in the HTML fixture — what any
+    * real page does to its content, and what makes the oracle's
+    * ground truth (the RAW text) correct for ANY corpus: a document
+    * containing `<`, `>` or `&` round-trips through the engine's
+    * strip+decode back to itself instead of being eaten as a tag.
+    * `&` first, or the other two would be double-escaped.
+    */
+  private def escaped(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(text) { case (c, (ch, e)) => regexp_replace(c, s"\\$ch", e) }
+
   private def htmlFixture(docId: org.apache.spark.sql.Column,
-      text: org.apache.spark.sql.Column,
-      source: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      rawText: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val text = escaped(rawText)
     concat(
       lit("<html><head><title>Doc "), docId,
       lit("</title><style>p{margin:0}</style><script>var x=1;</script></head>"),
@@ -46,6 +58,7 @@ object CrawlQueries {
         .otherwise(lit("")),
       lit("<div class=\"footer\"><a href=\"/terms\">Terms</a>" +
         " <a href=\"/privacy\">Privacy</a></div></body></html>"))
+  }
 
   /** q162 — HTML boilerplate strip ([[CrawlOps.extractMainText]]):
     * head/script/style/comment removal, block segmentation,
@@ -166,7 +179,10 @@ object CrawlQueries {
     docs
       .select($"doc_id", BpeMerges.bpeEncode($"text").as("toks"))
       .select($"doc_id",
-        size(split($"toks", " ")).cast("long").as("n_tokens"),
+        // empty/whitespace-only text must read 0 tokens (split("")
+        // yields [""] = a phantom token that would inflate budgets)
+        when($"toks" === "", lit(0L))
+          .otherwise(size(split($"toks", " ")).cast("long")).as("n_tokens"),
         md5($"toks").as("tok_sig"))
       .orderBy($"doc_id")
   }
@@ -190,7 +206,7 @@ object CrawlQueries {
       |  ) m(rk, ma, mb)),
       |words AS (
       |  SELECT doc_id, i, w[i] AS word
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents) d,
       |  LATERAL UNNEST(generate_series(1, len(w))) AS t(i)
       |  WHERE w[i] <> ''),
       |vocab AS (SELECT DISTINCT word FROM words),
@@ -211,12 +227,14 @@ object CrawlQueries {
       |    ORDER BY rk LIMIT 1) m),
       |fin AS (
       |  SELECT word, toks FROM bpe
-      |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1)
-      |SELECT w.doc_id,
-      |  CAST(sum(len(string_split(f.toks, ' '))) AS BIGINT) AS n_tokens,
-      |  md5(string_agg(f.toks, ' ' ORDER BY w.i)) AS tok_sig
-      |FROM words w JOIN fin f USING (word)
-      |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
+      |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1),
+      |wt AS (
+      |  SELECT w.doc_id, w.i, f.toks FROM words w JOIN fin f USING (word))
+      |SELECT d.doc_id,
+      |  CAST(coalesce(sum(len(string_split(wt.toks, ' '))), 0) AS BIGINT) AS n_tokens,
+      |  md5(coalesce(string_agg(wt.toks, ' ' ORDER BY wt.i), '')) AS tok_sig
+      |FROM documents d LEFT JOIN wt ON wt.doc_id = d.doc_id
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val defs: Map[String, Q] = Map(
     "q162_html_extract" -> (htmlExtract(_, _)),

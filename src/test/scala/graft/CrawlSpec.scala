@@ -92,6 +92,16 @@ class CrawlSpec extends AnyFunSuite {
     assert(canon("not a url") == null)
   }
 
+  test("userinfo never poisons the host; IPv6 ports split at the END") {
+    assert(canon("https://alice@WWW.Example.com/x") == "https://example.com/x")
+    assert(one(CrawlOps.canonicalHost(lit("https://u@WWW.H.example.com:8443/")))
+      == "h.example.com")
+    // an IPv6 literal's colons live inside [...]: a first-colon split
+    // would cut the host at '[2001'
+    assert(canon("http://[2001:db8::1]:8080/x") == "http://[2001:db8::1]:8080/x")
+    assert(canon("http://[2001:db8::1]:80/x") == "http://[2001:db8::1]/x")
+  }
+
   // ---- q164: BPE apply ----
 
   private def bpe(text: String): String =
@@ -128,6 +138,27 @@ class CrawlSpec extends AnyFunSuite {
     assert(bpe("scan  the") == "scan t h e")
     assert(bpe(" scan ") == "scan")
     assert(bpe("") == "")
+  }
+
+  test("q162/q164 hold on adversarial corpus rows (HTML chars, empty text)") {
+    // the fixture entity-escapes its text, so the engine's
+    // strip+decode must round-trip HTML-special characters back to
+    // the raw text — the oracle's ground truth for ANY corpus
+    val tmp = java.nio.file.Files.createTempDirectory("crawl_edge").toString
+    Seq((0L, "a < b & c > d scan", "en", "src0"), (1L, "", "en", "src1"),
+        (2L, "only\ttabs\nhere", "en", "src2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val html = CrawlQueries.htmlExtract(spark, tmp).collect()
+    assert(html(0).getString(1).startsWith("a < b & c > d scan see reference"),
+      html(0).getString(1))
+    val bpeRows = CrawlQueries.bpeApply(spark, tmp).collect()
+    // empty text → ZERO tokens (not a phantom ""-token), sig = md5("")
+    assert(bpeRows(1).getLong(1) == 0L, bpeRows(1).toString)
+    assert(bpeRows(1).getString(2) == "d41d8cd98f00b204e9800998ecf8427e")
+    // \t/\n split words exactly like spaces
+    assert(bpeRows(2).getLong(1) ==
+      bpe("only tabs here").split(" ").length)
   }
 
   // ---- plan shapes: the 100 TB contract ----
