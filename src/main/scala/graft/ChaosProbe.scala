@@ -3,7 +3,6 @@ package graft
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved, SparkListenerStageSubmitted, SparkListenerTaskEnd, SparkListenerTaskStart}
-import org.apache.spark.sql.SparkSession
 
 /** Deliberate-executor-loss attestation (a `main`, like [[Bench]]):
   * under `GRAFT_MASTER=local-cluster[w,c,m]` — the only master that
@@ -16,21 +15,26 @@ import org.apache.spark.sql.SparkSession
   * re-allocates an executor, and the job completes with EXACTLY the
   * same result. DESIGN.md argued this; this probe executes it.
   *
-  * Kill discipline: the chaos thread waits until the listener has
-  * seen the query's tasks actually START (the job is mid-shuffle),
-  * then force-kills one `CoarseGrainedExecutorBackend` process chosen
-  * from the live fleet. Evidence recorded per query: executor-removed
-  * events, failed-task count, stage re-attempts, and the hash
-  * equality. The landed guard is TWO-factor (no vacuous passes, the
+  * Kill discipline: the chaos thread waits until the fleet is
+  * demonstrably BUSY (in-flight tasks > 2× executor count — a victim
+  * chosen during a one-task training stage is idle and the kill
+  * disturbs nothing), then force-kills one
+  * `CoarseGrainedExecutorBackend` chosen from THIS session's fleet
+  * (pre-session pids excluded — shooting a zombie attests nothing).
+  * The landed guard is TWO-factor (no vacuous passes, the
   * ThetaTransportSpec rule): the removal event must register AND
   * in-run task evidence must exist (failed tasks or stage
-  * re-attempts, read at collect return) — a kill landing after the
-  * job finished produces a removal with zero failed tasks and FAILS.
+  * re-attempts, drained and read after collect) — a kill landing
+  * after the job finished produces a removal with zero failed tasks
+  * and the pass is RETRIED (arranging a coincidence honestly means a
+  * miss is neither an attestation nor a failure). Counters are reset
+  * only behind a listener-bus quiescence barrier so a previous
+  * pass's late events can never masquerade as this pass's evidence.
   *
   * Prints one JSON line per query plus a summary line:
   * {"query":…,"equal":…,"killed_pid":…,"executors_removed":…,
-  *  "tasks_failed":…,"stage_reattempts":…,"wall_healthy_s":…,
-  *  "wall_chaos_s":…}
+  *  "tasks_failed":…,"stage_reattempts":…,"landed":…,"attempts":…,
+  *  "wall_healthy_s":…,"wall_chaos_s":…}
   */
 object ChaosProbe {
 
@@ -44,43 +48,17 @@ object ChaosProbe {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Live executor-backend JVMs forked by the local-cluster workers —
-    * never this driver JVM (its command line is sbt/ChaosProbe, not
-    * the backend class).
-    */
-  def executorPids(): Seq[Long] = {
-    import scala.jdk.CollectionConverters._
-    val self = ProcessHandle.current().pid()
-    ProcessHandle.allProcesses().iterator().asScala
-      .filter(p => p.pid() != self && p.isAlive)
-      .filter(_.info().commandLine().map[Boolean](
-        _.contains("CoarseGrainedExecutorBackend")).orElse(false))
-      .map(_.pid()).toSeq.sorted
-  }
+  /** Live executor-backend JVMs (see [[ProbeHarness.executorPids]]). */
+  def executorPids(): Seq[Long] = ProbeHarness.executorPids()
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q113_winnow_near_dup", "q82_dedup_clusters",
         "q102_leakage_safe_split", "q160_ivfpq_search")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val master = SessionDefaults.master(cpus)
-    require(master.startsWith("local-cluster"),
-      s"ChaosProbe needs forked executors: GRAFT_MASTER=local-cluster[...], got $master")
-    // Snapshot BEFORE the session forks its fleet: backend JVMs
-    // orphaned by earlier (killed) sessions on this box must never be
-    // offered to the killer — shooting a zombie registers no
-    // executor-removed event and the run fails its own vacuity guard
-    // instead of attesting anything.
-    val preexisting = executorPids().toSet
-    val spark = SessionDefaults.masterConfigs(master).foldLeft(
-      SessionDefaults(SparkSession.builder().master(master))
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")) {
-      case (b, (k, v)) => b.config(k, v)
-    }.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val master = ProbeHarness.requireLocalCluster("ChaosProbe")
+    val preexisting = ProbeHarness.executorPids().toSet
+    val spark = ProbeHarness.session(master)
 
     // per-run chaos telemetry
     val tasksStarted = new AtomicInteger(0)
@@ -101,16 +79,8 @@ object ChaosProbe {
         if (e.stageInfo.attemptNumber() > 0) stageReattempts.incrementAndGet()
     })
 
-    def fleetPids(): Seq[Long] = executorPids().filterNot(preexisting)
-    def waitForFleet(n: Int): Unit = {
-      val deadline = System.nanoTime() + 120e9.toLong
-      while (fleetPids().size < n && System.nanoTime() < deadline)
-        Thread.sleep(250)
-      require(fleetPids().size >= n,
-        s"fleet never reached $n executors: ${fleetPids()}")
-    }
-    val fleetSize = master.drop("local-cluster[".length).takeWhile(_ != ',').toInt
-    waitForFleet(fleetSize)
+    val fleetSize = ProbeHarness.fleetSize(master)
+    ProbeHarness.waitForFleet(preexisting, fleetSize)
 
     var allEqual = true
     val results = names.map { name =>
@@ -123,14 +93,10 @@ object ChaosProbe {
       val wallHealthy = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
 
-      // One chaos pass: kill when the fleet is demonstrably BUSY —
-      // more in-flight tasks than twice the executor count, so the
-      // victim (first fleet pid) almost surely holds running work. A
-      // kill that lands on an idle victim (or after the job) leaves
-      // zero failed tasks and fails the landed guard; the pass is
-      // then retried — we are arranging a coincidence, and an honest
-      // miss must not read as either attestation or failure.
       def chaosPass(): (Boolean, Long, Int, Int, Int, Double) = {
+        // quiescence barrier BEFORE the reset: late events of the
+        // previous pass must not count as this pass's evidence
+        ProbeHarness.drainListeners(spark)
         tasksStarted.set(0); tasksEnded.set(0); tasksFailed.set(0)
         executorsRemoved.set(0); stageReattempts.set(0)
         val killedPid = new java.util.concurrent.atomic.AtomicLong(-1L)
@@ -139,25 +105,21 @@ object ChaosProbe {
           def active = tasksStarted.get() - tasksEnded.get()
           while (active < 2 * fleetSize && System.nanoTime() < deadline)
             Thread.sleep(5)
-          fleetPids().headOption.foreach { pid =>
-            ProcessHandle.of(pid).ifPresent { h =>
-              if (h.destroyForcibly()) killedPid.set(pid)
-            }
-          }
+          killedPid.set(ProbeHarness.killOne(preexisting))
         }, s"chaos-killer-$name")
         killer.setDaemon(true)
 
         val t1 = System.nanoTime()
         killer.start()
         val chaos = canonicalHash(fn(spark, sfDir).collect())
-        // task evidence is read AT collect return: failed tasks /
-        // stage re-attempts can only come from a kill that landed
-        // mid-run — the in-run witness the async removal event
-        // cannot provide
-        val failedInRun = tasksFailed.get()
-        val reattemptsInRun = stageReattempts.get()
         val wallChaos = (System.nanoTime() - t1) / 1e9
         killer.join(90000)
+        // drain, THEN read: in-run failure events may still be queued
+        // at collect return; a post-job kill generates none, so the
+        // drained counters are exact in-run evidence either way
+        ProbeHarness.drainListeners(spark)
+        val failedInRun = tasksFailed.get()
+        val reattemptsInRun = stageReattempts.get()
         // the master's executor-removed event is asynchronous — a
         // kill in the job's last second reports a beat after collect
         val graceDeadline = System.nanoTime() + 15e9.toLong
@@ -165,7 +127,7 @@ object ChaosProbe {
             System.nanoTime() < graceDeadline)
           Thread.sleep(200)
         spark.catalog.clearCache()
-        waitForFleet(fleetSize) // re-provision before compare/retry
+        ProbeHarness.waitForFleet(preexisting, fleetSize) // re-provision
         (healthy == chaos, killedPid.get(), executorsRemoved.get(),
           failedInRun, reattemptsInRun, wallChaos)
       }

@@ -37,26 +37,16 @@ object DynAllocProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val queryName = args.drop(1).headOption.getOrElse("q82_dedup_clusters")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val master = SessionDefaults.master(cpus)
-    require(master.startsWith("local-cluster"),
-      s"DynAllocProbe needs a standalone fleet: GRAFT_MASTER=local-cluster[...], got $master")
-    val spark = SessionDefaults.masterConfigs(master).foldLeft(
-      SessionDefaults(SparkSession.builder().master(master))
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.dynamicAllocation.enabled", "true")
-        .config("spark.dynamicAllocation.shuffleTracking.enabled", "true")
-        .config("spark.dynamicAllocation.minExecutors", "1")
-        .config("spark.dynamicAllocation.initialExecutors", "1")
-        .config("spark.dynamicAllocation.maxExecutors", "4")
-        .config("spark.dynamicAllocation.executorIdleTimeout", "4s")
-        .config("spark.dynamicAllocation.shuffleTracking.timeout", "8s")
-        .config("spark.dynamicAllocation.schedulerBacklogTimeout", "1s")) {
-      case (b, (k, v)) => b.config(k, v)
-    }.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val master = ProbeHarness.requireLocalCluster("DynAllocProbe")
+    val spark = ProbeHarness.session(master, Map(
+      "spark.dynamicAllocation.enabled" -> "true",
+      "spark.dynamicAllocation.shuffleTracking.enabled" -> "true",
+      "spark.dynamicAllocation.minExecutors" -> "1",
+      "spark.dynamicAllocation.initialExecutors" -> "1",
+      "spark.dynamicAllocation.maxExecutors" -> "4",
+      "spark.dynamicAllocation.executorIdleTimeout" -> "4s",
+      "spark.dynamicAllocation.shuffleTracking.timeout" -> "8s",
+      "spark.dynamicAllocation.schedulerBacklogTimeout" -> "1s"))
 
     val added = new AtomicInteger(0)
     val removed = new AtomicInteger(0)
@@ -78,6 +68,11 @@ object DynAllocProbe {
     val fn = SparkEntry.queries.getOrElse(queryName,
       sys.error(s"unknown query $queryName"))
     val rampHash = ChaosProbe.canonicalHash(fn(spark, sfDir).collect())
+    // ramp evidence snapshots HERE (behind the bus barrier): adds
+    // counted later — the requery's own ramp, or the initial executor
+    // — must not satisfy the "scaled up during the ramp query" claim
+    ProbeHarness.drainListeners(spark)
+    val addedDuringRamp = added.get()
     spark.catalog.clearCache()
     val steadyHash = ChaosProbe.canonicalHash(fn(spark, sfDir).collect())
     spark.catalog.clearCache()
@@ -94,12 +89,14 @@ object DynAllocProbe {
     // "under ramp-up" and "after decay" — both trajectories must have
     // actually HAPPENED or the three hash checks attest nothing
     // dynamic-allocation-specific
-    val ramped = added.get() >= 2 // beyond the single initial executor
+    ProbeHarness.drainListeners(spark)
+    val ramped = addedDuringRamp >= 2 // beyond the single initial executor
     val decayed = removed.get() > 0 // idle decommission actually fired
 
     println(s"""{"metric":"dynalloc_probe","dp_at_start":$dp0,""" +
       s""""compute_width":$width,"spread_partitions":$spreadParts,""" +
-      s""""width_pinned":$widthPinned,"execs_added":${added.get()},""" +
+      s""""width_pinned":$widthPinned,"execs_added_ramp":$addedDuringRamp,""" +
+      s""""execs_added":${added.get()},""" +
       s""""execs_removed":${removed.get()},"ramped":$ramped,""" +
       s""""decayed":$decayed,"hash_equal":$hashEqual,""" +
       s""""requery_ok":$requeryOk}""")

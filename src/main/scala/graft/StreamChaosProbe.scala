@@ -5,29 +5,29 @@ import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved}
-import org.apache.spark.sql.SparkSession
 
 /** Streaming executor-loss attestation (a `main`, like [[ChaosProbe]]):
   * the state-store recovery path the batch chaos probe cannot reach.
   * StreamRecoverySpec proves state survives a query RESTART; this
-  * probe proves it survives an EXECUTOR DEATH inside one continuously
-  * running query — the failure mode where the HDFS-backed state
-  * store's in-memory maps vanish with the killed JVM and the next
-  * micro-batch must reload them from the checkpoint on surviving
-  * executors, still dropping a pre-watermark duplicate and still
-  * emitting exactly once.
+  * probe proves it survives executor DEATH inside one continuously
+  * running query — and to make the witness airtight it SIGKILLs the
+  * ENTIRE fleet between micro-batches: with every executor JVM dead,
+  * no warm in-memory state-store map can exist anywhere, so batch 2's
+  * dedup decisions can only come from state RELOADED from the
+  * checkpoint by the re-provisioned fleet. (Killing one executor
+  * would exercise the reload only when the victim happened to own the
+  * key's state partition — a ~1/fleet coincidence, i.e. a mostly
+  * vacuous pass.)
   *
   * Shape: the T3 watermark dedup over a file source. Batch 1 seeds
-  * two keys and advances the watermark; one executor is then
-  * SIGKILLed (between micro-batches — the cache-loss semantics; the
-  * removal event is grace-waited like the batch probe); batch 2
-  * replays an exact duplicate of a kept row from AHEAD of the
-  * recovered watermark plus two new keys. If state was lost the
-  * duplicate re-emits; if recovery works, exactly one row per key
+  * two keys and advances the watermark; the fleet dies; batch 2 (same
+  * running query) replays an exact duplicate of a kept row from AHEAD
+  * of the recovered watermark plus two new keys. If state was lost
+  * the duplicate re-emits; if recovery works, exactly one row per key
   * survives with batch-1's arrival winning.
   *
   * Prints one JSON line:
-  * {"metric":"stream_chaos","killed_pid":…,"executors_removed":…,
+  * {"metric":"stream_chaos","killed":…,"executors_removed":…,
   *  "keys":…,"dup_dropped":…,"exactly_once":…}
   */
 object StreamChaosProbe {
@@ -35,19 +35,9 @@ object StreamChaosProbe {
   case class Tick(ts: Timestamp, contract: String, value: Double, seq: Long)
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val master = SessionDefaults.master(cpus)
-    require(master.startsWith("local-cluster"),
-      s"StreamChaosProbe needs forked executors: GRAFT_MASTER=local-cluster[...], got $master")
-    val preexisting = ChaosProbe.executorPids().toSet
-    val spark = SessionDefaults.masterConfigs(master).foldLeft(
-      SessionDefaults(SparkSession.builder().master(master))
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")) {
-      case (b, (k, v)) => b.config(k, v)
-    }.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val master = ProbeHarness.requireLocalCluster("StreamChaosProbe")
+    val preexisting = ProbeHarness.executorPids().toSet
+    val spark = ProbeHarness.session(master)
     import spark.implicits._
 
     val removed = new AtomicInteger(0)
@@ -55,11 +45,8 @@ object StreamChaosProbe {
       override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
         removed.incrementAndGet()
     })
-    def fleetPids(): Seq[Long] =
-      ChaosProbe.executorPids().filterNot(preexisting)
-    val deadline0 = System.nanoTime() + 120e9.toLong
-    while (fleetPids().size < 4 && System.nanoTime() < deadline0)
-      Thread.sleep(250)
+    val fleetSize = ProbeHarness.fleetSize(master)
+    ProbeHarness.waitForFleet(preexisting, fleetSize)
 
     val src = Files.createTempDirectory("schaos_src")
     val ckpt = Files.createTempDirectory("schaos_ckpt")
@@ -84,7 +71,7 @@ object StreamChaosProbe {
       .option("checkpointLocation", ckpt.toString)
       .outputMode("append").start()
 
-    var killedPid = -1L
+    var killed = 0
     try {
       // batch 1: two keys; watermark advances to 10:20 - 10min = 10:10
       addFile("b1.json", Seq(
@@ -92,15 +79,19 @@ object StreamChaosProbe {
         Tick(ts("2024-01-01 10:20:00"), "B", 2.0, 2)))
       q.processAllAvailable()
 
-      // the kill: one executor's state-store cache dies with its JVM
-      fleetPids().headOption.foreach { pid =>
+      // the kill: the WHOLE fleet dies — every executor's state-store
+      // cache is gone; only the checkpoint remains
+      val victims = ProbeHarness.fleetPids(preexisting)
+      victims.foreach { pid =>
         ProcessHandle.of(pid).ifPresent { h =>
-          if (h.destroyForcibly()) killedPid = pid
+          if (h.destroyForcibly()) killed += 1
         }
       }
-      val grace = System.nanoTime() + 30e9.toLong
-      while (removed.get() == 0 && System.nanoTime() < grace)
+      val grace = System.nanoTime() + 60e9.toLong
+      while (removed.get() < killed && System.nanoTime() < grace)
         Thread.sleep(200)
+      // the master re-provisions; wait so batch 2 runs on FRESH JVMs
+      ProbeHarness.waitForFleet(preexisting ++ victims, fleetSize)
 
       // batch 2 ON THE SAME RUNNING QUERY: A's kept row replayed from
       // ahead of the watermark (must be dropped by RELOADED state),
@@ -117,8 +108,8 @@ object StreamChaosProbe {
     val keys = rows.map(_._1)
     val exactlyOnce = keys == keys.distinct && keys.sorted == Seq("A", "B", "C", "D")
     val dupDropped = rows.toMap.get("A").contains(1L)
-    val ok = exactlyOnce && dupDropped && removed.get() > 0 && killedPid > 0
-    println(s"""{"metric":"stream_chaos","killed_pid":$killedPid,""" +
+    val ok = exactlyOnce && dupDropped && removed.get() > 0 && killed == fleetSize
+    println(s"""{"metric":"stream_chaos","killed":$killed,""" +
       s""""executors_removed":${removed.get()},""" +
       s""""keys":${keys.size},"dup_dropped":$dupDropped,"exactly_once":$exactlyOnce}""")
     spark.stop()

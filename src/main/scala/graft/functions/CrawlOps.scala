@@ -105,9 +105,11 @@ object CrawlOps {
     */
   /** Authority minus userinfo (`user@` prefixes the host in the raw
     * AUTHORITY and must not poison the grouping key), lowercased.
+    * Userinfo ends at the LAST `@` — a password may itself contain
+    * `@`, so the strip is greedy.
     */
   private def bareAuthority(url: Column): Column =
-    regexp_replace(lower(try_parse_url(url, lit("AUTHORITY"))), "^[^@]*@", "")
+    regexp_replace(lower(try_parse_url(url, lit("AUTHORITY"))), "^.*@", "")
 
   /** Host of a bare authority: strip the TRAILING `:digits` port only
     * — an IPv6 literal's colons live inside `[...]` and a first-colon

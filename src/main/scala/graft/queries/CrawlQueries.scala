@@ -82,13 +82,15 @@ object CrawlQueries {
     * text (with the fixture's suffix, entities decoded), the appendix
     * when present; nav + footer (+ ads when present) are the dropped
     * blocks. Text whitespace is collapsed exactly as the engine's
-    * block normalization does.
+    * block normalization does; the outer ltrim mirrors the engine's
+    * per-block trim when the document text itself is empty or
+    * whitespace-only (the suffix then leads the block).
     */
   val htmlExtractSql: String =
     """SELECT doc_id,
-      |  trim(regexp_replace(text, '\s+', ' ', 'g'))
+      |  ltrim(trim(regexp_replace(text, '\s+', ' ', 'g'))
       |    || ' see reference notes & more <raw>'
-      |    || CASE WHEN doc_id % 3 = 0 THEN ' appendix for ' || source ELSE '' END
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' appendix for ' || source ELSE '' END)
       |    AS clean_text,
       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_blocks_kept,
       |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_blocks_dropped
@@ -177,7 +179,10 @@ object CrawlQueries {
     import s.implicits._
     val docs = Tables.loadSpread(s, dir, "documents")
     docs
-      .select($"doc_id", BpeMerges.bpeEncode($"text").as("toks"))
+      // null text behaves as empty (0 tokens, md5('')) — bpe_encode
+      // is null-propagating, and the oracle's LEFT JOIN emits 0/''
+      // for any doc with no words, so the two must agree here
+      .select($"doc_id", coalesce(BpeMerges.bpeEncode($"text"), lit("")).as("toks"))
       .select($"doc_id",
         // empty/whitespace-only text must read 0 tokens (split("")
         // yields [""] = a phantom token that would inflate budgets)

@@ -140,18 +140,23 @@ class CrawlSpec extends AnyFunSuite {
     assert(bpe("") == "")
   }
 
-  test("q162/q164 hold on adversarial corpus rows (HTML chars, empty text)") {
+  test("q162/q164 hold on adversarial corpus rows (HTML chars, empty/null text)") {
     // the fixture entity-escapes its text, so the engine's
     // strip+decode must round-trip HTML-special characters back to
     // the raw text — the oracle's ground truth for ANY corpus
     val tmp = java.nio.file.Files.createTempDirectory("crawl_edge").toString
     Seq((0L, "a < b & c > d scan", "en", "src0"), (1L, "", "en", "src1"),
-        (2L, "only\ttabs\nhere", "en", "src2"))
+        (2L, "only\ttabs\nhere", "en", "src2"),
+        (3L, null.asInstanceOf[String], "en", "src3"))
       .toDF("doc_id", "text", "lang", "source")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val html = CrawlQueries.htmlExtract(spark, tmp).collect()
     assert(html(0).getString(1).startsWith("a < b & c > d scan see reference"),
       html(0).getString(1))
+    // empty text: the suffix LEADS the block — no leading space (the
+    // oracle's outer ltrim mirrors exactly this)
+    assert(html(1).getString(1).startsWith("see reference notes & more <raw>"),
+      html(1).getString(1))
     val bpeRows = CrawlQueries.bpeApply(spark, tmp).collect()
     // empty text → ZERO tokens (not a phantom ""-token), sig = md5("")
     assert(bpeRows(1).getLong(1) == 0L, bpeRows(1).toString)
@@ -159,6 +164,14 @@ class CrawlSpec extends AnyFunSuite {
     // \t/\n split words exactly like spaces
     assert(bpeRows(2).getLong(1) ==
       bpe("only tabs here").split(" ").length)
+    // null text behaves as empty — matches the oracle's LEFT JOIN
+    assert(bpeRows(3).getLong(1) == 0L, bpeRows(3).toString)
+    assert(bpeRows(3).getString(2) == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("userinfo strip is greedy to the LAST @ (passwords may contain @)") {
+    assert(one(CrawlOps.canonicalHost(lit("http://user:p@ss@www.example.com/x")))
+      == "example.com")
   }
 
   // ---- plan shapes: the 100 TB contract ----
