@@ -498,6 +498,6 @@ object Bench {
     // 114 queries is long); persist the identical JSON where the driver
     // and later rounds can always read it.
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
-    spark.stop()
+    SessionDefaults.stopAndReap(spark)
   }
 }

@@ -154,7 +154,7 @@ object ChaosProbe {
     val failed = results.collect { case (n, eq, landed) if !eq || !landed => n }
     println(s"""{"metric":"chaos_probe","queries":${results.size},""" +
       s""""all_equal_and_landed":$allEqual,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")
-    spark.stop()
+    SessionDefaults.stopAndReap(spark)
     if (!allEqual) sys.exit(1)
   }
 }

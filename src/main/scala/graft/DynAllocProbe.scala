@@ -100,7 +100,7 @@ object DynAllocProbe {
       s""""execs_removed":${removed.get()},"ramped":$ramped,""" +
       s""""decayed":$decayed,"hash_equal":$hashEqual,""" +
       s""""requery_ok":$requeryOk}""")
-    spark.stop()
+    SessionDefaults.stopAndReap(spark)
     if (!widthPinned || !hashEqual || !requeryOk || !ramped || !decayed)
       sys.exit(1)
   }

@@ -206,6 +206,32 @@ object SessionDefaults {
   def computeWidth(s: SparkSession): Int =
     s.sessionState.conf.numShufflePartitions
 
+  /** Delete this session's reliable-checkpoint residue, then stop it —
+    * the shutdown path for every entry point (Bench, Verify, the
+    * probe mains). `spark.cleaner.referenceTracking.cleanCheckpoints`
+    * only deletes a superseded checkpoint's files when the driver GCs
+    * the RDD reference, so a long-lived driver accumulates loop-round
+    * files under `spark.checkpoint.dir` between GCs and keeps the
+    * final frames' files forever; this bounds checkpoint-dir growth
+    * deterministically at session end. Deletes ONLY the session's own
+    * per-app subdirectory (`SparkContext.setCheckpointDir` mints a
+    * UUID dir under the configured parent), so concurrent sessions
+    * sharing one parent dir are untouched. Hadoop-FS API, not
+    * java.io.File: a real deploy's checkpoint dir is a DFS path.
+    */
+  def stopAndReap(spark: SparkSession): Unit = {
+    reapCheckpoints(spark)
+    spark.stop()
+  }
+
+  def reapCheckpoints(spark: SparkSession): Unit =
+    spark.sparkContext.getCheckpointDir.foreach { d =>
+      val path = new org.apache.hadoop.fs.Path(d)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(path, true)
+      ()
+    }
+
   def apply(b: SparkSession.Builder): SparkSession.Builder = {
     val derby = new java.io.File("target/derby")
     derby.mkdirs()

@@ -88,6 +88,6 @@ object StarProbe {
     val out = java.nio.file.Paths.get("target", "star_probe.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
-    spark.stop()
+    SessionDefaults.stopAndReap(spark)
   }
 }

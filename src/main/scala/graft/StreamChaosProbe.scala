@@ -112,7 +112,7 @@ object StreamChaosProbe {
     println(s"""{"metric":"stream_chaos","killed":$killed,""" +
       s""""executors_removed":${removed.get()},""" +
       s""""keys":${keys.size},"dup_dropped":$dupDropped,"exactly_once":$exactlyOnce}""")
-    spark.stop()
+    SessionDefaults.stopAndReap(spark)
     if (!ok) sys.exit(1)
   }
 }

@@ -69,11 +69,18 @@ object CrawlOps {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  /** Characters inside `<a>…</a>` anchors of one raw block. */
+  /** VISIBLE characters inside `<a>…</a>` anchors of one raw block —
+    * each captured anchor body runs through the same tag-strip +
+    * decode + collapse pipeline as the denominator ([[blockText]]),
+    * so a markup-wrapped anchor (`<a><img src=…></a>`, nested spans)
+    * contributes its visible text only. Counting the RAW inner HTML
+    * would inflate link density with attribute/tag characters the
+    * text measure never sees and wrongly drop content blocks.
+    */
   private def linkChars(block: Column): Column =
     aggregate(
       transform(regexp_extract_all(block, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
-        t => length(t)),
+        t => length(blockText(t))),
       lit(0), (acc, n) => acc + n)
 
   /** Main-text extraction: returns

@@ -42,6 +42,21 @@ object Checkpoints {
     stable(ds, !ds.sparkSession.sparkContext.isLocal)
 
   def stable[T](ds: Dataset[T], reliable: Boolean): Dataset[T] =
-    if (reliable) ds.checkpoint(eager = true)
-    else ds.localCheckpoint(eager = true)
+    if (!reliable) ds.localCheckpoint(eager = true)
+    else {
+      // RDD.checkpoint's documented contract: the checkpoint WRITE is
+      // a SEPARATE job that re-runs the RDD's lineage, so an eager
+      // reliable checkpoint without a prior persist computes every
+      // frame TWICE (materialize job + write job). Persisting first
+      // makes the write job read the cached blocks — the pattern
+      // Spark's own RDD.checkpoint scaladoc recommends. The cache is
+      // scaffolding for that one write: the returned Dataset reads
+      // the checkpoint FILES (its plan is a flat LogicalRDD over the
+      // reliable-checkpoint RDD), so the source cache is dropped
+      // immediately after materialization. CheckpointsSpec counts the
+      // per-row evaluations to pin single-compute.
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try ds.checkpoint(eager = true)
+      finally ds.unpersist(blocking = false)
+    }
 }

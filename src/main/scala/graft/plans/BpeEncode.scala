@@ -155,6 +155,25 @@ object BpeMerges {
       case Some(_) => throw new IllegalArgumentException(
         "bpe_encode merges must be a literal array of 'left right' strings")
     }
-    BpeEncode(exprs.head, merges)
+    BpeEncode(exprs.head, requireUniquePairs(merges))
+  }
+
+  /** A merge table must rank each pair ONCE: the engine's rank map is
+    * keyed by pair, so a duplicate would silently let the LAST
+    * occurrence's rank win — the opposite of the putIfAbsent /
+    * first-occurrence semantics of standard BPE merge files (and of
+    * the DuckDB oracle's `ORDER BY rk LIMIT 1`). Rejected loudly here
+    * (the profile-typo rule) rather than deduped: a duplicated pair
+    * means the table artifact itself is malformed.
+    */
+  private[plans] def requireUniquePairs(
+      merges: Seq[(String, String)]): Seq[(String, String)] = {
+    val seen = scala.collection.mutable.HashSet.empty[(String, String)]
+    merges.foreach { p =>
+      if (!seen.add(p)) throw new IllegalArgumentException(
+        s"bpe_encode merges contain duplicate pair '${p._1} ${p._2}' — " +
+          "each pair may carry exactly one rank")
+    }
+    merges
   }
 }

@@ -47,6 +47,40 @@ class CheckpointsSpec extends AnyFunSuite {
       s"reliable checkpoint must persist recoverable files under $dirConf")
   }
 
+  test("reliable checkpoint computes the frame ONCE and drops its scaffolding persist") {
+    // RDD.checkpoint's write is a SEPARATE job re-running the lineage;
+    // without the persist every loop/training frame under a remote-
+    // executor master would compute twice. Count per-row evaluations.
+    val acc = spark.sparkContext.longAccumulator("ckpt_evals")
+    val tick = org.apache.spark.sql.functions.udf((i: Long) => { acc.add(1); i })
+    val src = spark.range(400).select(tick($"id").as("v"))
+    val out = Checkpoints.stable(src, reliable = true)
+    assert(out.count() == 400)
+    assert(acc.value == 400L,
+      s"frame evaluated ${acc.value} row-times for 400 rows — the checkpoint " +
+        "write job must read the persisted blocks, not recompute from lineage")
+    assert(src.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "the persist is scaffolding for the write job only — it must be " +
+        "unpersisted once the checkpoint files are materialized")
+  }
+
+  test("stop-time reap deletes the session's checkpoint subdir (recreatable)") {
+    val sc = spark.sparkContext
+    val appDir = sc.getCheckpointDir.get
+    assert(Checkpoints.stable(spark.range(50).toDF(), reliable = true).count() == 50)
+    val f = new java.io.File(new java.net.URI(appDir).getPath)
+    assert(f.exists(), s"reliable checkpoint should have populated $appDir")
+    SessionDefaults.reapCheckpoints(spark)
+    assert(!f.exists(), "reap must delete the per-app UUID subdir")
+    assert(f.getParentFile.exists() || !new java.io.File(
+      new java.net.URI(spark.conf.get("spark.checkpoint.dir")).getPath).exists(),
+      "reap must never delete the shared parent spark.checkpoint.dir")
+    // the NEXT reliable checkpoint re-mkdirs its path (parents included),
+    // so reaping is safe even mid-session — later frames still work
+    val again = Checkpoints.stable(spark.range(20).toDF(), reliable = true)
+    assert(again.count() == 20 && f.exists())
+  }
+
   test("the master switch: in-process test master takes the local path") {
     // TestSpark runs local[4] — sparkContext.isLocal must be true, so
     // the default stable() call picks localCheckpoint here; the

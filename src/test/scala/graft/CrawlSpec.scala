@@ -62,6 +62,35 @@ class CrawlSpec extends AnyFunSuite {
     assert(k3 == 0L && d3 == 1L)
   }
 
+  test("link density counts VISIBLE anchor chars — markup inside <a> doesn't inflate it") {
+    // numerator and denominator must measure the same thing: an anchor
+    // wrapping an <img> (or entity-bearing text) contributes its
+    // visible characters only. Raw-inner-HTML counting would score
+    // this block 58/35 link chars and wrongly drop the content.
+    val (txt, kept, dropped) = extract(
+      "<p>a nice long paragraph of content prose <a href='/r'>" +
+        "<img src='/very/long/asset/path/banner.png' alt=''/>go</a></p>")
+    assert(txt == "a nice long paragraph of content prose go")
+    assert(kept == 1L && dropped == 0L, s"kept=$kept dropped=$dropped for '$txt'")
+    // entity in anchor text: counts decoded (1 char for &amp;), same
+    // measure the denominator's text length uses
+    val (_, k2, d2) = extract("<p>abcdefghijk<a href='x'>linkedtx&amp;abc</a>abcdefghijk</p>")
+    assert(k2 == 1L && d2 == 0L, "12 visible anchor chars of 36 = exactly the boundary")
+  }
+
+  test("duplicate pairs in a user-supplied merge table are rejected loudly") {
+    // a HashMap-keyed rank would silently let the LAST rank win —
+    // the opposite of standard first-occurrence BPE merge semantics
+    val e = intercept[Exception] {
+      spark.sql("SELECT bpe_encode('scan', array('a b', 'c d', 'a b'))").collect()
+    }
+    assert(e.getMessage.contains("duplicate pair 'a b'"), e.getMessage)
+    // distinct pairs sharing a LEFT token are fine (the default table
+    // has three 's …' merges)
+    assert(spark.sql("SELECT bpe_encode('ab abc', array('a b', 'ab c')) AS r")
+      .head.getString(0) == "ab abc")
+  }
+
   test("tag-only fragments count as neither kept nor dropped") {
     val (txt, kept, dropped) = extract("<div></div><p>real paragraph text here</p></body></html>")
     assert(txt == "real paragraph text here")
