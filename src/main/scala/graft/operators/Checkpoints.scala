@@ -59,4 +59,22 @@ object Checkpoints {
       try ds.checkpoint(eager = true)
       finally ds.unpersist(blocking = false)
     }
+
+  /** Eagerly free a SUPERSEDED checkpoint's cached blocks (the
+    * [[Components]] loop discipline, shared with [[BpeTrainer]]):
+    * a checkpointed Dataset's plan is a `LogicalRDD` over the
+    * materialized internal RDD, and `Dataset.unpersist` only consults
+    * the cache manager (it ignores checkpoint storage), so without
+    * this each loop round's frame lingers until driver GC. Under
+    * RELIABLE checkpoints the data lives as files —
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` deletes them
+    * on driver GC, [[graft.SessionDefaults.stopAndReap]] bounds the
+    * residue at session end, and this unpersist is a harmless no-op.
+    * Non-blocking: freeing is advisory, never on the critical path.
+    */
+  def free(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }

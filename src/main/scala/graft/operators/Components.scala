@@ -94,24 +94,14 @@ object Components {
   private def lastEscalated_=(v: Boolean): Unit = lastEscalatedTL.set(v)
   private def lastStarRounds_=(v: Int): Unit = lastStarRoundsTL.set(v)
 
-  /** Eagerly free a SUPERSEDED checkpoint's cached blocks (under the
-    * cluster profile's RELIABLE checkpoints the data lives as files —
-    * `spark.cleaner.referenceTracking.cleanCheckpoints` deletes them
-    * on driver GC and this unpersist is a harmless no-op): the
-    * checkpointed Dataset's plan is a `LogicalRDD` over the persisted
-    * internal RDD, and `Dataset.unpersist` only consults the cache
-    * manager (it ignores checkpoint storage), so without this the
+  /** Eagerly free a SUPERSEDED round's checkpoint blocks — the loop
+    * discipline now shared via [[Checkpoints.free]]: without it the
     * loop's storage footprint grows by one materialized frame per
     * round until the driver happens to GC the dead references — on an
     * adversarial-id escalation running tens of star rounds, that is
-    * eviction churn exactly when memory is tightest. Non-blocking:
-    * freeing is advisory, never on the critical path.
+    * eviction churn exactly when memory is tightest.
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+  private def freeCheckpoint(df: DataFrame): Unit = Checkpoints.free(df)
 
   /** `edges`: two numeric-id columns `i`, `j` (undirected pairs).
     * Returns `(id, component)` for every node appearing in a

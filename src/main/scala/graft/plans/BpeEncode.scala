@@ -106,6 +106,48 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Left-to-right non-overlapping merge of one (left, right) pair over
+  * an `array<string>` token column — see [[BpeMerges.mergePair]] for
+  * semantics. The pair is bound at plan time (expression constants,
+  * the PQ-codebook literal discipline), so each training round is one
+  * map-only codegen projection over the vocabulary frame.
+  */
+case class BpeMergePair(child: Expression, left: String, right: String)
+  extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_pair"
+
+  @transient private lazy val a = UTF8String.fromString(left)
+  @transient private lazy val b = UTF8String.fromString(right)
+  @transient private lazy val ab = UTF8String.fromString(left + right)
+
+  def mergePass(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && a.equals(arr.getUTF8String(i)) &&
+          b.equals(arr.getUTF8String(i + 1))) {
+        out.add(ab); i += 2
+      } else { out.add(arr.getUTF8String(i)); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    mergePass(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerge", this, classOf[BpeMergePair].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mergePass($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergePair =
+    copy(child = newChild)
+}
+
 /** The shipped merge table. A real deployment loads this from the
   * tokenizer artifact; this fixed table is trained-shaped for the
   * test corpus vocabulary and deliberately contains a rank INVERSION
@@ -122,9 +164,31 @@ object BpeMerges {
     "u" -> "e", "val" -> "ue", "s" -> "t", "st" -> "r", "e" -> "a",
     "str" -> "ea", "strea" -> "m", "r" -> "t", "o" -> "rt", "s" -> "ort")
 
-  def bpeEncode(c: Column): Column = {
+  def bpeEncode(c: Column): Column = bpeEncode(c, default)
+
+  /** Encode with an explicit merge table — the serving path for
+    * merges LEARNED by [[graft.operators.BpeTrainer]] (the round-trip
+    * contract: apply-with-learned-table reproduces the training
+    * tokenization, CrawlSpec).
+    */
+  def bpeEncode(c: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.graftshim.ColumnShim
-    ColumnShim.column(BpeEncode(ColumnShim.expression(c), default))
+    ColumnShim.column(BpeEncode(ColumnShim.expression(c), requireUniquePairs(merges)))
+  }
+
+  /** One left-to-right non-overlapping merge pass of (`left`,`right`)
+    * over a token array — the training-side re-tokenization kernel
+    * ([[graft.operators.BpeTrainer]]), the same pass semantics as one
+    * iteration of [[BpeEncode.encode]]'s inner loop. A single pass is
+    * EXHAUSTIVE for its own pair: a merged token `left+right` can
+    * never recreate the pair with a neighbor (it differs from both
+    * `left` and `right` by length), so after the pass no adjacent
+    * (`left`,`right`) remains — which is what lets the trainer
+    * re-count pairs immediately after one pass per round.
+    */
+  def mergePair(toks: Column, left: String, right: String): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(BpeMergePair(ColumnShim.expression(toks), left, right))
   }
 
   /** SQL builder: `bpe_encode(text[, array('a b', ...)])` — optional

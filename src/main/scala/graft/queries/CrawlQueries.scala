@@ -241,13 +241,93 @@ object CrawlQueries {
       |FROM documents d LEFT JOIN wt ON wt.doc_id = d.doc_id
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** q165 — distributed BPE tokenizer TRAINING
+    * ([[graft.operators.BpeTrainer]]): learn the first [[TrainMerges]]
+    * merges from the documents corpus — the artifact-production step
+    * q164 consumes. One corpus-scale word-frequency aggregation, then
+    * vocab-sized rounds (pair count → deterministic argmax → one
+    * codegen merge pass) with the vocabulary frame under
+    * `Checkpoints.stable`. Output is the learned merge table itself:
+    * `(rk, lhs, rhs, pair_count)`.
+    */
+  val TrainMerges = 12
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrainer.learnTable(
+      Tables.loadSpread(s, dir, "documents"), "text", TrainMerges)
+
+  /** The oracle replays the TRAINING loop — the q164 recursive-CTE
+    * pattern inverted: [[TrainMerges]] unrolled steps, each one (a)
+    * counting adjacent token pairs over the current vocabulary
+    * weighted by word frequency (overlapping positions, the standard
+    * BPE count), (b) selecting the argmax with the engine's exact
+    * tie-break (`cnt DESC, 'left right' ASC` — byte order, identical
+    * in Spark and DuckDB for ASCII), and (c) re-tokenizing the vocab
+    * by merging the chosen pair LEFTMOST-occurrence-at-a-time via a
+    * recursive CTE with substring surgery. Leftmost-at-a-time equals
+    * the engine's single left-to-right pass: after a merge every
+    * remaining occurrence is to its right, and a merged token can
+    * never recreate the pair with a neighbor (it differs from both
+    * halves by length) — whereas a plain replace-all would silently
+    * skip back-to-back occurrences (its scan consumes the shared
+    * delimiter space), which is why the surgery is load-bearing.
+    */
+  private[queries] def bpeTrainSql(n: Int): String = {
+    val base =
+      """WITH RECURSIVE
+        |words AS MATERIALIZED (
+        |  SELECT w[i] AS word
+        |  FROM (SELECT string_split_regex(text, '\s+') AS w FROM documents) d,
+        |  LATERAL UNNEST(generate_series(1, len(w))) AS t(i)
+        |  WHERE w[i] <> ''),
+        |v0 AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+        |    array_to_string(list_transform(range(1, len(word) + 1),
+        |      i -> substr(word, CAST(i AS INT), 1)), ' ') AS toks
+        |  FROM words GROUP BY word)""".stripMargin
+    val steps = (1 to n).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS pair,
+         |    sum(freq) AS cnt
+         |  FROM (SELECT freq, string_split(toks, ' ') AS tk FROM v${k - 1}) t,
+         |  LATERAL UNNEST(generate_series(1, len(tk) - 1)) AS u(i)
+         |  WHERE len(tk) > 1
+         |  GROUP BY 1),
+         |b$k AS MATERIALIZED (
+         |  SELECT string_split(pair, ' ')[1] AS ma, string_split(pair, ' ')[2] AS mb,
+         |    CAST(cnt AS BIGINT) AS cnt
+         |  FROM p$k ORDER BY cnt DESC, pair ASC LIMIT 1),
+         |a$k(word, freq, toks) AS (
+         |  SELECT word, freq, ' ' || toks || ' ' FROM v${k - 1}
+         |  UNION ALL
+         |  SELECT a.word, a.freq,
+         |    substr(a.toks, 1, strpos(a.toks, ' ' || b.ma || ' ' || b.mb || ' ') - 1)
+         |      || ' ' || b.ma || b.mb || ' '
+         |      || substr(a.toks, strpos(a.toks, ' ' || b.ma || ' ' || b.mb || ' ')
+         |                        + len(' ' || b.ma || ' ' || b.mb || ' '))
+         |  FROM a$k a, b$k b
+         |  WHERE strpos(a.toks, ' ' || b.ma || ' ' || b.mb || ' ') > 0),
+         |v$k AS MATERIALIZED (
+         |  SELECT word, freq, trim(toks) AS toks FROM a$k a
+         |  WHERE NOT EXISTS (SELECT 1 FROM b$k b
+         |    WHERE strpos(a.toks, ' ' || b.ma || ' ' || b.mb || ' ') > 0))""".stripMargin
+    }
+    val sel = (1 to n)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rk, ma AS lhs, mb AS rhs, " +
+        s"cnt AS pair_count FROM b$k")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY rk")
+    (base +: steps).mkString(",\n") + sel
+  }
+
   val defs: Map[String, Q] = Map(
     "q162_html_extract" -> (htmlExtract(_, _)),
     "q163_url_canonicalize" -> (urlCanonicalize(_, _)),
-    "q164_bpe_apply" -> (bpeApply(_, _)))
+    "q164_bpe_apply" -> (bpeApply(_, _)),
+    "q165_bpe_train" -> (bpeTrain(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q162_html_extract" -> htmlExtractSql,
     "q163_url_canonicalize" -> urlCanonicalizeSql,
-    "q164_bpe_apply" -> bpeApplySql)
+    "q164_bpe_apply" -> bpeApplySql,
+    "q165_bpe_train" -> bpeTrainSql(TrainMerges))
 }

@@ -203,6 +203,71 @@ class CrawlSpec extends AnyFunSuite {
       == "example.com")
   }
 
+  // ---- q165: BPE training ----
+
+  private def pass(toks: Seq[String], a: String, b: String): Seq[String] =
+    Seq(1).toDF("x")
+      .select(BpeMerges.mergePair(
+        typedLit(toks), a, b).as("r"))
+      .head.getSeq[String](0)
+
+  test("merge pass is left-to-right, non-overlapping, and exhaustive in one pass") {
+    assert(pass(Seq("a", "b", "c"), "a", "b") == Seq("ab", "c"))
+    // same-token runs: LEFT-to-right — [a,a,a] pairs at 0, not 1
+    assert(pass(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(pass(Seq("a", "a", "a", "a", "a"), "a", "a") == Seq("aa", "aa", "a"))
+    // back-to-back occurrences both merge in ONE pass (a replace-all
+    // over a space-joined form would miss the second — the scan
+    // consumes the shared delimiter; the oracle's leftmost surgery
+    // and this pass agree instead)
+    assert(pass(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    // exhaustive: no adjacent (a,b) can survive its own pass
+    val out = pass(Seq("a", "b", "b", "a", "b", "a"), "a", "b")
+    assert(out == Seq("ab", "b", "ab", "a"))
+    assert(!out.sliding(2).exists(p => p == Seq("a", "b")))
+  }
+
+  test("training learns the hand-checked table and stops when merges are exhausted") {
+    import graft.operators.BpeTrainer
+    // low ×3, lower ×1 — the Sennrich walkthrough corpus: (l,o) and
+    // (o,w) tie at 4, byte order picks (l,o); after (lo,w) the only
+    // pairs are singletons, (e,r) wins on byte order, then (low,er)
+    val docs = Seq("low low", "low lower").toDF("text")
+    val learned = BpeTrainer.learn(docs, "text", nMerges = 10)
+    assert(learned.merges == Seq(
+      ("l", "o", 4L), ("lo", "w", 4L), ("e", "r", 1L), ("low", "er", 1L)),
+      learned.merges.toString)
+    // early exhaustion: 10 requested, 4 learnable — ranks stay contiguous
+    val voc = learned.vocab.orderBy($"word").collect()
+    assert(voc.map(r => (r.getString(0), r.getSeq[String](2).mkString(" "))).toSeq
+      == Seq(("low", "low"), ("lower", "lower")))
+  }
+
+  test("round-trip: BpeEncode with the learned table reproduces training tokenization") {
+    import graft.operators.BpeTrainer
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+    val learned = BpeTrainer.learn(docs, "text", nMerges = 12)
+    val pairs = learned.merges.map { case (a, b, _) => (a, b) }
+    assert(pairs.size == 12 && pairs.distinct.size == 12)
+    // apply's lowest-rank-first loop must replay the training order on
+    // EVERY vocabulary word — the artifact contract between trainer
+    // and encoder
+    val mismatches = learned.vocab
+      .select($"word",
+        concat_ws(" ", $"toks").as("trained"),
+        BpeMerges.bpeEncode($"word", pairs).as("applied"))
+      .filter($"trained" =!= $"applied")
+      .collect()
+    assert(mismatches.isEmpty,
+      mismatches.take(5).mkString("apply != training on: ", ", ", ""))
+  }
+
+  test("q165's merge-pair expression stays inside whole-stage codegen") {
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.plans.BpeMergePair]))
+  }
+
   // ---- plan shapes: the 100 TB contract ----
 
   private val dir = "/root/testdata/sf0.001"
