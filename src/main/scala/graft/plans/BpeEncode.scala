@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * raw prose); output is every word's tokens joined by single spaces
   * — replayable downstream as `split(out, ' ')`.
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+    byteLevel: Boolean = false)
   extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "bpe_encode"
@@ -49,12 +50,24 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
       val w = words(wi)
       if (w.nonEmpty) {
         var toks = new java.util.ArrayList[String](w.length)
-        var ci = 0
-        while (ci < w.length) {
-          // character tokens split by Java char; the corpus is ASCII —
-          // a production multi-byte vocab would seed from UTF-8 bytes
-          toks.add(String.valueOf(w.charAt(ci)))
-          ci += 1
+        if (byteLevel) {
+          // UTF-8 byte seeding, each byte rendered through the GPT-2
+          // byte→unicode table ([[GptBytes]]) so multi-byte text
+          // tokenizes at the byte level and tokens stay space-free
+          val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var bi = 0
+          while (bi < bytes.length) {
+            toks.add(GptBytes.token(bytes(bi) & 0xff))
+            bi += 1
+          }
+        } else {
+          // char-level seeding (split by Java char — sufficient for
+          // BMP text; the byte mode above is the multi-byte path)
+          var ci = 0
+          while (ci < w.length) {
+            toks.add(String.valueOf(w.charAt(ci)))
+            ci += 1
+          }
         }
         var done = false
         while (!done && toks.size > 1) {
@@ -104,6 +117,34 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
+}
+
+/** The GPT-2 byte encoder (Radford 2019, encoder.py
+  * `bytes_to_unicode`): a bijection from the 256 byte values to
+  * printable unicode code points, so byte-level BPE tokens are plain
+  * space-free strings. Printable bytes (33–126, 161–172, 174–255)
+  * map to themselves as code points; the excluded bytes (controls,
+  * space, DEL, 127–160, 173) map — in ascending byte order — to
+  * 256, 257, … (e.g. the space byte becomes U+0120 'Ġ', the familiar
+  * GPT-2 word-boundary glyph). The DuckDB oracle mirrors this with
+  * `chr()` arithmetic, so the mapping must stay exactly this table.
+  */
+object GptBytes {
+  val table: Array[String] = {
+    val arr = new Array[String](256)
+    var next = 256
+    var b = 0
+    while (b < 256) {
+      val printable =
+        (b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174 && b <= 255)
+      if (printable) arr(b) = String.valueOf(b.toChar)
+      else { arr(b) = String.valueOf(next.toChar); next += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  def token(b: Int): String = table(b)
 }
 
 /** Left-to-right non-overlapping merge of one (left, right) pair over
@@ -174,6 +215,17 @@ object BpeMerges {
   def bpeEncode(c: Column, merges: Seq[(String, String)]): Column = {
     import org.apache.spark.sql.graftshim.ColumnShim
     ColumnShim.column(BpeEncode(ColumnShim.expression(c), requireUniquePairs(merges)))
+  }
+
+  /** Byte-level encode: per-word seed tokens are the UTF-8 BYTES of
+    * the word rendered through [[GptBytes]] (the GPT-2 convention),
+    * so multi-byte text tokenizes without any char-level assumption;
+    * `merges` pairs are strings over the same byte alphabet.
+    */
+  def bpeEncodeBytes(c: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(BpeEncode(ColumnShim.expression(c),
+      requireUniquePairs(merges), byteLevel = true))
   }
 
   /** One left-to-right non-overlapping merge pass of (`left`,`right`)

@@ -241,6 +241,140 @@ object CrawlQueries {
       |FROM documents d LEFT JOIN wt ON wt.doc_id = d.doc_id
       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** q166 — BYTE-level BPE apply ([[graft.plans.BpeEncode]] byte
+    * mode): seed tokens are the UTF-8 bytes of each word rendered
+    * through the GPT-2 byte→unicode table ([[graft.plans.GptBytes]]),
+    * so multi-byte text tokenizes without char-level assumptions.
+    * The fixture appends deterministic non-ASCII words (2- and 3-byte
+    * UTF-8 code points) to every document, and the merge table spans
+    * multi-byte sequences: 'é' is the byte pair (0xC3,0xA9) → mapped
+    * chars ('Ã','©') → merged by rank 2, then folded into 'café';
+    * 'ß' shares the 0xC3 lead byte with 'é' (rank interplay), and
+    * '€' (3-byte) merges through two ranks. Same plan shape as q164:
+    * one map-only codegen scan, merge table as expression constant.
+    */
+  private[graft] val byteMerges: Seq[(String, String)] = Seq(
+    "e" -> "r",
+    "Ã" -> "©", // 0xC3 0xA9 = 'é'
+    "c" -> "a",
+    "ca" -> "f",
+    "caf" -> "Ã©", // café
+    "Ã" -> "Ł", // 0xC3 0x9F = 'ß' (0x9F excluded → U+0141)
+    // rank-7/8 INVERSION TRAP: merging (a,b) creates (ab,a)
+    // occurrences of LOWER rank mid-word — on 'abab' an oracle that
+    // re-selects lowest rank after each single merge reads 'aba b',
+    // the engine (exhaust-then-rescan) reads 'ab ab' (CrawlSpec
+    // replays the unpinned strategy and asserts divergence)
+    "ab" -> "a",
+    "a" -> "b",
+    "s" -> "t",
+    "â" -> "Ĥ", // 0xE2 0x82 of '€' (0x82 excluded → U+0124)
+    "âĤ" -> "¬", // + 0xAC completes '€'
+    "st" -> "r")
+
+  /** Deterministic multi-byte fixture text: every doc gets ' café '
+    * plus the inversion-trap word 'abab' plus one of four
+    * accent/3-byte words keyed on doc_id. */
+  private def accented(text: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(coalesce(text, lit("")), lit(" café abab "),
+      element_at(array(lit("π"), lit("straße"),
+        lit("Œuvre"), lit("€100 ababa")), (docId % 4 + 1).cast("int")))
+
+  def bpeBytes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents")
+    docs
+      .select($"doc_id",
+        coalesce(BpeMerges.bpeEncodeBytes(
+          accented($"text", $"doc_id"), byteMerges), lit("")).as("toks"))
+      .select($"doc_id",
+        when($"toks" === "", lit(0L))
+          .otherwise(size(split($"toks", " ")).cast("long")).as("n_tokens"),
+        md5($"toks").as("tok_sig"))
+      .orderBy($"doc_id")
+  }
+
+  /** The oracle seeds from UTF-8 bytes computed OUT OF code points
+    * (`unicode()` + the RFC 3629 arithmetic, 1–4 byte forms), maps
+    * each byte through the GPT-2 table as `chr()` arithmetic
+    * (printable bytes keep their code point; excluded bytes 0–32,
+    * 127–160, 173 map to 256+rank in ascending byte order), then
+    * replays the merge loop with a PINNED-pair recursive CTE: the
+    * engine selects the lowest-rank pair present and merges ALL its
+    * occurrences before re-scanning, so the recursion keeps merging
+    * the current pair (leftmost occurrence at a time ≡ one
+    * left-to-right pass) while it remains, and only then re-selects
+    * by rank. An unpinned lowest-rank re-selection after each single
+    * merge would diverge whenever a merge creates a LOWER-rank pair
+    * mid-word — the q164 oracle never meets that case, but the byte
+    * table here does (the 0xC3-lead interplay), so the pin is
+    * load-bearing.
+    */
+  val bpeBytesSql: String =
+    """WITH RECURSIVE
+      |merges(rk, ma, mb) AS (
+      |  SELECT * FROM (VALUES
+      |    (1,'e','r'),(2,'Ã','©'),(3,'c','a'),(4,'ca','f'),
+      |    (5,'caf','Ã©'),(6,'Ã','Ł'),(7,'ab','a'),(8,'a','b'),
+      |    (9,'s','t'),(10,'â','Ĥ'),(11,'âĤ','¬'),(12,'st','r')
+      |  ) m(rk, ma, mb)),
+      |docs2 AS MATERIALIZED (
+      |  SELECT doc_id, coalesce(text, '') || ' café abab ' ||
+      |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'π'
+      |      WHEN 1 THEN 'straße' WHEN 2 THEN 'Œuvre'
+      |      ELSE '€100 ababa' END AS text
+      |  FROM documents),
+      |words AS MATERIALIZED (
+      |  SELECT doc_id, i, w[i] AS word
+      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM docs2) d,
+      |  LATERAL UNNEST(generate_series(1, len(w))) AS t(i)
+      |  WHERE w[i] <> ''),
+      |vocab AS MATERIALIZED (SELECT DISTINCT word FROM words),
+      |init AS MATERIALIZED (
+      |  SELECT word, array_to_string(list_transform(
+      |    flatten(list_transform(
+      |      list_transform(range(1, len(word) + 1),
+      |        i -> unicode(substr(word, CAST(i AS INT), 1))),
+      |      u -> CASE
+      |        WHEN u < 128 THEN [u]
+      |        WHEN u < 2048 THEN [192 + u // 64, 128 + u % 64]
+      |        WHEN u < 65536 THEN
+      |          [224 + u // 4096, 128 + (u // 64) % 64, 128 + u % 64]
+      |        ELSE [240 + u // 262144, 128 + (u // 4096) % 64,
+      |              128 + (u // 64) % 64, 128 + u % 64] END)),
+      |    b -> chr(CASE
+      |      WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+      |        OR (b BETWEEN 174 AND 255) THEN b
+      |      WHEN b <= 32 THEN 256 + b
+      |      WHEN b = 173 THEN 256 + 67
+      |      ELSE 256 + 33 + (b - 127) END)), ' ') AS toks
+      |  FROM vocab),
+      |bpe(word, toks, cma, cmb) AS (
+      |  SELECT word, ' ' || toks || ' ', '', '' FROM init
+      |  UNION ALL
+      |  SELECT b.word,
+      |    substr(b.toks, 1, strpos(b.toks, ' ' || m.ma || ' ' || m.mb || ' ') - 1)
+      |      || ' ' || m.ma || m.mb || ' '
+      |      || substr(b.toks, strpos(b.toks, ' ' || m.ma || ' ' || m.mb || ' ')
+      |                        + len(' ' || m.ma || ' ' || m.mb || ' ')),
+      |    m.ma, m.mb
+      |  FROM bpe b, LATERAL (
+      |    SELECT ma, mb FROM merges
+      |    WHERE strpos(b.toks, ' ' || ma || ' ' || mb || ' ') > 0
+      |    ORDER BY CASE WHEN ma = b.cma AND mb = b.cmb THEN -1 ELSE rk END
+      |    LIMIT 1) m),
+      |fin AS MATERIALIZED (
+      |  SELECT word, trim(toks) AS toks FROM bpe b
+      |  WHERE NOT EXISTS (SELECT 1 FROM merges m
+      |    WHERE strpos(b.toks, ' ' || m.ma || ' ' || m.mb || ' ') > 0)),
+      |wt AS (SELECT w.doc_id, w.i, f.toks FROM words w JOIN fin f USING (word))
+      |SELECT d.doc_id,
+      |  CAST(coalesce(sum(len(string_split(wt.toks, ' '))), 0) AS BIGINT) AS n_tokens,
+      |  md5(coalesce(string_agg(wt.toks, ' ' ORDER BY wt.i), '')) AS tok_sig
+      |FROM documents d LEFT JOIN wt ON wt.doc_id = d.doc_id
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** q165 — distributed BPE tokenizer TRAINING
     * ([[graft.operators.BpeTrainer]]): learn the first [[TrainMerges]]
     * merges from the documents corpus — the artifact-production step
@@ -323,11 +457,13 @@ object CrawlQueries {
     "q162_html_extract" -> (htmlExtract(_, _)),
     "q163_url_canonicalize" -> (urlCanonicalize(_, _)),
     "q164_bpe_apply" -> (bpeApply(_, _)),
-    "q165_bpe_train" -> (bpeTrain(_, _)))
+    "q165_bpe_train" -> (bpeTrain(_, _)),
+    "q166_bpe_bytes" -> (bpeBytes(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q162_html_extract" -> htmlExtractSql,
     "q163_url_canonicalize" -> urlCanonicalizeSql,
     "q164_bpe_apply" -> bpeApplySql,
-    "q165_bpe_train" -> bpeTrainSql(TrainMerges))
+    "q165_bpe_train" -> bpeTrainSql(TrainMerges),
+    "q166_bpe_bytes" -> bpeBytesSql)
 }

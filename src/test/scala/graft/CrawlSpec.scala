@@ -203,6 +203,57 @@ class CrawlSpec extends AnyFunSuite {
       == "example.com")
   }
 
+  // ---- q166: byte-level BPE ----
+
+  private def bpeB(text: String): String =
+    one(BpeMerges.bpeEncodeBytes(lit(text), CrawlQueries.byteMerges))
+      .asInstanceOf[String]
+
+  test("GptBytes is the GPT-2 byte table: bijective, printable-identity, Ġ-space") {
+    import graft.plans.GptBytes
+    assert(GptBytes.table.distinct.length == 256, "byte→char map must be a bijection")
+    assert(GptBytes.token('A'.toInt) == "A" && GptBytes.token(0xC3) == "Ã")
+    assert(GptBytes.token(' '.toInt) == "Ġ", "space must map to the GPT-2 Ġ")
+    assert(GptBytes.token(0) == "Ā" && GptBytes.token(173) == "Ń")
+  }
+
+  test("byte seeding tokenizes multi-byte text at the byte level") {
+    // 'é' = 0xC3 0xA9 → ('Ã','©') → merged, then folded into café
+    assert(bpeB("café") == "cafÃ©")
+    // '€' = 3 bytes, two ranks to fold; digits stay single bytes
+    assert(bpeB("€100") == "âĤ¬ 1 0 0")
+    // 'ß' shares the 0xC3 lead byte with 'é' but merges via rank 6
+    assert(bpeB("straße") == "str a ÃŁ e")
+    // 'π' = 0xCF 0x80, no merge for the pair — two byte tokens remain
+    assert(bpeB("π") == "Ï Ģ")
+  }
+
+  test("byte table's rank inversion: exhaust-then-rescan, not re-select-per-merge") {
+    // merging (a,b) CREATES (ab,a) occurrences of LOWER rank; the
+    // engine exhausts (a,b) first ('ab ab'), a strategy that
+    // re-selects the lowest rank after each single merge reads 'aba b'
+    assert(bpeB("abab") == "ab ab")
+    assert(bpeB("ababa") == "ab aba")
+    // the divergent strategy, replayed here (the q164 shortcut rule):
+    // merge ONE occurrence, then re-select lowest applicable rank
+    var toks = List("a", "b", "a", "b")
+    var cont = true
+    while (cont) {
+      val best = CrawlQueries.byteMerges.zipWithIndex
+        .filter { case ((a, b), _) =>
+          toks.sliding(2).exists(p => p == List(a, b)) }
+        .sortBy(_._2).headOption
+      best match {
+        case None => cont = false
+        case Some(((a, b), _)) =>
+          val i = toks.sliding(2).indexWhere(p => p == List(a, b))
+          toks = toks.take(i) ++ List(a + b) ++ toks.drop(i + 2)
+      }
+    }
+    assert(toks.mkString(" ") == "aba b", s"unpinned replay gave '${toks.mkString(" ")}'")
+    assert(toks.mkString(" ") != bpeB("abab"))
+  }
+
   // ---- q165: BPE training ----
 
   private def pass(toks: Seq[String], a: String, b: String): Seq[String] =
