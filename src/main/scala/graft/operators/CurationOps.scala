@@ -560,4 +560,37 @@ object CurationOps {
       .agg(sum(col("__term")).as("kl"))
       .select(col(groupCol), col("__nsrc").as("n_grams"), col("kl"))
   }
+
+  /** Trained-classifier quality scoring at scan time (the fastText
+    * linear regime — Joulin et al. 2016, arXiv:1607.01759): score =
+    * bias + mean over tokens of `weights[fnv1a(token) mod D]`, the
+    * hashing-trick bag-of-words a real pipeline applies after the
+    * q21/q106/q110 heuristics tier. The weight vector is a bounded
+    * trained artifact, so it enters the plan as an expression literal
+    * (the PQ-codebook discipline) — NO join, NO broadcast, NO UDF:
+    * the whole scorer is ONE native codegen expression
+    * ([[graft.plans.HashedBagScore]] over the shared
+    * [[graft.plans.Kernels.fnv1a]] token hash — a higher-order
+    * `aggregate` formulation computes the same value but Spark HOFs
+    * never enter whole-stage codegen), so the scan stays in a single
+    * codegen span with zero exchanges (CurationSpec pins both) and
+    * the DuckDB oracle replays the sequential left fold term by term
+    * in token order (bit-identical doubles, no rounding crutch).
+    *
+    * `weights.size` must be a power of two: the oracle's FNV mirror
+    * is unsigned mod 2^64 while the engine's Long is signed, and
+    * `h mod D == (h + 2^64) mod D` only when D divides 2^64.
+    *
+    * Empty/null text scores exactly `bias` (no phantom "" token).
+    */
+  def hashedBagScore(text: Column, weights: Seq[Double], bias: Double): Column = {
+    val d = weights.size
+    require(d > 0 && (d & (d - 1)) == 0,
+      s"weight dimension must be a power of two (signed/unsigned mod congruence), got $d")
+    import org.apache.spark.sql.graftshim.ColumnShim
+    // null text scores like empty text (= bias): the oracle's
+    // coalesce(text, '') rule
+    ColumnShim.column(graft.plans.HashedBagScore(
+      ColumnShim.expression(coalesce(text, lit(""))), weights.toArray, bias))
+  }
 }

@@ -302,6 +302,80 @@ case class ByteEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[Kernels.fnv1a]] as a first-class column — the shared token-hash
+  * convention of the text family (SimHash's per-token hash, the q167
+  * hashed-bag feature bucket), exposed so operators can bucket tokens
+  * WITHOUT a UDF and the DuckDB oracle can replay the exact hash
+  * (TextQueries.fnv1aSqlExpr is the mirror).
+  */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv1a64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.fnv1a(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.fnv1a($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
+    copy(child = newChild)
+}
+
+/** fastText-class linear quality scorer as ONE codegen expression
+  * (Joulin et al. 2016): `bias + mean over whitespace tokens of
+  * weights[fnv1a(token) mod weights.length]`. A higher-order
+  * `aggregate`/`transform` formulation computes the same value but
+  * Spark HOFs never enter whole-stage codegen (interpreted lambda
+  * eval per row) — this expression keeps the corpus scan in one
+  * codegen span, the [[graft.plans.BpeEncode]] discipline. The weight
+  * vector is a bounded trained artifact bound at plan time (the
+  * PQ-codebook literal rule). Summation is a sequential left fold in
+  * token order, so the DuckDB oracle's `list_reduce` replay is
+  * bit-identical — no rounding crutch.
+  *
+  * `weights.length` must be a power of two: the oracle's FNV mirror
+  * is unsigned mod 2^64 while this Long is signed, and
+  * `h mod D == (h + 2^64) mod D` only when D divides 2^64 (validated
+  * by the caller, [[graft.operators.CurationOps.hashedBagScore]]).
+  *
+  * Empty/whitespace-only input scores exactly `bias` (no phantom ""
+  * token); null propagates as null.
+  */
+case class HashedBagScore(child: Expression, weights: Array[Double], bias: Double)
+  extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "hashed_bag_score"
+
+  def score(text: UTF8String): Double = {
+    val words = text.toString.split("\\s+")
+    var sum = 0.0
+    var n = 0
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        val h = Kernels.fnv1a(UTF8String.fromString(w))
+        sum += weights(java.lang.Math.floorMod(h, weights.length.toLong).toInt)
+        n += 1
+      }
+      i += 1
+    }
+    if (n == 0) bias else bias + sum / n
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bagScore", this, classOf[HashedBagScore].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.score($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBagScore =
+    copy(child = newChild)
+}
+
 case class RollingHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash64"
@@ -326,6 +400,9 @@ object NativeFunctions {
 
   def rollingHash64(c: Column): Column =
     ColumnShim.column(RollingHash64(ColumnShim.expression(c)))
+
+  def fnv1a64(c: Column): Column =
+    ColumnShim.column(Fnv1a64(ColumnShim.expression(c)))
 
   def byteEntropy(c: Column): Column =
     ColumnShim.column(ByteEntropy(ColumnShim.expression(c)))

@@ -133,6 +133,58 @@ object CurationQueries {
       |FROM f JOIN nation nt ON f.s_nationkey = nt.n_nationkey
       |ORDER BY nation""".stripMargin
 
+  /** q167 — trained-classifier quality inference
+    * ([[CurationOps.hashedBagScore]]): the fastText-class linear
+    * scorer a real pipeline applies AFTER the heuristics tier
+    * (q21/q106/q110) — hashing-trick bag of tokens against a literal
+    * trained weight vector, mean-pooled, plus bias, thresholded. The
+    * 64-dim weight table is deterministic here (a stand-in for the
+    * trained artifact; dimension a power of two so the signed/unsigned
+    * FNV bucket congruence holds — see hashedBagScore). One stateless
+    * codegen scan: no join, no broadcast, no UDF, no exchange before
+    * the presentation sort (CurationSpec pins it).
+    */
+  private[graft] val QualityDim = 64
+  private[graft] val QualityBias = 0.05
+  private[graft] val QualityWeights: Seq[Double] =
+    (0 until QualityDim).map(i => ((i * 37 + 11) % 21 - 10) / 10.0)
+
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpreadLocal(s, dir, "documents")
+    docs
+      .select(col("doc_id"),
+        CurationOps.hashedBagScore(col("text"), QualityWeights, QualityBias)
+          .as("score"))
+      .withColumn("kept", col("score") >= QualityBias)
+      .orderBy("doc_id")
+  }
+
+  /** The oracle replays the scorer term by term IN TOKEN ORDER (the
+    * engine's higher-order `aggregate` is a sequential left fold, so
+    * `list_reduce` over the same list reproduces bit-identical
+    * doubles — no rounding crutch needed): same FNV-1a mirror as q26,
+    * same power-of-two bucket (h mod 64 is congruent between the
+    * oracle's unsigned HUGEINT hash and the engine's signed Long
+    * because 64 divides 2^64), same literal weights.
+    */
+  val qualityClassifierSql: String = {
+    val wlit = QualityWeights.mkString("[", ", ", "]")
+    s"""WITH wv AS (SELECT $wlit::DOUBLE[] AS w),
+       |t AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+       |    x -> x <> '') AS toks
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $QualityBias::DOUBLE + CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+       |      ELSE list_reduce(list_prepend(0.0::DOUBLE, list_transform(toks,
+       |        tok -> w[CAST(${TextQueries.fnv1aSqlExpr("tok")} % $QualityDim AS INT) + 1])),
+       |        (a, b) -> a + b) / len(toks) END AS score
+       |  FROM t, wv)
+       |SELECT doc_id, score, score >= $QualityBias::DOUBLE AS kept
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** q110 — byte-entropy quality signal (native codegen
     * [[graft.plans.ByteEntropy]]; the corpus is ASCII so byte entropy
     * equals the oracle's character entropy). Rounded to 6 decimals on
@@ -880,6 +932,7 @@ object CurationQueries {
     "q161_training_shuffle" -> (trainingShuffle(_, _)),
     "q149_score_normalize" -> (scoreNormalize(_, _)),
     "q107_substring_dedup" -> (substringDedup(_, _)),
+    "q167_quality_classifier" -> (qualityClassifier(_, _)),
     "q108_chunk_documents" -> (chunkDocuments(_, _)),
     "q109_group_regression" -> (groupRegression(_, _)),
     "q110_char_entropy" -> (charEntropy(_, _)),
@@ -897,6 +950,7 @@ object CurationQueries {
     "q161_training_shuffle" -> trainingShuffleSql,
     "q149_score_normalize" -> scoreNormalizeSql,
     "q107_substring_dedup" -> substringDedupSql,
+    "q167_quality_classifier" -> qualityClassifierSql,
     "q108_chunk_documents" -> chunkDocumentsSql,
     "q109_group_regression" -> groupRegressionSql,
     "q110_char_entropy" -> charEntropySql,

@@ -1392,7 +1392,7 @@ object TextQueries {
     * only the low 8 bits, so it is expressed as subtract-low-byte +
     * BIGINT xor. `{c}` is the string column.
     */
-  private def fnv1aSqlExpr(c: String): String =
+  private[queries] def fnv1aSqlExpr(c: String): String =
     s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
        |      list_transform(range(1, len($c) + 1), i -> ord($c[i])::HUGEINT)),
        |    (acc, ch) -> ((acc - acc % 256

@@ -528,4 +528,44 @@ class CurationSpec extends AnyFunSuite {
     assert(CurationQueries.shardCount(10000000L) == 100L)
     assert(CurationQueries.shardCount(10000000000L) == 100000L) // ~100 TB
   }
+
+  // ---- hashedBagScore (q167) -------------------------------------------
+
+  test("hashedBagScore = bias + token-mean of FNV-bucketed weights; empty/null = bias") {
+    import graft.queries.CurationQueries.{QualityBias, QualityWeights}
+    def bucket(t: String): Int =
+      java.lang.Math.floorMod(Kernels.fnv1a(UTF8String.fromString(t)), 64L).toInt
+    def score(text: String): Double =
+      Seq(Option(text)).toDF("t")
+        .select(CurationOps.hashedBagScore($"t", QualityWeights, QualityBias).as("s"))
+        .head.getDouble(0)
+    val expected = QualityBias +
+      (QualityWeights(bucket("hello")) + QualityWeights(bucket("world"))) / 2
+    // double whitespace: no phantom "" token may enter the mean
+    assert(score("hello  world") == expected)
+    assert(score("") == QualityBias && score(null) == QualityBias)
+  }
+
+  test("hashedBagScore rejects non-power-of-two dimensions loudly") {
+    // the oracle's FNV is unsigned mod 2^64, the engine's Long signed;
+    // bucket congruence needs D | 2^64
+    val e = intercept[IllegalArgumentException] {
+      CurationOps.hashedBagScore(lit("x"), Seq.fill(63)(0.1), 0.0)
+    }
+    assert(e.getMessage.contains("power of two"))
+  }
+
+  test("q167 is one stateless codegen scan: no keyed exchange, fnv in a codegen span") {
+    for (cls <- Seq(classOf[graft.plans.Fnv1a64], classOf[graft.plans.HashedBagScore]))
+      assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+        .isAssignableFrom(cls), s"$cls must codegen")
+    val df = graft.queries.CurationQueries.qualityClassifier(spark, "/root/testdata/sf0.001")
+    df.collect() // AQE: codegen spans materialize only in the FINAL plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the scorer must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("Join"), p.take(300))
+    assert(p.linesIterator.exists(l => l.contains("hashed_bag_score") && l.contains("*(")),
+      s"scorer projection not inside a codegen span:\n${p.take(700)}")
+  }
 }
