@@ -38,8 +38,33 @@ import org.apache.spark.sql.Dataset
   */
 object Checkpoints {
 
-  def stable[T](ds: Dataset[T]): Dataset[T] =
-    stable(ds, !ds.sparkSession.sparkContext.isLocal)
+  /** Materialization mode, overridable for measurement and for
+    * deployments that prefer a different durability/latency point
+    * (`GRAFT_CHECKPOINT`, loud on typos — the profile rule):
+    *
+    *  - `auto` (default): reliable files on remote-executor masters,
+    *    `localCheckpoint` in-process — the r18 chaos finding.
+    *  - `reliable` / `local`: force one path on any master. `local`
+    *    under a real fleet reintroduces the unrecoverable-block hole
+    *    — it exists for the SCALE_PROBE A/B that prices the reliable
+    *    path's file I/O, not for production.
+    *  - `local2`: `localCheckpoint` at `MEMORY_AND_DISK_2` — the
+    *    replication-2 middle rung: survives any SINGLE executor loss
+    *    (a peer holds the replica) at memory speed, without files;
+    *    two overlapping losses still abort, which reliable files
+    *    never do.
+    */
+  private def mode: String = sys.env.getOrElse("GRAFT_CHECKPOINT", "auto")
+
+  def stable[T](ds: Dataset[T]): Dataset[T] = mode match {
+    case "auto" => stable(ds, !ds.sparkSession.sparkContext.isLocal)
+    case "reliable" => stable(ds, reliable = true)
+    case "local" => stable(ds, reliable = false)
+    case "local2" => ds.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_2)
+    case other => throw new IllegalArgumentException(
+      s"GRAFT_CHECKPOINT must be auto|reliable|local|local2, got '$other'")
+  }
 
   def stable[T](ds: Dataset[T], reliable: Boolean): Dataset[T] =
     if (!reliable) ds.localCheckpoint(eager = true)
