@@ -406,12 +406,18 @@ object CrawlQueries {
     * skip back-to-back occurrences (its scan consumes the shared
     * delimiter space), which is why the surgery is load-bearing.
     */
-  private[queries] def bpeTrainSql(n: Int): String = {
+  /** The shared training chain (positioned words → char-seeded vocab
+    * → n unrolled merge steps): q165 reads the selected pairs off it,
+    * q168 reads the FINAL tokenized vocabulary. Positions ride the
+    * words CTE so the pipeline variant can rebuild per-document token
+    * streams; the per-word v0 aggregation ignores them.
+    */
+  private def bpeTrainChain(n: Int): String = {
     val base =
       """WITH RECURSIVE
         |words AS MATERIALIZED (
-        |  SELECT w[i] AS word
-        |  FROM (SELECT string_split_regex(text, '\s+') AS w FROM documents) d,
+        |  SELECT doc_id, i, w[i] AS word
+        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents) d,
         |  LATERAL UNNEST(generate_series(1, len(w))) AS t(i)
         |  WHERE w[i] <> ''),
         |v0 AS MATERIALIZED (
@@ -446,24 +452,73 @@ object CrawlQueries {
          |  WHERE NOT EXISTS (SELECT 1 FROM b$k b
          |    WHERE strpos(a.toks, ' ' || b.ma || ' ' || b.mb || ' ') > 0))""".stripMargin
     }
-    val sel = (1 to n)
+    (base +: steps).mkString(",\n")
+  }
+
+  private[queries] def bpeTrainSql(n: Int): String =
+    bpeTrainChain(n) + (1 to n)
       .map(k => s"SELECT CAST($k AS BIGINT) AS rk, ma AS lhs, mb AS rhs, " +
         s"cnt AS pair_count FROM b$k")
       .mkString("\n", "\nUNION ALL\n", "\nORDER BY rk")
-    (base +: steps).mkString(",\n") + sel
+
+  /** q168 — the FULL tokenizer lifecycle, end to end: TRAIN the merge
+    * table on the corpus ([[graft.operators.BpeTrainer]]), then APPLY
+    * it back over the same corpus through [[graft.plans.BpeEncode]]
+    * as an expression constant — the q164 presentation (n_tokens +
+    * boundary-sensitive signature) with a table nothing shipped. The
+    * scale shape composes the two halves': one corpus aggregation +
+    * bounded vocab rounds to train, then one map-only codegen scan to
+    * encode (NO join of corpus against vocabulary — the artifact is
+    * driver-sized by design and rides the plan as a literal).
+    *
+    * The differential is the round-trip property made driver-grade:
+    * the ORACLE tokenizes every document from the TRAINING chain's
+    * final vocabulary (word → toks of step n), while the ENGINE
+    * re-derives each word through apply's lowest-rank-first loop — so
+    * a hash match proves train and apply agree word-for-word on the
+    * whole corpus, across engines (the CrawlSpec round-trip assertion,
+    * re-proven by DuckDB on every driver run).
+    */
+  def bpePipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val learned = graft.operators.BpeTrainer.learn(
+      docs.select($"text"), "text", TrainMerges)
+    graft.operators.Checkpoints.free(learned.vocab) // apply re-derives it
+    val merges = learned.merges.map { case (a, b, _) => (a, b) }
+    docs
+      .select($"doc_id",
+        coalesce(BpeMerges.bpeEncode($"text", merges), lit("")).as("toks"))
+      .select($"doc_id",
+        when($"toks" === "", lit(0L))
+          .otherwise(size(split($"toks", " ")).cast("long")).as("n_tokens"),
+        md5($"toks").as("tok_sig"))
+      .orderBy($"doc_id")
   }
+
+  private[queries] def bpePipelineSql(n: Int): String =
+    bpeTrainChain(n) +
+      s""",
+         |wt AS (SELECT w.doc_id, w.i, v.toks FROM words w JOIN v$n v USING (word))
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sum(len(string_split(wt.toks, ' '))), 0) AS BIGINT) AS n_tokens,
+         |  md5(coalesce(string_agg(wt.toks, ' ' ORDER BY wt.i), '')) AS tok_sig
+         |FROM documents d LEFT JOIN wt ON wt.doc_id = d.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   val defs: Map[String, Q] = Map(
     "q162_html_extract" -> (htmlExtract(_, _)),
     "q163_url_canonicalize" -> (urlCanonicalize(_, _)),
     "q164_bpe_apply" -> (bpeApply(_, _)),
     "q165_bpe_train" -> (bpeTrain(_, _)),
-    "q166_bpe_bytes" -> (bpeBytes(_, _)))
+    "q166_bpe_bytes" -> (bpeBytes(_, _)),
+    "q168_bpe_pipeline" -> (bpePipeline(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q162_html_extract" -> htmlExtractSql,
     "q163_url_canonicalize" -> urlCanonicalizeSql,
     "q164_bpe_apply" -> bpeApplySql,
     "q165_bpe_train" -> bpeTrainSql(TrainMerges),
-    "q166_bpe_bytes" -> bpeBytesSql)
+    "q166_bpe_bytes" -> bpeBytesSql,
+    "q168_bpe_pipeline" -> bpePipelineSql(TrainMerges))
 }

@@ -196,6 +196,12 @@ class CrawlSpec extends AnyFunSuite {
     // null text behaves as empty — matches the oracle's LEFT JOIN
     assert(bpeRows(3).getLong(1) == 0L, bpeRows(3).toString)
     assert(bpeRows(3).getString(2) == "d41d8cd98f00b204e9800998ecf8427e")
+    // q168 (train→apply) inherits the same null/empty contract, with
+    // merges learned from this corpus rather than shipped
+    val pipe = CrawlQueries.bpePipeline(spark, tmp).collect()
+    assert(pipe(1).getLong(1) == 0L && pipe(3).getLong(1) == 0L)
+    assert(pipe(1).getString(2) == "d41d8cd98f00b204e9800998ecf8427e")
+    assert(pipe(0).getLong(1) > 0L)
   }
 
   test("userinfo strip is greedy to the LAST @ (passwords may contain @)") {
