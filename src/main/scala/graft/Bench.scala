@@ -92,7 +92,13 @@ object Bench {
     // O(word²·merges) worst-case loop; both must stay linear map-only
     // scans, so their sf1 ratio guards the kernel-spread shape (the
     // URL family rides the same scan and is strictly cheaper)
-    "q162_html_extract", "q164_bpe_apply")
+    "q162_html_extract", "q164_bpe_apply",
+    // round 19 (driver): the tokenizer lifecycle — training's corpus
+    // cost is ONE word-frequency aggregation (rounds are vocab-bound,
+    // so the end-to-end q168 ratio should track the two corpus scans
+    // and stay far below 10×), and the quality classifier must stay a
+    // single codegen scan (the q110 class)
+    "q167_quality_classifier", "q168_bpe_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3,6 +3,7 @@ package graft
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerExecutorRemoved, SparkListenerStageSubmitted, SparkListenerTaskEnd, SparkListenerTaskStart}
+import org.apache.spark.sql.SparkSession
 
 /** Graceful-decommission attestation (a `main`, the [[ChaosProbe]]
   * pattern) — the spot-instance path every cloud fleet runs daily:
@@ -22,13 +23,24 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, Spa
   * `shuffle_blocks_migrated > 0` proves the victim held map outputs
   * and a peer now serves them.
   *
+  * Each pass runs in a FRESH local-cluster session: a standalone
+  * master marks the decommissioned executor's WORKER as
+  * decommissioning and will not reliably re-provision it for the same
+  * app, so a shared session's fleet shrinks monotonically across
+  * passes (observed: a second pass stuck at 3/4 executors). Stopping
+  * the session tears down the in-JVM master + workers wholesale; the
+  * next pass gets a clean 4-worker cluster. The healthy reference
+  * hash is computed inside the same pass session, before the chaos
+  * run.
+  *
   * Vacuity guards (two-factor, the ChaosProbe rule): the SIGPWR must
-  * land on THIS session's fleet, the executor-removed event must
-  * register (the drain ends in a real exit), migrated shuffle blocks
-  * must be observed, AND the no-recompute claim must hold with task
-  * evidence drained behind the listener-bus barrier. A pass where the
-  * job finished before the drain began attests nothing and is
-  * RETRIED.
+  * land on THIS pass's fleet WHILE the job is in flight (a signal
+  * after collect returns drains a finished job's leftovers and
+  * attests nothing — retried), the executor-removed event must
+  * register (grace-waited — the drain is asynchronous and the
+  * migration counters are read only after it), migrated shuffle
+  * blocks must be observed, and the zero-recompute claim must hold
+  * with evidence drained behind the listener-bus barrier.
   *
   * Prints one JSON line per query plus a summary:
   * {"query":…,"equal":…,"decommissioned_pid":…,"executors_removed":…,
@@ -38,71 +50,75 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, Spa
   */
 object DecommissionProbe {
 
+  final case class Pass(equal: Boolean, pid: Long, removed: Int,
+      migrated: Int, rddMig: Int, failed: Int, reatt: Int,
+      inFlight: Boolean, wallHealthy: Double, wall: Double)
+
+  private def sigpwr(pid: Long): Boolean =
+    new ProcessBuilder("kill", "-PWR", pid.toString)
+      .inheritIO().start().waitFor() == 0
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q113_winnow_near_dup", "q160_ivfpq_search")
     val master = ProbeHarness.requireLocalCluster("DecommissionProbe")
-    val preexisting = ProbeHarness.executorPids().toSet
-    val spark = ProbeHarness.session(master, Map(
-      "spark.decommission.enabled" -> "true",
-      "spark.storage.decommission.enabled" -> "true",
-      "spark.storage.decommission.rddBlocks.enabled" -> "true",
-      "spark.storage.decommission.shuffleBlocks.enabled" -> "true"))
-
-    val tasksStarted = new AtomicInteger(0)
-    val tasksEnded = new AtomicInteger(0)
-    val tasksFailed = new AtomicInteger(0)
-    val executorsRemoved = new AtomicInteger(0)
-    val stageReattempts = new AtomicInteger(0)
-    val shuffleMigrated = new AtomicInteger(0)
-    val rddMigrated = new AtomicInteger(0)
-    @volatile var signalNanos = Long.MaxValue
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskStart(e: SparkListenerTaskStart): Unit =
-        tasksStarted.incrementAndGet()
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        tasksEnded.incrementAndGet()
-        if (e.reason != org.apache.spark.Success) tasksFailed.incrementAndGet()
-      }
-      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
-        executorsRemoved.incrementAndGet()
-      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
-        if (e.stageInfo.attemptNumber() > 0) stageReattempts.incrementAndGet()
-      override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = {
-        val id = e.blockUpdatedInfo.blockId.name
-        // shuffle_* through the master = decommission migration, the
-        // only writer of that path; rdd_* after the signal = cached
-        // blocks re-homed by the decommissioner (before the signal,
-        // plain caching posts the same event — time-fenced)
-        if (id.startsWith("shuffle_")) shuffleMigrated.incrementAndGet()
-        else if (id.startsWith("rdd_") && System.nanoTime() > signalNanos)
-          rddMigrated.incrementAndGet()
-      }
-    })
-
     val fleetSize = ProbeHarness.fleetSize(master)
-    ProbeHarness.waitForFleet(preexisting, fleetSize)
 
-    def sigpwr(pid: Long): Boolean =
-      new ProcessBuilder("kill", "-PWR", pid.toString)
-        .inheritIO().start().waitFor() == 0
-
-    var allGood = true
-    val results = names.map { name =>
+    def decomPass(name: String): Pass = {
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val healthy = ChaosProbe.canonicalHash(fn(spark, sfDir).collect())
-      val wallHealthy = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      val preexisting = ProbeHarness.executorPids().toSet
+      val spark: SparkSession = ProbeHarness.session(master, Map(
+        "spark.decommission.enabled" -> "true",
+        "spark.storage.decommission.enabled" -> "true",
+        "spark.storage.decommission.rddBlocks.enabled" -> "true",
+        "spark.storage.decommission.shuffleBlocks.enabled" -> "true"))
+      try {
+        val tasksStarted = new AtomicInteger(0)
+        val tasksEnded = new AtomicInteger(0)
+        val tasksFailed = new AtomicInteger(0)
+        val executorsRemoved = new AtomicInteger(0)
+        val stageReattempts = new AtomicInteger(0)
+        val shuffleMigrated = new AtomicInteger(0)
+        val rddMigrated = new AtomicInteger(0)
+        @volatile var signalNanos = Long.MaxValue
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onTaskStart(e: SparkListenerTaskStart): Unit =
+            tasksStarted.incrementAndGet()
+          override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+            tasksEnded.incrementAndGet()
+            if (e.reason != org.apache.spark.Success) tasksFailed.incrementAndGet()
+          }
+          override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
+            executorsRemoved.incrementAndGet()
+          override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+            if (e.stageInfo.attemptNumber() > 0) stageReattempts.incrementAndGet()
+          override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = {
+            val id = e.blockUpdatedInfo.blockId.name
+            // shuffle_* through the master = decommission migration,
+            // the only writer of that path — the LOAD-BEARING
+            // evidence. rdd_* after the signal = cached blocks
+            // re-homed by the decommissioner; plain caching posts the
+            // same event class, so this count is time-fenced on
+            // listener PROCESSING time — an approximation (bus lag
+            // can leak a few pre-signal cache events past the fence),
+            // reported as color, never guarded on.
+            if (id.startsWith("shuffle_")) shuffleMigrated.incrementAndGet()
+            else if (id.startsWith("rdd_") && System.nanoTime() > signalNanos)
+              rddMigrated.incrementAndGet()
+          }
+        })
+        ProbeHarness.waitForFleet(preexisting, fleetSize)
 
-      def decomPass(): (Boolean, Long, Int, Int, Int, Int, Int, Double) = {
+        val t0 = System.nanoTime()
+        val healthy = ChaosProbe.canonicalHash(fn(spark, sfDir).collect())
+        val wallHealthy = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
         ProbeHarness.drainListeners(spark)
         tasksStarted.set(0); tasksEnded.set(0); tasksFailed.set(0)
         executorsRemoved.set(0); stageReattempts.set(0)
         shuffleMigrated.set(0); rddMigrated.set(0)
-        signalNanos = Long.MaxValue
+
         val victim = new java.util.concurrent.atomic.AtomicLong(-1L)
         val drainer = new Thread(() => {
           val deadline = System.nanoTime() + 30e9.toLong
@@ -113,8 +129,9 @@ object DecommissionProbe {
               System.nanoTime() < deadline)
             Thread.sleep(5)
           ProbeHarness.fleetPids(preexisting).headOption.foreach { pid =>
-            signalNanos = System.nanoTime()
+            signalNanos = System.nanoTime() // fence opens BEFORE the signal
             if (sigpwr(pid)) victim.set(pid)
+            else signalNanos = Long.MaxValue // a failed kill fences nothing
           }
         }, s"decommissioner-$name")
         drainer.setDaemon(true)
@@ -122,48 +139,60 @@ object DecommissionProbe {
         val t1 = System.nanoTime()
         drainer.start()
         val decom = ChaosProbe.canonicalHash(fn(spark, sfDir).collect())
-        val wallDecom = (System.nanoTime() - t1) / 1e9
+        val collectEnd = System.nanoTime()
+        val wallDecom = (collectEnd - t1) / 1e9
         drainer.join(90000)
+        // the SIGPWR must have landed while the job was in flight — a
+        // signal after collect returned drains leftover blocks of a
+        // FINISHED job and attests nothing (the retry rule)
+        val inFlight = victim.get() > 0 && signalNanos < collectEnd
         ProbeHarness.drainListeners(spark)
         val failedInRun = tasksFailed.get()
         val reattemptsInRun = stageReattempts.get()
-        val migrated = shuffleMigrated.get()
-        val rddMig = rddMigrated.get()
         // the drain ends in a real executor exit — grace-wait for the
-        // master's asynchronous removal event
+        // master's asynchronous removal event, and only THEN read the
+        // migration counters: the block handoff is itself asynchronous
+        // and finishes before the executor exits, so reading at
+        // collect-return would undercount a drain still in flight
         val graceDeadline = System.nanoTime() + 30e9.toLong
         while (victim.get() > 0 && executorsRemoved.get() == 0 &&
             System.nanoTime() < graceDeadline)
           Thread.sleep(200)
-        spark.catalog.clearCache()
-        ProbeHarness.waitForFleet(preexisting, fleetSize) // master re-provisions
-        (healthy == decom, victim.get(), executorsRemoved.get(), migrated,
-          rddMig, failedInRun, reattemptsInRun, wallDecom)
-      }
+        ProbeHarness.drainListeners(spark)
+        Pass(healthy == decom, victim.get(), executorsRemoved.get(),
+          shuffleMigrated.get(), rddMigrated.get(), failedInRun,
+          reattemptsInRun, inFlight, wallHealthy, wallDecom)
+      } finally SessionDefaults.stopAndReap(spark)
+    }
 
+    def landed(r: Pass): Boolean =
+      r.pid > 0 && r.inFlight && r.removed > 0 && r.migrated > 0 &&
+        r.failed == 0 && r.reatt == 0
+
+    var allGood = true
+    val results = names.map { name =>
       var attempt = 0
-      var last = decomPass()
-      def landed(r: (Boolean, Long, Int, Int, Int, Int, Int, Double)): Boolean =
-        r._2 > 0 && r._3 > 0 && r._4 > 0 && r._6 == 0 && r._7 == 0
+      var last = decomPass(name)
       while (attempt < 2 && !landed(last)) {
         attempt += 1
-        last = decomPass()
+        last = decomPass(name)
       }
-      val (equal, pid, removed, migrated, rddMig, failed, reatt, wallDecom) = last
-      val ok = equal && landed(last)
+      val ok = last.equal && landed(last)
       allGood &&= ok
-      println(s"""{"query":"$name","equal":$equal,"decommissioned_pid":$pid,""" +
-        s""""executors_removed":$removed,"shuffle_blocks_migrated":$migrated,""" +
-        s""""rdd_blocks_migrated":$rddMig,"tasks_failed":$failed,""" +
-        s""""stage_reattempts":$reatt,"landed":${landed(last)},"attempts":${attempt + 1},""" +
-        f""""wall_healthy_s":$wallHealthy%.2f,"wall_decom_s":$wallDecom%.2f}""")
+      println(s"""{"query":"$name","equal":${last.equal},""" +
+        s""""decommissioned_pid":${last.pid},""" +
+        s""""executors_removed":${last.removed},""" +
+        s""""shuffle_blocks_migrated":${last.migrated},""" +
+        s""""rdd_blocks_migrated":${last.rddMig},"tasks_failed":${last.failed},""" +
+        s""""stage_reattempts":${last.reatt},"landed":${landed(last)},""" +
+        s""""attempts":${attempt + 1},""" +
+        f""""wall_healthy_s":${last.wallHealthy}%.2f,"wall_decom_s":${last.wall}%.2f}""")
       (name, ok)
     }
 
     val failed = results.collect { case (n, ok) if !ok => n }
     println(s"""{"metric":"decommission_probe","queries":${results.size},""" +
       s""""all_landed_no_recompute":$allGood,"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]}""")
-    SessionDefaults.stopAndReap(spark)
     if (!allGood) sys.exit(1)
   }
 }

@@ -77,7 +77,15 @@ object SkewAqeProbe {
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1m",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m")),
       Cell("uncapped_noaqe", Int.MaxValue, Map(
-        "spark.sql.adaptive.skewJoin.enabled" -> "false")))
+        "spark.sql.adaptive.skewJoin.enabled" -> "false",
+        // restore what the previous cell lowered: advisory partition
+        // size is read by AQE partition COALESCING regardless of
+        // skewJoin.enabled (inert under the local profile, which
+        // disables coalescing — restored anyway so the baseline is a
+        // true defaults baseline under ANY profile)
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")))
 
     val results = cells.map { cell =>
       cell.confs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -101,8 +109,9 @@ object SkewAqeProbe {
         skewMarked ||= df.queryExecution.executedPlan.toString.contains("skew=true")
         (wall, cpu)
       }
-      // AQE skew-conf reset between cells happens via the next cell's
-      // explicit sets; thresholds are only read when skewJoin is on
+      // each cell sets EVERY conf the previous cell touched (the
+      // uncapped_noaqe cell restores the lowered knobs explicitly —
+      // advisory size is not gated on skewJoin.enabled)
       val wall = walls.map(_._1).min
       val cpu = walls.map(_._2).min
       println(f"""{"cell":"${cell.name}","wall_s":$wall%.2f,"cpu_task_s":$cpu%.2f,""" +

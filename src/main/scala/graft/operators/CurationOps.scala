@@ -591,6 +591,6 @@ object CurationOps {
     // null text scores like empty text (= bias): the oracle's
     // coalesce(text, '') rule
     ColumnShim.column(graft.plans.HashedBagScore(
-      ColumnShim.expression(coalesce(text, lit(""))), weights.toArray, bias))
+      ColumnShim.expression(coalesce(text, lit(""))), weights, bias))
   }
 }

@@ -61,12 +61,18 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)],
             bi += 1
           }
         } else {
-          // char-level seeding (split by Java char — sufficient for
-          // BMP text; the byte mode above is the multi-byte path)
+          // char-level seeding per CODE POINT, not UTF-16 code unit:
+          // the trainer seeds via split(word, "") and the oracle via
+          // substr(word, i, 1), both code-point-wise — a surrogate
+          // pair split into two lone-surrogate tokens could never be
+          // fused by any learned merge, silently breaking the q168
+          // train/apply round-trip on non-BMP text (CrawlSpec pins an
+          // astral-plane corpus)
           var ci = 0
           while (ci < w.length) {
-            toks.add(String.valueOf(w.charAt(ci)))
-            ci += 1
+            val n = Character.charCount(w.codePointAt(ci))
+            toks.add(w.substring(ci, ci + n))
+            ci += n
           }
         }
         var done = false

@@ -25,8 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object Kernels {
 
   /** FNV-1a 64-bit over UTF-8 bytes — stable, allocation-free. */
-  def fnv1a(s: UTF8String): Long = {
-    val bytes = s.getBytes
+  def fnv1a(s: UTF8String): Long = fnv1a(s.getBytes)
+
+  def fnv1a(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < bytes.length) {
@@ -302,26 +303,6 @@ case class ByteEntropy(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** [[Kernels.fnv1a]] as a first-class column — the shared token-hash
-  * convention of the text family (SimHash's per-token hash, the q167
-  * hashed-bag feature bucket), exposed so operators can bucket tokens
-  * WITHOUT a UDF and the DuckDB oracle can replay the exact hash
-  * (TextQueries.fnv1aSqlExpr is the mirror).
-  */
-case class Fnv1a64(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "fnv1a64"
-
-  override protected def nullSafeEval(input: Any): Any =
-    Kernels.fnv1a(input.asInstanceOf[UTF8String])
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.fnv1a($c)")
-
-  override protected def withNewChildInternal(newChild: Expression): Fnv1a64 =
-    copy(child = newChild)
-}
-
 /** fastText-class linear quality scorer as ONE codegen expression
   * (Joulin et al. 2016): `bias + mean over whitespace tokens of
   * weights[fnv1a(token) mod weights.length]`. A higher-order
@@ -342,21 +323,31 @@ case class Fnv1a64(child: Expression) extends UnaryExpression {
   * Empty/whitespace-only input scores exactly `bias` (no phantom ""
   * token); null propagates as null.
   */
-case class HashedBagScore(child: Expression, weights: Array[Double], bias: Double)
+case class HashedBagScore(child: Expression, weights: Seq[Double], bias: Double)
   extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "hashed_bag_score"
 
+  // Seq in the case-class field (structural equality — an Array field
+  // would compare by reference and defeat Catalyst plan matching /
+  // cache reuse, the BpeEncode merges precedent); dense Array in the
+  // hot loop.
+  @transient private lazy val w: Array[Double] = weights.toArray
+  @transient private lazy val dim: Long = weights.size.toLong
+
   def score(text: UTF8String): Double = {
-    val words = text.toString.split("\\s+")
+    // precompiled pattern: String.split("\\s+") re-compiles the regex
+    // per ROW, in the one expression the whole query's cost lives in
+    val words = HashedBagScore.Whitespace.split(text.toString)
     var sum = 0.0
     var n = 0
     var i = 0
     while (i < words.length) {
-      val w = words(i)
-      if (w.nonEmpty) {
-        val h = Kernels.fnv1a(UTF8String.fromString(w))
-        sum += weights(java.lang.Math.floorMod(h, weights.length.toLong).toInt)
+      val word = words(i)
+      if (word.nonEmpty) {
+        val h = Kernels.fnv1a(
+          word.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        sum += w(java.lang.Math.floorMod(h, dim).toInt)
         n += 1
       }
       i += 1
@@ -374,6 +365,10 @@ case class HashedBagScore(child: Expression, weights: Array[Double], bias: Doubl
 
   override protected def withNewChildInternal(newChild: Expression): HashedBagScore =
     copy(child = newChild)
+}
+
+object HashedBagScore {
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
 }
 
 case class RollingHash64(child: Expression) extends UnaryExpression {
@@ -400,9 +395,6 @@ object NativeFunctions {
 
   def rollingHash64(c: Column): Column =
     ColumnShim.column(RollingHash64(ColumnShim.expression(c)))
-
-  def fnv1a64(c: Column): Column =
-    ColumnShim.column(Fnv1a64(ColumnShim.expression(c)))
 
   def byteEntropy(c: Column): Column =
     ColumnShim.column(ByteEntropy(ColumnShim.expression(c)))

@@ -320,6 +320,26 @@ class CrawlSpec extends AnyFunSuite {
       mismatches.take(5).mkString("apply != training on: ", ", ", ""))
   }
 
+  test("char seeding is per CODE POINT: astral text trains AND applies as one token") {
+    // U+1D11E is a surrogate pair in UTF-16; code-UNIT seeding would
+    // emit two lone-surrogate tokens no learned merge could fuse —
+    // apply would diverge from training (split(word,"")/substr are
+    // both code-point-wise) and the q168 round-trip would break
+    val clef = "𝄞"
+    assert(bpe(s"${clef}x") == s"$clef x")
+    import graft.operators.BpeTrainer
+    val docs = Seq(s"$clef$clef$clef a", s"$clef$clef b").toDF("text")
+    val learned = BpeTrainer.learn(docs, "text", nMerges = 4)
+    assert(learned.merges.head._1 == clef && learned.merges.head._2 == clef,
+      learned.merges.toString)
+    val pairs = learned.merges.map { case (a, b, _) => (a, b) }
+    val mism = learned.vocab.select(
+      concat_ws(" ", $"toks").as("trained"),
+      BpeMerges.bpeEncode($"word", pairs).as("applied"))
+      .filter($"trained" =!= $"applied").collect()
+    assert(mism.isEmpty, mism.mkString(","))
+  }
+
   test("q165's merge-pair expression stays inside whole-stage codegen") {
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[graft.plans.BpeMergePair]))
