@@ -66,21 +66,30 @@ object BpeTrainer {
         i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  def learn(docs: DataFrame, textCol: String, nMerges: Int): Learned = {
+  def learn(docs: DataFrame, textCol: String, nMerges: Int,
+      byteLevel: Boolean = false): Learned = {
     require(nMerges > 0 && nMerges <= 65536,
       s"nMerges must be a bounded artifact size, got $nMerges")
     val s = docs.sparkSession
     import s.implicits._
 
-    // The one corpus-scale pass: word frequencies. split("") seeds
-    // per-character tokens (this surface is char-level BPE — the
-    // byte-level seeding lives in BpeEncode's byte mode).
+    // The one corpus-scale pass: word frequencies. Char-level seeds
+    // per CODE POINT (split("") — matching BpeEncode's code-point
+    // apply seeding); byte-level seeds per UTF-8 byte through the
+    // GPT-2 table ([[graft.plans.GptByteTokens]] — matching
+    // BpeEncode's byte mode). The merge loop is alphabet-agnostic
+    // above the seed.
     val words = docs
       .select(explode(split(col(textCol), "\\s+")).as("word"))
       .filter(length($"word") > 0)
       .groupBy($"word").agg(count(lit(1)).as("freq"))
+    val seed =
+      if (byteLevel) {
+        import org.apache.spark.sql.graftshim.ColumnShim
+        ColumnShim.column(graft.plans.GptByteTokens(ColumnShim.expression($"word")))
+      } else split($"word", "")
     var vocab = Checkpoints.stable(
-      words.select($"word", $"freq", split($"word", "").as("toks")))
+      words.select($"word", $"freq", seed.as("toks")))
 
     val merges = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
     val seen = scala.collection.mutable.HashSet.empty[(String, String)]
@@ -121,10 +130,11 @@ object BpeTrainer {
     * order, rank 1-based — the q165 presentation (and the artifact a
     * deployment would write next to its corpus snapshot).
     */
-  def learnTable(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def learnTable(docs: DataFrame, textCol: String, nMerges: Int,
+      byteLevel: Boolean = false): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val learned = learn(docs, textCol, nMerges)
+    val learned = learn(docs, textCol, nMerges, byteLevel)
     Checkpoints.free(learned.vocab) // table-only callers never read it
     learned.merges.zipWithIndex
       .map { case ((a, b, cnt), i) => (i + 1L, a, b, cnt) }

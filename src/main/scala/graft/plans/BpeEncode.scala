@@ -153,6 +153,41 @@ object GptBytes {
   def token(b: Int): String = table(b)
 }
 
+/** UTF-8 bytes of a string rendered through the [[GptBytes]] table as
+  * an `array<string>` of single-char byte tokens — the BYTE-level
+  * seeding column for [[graft.operators.BpeTrainer]] (the training
+  * side of [[BpeEncode]]'s byte mode, which seeds the same way
+  * inline). One codegen projection; the trainer's merge loop is
+  * alphabet-agnostic above this.
+  */
+case class GptByteTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gpt_byte_tokens"
+
+  def tokens(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val out = new Array[AnyRef](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = UTF8String.fromString(GptBytes.token(bytes(i) & 0xff))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gptBytes", this, classOf[GptByteTokens].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.tokens($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GptByteTokens =
+    copy(child = newChild)
+}
+
 /** Left-to-right non-overlapping merge of one (left, right) pair over
   * an `array<string>` token column — see [[BpeMerges.mergePair]] for
   * semantics. The pair is bound at plan time (expression constants,

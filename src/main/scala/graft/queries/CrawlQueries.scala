@@ -311,44 +311,23 @@ object CrawlQueries {
     * table here does (the 0xC3-lead interplay), so the pin is
     * load-bearing.
     */
-  val bpeBytesSql: String =
-    """WITH RECURSIVE
+  lazy val bpeBytesSql: String =
+    s"""WITH RECURSIVE
       |merges(rk, ma, mb) AS (
       |  SELECT * FROM (VALUES
       |    (1,'e','r'),(2,'Ã','©'),(3,'c','a'),(4,'ca','f'),
       |    (5,'caf','Ã©'),(6,'Ã','Ł'),(7,'ab','a'),(8,'a','b'),
       |    (9,'s','t'),(10,'â','Ĥ'),(11,'âĤ','¬'),(12,'st','r')
       |  ) m(rk, ma, mb)),
-      |docs2 AS MATERIALIZED (
-      |  SELECT doc_id, coalesce(text, '') || ' café abab ' ||
-      |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'π'
-      |      WHEN 1 THEN 'straße' WHEN 2 THEN 'Œuvre'
-      |      ELSE '€100 ababa' END AS text
-      |  FROM documents),
+      |$accentedDocsSql,
       |words AS MATERIALIZED (
       |  SELECT doc_id, i, w[i] AS word
-      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM docs2) d,
+      |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM docs2) d,
       |  LATERAL UNNEST(generate_series(1, len(w))) AS t(i)
       |  WHERE w[i] <> ''),
       |vocab AS MATERIALIZED (SELECT DISTINCT word FROM words),
       |init AS MATERIALIZED (
-      |  SELECT word, array_to_string(list_transform(
-      |    flatten(list_transform(
-      |      list_transform(range(1, len(word) + 1),
-      |        i -> unicode(substr(word, CAST(i AS INT), 1))),
-      |      u -> CASE
-      |        WHEN u < 128 THEN [u]
-      |        WHEN u < 2048 THEN [192 + u // 64, 128 + u % 64]
-      |        WHEN u < 65536 THEN
-      |          [224 + u // 4096, 128 + (u // 64) % 64, 128 + u % 64]
-      |        ELSE [240 + u // 262144, 128 + (u // 4096) % 64,
-      |              128 + (u // 64) % 64, 128 + u % 64] END)),
-      |    b -> chr(CASE
-      |      WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
-      |        OR (b BETWEEN 174 AND 255) THEN b
-      |      WHEN b <= 32 THEN 256 + b
-      |      WHEN b = 173 THEN 256 + 67
-      |      ELSE 256 + 33 + (b - 127) END)), ' ') AS toks
+      |  SELECT word, $byteSeedSql AS toks
       |  FROM vocab),
       |bpe(word, toks, cma, cmb) AS (
       |  SELECT word, ' ' || toks || ' ', '', '' FROM init
@@ -406,25 +385,69 @@ object CrawlQueries {
     * skip back-to-back occurrences (its scan consumes the shared
     * delimiter space), which is why the surgery is load-bearing.
     */
-  /** The shared training chain (positioned words → char-seeded vocab
-    * → n unrolled merge steps): q165 reads the selected pairs off it,
+  /** Per-word seed-tokenization SQL expressions over a `word` column:
+    * char-level (one token per CODE POINT — `substr`/`len` are
+    * code-point-wise, matching the engine's split(word, "") and
+    * BpeEncode's code-point apply seeding) and byte-level (UTF-8
+    * bytes computed from code points via the RFC 3629 arithmetic,
+    * each byte rendered through the GPT-2 table as `chr()` arithmetic
+    * — the [[graft.plans.GptBytes]] mirror, shared by q166 and q169).
+    */
+  private lazy val charSeedSql =
+    """array_to_string(list_transform(range(1, len(word) + 1),
+      |      i -> substr(word, CAST(i AS INT), 1)), ' ')""".stripMargin
+
+  private lazy val byteSeedSql =
+    """array_to_string(list_transform(
+      |    flatten(list_transform(
+      |      list_transform(range(1, len(word) + 1),
+      |        i -> unicode(substr(word, CAST(i AS INT), 1))),
+      |      u -> CASE
+      |        WHEN u < 128 THEN [u]
+      |        WHEN u < 2048 THEN [192 + u // 64, 128 + u % 64]
+      |        WHEN u < 65536 THEN
+      |          [224 + u // 4096, 128 + (u // 64) % 64, 128 + u % 64]
+      |        ELSE [240 + u // 262144, 128 + (u // 4096) % 64,
+      |              128 + (u // 64) % 64, 128 + u % 64] END)),
+      |    b -> chr(CASE
+      |      WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+      |        OR (b BETWEEN 174 AND 255) THEN b
+      |      WHEN b <= 32 THEN 256 + b
+      |      WHEN b = 173 THEN 256 + 67
+      |      ELSE 256 + 33 + (b - 127) END)), ' ')""".stripMargin
+
+  /** The multi-byte fixture corpus as a CTE — the SQL mirror of
+    * [[accented]], shared by q166 (byte apply) and q169 (byte train).
+    */
+  private lazy val accentedDocsSql =
+    """docs2 AS MATERIALIZED (
+      |  SELECT doc_id, coalesce(text, '') || ' café abab ' ||
+      |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'π'
+      |      WHEN 1 THEN 'straße' WHEN 2 THEN 'Œuvre'
+      |      ELSE '€100 ababa' END AS text
+      |  FROM documents)""".stripMargin
+
+  /** The shared training chain (positioned words → seeded vocab → n
+    * unrolled merge steps): q165/q169 read the selected pairs off it,
     * q168 reads the FINAL tokenized vocabulary. Positions ride the
     * words CTE so the pipeline variant can rebuild per-document token
-    * streams; the per-word v0 aggregation ignores them.
+    * streams; the per-word v0 aggregation ignores them. `src` is the
+    * corpus relation (q169 trains on the multi-byte fixture CTE,
+    * supplied via `prefixCtes`); `seedSql` picks the alphabet.
     */
-  private def bpeTrainChain(n: Int): String = {
+  private def bpeTrainChain(n: Int, src: String = "documents",
+      seedSql: String = charSeedSql, prefixCtes: Seq[String] = Nil): String = {
     val base =
-      """WITH RECURSIVE
-        |words AS MATERIALIZED (
-        |  SELECT doc_id, i, w[i] AS word
-        |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents) d,
-        |  LATERAL UNNEST(generate_series(1, len(w))) AS t(i)
-        |  WHERE w[i] <> ''),
-        |v0 AS MATERIALIZED (
-        |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
-        |    array_to_string(list_transform(range(1, len(word) + 1),
-        |      i -> substr(word, CAST(i AS INT), 1)), ' ') AS toks
-        |  FROM words GROUP BY word)""".stripMargin
+      s"""WITH RECURSIVE
+         |${(prefixCtes :+ "").mkString(",\n")}words AS MATERIALIZED (
+         |  SELECT doc_id, i, w[i] AS word
+         |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM $src) d,
+         |  LATERAL UNNEST(generate_series(1, len(w))) AS t(i)
+         |  WHERE w[i] <> ''),
+         |v0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    $seedSql AS toks
+         |  FROM words GROUP BY word)""".stripMargin
     val steps = (1 to n).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS pair,
@@ -455,11 +478,36 @@ object CrawlQueries {
     (base +: steps).mkString(",\n")
   }
 
+  private def trainSelect(n: Int): String = (1 to n)
+    .map(k => s"SELECT CAST($k AS BIGINT) AS rk, ma AS lhs, mb AS rhs, " +
+      s"cnt AS pair_count FROM b$k")
+    .mkString("\n", "\nUNION ALL\n", "\nORDER BY rk")
+
   private[queries] def bpeTrainSql(n: Int): String =
-    bpeTrainChain(n) + (1 to n)
-      .map(k => s"SELECT CAST($k AS BIGINT) AS rk, ma AS lhs, mb AS rhs, " +
-        s"cnt AS pair_count FROM b$k")
-      .mkString("\n", "\nUNION ALL\n", "\nORDER BY rk")
+    bpeTrainChain(n) + trainSelect(n)
+
+  /** q169 — BYTE-level BPE training: [[graft.operators.BpeTrainer]]
+    * with UTF-8-byte seeding ([[graft.plans.GptByteTokens]]) over the
+    * multi-byte fixture corpus, completing the byte lifecycle q166
+    * opened (q166 applies a shipped byte table; q169 produces one).
+    * Same scale shape as q165 — one corpus aggregation, vocab-bound
+    * rounds — with an alphabet the merge loop never inspects. The
+    * oracle is the q165 training chain seeded with the q166 byte
+    * arithmetic over the shared fixture CTE: merge selection,
+    * tie-breaks and re-tokenization replay identically because both
+    * engines compare the mapped tokens by UTF-8 bytes.
+    */
+  def bpeBytesTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents")
+    graft.operators.BpeTrainer.learnTable(
+      docs.select(accented($"text", $"doc_id").as("text")),
+      "text", TrainMerges, byteLevel = true)
+  }
+
+  private[queries] def bpeBytesTrainSql(n: Int): String =
+    bpeTrainChain(n, src = "docs2", seedSql = byteSeedSql,
+      prefixCtes = Seq(accentedDocsSql)) + trainSelect(n)
 
   /** q168 — the FULL tokenizer lifecycle, end to end: TRAIN the merge
     * table on the corpus ([[graft.operators.BpeTrainer]]), then APPLY
@@ -512,7 +560,8 @@ object CrawlQueries {
     "q164_bpe_apply" -> (bpeApply(_, _)),
     "q165_bpe_train" -> (bpeTrain(_, _)),
     "q166_bpe_bytes" -> (bpeBytes(_, _)),
-    "q168_bpe_pipeline" -> (bpePipeline(_, _)))
+    "q168_bpe_pipeline" -> (bpePipeline(_, _)),
+    "q169_bpe_bytes_train" -> (bpeBytesTrain(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q162_html_extract" -> htmlExtractSql,
@@ -520,5 +569,6 @@ object CrawlQueries {
     "q164_bpe_apply" -> bpeApplySql,
     "q165_bpe_train" -> bpeTrainSql(TrainMerges),
     "q166_bpe_bytes" -> bpeBytesSql,
-    "q168_bpe_pipeline" -> bpePipelineSql(TrainMerges))
+    "q168_bpe_pipeline" -> bpePipelineSql(TrainMerges),
+    "q169_bpe_bytes_train" -> bpeBytesTrainSql(TrainMerges))
 }

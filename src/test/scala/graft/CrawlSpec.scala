@@ -320,6 +320,37 @@ class CrawlSpec extends AnyFunSuite {
       mismatches.take(5).mkString("apply != training on: ", ", ", ""))
   }
 
+  test("byte-level training learns multi-byte merges and round-trips through byte apply") {
+    import graft.operators.BpeTrainer
+    // café ×3, straße ×1: the four café byte pairs tie at 3 — byte
+    // order cascades from (a,f), so é's continuation byte '©' is
+    // folded by rank 3 as ('afÃ','©'): a merge CROSSING the
+    // code-point boundary (the left token ends mid-é), which only a
+    // byte-level alphabet can express; straße's pairs (count 1)
+    // follow, folding ß the same way ('aÃ','Ł')
+    val docs = Seq("café café", "café straße").toDF("text")
+    val learned = BpeTrainer.learn(docs, "text", nMerges = 6, byteLevel = true)
+    val pairs = learned.merges.map { case (a, b, _) => (a, b) }
+    assert(pairs.take(3).contains(("afÃ", "©")),
+      s"é's continuation byte must fold across the code-point boundary, got $pairs")
+    assert(pairs.exists { case (a, b) => a.endsWith("Ã") && b == "Ł" },
+      s"ß's continuation byte must fold too, got $pairs")
+    assert(learned.merges.take(4).forall(_._3 == 3L), learned.merges.toString)
+    // round-trip through the BYTE apply: seeding must agree end to end
+    val mism = learned.vocab.select(
+      concat_ws(" ", $"toks").as("trained"),
+      BpeMerges.bpeEncodeBytes($"word", pairs).as("applied"))
+      .filter($"trained" =!= $"applied").collect()
+    assert(mism.isEmpty, mism.mkString(","))
+    // the seeding expression itself: one token per UTF-8 byte
+    val toks = Seq("café").toDF("w").select(
+      org.apache.spark.sql.graftshim.ColumnShim.column(
+        graft.plans.GptByteTokens(
+          org.apache.spark.sql.graftshim.ColumnShim.expression($"w"))).as("t"))
+      .head.getSeq[String](0)
+    assert(toks == Seq("c", "a", "f", "Ã", "©"))
+  }
+
   test("char seeding is per CODE POINT: astral text trains AND applies as one token") {
     // U+1D11E is a surrogate pair in UTF-16; code-UNIT seeding would
     // emit two lone-surrogate tokens no learned merge could fuse —
