@@ -9,8 +9,10 @@ import graft.plans.BpeMerges
 
 /** Crawl-side extraction family — the operators UPSTREAM of every
   * dedup/quality query in this engine: HTML → main text (q162), URL
-  * canonicalization + host grouping (q163), and real BPE
-  * tokenizer-apply (q164). The fixture convention is the multimodal
+  * canonicalization + host grouping (q163), and the full BPE
+  * tokenizer lifecycle — char apply (q164), distributed training
+  * (q165), byte-level apply (q166), train→apply end to end (q168),
+  * byte-level training (q169). The fixture convention is the multimodal
   * one (q96/q101/q117): the raw input (HTML page, crawl URL) is
   * synthesized DETERMINISTICALLY from the documents row, the engine
   * runs the real extraction operator over it, and the DuckDB oracle
