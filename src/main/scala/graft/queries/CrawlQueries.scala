@@ -201,8 +201,8 @@ object CrawlQueries {
     * shortcut in the engine diverges on `scan`. Merge ranks here are
     * 1-based; the engine's 0-based indices order identically.
     */
-  val bpeApplySql: String =
-    """WITH RECURSIVE
+  lazy val bpeApplySql: String =
+    s"""WITH RECURSIVE
       |merges(rk, ma, mb) AS (
       |  SELECT * FROM (VALUES
       |    (1,'e','r'),(2,'t','a'),(3,'ta','b'),(4,'l','e'),(5,'tab','le'),
@@ -213,7 +213,7 @@ object CrawlQueries {
       |  ) m(rk, ma, mb)),
       |words AS (
       |  SELECT doc_id, i, w[i] AS word
-      |  FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents) d,
+      |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents) d,
       |  LATERAL UNNEST(generate_series(1, len(w))) AS t(i)
       |  WHERE w[i] <> ''),
       |vocab AS (SELECT DISTINCT word FROM words),
@@ -235,13 +235,7 @@ object CrawlQueries {
       |fin AS (
       |  SELECT word, toks FROM bpe
       |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1),
-      |wt AS (
-      |  SELECT w.doc_id, w.i, f.toks FROM words w JOIN fin f USING (word))
-      |SELECT d.doc_id,
-      |  CAST(coalesce(sum(len(string_split(wt.toks, ' '))), 0) AS BIGINT) AS n_tokens,
-      |  md5(coalesce(string_agg(wt.toks, ' ' ORDER BY wt.i), '')) AS tok_sig
-      |FROM documents d LEFT JOIN wt ON wt.doc_id = d.doc_id
-      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+      |${perDocTokensSql("fin")}""".stripMargin
 
   /** q166 — BYTE-level BPE apply ([[graft.plans.BpeEncode]] byte
     * mode): seed tokens are the UTF-8 bytes of each word rendered
@@ -349,12 +343,7 @@ object CrawlQueries {
       |  SELECT word, trim(toks) AS toks FROM bpe b
       |  WHERE NOT EXISTS (SELECT 1 FROM merges m
       |    WHERE strpos(b.toks, ' ' || m.ma || ' ' || m.mb || ' ') > 0)),
-      |wt AS (SELECT w.doc_id, w.i, f.toks FROM words w JOIN fin f USING (word))
-      |SELECT d.doc_id,
-      |  CAST(coalesce(sum(len(string_split(wt.toks, ' '))), 0) AS BIGINT) AS n_tokens,
-      |  md5(coalesce(string_agg(wt.toks, ' ' ORDER BY wt.i), '')) AS tok_sig
-      |FROM documents d LEFT JOIN wt ON wt.doc_id = d.doc_id
-      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+      |${perDocTokensSql("fin")}""".stripMargin
 
   /** q165 — distributed BPE tokenizer TRAINING
     * ([[graft.operators.BpeTrainer]]): learn the first [[TrainMerges]]
@@ -387,6 +376,22 @@ object CrawlQueries {
     * skip back-to-back occurrences (its scan consumes the shared
     * delimiter space), which is why the surgery is load-bearing.
     */
+  /** The shared per-document presentation tail: join positioned words
+    * to a tokenized vocabulary relation `tokRel(word, toks)`, then
+    * emit `(doc_id, n_tokens, tok_sig)` per document — identical in
+    * q164/q166/q168, factored so the tokenization-presentation
+    * convention can never drift between oracles that share it.
+    * `documents` is always the id universe (LEFT JOIN: a doc with no
+    * words reads 0 tokens / md5('')).
+    */
+  private def perDocTokensSql(tokRel: String): String =
+    s"""wt AS (SELECT w.doc_id, w.i, f.toks FROM words w JOIN $tokRel f USING (word))
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sum(len(string_split(wt.toks, ' '))), 0) AS BIGINT) AS n_tokens,
+       |  md5(coalesce(string_agg(wt.toks, ' ' ORDER BY wt.i), '')) AS tok_sig
+       |FROM documents d LEFT JOIN wt ON wt.doc_id = d.doc_id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** Per-word seed-tokenization SQL expressions over a `word` column:
     * char-level (one token per CODE POINT — `substr`/`len` are
     * code-point-wise, matching the engine's split(word, "") and
@@ -547,14 +552,7 @@ object CrawlQueries {
   }
 
   private[queries] def bpePipelineSql(n: Int): String =
-    bpeTrainChain(n) +
-      s""",
-         |wt AS (SELECT w.doc_id, w.i, v.toks FROM words w JOIN v$n v USING (word))
-         |SELECT d.doc_id,
-         |  CAST(coalesce(sum(len(string_split(wt.toks, ' '))), 0) AS BIGINT) AS n_tokens,
-         |  md5(coalesce(string_agg(wt.toks, ' ' ORDER BY wt.i), '')) AS tok_sig
-         |FROM documents d LEFT JOIN wt ON wt.doc_id = d.doc_id
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    bpeTrainChain(n) + ",\n" + perDocTokensSql(s"v$n")
 
   val defs: Map[String, Q] = Map(
     "q162_html_extract" -> (htmlExtract(_, _)),
