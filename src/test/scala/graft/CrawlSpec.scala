@@ -382,9 +382,13 @@ class CrawlSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("q162/q164 are stateless scans: no exchange before the presentation sort") {
+  test("q162/q164/q168 are stateless scans: no exchange before the presentation sort") {
+    // q168's TRAINING runs at plan-build time (bounded vocab rounds);
+    // the plan under test is the APPLY — which must stay the q164
+    // shape even with a learned (non-literal-in-source) merge table
     for (q <- Seq(CrawlQueries.htmlExtract(spark, dir),
-        CrawlQueries.bpeApply(spark, dir))) {
+        CrawlQueries.bpeApply(spark, dir),
+        CrawlQueries.bpePipeline(spark, dir))) {
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"extraction must not shuffle:\n${p.take(600)}")
