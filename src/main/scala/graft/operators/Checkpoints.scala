@@ -68,6 +68,12 @@ object Checkpoints {
 
   def stable[T](ds: Dataset[T], reliable: Boolean): Dataset[T] =
     if (!reliable) ds.localCheckpoint(eager = true)
+    else if (ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      // caller already persisted this plan — the checkpoint write job
+      // reads those blocks, and they stay the CALLER'S to drop:
+      // CacheManager is plan-keyed, so the scaffolding unpersist below
+      // would silently evict the caller's cache along with ours
+      ds.checkpoint(eager = true)
     else {
       // RDD.checkpoint's documented contract: the checkpoint WRITE is
       // a SEPARATE job that re-runs the RDD's lineage, so an eager

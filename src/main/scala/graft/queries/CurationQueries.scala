@@ -160,12 +160,14 @@ object CurationQueries {
   }
 
   /** The oracle replays the scorer term by term IN TOKEN ORDER (the
-    * engine's higher-order `aggregate` is a sequential left fold, so
-    * `list_reduce` over the same list reproduces bit-identical
-    * doubles — no rounding crutch needed): same FNV-1a mirror as q26,
-    * same power-of-two bucket (h mod 64 is congruent between the
-    * oracle's unsigned HUGEINT hash and the engine's signed Long
-    * because 64 divides 2^64), same literal weights.
+    * engine's [[graft.plans.HashedBagScore]] sums in a sequential
+    * left fold over the word array, so `list_reduce` over the same
+    * list reproduces bit-identical doubles — no rounding crutch
+    * needed): same FNV-1a mirror as q26 (UTF-8-byte expansion, so the
+    * hashes agree beyond ASCII), same power-of-two bucket (h mod 64
+    * is congruent between the oracle's unsigned HUGEINT hash and the
+    * engine's signed Long because 64 divides 2^64), same literal
+    * weights.
     */
   val qualityClassifierSql: String = {
     val wlit = QualityWeights.mkString("[", ", ", "]")

@@ -1390,11 +1390,27 @@ object TextQueries {
   /** DuckDB mirror of [[graft.plans.Kernels.fnv1a]]: 64-bit FNV-1a
     * with wraparound via HUGEINT mod 2^64; the per-byte XOR touches
     * only the low 8 bits, so it is expressed as subtract-low-byte +
-    * BIGINT xor. `{c}` is the string column.
+    * BIGINT xor. `{c}` is the string column. The engine hashes UTF-8
+    * BYTES, so the mirror expands each code point to its UTF-8 bytes
+    * (RFC 3629 arithmetic — the q166 byteSeedSql discipline) before
+    * folding; a per-code-point `ord()` would agree only on ASCII and
+    * silently diverge every hash-keyed differential (q26/q167) on
+    * accented corpora. Remaining tokenizer-boundary caveat, hash-side
+    * only: Java `\s` (engine split) includes U+000B, RE2's does not —
+    * asserted absent from the fixture corpus in TextQueriesSpec.
     */
   private[queries] def fnv1aSqlExpr(c: String): String =
     s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
-       |      list_transform(range(1, len($c) + 1), i -> ord($c[i])::HUGEINT)),
+       |      list_transform(flatten(list_transform(
+       |        list_transform(range(1, len($c) + 1), i -> unicode($c[i])),
+       |        u -> CASE
+       |          WHEN u < 128 THEN [u]
+       |          WHEN u < 2048 THEN [192 + u // 64, 128 + u % 64]
+       |          WHEN u < 65536 THEN
+       |            [224 + u // 4096, 128 + (u // 64) % 64, 128 + u % 64]
+       |          ELSE [240 + u // 262144, 128 + (u // 4096) % 64,
+       |                128 + (u // 64) % 64, 128 + u % 64] END)),
+       |        b -> b::HUGEINT)),
        |    (acc, ch) -> ((acc - acc % 256
        |      + xor(CAST(acc % 256 AS BIGINT), CAST(ch AS BIGINT))::HUGEINT)
        |      * 1099511628211) % 18446744073709551616::HUGEINT)""".stripMargin

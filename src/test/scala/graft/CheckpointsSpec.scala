@@ -64,6 +64,21 @@ class CheckpointsSpec extends AnyFunSuite {
         "unpersisted once the checkpoint files are materialized")
   }
 
+  test("reliable checkpoint leaves a CALLER-owned cache in place") {
+    // CacheManager is plan-keyed: when the caller already persisted
+    // the same plan, the scaffolding persist/unpersist pair would
+    // silently evict THEIR cache after the write. stable() must
+    // detect the existing persist and leave ownership with the caller.
+    val src = spark.range(300).select($"id", md5($"id".cast("string")).as("h"))
+    src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = Checkpoints.stable(src, reliable = true)
+      assert(isLineageCut(out) && out.count() == 300)
+      assert(src.storageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+        "a pre-existing caller persist must survive the checkpoint")
+    } finally src.unpersist(blocking = true)
+  }
+
   test("stop-time reap deletes the session's checkpoint subdir (recreatable)") {
     val sc = spark.sparkContext
     val appDir = sc.getCheckpointDir.get

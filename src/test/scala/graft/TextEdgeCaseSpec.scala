@@ -93,4 +93,19 @@ class TextEdgeCaseSpec extends AnyFunSuite {
         "all fixed-point scores must be positive and sane")
     }
   }
+
+  test("fixture corpus has no vertical tab (oracle \\s parity precondition)") {
+    // The hash-keyed differentials (q26/q167) split on Java \s, whose
+    // class includes U+000B; DuckDB's RE2 \s does not. The FNV mirror
+    // now hashes UTF-8 bytes (any-corpus correct), so the one residual
+    // precondition is tokenizer-boundary: no document may carry a
+    // vertical tab or the two engines tokenize it differently. Pinned
+    // here against the real driver fixture.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val n = Tables.load(spark, dir, "documents")
+        .filter(col("text").contains("\u000B")).count()
+      assert(n == 0L, s"$dir/documents carries U+000B text — the q26/q167 " +
+        "oracles' RE2 \\s would tokenize it differently from Java \\s")
+    }
+  }
 }
