@@ -593,4 +593,22 @@ object CurationOps {
     ColumnShim.column(graft.plans.HashedBagScore(
       ColumnShim.expression(coalesce(text, lit(""))), weights, bias))
   }
+
+  /** Text → quantized k-dim embedding ([[graft.plans.HashedBagEmbed]]
+    * — the q167 trained-artifact discipline as a PRODUCER for the
+    * similarity tier). `weights` is the flattened dim×k matrix in
+    * row-major order; `dim = weights.size / k` must be a power of two
+    * (the hashing-trick congruence rule). Null text embeds as the
+    * zero vector.
+    */
+  def hashedBagEmbed(text: Column, weights: Seq[Double], k: Int): Column = {
+    require(k > 0 && weights.size % k == 0,
+      s"weights (${weights.size}) must be a whole number of $k-wide rows")
+    val d = weights.size / k
+    require(d > 0 && (d & (d - 1)) == 0,
+      s"hash dimension must be a power of two (signed/unsigned mod congruence), got $d")
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.HashedBagEmbed(
+      ColumnShim.expression(coalesce(text, lit(""))), weights, k))
+  }
 }

@@ -368,7 +368,89 @@ case class HashedBagScore(child: Expression, weights: Seq[Double], bias: Double)
 }
 
 object HashedBagScore {
-  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+  private[plans] val Whitespace = java.util.regex.Pattern.compile("\\s+")
+}
+
+/** Text → small dense embedding as ONE codegen expression — the q167
+  * [[HashedBagScore]] discipline extended from a scalar score to a
+  * k-dimensional projection (fastText's representation layer, Joulin
+  * et al. 2016 §2: mean of per-token vectors): each whitespace token
+  * hashes to one of `dim` rows of a trained `dim × k` weight matrix
+  * (hashing trick, FNV-1a over UTF-8 bytes), the row vectors are
+  * mean-pooled, and the result is QUANTIZED to int64 at 1e6 — the
+  * exact-arithmetic contract every downstream ANN operator
+  * (q30-class intDot/cosine) already relies on.
+  *
+  * The matrix is a bounded trained artifact bound at plan time (the
+  * PQ-codebook literal rule), so embedding inference is a stateless
+  * map-only codegen scan at any corpus size — the missing producer
+  * that makes the similarity tier end-to-end from raw text.
+  *
+  * Replay contract (the q167 rules, per component): `dim` must be a
+  * power of two (signed-Long / unsigned-HUGEINT mod congruence);
+  * summation is a sequential left fold in token order so the oracle's
+  * `list_reduce` is bit-identical; quantization rounds HALF AWAY FROM
+  * ZERO to match both Spark's `round` and DuckDB's `round` (Java's
+  * `Math.round` half-up would differ on negative .5 boundaries).
+  * Empty/whitespace-only/null-coalesced input embeds as the zero
+  * vector (callers filter zero-norm rows out of cosine).
+  */
+case class HashedBagEmbed(child: Expression, weights: Seq[Double], k: Int)
+  extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_bag_embed"
+
+  @transient private lazy val w: Array[Double] = weights.toArray
+  @transient private lazy val dim: Long = (weights.size / k).toLong
+
+  def embed(text: UTF8String): ArrayData = {
+    val words = HashedBagScore.Whitespace.split(text.toString)
+    val sums = new Array[Double](k)
+    var n = 0
+    var i = 0
+    while (i < words.length) {
+      val word = words(i)
+      if (word.nonEmpty) {
+        val h = Kernels.fnv1a(
+          word.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val row = java.lang.Math.floorMod(h, dim).toInt * k
+        var j = 0
+        while (j < k) { sums(j) += w(row + j); j += 1 }
+        n += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](k)
+    if (n > 0) {
+      var j = 0
+      while (j < k) {
+        out(j) = HashedBagEmbed.quantize(sums(j) / n * 1e6)
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    embed(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bagEmbed", this, classOf[HashedBagEmbed].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.embed($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBagEmbed =
+    copy(child = newChild)
+}
+
+object HashedBagEmbed {
+  /** Half away from zero on the EXACT double — Spark `round()` and
+    * DuckDB `round()` semantics. NOT `floor(x + 0.5)`: adding 0.5 can
+    * carry a value one ulp below .5 over the boundary.
+    */
+  def quantize(x: Double): Long = new java.math.BigDecimal(x)
+    .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 }
 
 case class RollingHash64(child: Expression) extends UnaryExpression {

@@ -1616,7 +1616,92 @@ object SimilarityQueries {
        |SELECT qid, is_positive, cid, cos, rank FROM ranked WHERE rank <= 5
        |ORDER BY qid, is_positive, rank""".stripMargin
 
+  /** q170 — embedding INFERENCE feeding kNN, end-to-end from raw
+    * text: the whole ANN family above consumes fixture vectors; this
+    * query PRODUCES the vector column with a trained artifact —
+    * [[graft.plans.HashedBagEmbed]], the q167 discipline extended
+    * from scalar score to a dim×k projection (fastText's
+    * representation layer, Joulin et al. 2016 §2: hashing-trick
+    * token rows, mean-pooled) — then runs the q30 brute-force cosine
+    * top-k over the engine-produced vectors.
+    *
+    * Scale shape: inference is ONE stateless map-only codegen scan
+    * (weight matrix rides the plan as a literal — the PQ-codebook
+    * rule; CurationSpec pins no exchange up to the broadcast), and
+    * the kNN half inherits q30's bounded discipline (broadcast query
+    * set, per-task bounded top-k, no qid window funnel). Quantized
+    * int64 output keeps every downstream score exact — the oracle
+    * replays inference per component with `list_reduce` (bit-identical
+    * left fold, q167) and HALF-AWAY-FROM-ZERO quantization.
+    * Zero-norm vectors (empty/null text) carry no direction and are
+    * filtered on both sides before cosine.
+    */
+  private[graft] val EmbedK = 16
+  private[graft] val EmbedDim = 64
+  private[graft] val EmbedWeights: Seq[Double] =
+    (0 until EmbedDim * EmbedK).map(i => (((i * 53 + 7) % 41) - 20) / 20.0)
+
+  def embedKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val emb = docs.select($"doc_id", $"lang",
+        graft.operators.CurationOps.hashedBagEmbed(
+          $"text", EmbedWeights, EmbedK).as("q"))
+      .withColumn("nsq", intNormSq($"q"))
+      .filter($"nsq" > 0)
+    // the query set must stay BOUNDED at any corpus size for the
+    // broadcast: the %50 sample alone grows linearly with the corpus
+    // (2% of 100 TB is not a broadcast), so the id cap does the
+    // bounding (≤100 queries) and the sample picks spread-out ids —
+    // the q30 `vec_id < 10` discipline (PlanSpec enforces it)
+    val queries = emb.filter($"doc_id" % 50 === 0 && $"doc_id" < 5000)
+      .select($"doc_id".as("qid"), $"q".as("qv"), $"nsq".as("qn"))
+    val scored = emb.join(broadcast(queries), $"doc_id" =!= $"qid")
+      .select($"qid", $"doc_id".as("cid"), $"lang",
+        cosine(intDot($"qv", $"q"), $"qn", $"nsq").as("cos"))
+    topKRank(scored, 5)
+  }
+
+  private def embedDotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, ${EmbedK + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  val embedKnnSql: String = {
+    val wlit = EmbedWeights.mkString("[", ", ", "]")
+    s"""WITH wv AS (SELECT $wlit::DOUBLE[] AS w),
+       |t AS MATERIALIZED (
+       |  SELECT doc_id, lang, list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+       |    x -> x <> '') AS toks
+       |  FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    list_transform(range(0, $EmbedK), j ->
+       |      CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(round(list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(toks, tok ->
+       |          w[CAST(${TextQueries.fnv1aSqlExpr("tok")} % $EmbedDim AS INT) * $EmbedK
+       |            + CAST(j AS INT) + 1])),
+       |        (a, b) -> a + b) / len(toks) * 1000000) AS BIGINT) END) AS q
+       |  FROM t, wv),
+       |n AS MATERIALIZED (
+       |  SELECT doc_id, lang, q, ${embedDotSql("q", "q")} AS nsq FROM e),
+       |nz AS (SELECT * FROM n WHERE nsq > 0),
+       |qs AS (
+       |  SELECT doc_id AS qid, q AS qv, nsq AS qn FROM nz
+       |  WHERE doc_id % 50 = 0 AND doc_id < 5000),
+       |scored AS (
+       |  SELECT qs.qid, nz.doc_id AS cid, nz.lang,
+       |    CAST(${embedDotSql("qv", "q")} AS DOUBLE)
+       |      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(nsq AS DOUBLE))) AS cos
+       |  FROM nz, qs WHERE nz.doc_id != qs.qid),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+       |  FROM scored)
+       |SELECT qid, cid, lang, cos, rank FROM ranked WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q170_embed_knn" -> (embedKnn(_, _)),
     "q148_hard_negatives" -> (hardNegatives(_, _)),
     "q30_knn_brute_force" -> (knnBruteForce(_, _)),
     "q31_ann_lsh_buckets" -> (annLshBuckets(_, _)),
@@ -1634,6 +1719,7 @@ object SimilarityQueries {
     "q132_source_centroid_sim" -> (sourceCentroidSim(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q170_embed_knn" -> embedKnnSql,
     "q148_hard_negatives" -> hardNegativesSql,
     "q30_knn_brute_force" -> knnBruteForceSql,
     "q31_ann_lsh_buckets" -> annLshBucketsSql,

@@ -567,4 +567,56 @@ class CurationSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("hashed_bag_score") && l.contains("*(")),
       s"scorer projection not inside a codegen span:\n${p.take(700)}")
   }
+
+  // ---- hashedBagEmbed (q170) -------------------------------------------
+
+  test("hashedBagEmbed = quantized token-mean of FNV-bucketed weight rows") {
+    import graft.queries.SimilarityQueries.{EmbedDim, EmbedK, EmbedWeights}
+    def bucket(t: String): Int =
+      java.lang.Math.floorMod(Kernels.fnv1a(UTF8String.fromString(t)),
+        EmbedDim.toLong).toInt
+    def embed(text: String): Seq[Long] =
+      Seq(Option(text)).toDF("t")
+        .select(CurationOps.hashedBagEmbed($"t", EmbedWeights, EmbedK).as("e"))
+        .head.getSeq[Long](0)
+    val expected = (0 until EmbedK).map { j =>
+      val x = (EmbedWeights(bucket("hello") * EmbedK + j) +
+        EmbedWeights(bucket("world") * EmbedK + j)) / 2 * 1e6
+      new java.math.BigDecimal(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    // double whitespace: no phantom "" token may enter the mean
+    assert(embed("hello  world") == expected)
+    // empty/null text: the ZERO vector (filtered out of cosine by the
+    // caller's norm > 0 gate)
+    assert(embed("") == Seq.fill(EmbedK)(0L))
+    assert(embed(null) == Seq.fill(EmbedK)(0L))
+  }
+
+  test("hashedBagEmbed quantization rounds half AWAY FROM ZERO (round() parity)") {
+    import graft.plans.HashedBagEmbed.quantize
+    assert(quantize(2.5) == 3L, "positive half rounds away from zero")
+    assert(quantize(-2.5) == -3L,
+      "negative half rounds away from zero — Math.round would give -2")
+    assert(quantize(0.49999999999999994) == 0L,
+      "one ulp below .5 must not carry over — floor(x+0.5) would give 1")
+    assert(quantize(-0.49999999999999994) == 0L)
+    assert(quantize(299999.99999999994) == 300000L)
+  }
+
+  test("q170 inference is a stateless codegen scan up to the broadcast join") {
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.plans.HashedBagEmbed]))
+    val df = graft.queries.SimilarityQueries.embedKnn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // inference itself shuffles nothing: the only exchanges are the
+    // bounded-top-k aggregation pair after the broadcast join
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query set must broadcast:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must never shuffle for the join:\n${p.take(600)}")
+    assert(p.linesIterator.exists(l => l.contains("hashed_bag_embed") && l.contains("*(")),
+      s"inference projection not inside a codegen span:\n${p.take(700)}")
+  }
 }
