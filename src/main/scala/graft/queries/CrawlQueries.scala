@@ -554,7 +554,93 @@ object CrawlQueries {
   private[queries] def bpePipelineSql(n: Int): String =
     bpeTrainChain(n) + ",\n" + perDocTokensSql(s"v$n")
 
+  /** q171 — the WARC archive tier ([[graft.sources.dsv2.WarcSource]]):
+    * crawl ingestion starts from RECORD-DELIMITED ARCHIVE FILES, not
+    * from HTML strings already in a parquet column (the r19 verdict's
+    * named gap). The fixture writer materializes a genuine 4-file
+    * archive from the documents rows ([[graft.sources.WarcFixture]] —
+    * gate scaffolding, the q71 canned-transport analog), then the
+    * engine runs the REAL ingestion path end-to-end: byte-range
+    * chunked DSv2 scan with record-boundary seeking (`chunkBytes` set
+    * well below file size so every file spans several chunks), the
+    * `warc_type = 'response'` filter PUSHED to the reader (request/
+    * warcinfo noise skips payload materialization — the pushdown a
+    * sequential format can actually honor), HTTP-message framing
+    * (body after the first CRLFCRLF), and q162's main-text extraction
+    * over the decoded page.
+    *
+    * Scale shape: one map-only scan at chunk parallelism — archives
+    * split by byte range without coordination (the HDFS text-split
+    * rule), so 100 TB of `.warc` reads at full cluster width; no
+    * exchange before the presentation sort (CrawlSpec pins it). The
+    * oracle re-derives every column arithmetically from the same
+    * documents rows: `n_bytes` as the octet length of the HTTP
+    * message it reconstructs (byte-exact through UTF-8), clean text
+    * via the q162 replay.
+    */
+  def warcExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpreadLocal(s, dir, "documents")
+      .select($"doc_id", $"text", $"source")
+    val archive = graft.sources.WarcFixture.ensure(docs, dir)
+    val recs = s.read.format("graft.sources.dsv2.WarcSource")
+      .option("path", archive).option("chunkBytes", "16384").load()
+      .filter($"warc_type" === "response")
+    val sep = "\r\n\r\n"
+    recs
+      .select($"url", $"n_bytes",
+        expr("decode(payload, 'UTF-8')").as("msg"))
+      .select(
+        regexp_extract($"url", "/docs/(\\d+)$", 1).cast("long").as("doc_id"),
+        CrawlOps.canonicalHost($"url").as("host"),
+        $"n_bytes",
+        CrawlOps.extractMainText(
+          $"msg".substr(instr($"msg", sep) + 4, length($"msg"))).as("x"))
+      .select($"doc_id", $"host", $"n_bytes",
+        $"x.clean_text", $"x.n_blocks_kept")
+      .orderBy($"doc_id")
+  }
+
+  /** Ground truth replays the fixture arithmetic: the page string is
+    * reconstructed byte-for-byte (escape order `&`,`<`,`>` — the
+    * [[graft.sources.WarcFixture.htmlFor]] mirror), `n_bytes` is the
+    * UTF-8 octet length of HTTP head + page, and clean text is the
+    * q162 replay over the same rows.
+    */
+  val warcExtractSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source, coalesce(text, '') AS rawt,
+      |    replace(replace(replace(coalesce(text, ''),
+      |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS esc
+      |  FROM documents),
+      |h AS MATERIALIZED (
+      |  SELECT doc_id, source, rawt,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+      |    || '</title><style>p{margin:0}</style><script>var x=1;</script></head>'
+      |    || '<body><!-- crawler:generated -->'
+      |    || '<div class="nav"><a href="/">Home</a> <a href="/about">About</a></div>'
+      |    || '<p>' || esc || ' see <a href="/ref">reference</a> notes &amp; more &lt;raw&gt;</p>'
+      |    || CASE WHEN doc_id % 3 = 0 THEN '<p>appendix for ' || source || '</p>' ELSE '' END
+      |    || CASE WHEN doc_id % 2 = 0
+      |         THEN '<div class="ads"><a href="/buy">Buy</a> <a href="/now">Now</a></div>'
+      |         ELSE '' END
+      |    || '<div class="footer"><a href="/terms">Terms</a>'
+      |    || ' <a href="/privacy">Privacy</a></div></body></html>' AS html
+      |  FROM b)
+      |SELECT doc_id, source || '.example.com' AS host,
+      |  CAST(octet_length(encode(
+      |    'HTTP/1.1 200 OK' || chr(13) || chr(10)
+      |    || 'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10)
+      |    || chr(13) || chr(10) || html)) AS BIGINT) AS n_bytes,
+      |  ltrim(trim(regexp_replace(rawt, '\s+', ' ', 'g'))
+      |    || ' see reference notes & more <raw>'
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' appendix for ' || source ELSE '' END)
+      |    AS clean_text,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_blocks_kept
+      |FROM h ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q171_warc_extract" -> (warcExtract(_, _)),
     "q162_html_extract" -> (htmlExtract(_, _)),
     "q163_url_canonicalize" -> (urlCanonicalize(_, _)),
     "q164_bpe_apply" -> (bpeApply(_, _)),
@@ -564,6 +650,7 @@ object CrawlQueries {
     "q169_bpe_bytes_train" -> (bpeBytesTrain(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q171_warc_extract" -> warcExtractSql,
     "q162_html_extract" -> htmlExtractSql,
     "q163_url_canonicalize" -> urlCanonicalizeSql,
     "q164_bpe_apply" -> bpeApplySql,

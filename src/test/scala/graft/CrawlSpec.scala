@@ -420,4 +420,18 @@ class CrawlSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("bpe_encode") && l.contains("*(")),
       s"bpe_encode projection not inside a codegen span:\n${p.take(700)}")
   }
+
+  test("q171: pushed type filter + pruned columns reach the WARC scan; no exchange") {
+    val df = CrawlQueries.warcExtract(spark, dir)
+    val p = plan(df)
+    assert(p.contains("WarcScan"), p.take(400))
+    // the response-only filter prunes at the reader, not post-scan
+    assert(p.contains("EqualTo(warc_type,response)"), p.take(600))
+    // projection pruning: the scan reads only what the query uses
+    assert(p.contains("cols=url,n_bytes,payload"), p.take(600))
+    // extraction is map-only — nothing shuffles before the
+    // presentation sort (the q162 contract, one tier earlier)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"WARC extraction must not shuffle:\n${p.take(600)}")
+  }
 }
