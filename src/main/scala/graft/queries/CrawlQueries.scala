@@ -639,7 +639,49 @@ object CrawlQueries {
       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_blocks_kept
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** q172 — the tokenizer ARTIFACT lifecycle across sessions: q168
+    * trains and applies inside one plan build, but the production
+    * hand-off is train once → persist the artifact → reload it months
+    * later in a session that never saw the training. The train half
+    * writes [[graft.operators.BpeTrainer.learnTable]]'s frame to the
+    * JDBC catalog store (the K1/S6 tier — `overwrite`, an artifact
+    * REPLACES its predecessor); the apply half runs in a FRESH
+    * session (`newSession` — new session state, nothing shared but
+    * the cluster), reconstructs the merge list from storage in rank
+    * order, and encodes the corpus through [[graft.plans.BpeEncode]].
+    *
+    * The merge-list reload is a bounded-artifact collect by design
+    * (≤65536 rows — the PQ-codebook rule; the table rides the apply
+    * plan as an expression constant, never a corpus join). The oracle
+    * is exactly q168's: a hash match proves persistence is LOSSLESS —
+    * train → store → reload → apply equals train → apply.
+    */
+  def bpeArtifact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    val table = graft.operators.BpeTrainer.learnTable(
+      docs.select(col("text")), "text", TrainMerges)
+    val url = s"jdbc:derby:/tmp/graft_bpe_artifact/${new java.io.File(dir).getName}" +
+      ";create=true"
+    table.write.mode("overwrite")
+      .jdbc(url, "bpe_merges", new java.util.Properties())
+
+    val s2 = s.newSession()
+    val merges = graft.sources.Store.jdbcScan(s2, url, "bpe_merges")
+      .orderBy(col("rk"))
+      .select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    Tables.loadSpread(s2, dir, "documents")
+      .select(col("doc_id"),
+        coalesce(BpeMerges.bpeEncode(col("text"), merges), lit("")).as("toks"))
+      .select(col("doc_id"),
+        when(col("toks") === "", lit(0L))
+          .otherwise(size(split(col("toks"), " ")).cast("long")).as("n_tokens"),
+        md5(col("toks")).as("tok_sig"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q172_bpe_artifact" -> (bpeArtifact(_, _)),
     "q171_warc_extract" -> (warcExtract(_, _)),
     "q162_html_extract" -> (htmlExtract(_, _)),
     "q163_url_canonicalize" -> (urlCanonicalize(_, _)),
@@ -650,6 +692,9 @@ object CrawlQueries {
     "q169_bpe_bytes_train" -> (bpeBytesTrain(_, _)))
 
   val oracles: Map[String, String] = Map(
+    // persistence must be lossless: the reloaded-artifact apply
+    // answers to the SAME oracle as the in-plan round trip
+    "q172_bpe_artifact" -> bpePipelineSql(TrainMerges),
     "q171_warc_extract" -> warcExtractSql,
     "q162_html_extract" -> htmlExtractSql,
     "q163_url_canonicalize" -> urlCanonicalizeSql,

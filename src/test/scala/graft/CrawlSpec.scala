@@ -421,6 +421,19 @@ class CrawlSpec extends AnyFunSuite {
       s"bpe_encode projection not inside a codegen span:\n${p.take(700)}")
   }
 
+  test("q172: persisted artifact round-trip equals the in-plan train→apply (q168)") {
+    // train → JDBC store → fresh-session reload → apply must be
+    // byte-identical to q168's single-plan lifecycle on the same
+    // corpus — persistence adds nothing and loses nothing
+    val inPlan = CrawlQueries.bpePipeline(spark, dir).collect().toSeq
+    val reloaded = CrawlQueries.bpeArtifact(spark, dir).collect().toSeq
+    assert(reloaded == inPlan)
+    // and the apply half keeps the q164 stateless-scan shape
+    val p = plan(CrawlQueries.bpeArtifact(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"reloaded-artifact apply must not shuffle:\n${p.take(600)}")
+  }
+
   test("q171: pushed type filter + pruned columns reach the WARC scan; no exchange") {
     val df = CrawlQueries.warcExtract(spark, dir)
     val p = plan(df)
