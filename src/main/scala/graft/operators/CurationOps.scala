@@ -85,6 +85,92 @@ object CurationOps {
         col("dup_words").cast(DoubleType) / col("n_words").cast(DoubleType))
   }
 
+  /** Exact duplicated-substring REMOVAL with first-occurrence
+    * retention — the full Lee et al. 2022 ExactSubstr semantic
+    * (arXiv:2107.06499 §4.1: cut every duplicated passage of ≥ k
+    * words, keeping one canonical copy in the corpus), where
+    * [[duplicatedSpans]] (q107) only MEASURES cross-document
+    * coverage. Three strict upgrades: within-document repetition
+    * counts (the reference tool's suffix array sees all occurrence
+    * pairs, not just cross-doc ones), one occurrence SURVIVES (the
+    * globally first by (doc_id, pos) — without retention a corpus-
+    * wide boilerplate string would vanish entirely), and the output
+    * is the cleaned corpus itself (kept words re-joined), not a
+    * coverage statistic.
+    *
+    * Suffix-array equivalence, and why Spark never builds one: the
+    * published implementation suffix-sorts the concatenated corpus
+    * and walks ADJACENT suffixes for common prefixes ≥ the threshold.
+    * For a FIXED threshold k, two suffixes share a prefix of ≥ k
+    * words iff their first k words are equal — i.e. iff they fall in
+    * the same k-gram group. So the hash-aggregation on grams IS the
+    * sorted-suffix neighborhood, parallelized: everything the
+    * sequential suffix array would put adjacent lands in one reducer
+    * group, and the array's extra power (maximal matches at EVERY
+    * length) is unused once the threshold is fixed. One corpus-scale
+    * gram explode, one gram-keyed agg carrying (count, argmin) in the
+    * same pass, one equi-join back, one doc-keyed reassembly whose
+    * per-doc state is bounded by document length — no global sort,
+    * no concatenated-corpus order anywhere.
+    *
+    * Output: (doc_id, n_words, removed_words, n_spans, clean_sig) —
+    * n_spans counts MAXIMAL merged removed runs; clean_sig is
+    * md5 of the cleaned text (boundary-sensitive, the q164/q168
+    * signature discipline).
+    */
+  def exactSubstringRemove(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"exactSubstringRemove k must be >= 2, got $k")
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      split(coalesce(col(textCol), lit("")), " ").as("__w"))
+      .withColumn("__n", size(col("__w")))
+    val positions = when(col("__n") >= k, sequence(lit(1), col("__n") - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = Staging.staged(base.select(
+      col("doc_id"),
+      explode(transform(positions, i =>
+        struct(i.as("pos"), array_join(slice(col("__w"), i, lit(k)), " ").as("gram"))))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram")))
+    // count and canonical-first ride ONE gram-keyed aggregation; the
+    // struct min is the lexicographic (doc_id, pos) argmin — the
+    // corpus order Lee et al.'s suffix walk would see first
+    val gramStats = grams
+      .groupBy("gram")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("pos"))).as("fo"))
+      .filter(col("occ") >= 2)
+      .select(col("gram"), col("fo.doc_id").as("fd"), col("fo.pos").as("fp"))
+    val removable = grams.join(gramStats, "gram")
+      .filter(!(col("doc_id") === col("fd") && col("pos") === col("fp")))
+    val covered = removable
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list(col("p"))).as("cov"))
+    base.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(
+        col("doc_id"),
+        col("__n").cast("long").as("n_words"),
+        size(col("cov")).cast("long").as("removed_words"),
+        // maximal runs: position i starts a span when it is the head
+        // or not adjacent to its predecessor (element_at is 1-based,
+        // the lambda index 0-based — element_at(cov, i) IS cov[i-1])
+        size(filter(
+          transform(col("cov"), (p, i) =>
+            when(i === 0, lit(true))
+              .otherwise(p > element_at(col("cov"), i) + 1)),
+          x => x)).cast("long").as("n_spans"),
+        md5(array_join(
+          filter(col("__w"), (w, i) =>
+            !array_contains(col("cov"), (i + 1).cast("int"))),
+          " ")).as("clean_sig"))
+  }
+
   /** Overlapping fixed-size word chunking — the retrieval-corpus /
     * context-window preprocessing step: each document becomes
     * `1 + ceil(max(n - chunkWords, 0) / stride)` chunks of up to

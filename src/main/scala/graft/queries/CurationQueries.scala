@@ -49,6 +49,60 @@ object CurationQueries {
       |  USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q173 — exact duplicated-substring REMOVAL with first-occurrence
+    * retention ([[CurationOps.exactSubstringRemove]] — the full Lee
+    * et al. 2022 ExactSubstr tier; q107 is its measurement half).
+    * The oracle replays the whole pipeline: gram occurrence counts
+    * INCLUDING within-doc repeats, the lexicographic (doc_id, pos)
+    * argmin as the surviving copy, merged maximal spans, and the
+    * cleaned text's md5 — so the differential is sensitive to every
+    * kept/cut word boundary in the corpus.
+    */
+  def exactSubstringRemove(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSpread(s, dir, "documents")
+    CurationOps.exactSubstringRemove(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+  }
+
+  val exactSubstringRemoveSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+      |grams AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      |  FROM words, LATERAL UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+      |  WHERE len(w) >= 8),
+      |gs AS MATERIALIZED (
+      |  SELECT gram, struct_extract(fo, 'd') AS fd, struct_extract(fo, 'p') AS fp
+      |  FROM (
+      |    SELECT gram, count(*) AS occ,
+      |      min(struct_pack(d := doc_id, p := pos)) AS fo
+      |    FROM grams GROUP BY gram)
+      |  WHERE occ >= 2),
+      |rem AS (
+      |  SELECT g.doc_id, g.pos
+      |  FROM grams g JOIN gs USING (gram)
+      |  WHERE NOT (g.doc_id = gs.fd AND g.pos = gs.fp)),
+      |cov AS MATERIALIZED (
+      |  SELECT DISTINCT r.doc_id, u.p
+      |  FROM rem r, LATERAL UNNEST(generate_series(r.pos, r.pos + 7)) AS u(p)),
+      |covlist AS (
+      |  SELECT doc_id, list_sort(list(p)) AS cov FROM cov GROUP BY doc_id)
+      |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+      |  CAST(coalesce(len(c.cov), 0) AS BIGINT) AS removed_words,
+      |  CAST(coalesce(len(list_filter(
+      |    list_transform(range(1, len(c.cov) + 1), i ->
+      |      CASE WHEN i = 1 THEN 1
+      |           WHEN c.cov[CAST(i AS INT)] > c.cov[CAST(i AS INT) - 1] + 1 THEN 1
+      |           ELSE 0 END),
+      |    x -> x = 1)), 0) AS BIGINT) AS n_spans,
+      |  -- duckdb 1.0 array_to_string([]) is NULL, not '' — a fully
+      |  -- removed document must still hash the empty string
+      |  md5(coalesce(array_to_string(
+      |    list_filter(w.w, (x, i) -> NOT list_contains(coalesce(c.cov, []), i)),
+      |    ' '), '')) AS clean_sig
+      |FROM words w LEFT JOIN covlist c USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q108 — overlapping 32-word chunks every 24 words (8-word overlap):
     * the retrieval/context-window corpus preparation step. Map-side
     * only — no shuffle in the plan beyond the output sort.
@@ -934,6 +988,7 @@ object CurationQueries {
     "q161_training_shuffle" -> (trainingShuffle(_, _)),
     "q149_score_normalize" -> (scoreNormalize(_, _)),
     "q107_substring_dedup" -> (substringDedup(_, _)),
+    "q173_exact_substring_remove" -> (exactSubstringRemove(_, _)),
     "q167_quality_classifier" -> (qualityClassifier(_, _)),
     "q108_chunk_documents" -> (chunkDocuments(_, _)),
     "q109_group_regression" -> (groupRegression(_, _)),
@@ -952,6 +1007,7 @@ object CurationQueries {
     "q161_training_shuffle" -> trainingShuffleSql,
     "q149_score_normalize" -> scoreNormalizeSql,
     "q107_substring_dedup" -> substringDedupSql,
+    "q173_exact_substring_remove" -> exactSubstringRemoveSql,
     "q167_quality_classifier" -> qualityClassifierSql,
     "q108_chunk_documents" -> chunkDocumentsSql,
     "q109_group_regression" -> groupRegressionSql,

@@ -568,6 +568,61 @@ class CurationSpec extends AnyFunSuite {
       s"scorer projection not inside a codegen span:\n${p.take(700)}")
   }
 
+  // ---- exactSubstringRemove (q173) -------------------------------------
+
+  private def md5Of(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("exactSubstringRemove cuts shared spans but keeps the FIRST occurrence") {
+    // docs share the 4-word run "a b c d": doc 1 holds the canonical
+    // (lexicographically first) copy and stays whole; doc 2 loses
+    // exactly its copy's coverage
+    val docs = Seq((1L, "a b c d e"), (2L, "x a b c d y")).toDF("doc_id", "text")
+    val out = CurationOps.exactSubstringRemove(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 5 && out(0).getLong(2) == 0 &&
+      out(0).getLong(3) == 0 && out(0).getString(4) == md5Of("a b c d e"))
+    assert(out(1).getLong(1) == 6 && out(1).getLong(2) == 4 &&
+      out(1).getLong(3) == 1 && out(1).getString(4) == md5Of("x y"))
+  }
+
+  test("exactSubstringRemove sees WITHIN-document repetition (q107 does not)") {
+    val docs = Seq((1L, "p q r s p q r s")).toDF("doc_id", "text")
+    val out = CurationOps.exactSubstringRemove(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id").collect()
+    // "p q r s"@5 duplicates @1: the second copy is cut, first kept
+    assert(out(0).getLong(2) == 4 && out(0).getLong(3) == 1 &&
+      out(0).getString(4) == md5Of("p q r s"))
+  }
+
+  test("exactSubstringRemove: corpus-wide boilerplate keeps exactly one copy") {
+    val docs = Seq((1L, "t1 t2 t3"), (2L, "t1 t2 t3"), (3L, "t1 t2 t3"))
+      .toDF("doc_id", "text")
+    val out = CurationOps.exactSubstringRemove(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(4) == md5Of("t1 t2 t3") && out(0).getLong(2) == 0)
+    assert(out(1).getString(4) == md5Of("") && out(1).getLong(2) == 3)
+    assert(out(2).getString(4) == md5Of("") && out(2).getLong(2) == 3)
+  }
+
+  test("exactSubstringRemove counts disjoint spans separately; null text survives") {
+    // two separate shared runs in doc 2 with unique filler between
+    val docs = Seq(
+      (1L, "a b c m n o u1 u2 x y z"),
+      (2L, "a b c f1 f2 f3 x y z"),
+      (3L, (null: String))).toDF("doc_id", "text")
+    val out = CurationOps.exactSubstringRemove(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    // doc 2: loses [1,3] and [7,9] — TWO maximal spans
+    assert(out(1).getLong(2) == 6 && out(1).getLong(3) == 2 &&
+      out(1).getString(4) == md5Of("f1 f2 f3"))
+    // null text → one empty-string word, nothing removable
+    assert(out(2).getLong(1) == 1 && out(2).getLong(2) == 0 &&
+      out(2).getString(4) == md5Of(""))
+  }
+
   // ---- hashedBagEmbed (q170) -------------------------------------------
 
   test("hashedBagEmbed = quantized token-mean of FNV-bucketed weight rows") {
