@@ -98,7 +98,16 @@ object Bench {
     // so the end-to-end q168 ratio should track the two corpus scans
     // and stay far below 10×), and the quality classifier must stay a
     // single codegen scan (the q110 class)
-    "q167_quality_classifier", "q168_bpe_pipeline")
+    "q167_quality_classifier", "q168_bpe_pipeline",
+    // round 20: the two new corpus-wide compute shapes — embedding
+    // inference × the broadcast-kNN candidate fan-out (corpus-linear
+    // × |query set|, the q30 class with engine-produced vectors), and
+    // the exact-substring gram index (the q107 shuffle class plus the
+    // occurrence-level join-back and per-doc reassembly). q171's
+    // bench cost is dominated by the fixture-writer scaffolding (not
+    // the scan under test) and q172 is q168 + bounded catalog I/O —
+    // both stay out, guarded by q162/q168's ratios
+    "q170_embed_knn", "q173_exact_substring_remove")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
