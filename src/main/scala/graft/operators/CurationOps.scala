@@ -45,32 +45,47 @@ object CurationOps {
     * Output: (doc_id, n_words, dup_words, dup_fraction) per document,
     * dup_fraction = duplicated-word share in [0, 1].
     */
-  def duplicatedSpans(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      k: Int = 8): DataFrame = {
-    require(k >= 2, s"duplicatedSpans k must be >= 2, got $k")
+  /** Shared words/grams pipeline of the exact-substring family
+    * ([[duplicatedSpans]] measurement, [[exactSubstringRemove]]
+    * removal — the two halves must never diverge on gram
+    * construction): `base` = (doc_id, __w words array, __n), `grams`
+    * = the STAGED (doc_id, pos, gram) table (caller-owned lifecycle,
+    * the q24 discipline — one explode+persist instead of re-running
+    * the split/slice/join string pipeline per consumer; at warehouse
+    * scale this is the materialized gram table of Lee et al.'s
+    * exact-substring pass). `coalesceNull` maps null text to "" (the
+    * removal half's q164 convention; the measurement half keeps
+    * null-propagation for q107 oracle compatibility).
+    */
+  private def gramTable(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, coalesceNull: Boolean): (DataFrame, DataFrame) = {
+    val text = if (coalesceNull) coalesce(col(textCol), lit("")) else col(textCol)
     val base = docs.select(
       col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("__w"))
+      split(text, " ").as("__w"))
       .withColumn("__n", size(col("__w")))
     // Spark's sequence(1, hi) DESCENDS when hi < 1 (step defaults to
     // -1), so short documents must yield an explicitly empty position
     // list, not sequence(1, 0) = [1, 0].
     val positions = when(col("__n") >= k, sequence(lit(1), col("__n") - (k - 1)))
       .otherwise(array().cast("array<int>"))
-    // Staged (caller-owned lifecycle, the q24 discipline): the gram
-    // explode feeds the df filter AND the coverage join — one
-    // explode+persist instead of re-running the split/slice/join
-    // string pipeline per consumer. At warehouse scale this is the
-    // materialized gram table of Lee et al.'s exact-substring pass.
     val grams = Staging.staged(base.select(
       col("doc_id"),
       explode(transform(positions, i =>
         struct(i.as("pos"), array_join(slice(col("__w"), i, lit(k)), " ").as("gram"))))
         .as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram")))
+    (base, grams)
+  }
+
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"duplicatedSpans k must be >= 2, got $k")
+    val (base, grams) =
+      gramTable(docs, idCol, textCol, k, coalesceNull = false)
     val dupGrams = grams.select("doc_id", "gram").distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("gram")
@@ -124,18 +139,8 @@ object CurationOps {
       textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 2, s"exactSubstringRemove k must be >= 2, got $k")
-    val base = docs.select(
-      col(idCol).as("doc_id"),
-      split(coalesce(col(textCol), lit("")), " ").as("__w"))
-      .withColumn("__n", size(col("__w")))
-    val positions = when(col("__n") >= k, sequence(lit(1), col("__n") - (k - 1)))
-      .otherwise(array().cast("array<int>"))
-    val grams = Staging.staged(base.select(
-      col("doc_id"),
-      explode(transform(positions, i =>
-        struct(i.as("pos"), array_join(slice(col("__w"), i, lit(k)), " ").as("gram"))))
-        .as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram")))
+    val (base, grams) =
+      gramTable(docs, idCol, textCol, k, coalesceNull = true)
     // count and canonical-first ride ONE gram-keyed aggregation; the
     // struct min is the lexicographic (doc_id, pos) argmin — the
     // corpus order Lee et al.'s suffix walk would see first
@@ -165,9 +170,15 @@ object CurationOps {
             when(i === 0, lit(true))
               .otherwise(p > element_at(col("cov"), i) + 1)),
           x => x)).cast("long").as("n_spans"),
+        // kept positions via array_except (hash-set build, O(n + |cov|)
+        // and order-preserving on the ascending sequence) — a per-word
+        // array_contains probe of cov would be O(n·|cov|), quadratic
+        // exactly on the boilerplate-heavy documents this operator
+        // targets
         md5(array_join(
-          filter(col("__w"), (w, i) =>
-            !array_contains(col("cov"), (i + 1).cast("int"))),
+          transform(
+            array_except(sequence(lit(1), col("__n")), col("cov")),
+            p => element_at(col("__w"), p)),
           " ")).as("clean_sig"))
   }
 

@@ -660,7 +660,13 @@ object CrawlQueries {
     val docs = Tables.loadSpread(s, dir, "documents")
     val table = graft.operators.BpeTrainer.learnTable(
       docs.select(col("text")), "text", TrainMerges)
-    val url = s"jdbc:derby:/tmp/graft_bpe_artifact/${new java.io.File(dir).getName}" +
+    // per-JVM path: embedded Derby allows ONE booting JVM per db
+    // directory, and a concurrent bench/verify pair on the same scale
+    // factor would hit XSDB6 on a shared path. The cross-SESSION
+    // claim is unaffected — train and apply still run in different
+    // sessions, and the artifact still round-trips through storage.
+    val url = s"jdbc:derby:/tmp/graft_bpe_artifact/" +
+      s"${new java.io.File(dir).getName}_${ProcessHandle.current().pid()}" +
       ";create=true"
     table.write.mode("overwrite")
       .jdbc(url, "bpe_merges", new java.util.Properties())

@@ -72,7 +72,9 @@ object WarcFixture {
       "Content-Type: application/http; msgtype=response\r\n"
     else "Content-Type: application/http; msgtype=request\r\n")
     head ++= s"Content-Length: ${payload.length}\r\n\r\n"
-    head.toString.getBytes(US_ASCII) ++ payload
+    // ISO 28500 §4: header fields are UTF-8 (all-ASCII here, but the
+    // encoding choice must match the reader's contract)
+    head.toString.getBytes(UTF_8) ++ payload
   }
 
   private[graft] def responseRecord(docId: Long, text: String,

@@ -91,7 +91,12 @@ object WarcSource {
   }
   private[dsv2] val GapMarker = Gap ++ Marker
   private[dsv2] val GapMarkerF = kmpTable(GapMarker)
-  private[dsv2] val MarkerF = kmpTable(Marker)
+
+  /** Largest payload the reader will carry as one row (1 GiB). A
+    * Content-Length outside [0, cap] is treated as header corruption
+    * — re-sync, never allocate from untrusted framing.
+    */
+  private[dsv2] val MaxPayloadBytes: Long = 1L << 30
 }
 
 final class WarcTable(props: Map[String, String])
@@ -206,7 +211,7 @@ final class WarcChunkReader(p: WarcChunk) extends PartitionReader[InternalRow] {
     if (p.start == 0L) ()
     else {
       skipTo(math.max(p.start - WarcSource.Gap.length, 0L))
-      if (!seekMarker(requireGap = true)) done = true
+      if (!seekMarker()) done = true
     }
   }
 
@@ -232,10 +237,9 @@ final class WarcChunkReader(p: WarcChunk) extends PartitionReader[InternalRow] {
     * blank line runs past a real marker and never recovers.
     */
   private var recStart = 0L
-  private def seekMarker(requireGap: Boolean): Boolean = {
-    val (pat, fail) =
-      if (requireGap) (WarcSource.GapMarker, WarcSource.GapMarkerF)
-      else (WarcSource.Marker, WarcSource.MarkerF)
+  private def seekMarker(): Boolean = {
+    val pat = WarcSource.GapMarker
+    val fail = WarcSource.GapMarkerF
     var matched = 0
     while (matched < pat.length) {
       val b = read1()
@@ -247,17 +251,22 @@ final class WarcChunkReader(p: WarcChunk) extends PartitionReader[InternalRow] {
     recStart < p.end
   }
 
-  /** Header lines up to the blank line; None on EOF (truncation). */
+  /** Header lines up to the blank line; None on EOF (truncation).
+    * Bytes decode as UTF-8 (ISO 28500 §4: WARC named fields are
+    * UTF-8) — byte-to-char widening would mangle any non-ASCII
+    * WARC-Target-URI into Latin-1 mojibake.
+    */
   private def readHeader(): Option[Map[String, String]] = {
-    val sb = new java.lang.StringBuilder(256)
+    val buf = new java.io.ByteArrayOutputStream(256)
     var run = 0 // consecutive \r\n count
     while (run < 2) {
       val b = read1()
       if (b < 0) return None
-      sb.append(b.toChar)
+      buf.write(b)
       if (b == '\n') run += 1 else if (b != '\r') run = 0
     }
-    Some(sb.toString.linesIterator
+    Some(new String(buf.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator
       .filter(_.contains(":"))
       .map { l =>
         val i = l.indexOf(':')
@@ -282,16 +291,17 @@ final class WarcChunkReader(p: WarcChunk) extends PartitionReader[InternalRow] {
         recStart = 0L
         if (!java.util.Arrays.equals(head, WarcSource.Marker)) {
           // not actually a WARC head — re-sync to the next marker
-          if (!seekMarker(requireGap = true)) { done = true; return false }
+          if (!seekMarker()) { done = true; return false }
         }
       }
       readHeader() match {
         case None => done = true // truncated header: drop, normal EOF state
         case Some(h) =>
-          h.get("content-length").flatMap(_.toLongOption) match {
+          h.get("content-length").flatMap(_.toLongOption)
+            .filter(l => l >= 0 && l <= WarcSource.MaxPayloadBytes) match {
             case None =>
               // malformed record: re-sync to the next marker
-              if (!seekMarker(requireGap = true)) done = true
+              if (!seekMarker()) done = true
             case Some(len) =>
               val wtype = h.getOrElse("warc-type", "unknown")
               val wanted = p.typeAllowed.forall(_ == wtype)
@@ -315,7 +325,7 @@ final class WarcChunkReader(p: WarcChunk) extends PartitionReader[InternalRow] {
               else {
                 // consume the inter-record gap + next marker; done when
                 // EOF or the next record starts at/after `end`
-                val more = seekMarker(requireGap = true)
+                val more = seekMarker()
                 if (wanted) {
                   current = WarcChunkReader.row(h, payload, len, p.columns)
                   if (!more) done = true

@@ -101,7 +101,10 @@ class TextEdgeCaseSpec extends AnyFunSuite {
     // precondition is tokenizer-boundary: no document may carry a
     // vertical tab or the two engines tokenize it differently. Pinned
     // here against the real driver fixture.
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+    // all three differential scales — the driver gate runs at sf0.01
+    // and the round-close differential at sf0.1 too
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1").foreach { dir =>
       val n = Tables.load(spark, dir, "documents")
         .filter(col("text").contains("\u000B")).count()
       assert(n == 0L, s"$dir/documents carries U+000B text — the q26/q167 " +

@@ -31,7 +31,7 @@ class WarcSourceSpec extends AnyFunSuite {
     contentLength.orElse(Some(payload.length.toLong))
       .foreach(n => h ++= s"Content-Length: $n\r\n")
     h ++= "\r\n"
-    h.toString.getBytes(US_ASCII) ++ payload
+    h.toString.getBytes(UTF_8) ++ payload // ISO 28500: headers are UTF-8
   }
 
   /** A record with NO Content-Length header at all (malformed). */
@@ -120,6 +120,31 @@ class WarcSourceSpec extends AnyFunSuite {
     val got = read(writeDir(c))
     assert(got.count() == 2)
     assert(got.filter($"url" === "https://bad.example.com/").count() == 0)
+  }
+
+  test("header fields decode as UTF-8 (non-ASCII target URIs survive)") {
+    val uri = "https://h.example.com/café/straße"
+    val a = archive(Seq(
+      rec("response", Some(uri), "x".getBytes(US_ASCII))))
+    val got = read(writeDir(a)).head()
+    assert(got.getAs[String]("url") == uri)
+  }
+
+  test("negative or absurd Content-Length is header corruption: re-sync, no crash") {
+    val Seq(info, _, resp) = threeRecords
+    def badLen(len: String): Array[Byte] = {
+      val h = "WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: https://bad.example.com/\r\n" +
+        s"Content-Length: $len\r\n\r\n"
+      h.getBytes(US_ASCII) ++ "stub".getBytes(US_ASCII)
+    }
+    for (len <- Seq("-1", (Long.MaxValue / 2).toString)) {
+      val dir = writeDir(info ++ Gap ++ badLen(len) ++ Gap ++ resp)
+      val got = read(dir)
+      assert(got.count() == 2, s"len=$len")
+      assert(got.filter($"url" === "https://bad.example.com/").count() == 0,
+        s"len=$len")
+    }
   }
 
   test("chunk splits partition the record stream exactly (no loss, no dupes)") {
