@@ -643,12 +643,18 @@ object CrawlQueries {
     * trains and applies inside one plan build, but the production
     * hand-off is train once → persist the artifact → reload it months
     * later in a session that never saw the training. The train half
-    * writes [[graft.operators.BpeTrainer.learnTable]]'s frame to the
-    * JDBC catalog store (the K1/S6 tier — `overwrite`, an artifact
-    * REPLACES its predecessor); the apply half runs in a FRESH
-    * session (`newSession` — new session state, nothing shared but
-    * the cluster), reconstructs the merge list from storage in rank
-    * order, and encodes the corpus through [[graft.plans.BpeEncode]].
+    * writes [[graft.operators.BpeTrainer.learnTable]]'s frame as a
+    * FILE artifact (parquet, `overwrite` — an artifact REPLACES its
+    * predecessor; the `merges.txt`-next-to-the-corpus-snapshot
+    * convention every shipped tokenizer uses); the apply half runs in
+    * a FRESH session (`newSession` — new session state, nothing
+    * shared but the cluster), reconstructs the merge list from
+    * storage in rank order, and encodes the corpus through
+    * [[graft.plans.BpeEncode]]. A file artifact rather than the
+    * embedded-JDBC store deliberately: the artifact must be
+    * readable under ANY master, and embedded Derby is single-JVM —
+    * the multiexec bench caught `df.write.jdbc`'s executor-side
+    * tasks dual-booting the database across forked executor JVMs.
     *
     * The merge-list reload is a bounded-artifact collect by design
     * (≤65536 rows — the PQ-codebook rule; the table rides the apply
@@ -660,19 +666,14 @@ object CrawlQueries {
     val docs = Tables.loadSpread(s, dir, "documents")
     val table = graft.operators.BpeTrainer.learnTable(
       docs.select(col("text")), "text", TrainMerges)
-    // per-JVM path: embedded Derby allows ONE booting JVM per db
-    // directory, and a concurrent bench/verify pair on the same scale
-    // factor would hit XSDB6 on a shared path. The cross-SESSION
-    // claim is unaffected — train and apply still run in different
-    // sessions, and the artifact still round-trips through storage.
-    val url = s"jdbc:derby:/tmp/graft_bpe_artifact/" +
-      s"${new java.io.File(dir).getName}_${ProcessHandle.current().pid()}" +
-      ";create=true"
-    table.write.mode("overwrite")
-      .jdbc(url, "bpe_merges", new java.util.Properties())
+    // per-JVM path: a concurrent bench/verify pair on the same scale
+    // factor must not race each other's overwrite
+    val path = s"/tmp/graft_bpe_artifact/" +
+      s"${new java.io.File(dir).getName}_${ProcessHandle.current().pid()}"
+    table.write.mode("overwrite").parquet(path)
 
     val s2 = s.newSession()
-    val merges = graft.sources.Store.jdbcScan(s2, url, "bpe_merges")
+    val merges = s2.read.parquet(path)
       .orderBy(col("rk"))
       .select(col("lhs"), col("rhs"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
