@@ -65,12 +65,19 @@ object VectorOps {
     * dim), while the DuckDB oracle recomputing md5 per row gets
     * bit-identical signatures.
     */
-  def rhpSignature(q: Column, nPlanes: Int, offset: Int): Column = {
+  def rhpSignature(q: Column, nPlanes: Int, offset: Int): Column =
+    rhpSignature(q, nPlanes, offset, 64)
+
+  /** As above for a `dim`-dimensional vector (the embeddings fixture
+    * is 64-wide; engine-produced [[graft.plans.HashedBagEmbed]]
+    * vectors are k-wide — q174 bands those at dim = 16).
+    */
+  def rhpSignature(q: Column, nPlanes: Int, offset: Int, dim: Int): Column = {
     import org.apache.spark.sql.graftshim.ColumnShim
     val md = java.security.MessageDigest.getInstance("MD5")
-    val signs = new Array[Long](nPlanes * 64)
+    val signs = new Array[Long](nPlanes * dim)
     var j = 0
-    for (p <- offset until offset + nPlanes; i <- 0 until 64) {
+    for (p <- offset until offset + nPlanes; i <- 0 until dim) {
       val h = md.digest(s"$p:$i".getBytes("UTF-8"))
       // first hex char < '8'  ⇔  top nibble of byte 0 is 0-7
       signs(j) = if ((h(0) & 0x80) == 0) 1L else -1L
@@ -79,6 +86,6 @@ object VectorOps {
     // One native codegen call emits the whole bit-string
     // (graft.plans.RhpSignature) instead of an interpreted
     // aggregate(zip_with) + when chain per plane.
-    ColumnShim.column(graft.plans.RhpSignature(ColumnShim.expression(q), signs))
+    ColumnShim.column(graft.plans.RhpSignature(ColumnShim.expression(q), signs, dim))
   }
 }

@@ -132,18 +132,18 @@ object Kernels {
     * degenerate case: a non-64-dim or null-element vector summed to
     * NULL, and `when` sent NULL to the otherwise branch — bit '0'.
     */
-  def rhp(q: ArrayData, signs: Array[Long]): UTF8String = {
-    val nPlanes = signs.length / 64
+  def rhp(q: ArrayData, signs: Array[Long], dim: Int): UTF8String = {
+    val nPlanes = signs.length / dim
     val out = new Array[Byte](nPlanes)
-    val ok0 = q.numElements() == 64
+    val ok0 = q.numElements() == dim
     var p = 0
     while (p < nPlanes) {
       var s = 0L
       var ok = ok0
       var i = 0
-      while (ok && i < 64) {
+      while (ok && i < dim) {
         if (q.isNullAt(i)) ok = false
-        else { s += q.getLong(i) * signs(p * 64 + i); i += 1 }
+        else { s += q.getLong(i) * signs(p * dim + i); i += 1 }
       }
       out(p) = if (ok && s >= 0) '1' else '0'
       p += 1
@@ -256,18 +256,18 @@ case class IntDotProduct(left: Expression, right: Expression)
   * nPlanes×64) rides into generated code as a codegen reference
   * object, exactly like [[TradingDayRoll]]'s holiday set.
   */
-case class RhpSignature(child: Expression, signs: Array[Long])
-  extends UnaryExpression {
-  require(signs.length % 64 == 0, "signs must be nPlanes x 64")
+case class RhpSignature(child: Expression, signs: Array[Long],
+    dim: Int = 64) extends UnaryExpression {
+  require(dim > 0 && signs.length % dim == 0, "signs must be nPlanes x dim")
   override def dataType: DataType = StringType
   override def prettyName: String = "rhp_signature"
 
   override protected def nullSafeEval(input: Any): Any =
-    Kernels.rhp(input.asInstanceOf[ArrayData], signs)
+    Kernels.rhp(input.asInstanceOf[ArrayData], signs, dim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("rhpSigns", signs, "long[]")
-    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.rhp($c, $ref)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.rhp($c, $ref, $dim)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): RhpSignature =
@@ -277,11 +277,12 @@ case class RhpSignature(child: Expression, signs: Array[Long])
   // plan canonicalization treats equal plane sets as equal.
   override def equals(other: Any): Boolean = other match {
     case r: RhpSignature =>
-      child == r.child && java.util.Arrays.equals(signs, r.signs)
+      child == r.child && dim == r.dim &&
+        java.util.Arrays.equals(signs, r.signs)
     case _ => false
   }
   override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(signs)
+    31 * (31 * child.hashCode() + java.util.Arrays.hashCode(signs)) + dim
 }
 
 /** Byte-distribution Shannon entropy of a string, in bits — the

@@ -1700,7 +1700,167 @@ object SimilarityQueries {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  /** q174 — TEXT semantic dedup, end to end: the q83 SemDeDup shape
+    * with the fixture vectors replaced by ENGINE-produced embeddings
+    * ([[graft.plans.HashedBagEmbed]] — the q170 producer), so the
+    * dedup tier now runs raw text → embed → candidates → prune with
+    * no fixture anywhere. Planted near-duplicates are TEXTUAL (every
+    * 50th doc of ≥32 words re-enters with its first word appended —
+    * a one-token edit that moves the bag mean by ~1/n), and the
+    * corpus's own natural near-dup texts are found alongside them.
+    *
+    * Bag-of-words embeddings of a shared-vocabulary corpus
+    * concentrate around the vocabulary mean (measured: mean pairwise
+    * cosine 0.36, p99 0.86 raw — thresholds and hyperplanes both
+    * degenerate there), so the corpus is MEAN-CENTERED first: the
+    * mean is ONE bounded aggregate (k int64 components, exact
+    * arithmetic both engines) collected as a literal, centering rides
+    * the scan, and centered cosines spread to mean ≈ 0. Candidates
+    * come from q34's 3×8-plane banded RHP OR-construction (over
+    * k = 16 dims — [[graft.functions.VectorOps.rhpSignature]]'s dim
+    * generalization), verified with exact int cosine ≥ 0.98; the
+    * larger id of every verified pair is pruned. Output = survivors.
+    *
+    * LSH recall is probabilistic BY DESIGN and deterministic given
+    * the data: at sf0.01 one of 8 planted pairs lands in no band
+    * (centered cos ≈ 0.98–0.99 ⇒ per-band hit ≈ 0.44–0.69) and both
+    * engines agree it survives — production raises band count, not
+    * the gate. Scale shape: one corpus scan to embed+center (mean is
+    * a broadcast-free literal), banding map-side, the candidate join
+    * equi-keyed on (band, sig), per-candidate O(k) verify, prune via
+    * distinct + left-anti — no window, no global sort before the
+    * presentation ORDER BY.
+    */
+  def textSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.loadSpread(s, dir, "documents")
+      .select($"doc_id", $"text", $"lang")
+    val toks = filter(split(coalesce($"text", lit("")), "\\s+"), t => t =!= "")
+    val copies = docs
+      .withColumn("__t", toks)
+      .filter($"doc_id" % 50 === 0 && size($"__t") >= 32)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat($"text", lit(" "), element_at($"__t", 1)).as("text"), $"lang")
+    val emb = docs.unionByName(copies)
+      .select($"doc_id", $"lang",
+        graft.operators.CurationOps.hashedBagEmbed(
+          $"text", EmbedWeights, EmbedK).as("q"))
+      .filter(intNormSq($"q") > 0) // empty docs carry no direction
+    // the corpus mean: one partial-aggregable pass, k bounded int64
+    // components — a literal, not a broadcast (the PQ-codebook rule)
+    val mu: Array[Long] = emb
+      .select(posexplode($"q").as(Seq("pos", "v")))
+      .groupBy($"pos")
+      .agg(round(sum($"v").cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("m"))
+      .orderBy($"pos").select($"m").as[Long].collect()
+    val cent = emb
+      .select($"doc_id", $"lang",
+        zip_with($"q", array(mu.map(lit(_)): _*), (x, y) => x - y).as("qc"))
+      .withColumn("nsq", intNormSq($"qc"))
+      .filter($"nsq" > 0) // a doc AT the mean has no direction either
+    val banded = cent.select($"doc_id", $"qc", $"nsq",
+        explode(array((0 until 3).map(b => struct(lit(b).as("band"),
+          rhpSignature($"qc", 8, b * 8, EmbedK).as("sig"))): _*)).as("bs"))
+      .select($"doc_id", $"qc", $"nsq", $"bs.band".as("band"), $"bs.sig".as("sig"))
+    val pruned = banded
+      .select($"band", $"sig", $"doc_id".as("i"), $"qc".as("qi"), $"nsq".as("ni"))
+      .join(banded.select($"band", $"sig",
+        $"doc_id".as("j"), $"qc".as("qj"), $"nsq".as("nj")),
+        Seq("band", "sig"))
+      .filter($"i" < $"j")
+      .filter(cosine(intDot($"qi", $"qj"), $"ni", $"nj") >= 0.98)
+      .select($"j".as("doc_id")).distinct()
+    cent.join(pruned, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", ($"doc_id" >= 1000000L).as("is_copy"))
+      .orderBy($"doc_id")
+  }
+
+  /** 16-dim mirrors of dotSql / sigSqlRange for the engine-embedding
+    * column (`qc`) — the fixture-vector versions are 64-wide.
+    */
+  private def dot16Sql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(range(1, ${EmbedK + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  private def sig16SqlRange(from: Int, until: Int): String = {
+    val bit = (p: Int) =>
+      s"""CASE WHEN list_sum(list_transform(range(1, ${EmbedK + 1}),
+         |    i -> CASE WHEN substr(md5('$p:' || CAST(i - 1 AS VARCHAR)), 1, 1) < '8'
+         |              THEN qc[i] ELSE -qc[i] END)) >= 0 THEN '1' ELSE '0' END""".stripMargin
+    (from until until).map(bit).mkString(" || ")
+  }
+
+  val textSemanticDedupSql: String = {
+    val wlit = EmbedWeights.mkString("[", ", ", "]")
+    s"""WITH wv AS (SELECT $wlit::DOUBLE[] AS w),
+       |base AS (
+       |  SELECT doc_id, lang, coalesce(text, '') AS text FROM documents),
+       |wt AS (
+       |  SELECT doc_id, lang, text,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM base),
+       |cp AS (
+       |  SELECT doc_id + 1000000 AS doc_id, lang, text || ' ' || toks[1] AS text
+       |  FROM wt WHERE doc_id % 50 = 0 AND len(toks) >= 32),
+       |allv AS (
+       |  SELECT doc_id, lang, text FROM base
+       |  UNION ALL SELECT doc_id, lang, text FROM cp),
+       |t AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM allv),
+       |e AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    list_transform(range(0, $EmbedK), j ->
+       |      CASE WHEN len(toks) = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(round(list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(toks, tok ->
+       |          w[CAST(${TextQueries.fnv1aSqlExpr("tok")} % $EmbedDim AS INT) * $EmbedK
+       |            + CAST(j AS INT) + 1])),
+       |        (a, b) -> a + b) / len(toks) * 1000000) AS BIGINT) END) AS q
+       |  FROM t, wv),
+       |nz AS (SELECT * FROM e WHERE ${dot16Sql("q", "q")} > 0),
+       |mucomp AS (
+       |  SELECT r.range AS pos,
+       |    CAST(round(CAST(SUM(q[r.range]) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS m
+       |  FROM nz, range(1, ${EmbedK + 1}) r GROUP BY r.range),
+       |mu AS (SELECT list(m ORDER BY pos) AS mv FROM mucomp),
+       |c AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    list_transform(range(1, ${EmbedK + 1}), i -> q[i] - mv[i]) AS qc
+       |  FROM nz, mu),
+       |n2 AS MATERIALIZED (
+       |  SELECT doc_id, lang, qc, ${dot16Sql("qc", "qc")} AS nsq FROM c),
+       |nzc AS (SELECT * FROM n2 WHERE nsq > 0),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id, qc, nsq,
+       |    ${sig16SqlRange(0, 8)} AS s0,
+       |    ${sig16SqlRange(8, 16)} AS s1,
+       |    ${sig16SqlRange(16, 24)} AS s2
+       |  FROM nzc),
+       |banded AS (
+       |  SELECT doc_id, qc, nsq, 0 AS band, s0 AS sig FROM sig
+       |  UNION ALL SELECT doc_id, qc, nsq, 1 AS band, s1 AS sig FROM sig
+       |  UNION ALL SELECT doc_id, qc, nsq, 2 AS band, s2 AS sig FROM sig),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, a.qc AS qi, b.qc AS qj,
+       |    a.nsq AS ni, b.nsq AS nj
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |pruned AS (
+       |  SELECT DISTINCT j AS doc_id FROM (
+       |    SELECT j, CAST(${dot16Sql("qi", "qj")} AS DOUBLE)
+       |      / (sqrt(CAST(ni AS DOUBLE)) * sqrt(CAST(nj AS DOUBLE))) AS cos
+       |    FROM pairs) p
+       |  WHERE cos >= 0.98)
+       |SELECT doc_id, lang, doc_id >= 1000000 AS is_copy
+       |FROM nzc WHERE doc_id NOT IN (SELECT doc_id FROM pruned)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+    "q174_text_semantic_dedup" -> (textSemanticDedup(_, _)),
     "q170_embed_knn" -> (embedKnn(_, _)),
     "q148_hard_negatives" -> (hardNegatives(_, _)),
     "q30_knn_brute_force" -> (knnBruteForce(_, _)),
@@ -1719,6 +1879,7 @@ object SimilarityQueries {
     "q132_source_centroid_sim" -> (sourceCentroidSim(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q174_text_semantic_dedup" -> textSemanticDedupSql,
     "q170_embed_knn" -> embedKnnSql,
     "q148_hard_negatives" -> hardNegativesSql,
     "q30_knn_brute_force" -> knnBruteForceSql,

@@ -208,6 +208,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(300))
   }
 
+  test("q174 text semantic dedup: banded equi-join candidates, no cross product") {
+    val df = SimilarityQueries.textSemanticDedup(spark, dir)
+    df.collect() // AQE: final plan
+    val p = df.queryExecution.executedPlan.toString
+    // candidates come from the (band, sig) equi-join only; no window
+    // anywhere (the prune is distinct + left-anti). The inference
+    // codegen span itself is pinned by CurationSpec's q170 test —
+    // here AQE folds that projection into a collapsed query stage
+    // whose subtree the final-plan string no longer prints.
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    assert(!p.contains("Window"), p.take(300))
+  }
+
   test("q99: bucketized interval join never plans a nested loop") {
     val p = plan(TimeSeriesQueries.errorWindowJoin(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
