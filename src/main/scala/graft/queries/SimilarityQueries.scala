@@ -382,11 +382,6 @@ object SimilarityQueries {
       .select($"vec_id", transform($"q0", x =>
         round(x.cast("double") / sqrt($"nsq0".cast("double")) * lit(1e6))
           .cast("long")).as("q"))
-    // The training sample is re-read by every seed step and Lloyd
-    // iteration (~k + iters small jobs): materialize it ONCE instead
-    // of re-scanning parquet and re-quantizing each time — at 100 TB
-    // this is "stage the ≤100k-vector sample", the standard IVF
-    // training shape.
     // The ≤[[TrainCap]]-vector bound is ENFORCED, not asserted (the
     // r16 finding: a fixed `% 4` modulus is 25% of the corpus at any
     // size — 25 TB through the one seeding task at 100 TB). Two
@@ -395,30 +390,25 @@ object SimilarityQueries {
     // TrainCap, and a deterministic orderBy+limit hard-caps it even
     // if the id distribution is adversarial for modulo sampling
     // (TakeOrderedAndProject: per-partition top-k, single-task merge
-    // — the same single task the seeding needs anyway). Both layers
+    // — the same single task the training needs anyway). Both layers
     // are inert at oracle scales (n ≤ 4·TrainCap ⇒ modulus = 4,
     // limit never binds), so the DuckDB mirror keeps `% 4 = 0`.
-    // Every Lloyd-loop stage is then pinned to a small explicit
-    // width: with AQE coalescing off (SessionDefaults), letting
-    // these tiny per-iteration aggregates shuffle at the session's
-    // full width pays ~shuffle-partitions task launches per stage
-    // for rows that fit in a handful of tasks. Partitioning by the
-    // grouping key at checkpoint time makes each iteration's groupBy
-    // exchange-free. Width derives from the session (the shared
-    // Components rule): the bench box lands on 8, a cluster widens
-    // with its executors.
-    val trainWidth = graft.operators.Components.defaultLoopWidth(s)
     val nVec = Tables.load(s, dir, "embeddings").count()
-    val sample = trainingSample(emb, nVec)
-      .repartition(trainWidth, $"vec_id").transform(Checkpoints.stable(_))
-    // Farthest-first seeds, computed in ONE task over the staged
-    // sample (k sequential Spark jobs of ~500 rows each would pay
-    // ~k job launches for no parallelism — the sample is single-node
-    // by design). Tie rules match the SQL oracle exactly: first seed
-    // = min (md5(vec_id), vec_id); each next = max min-distance to
-    // the chosen set, smallest vec_id on ties.
+    // Seeding + Lloyd fused in ONE task over the bounded sample
+    // ([[graft.operators.TrainKernels.sphericalKmeans]]): the sample
+    // is single-node by design, and the distributed loop this
+    // replaces (per-iteration broadcast join + two keyed exchanges +
+    // a lineage-cut checkpoint) was ~15 sequential tiny jobs of pure
+    // scheduling latency at that size (r20 profile; guide §1.2 —
+    // fix the distributed algorithm first). Tie rules match the SQL
+    // oracle exactly: first seed = min (md5(vec_id), vec_id); each
+    // next = max min-distance, smallest vec_id on ties; assignment
+    // argmin is (d2, ccid)-lexicographic; recenters are round-to-long
+    // means renormalized to the 1e6 sphere. The learned k-row
+    // quantizer enters the plan as a LocalRelation (catalog-metadata
+    // class), exactly like q160's collected coarse centroids.
     val kSeeds = k
-    val seeds = sample
+    val centRows: Array[(Int, Array[Long])] = trainingSample(emb, nVec)
       .withColumn("h", md5($"vec_id".cast("string")))
       .select($"h", $"vec_id", $"q")
       .as[(String, Long, Array[Long])]
@@ -426,62 +416,11 @@ object SimilarityQueries {
       .mapPartitions { it =>
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
-        else {
-          def dist(a: Array[Long], b: Array[Long]): Long = {
-            var s = 0L; var i = 0
-            while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-            s
-          }
-          val first = rows.minBy(t => (t._1, t._2))
-          val chosen = scala.collection.mutable.ArrayBuffer(first)
-          val minD = rows.map(r => dist(r._3, first._3))
-          while (chosen.size < kSeeds) {
-            var best = 0
-            var i = 1
-            while (i < rows.length) {
-              if (minD(i) > minD(best) ||
-                  (minD(i) == minD(best) && rows(i)._2 < rows(best)._2)) best = i
-              i += 1
-            }
-            val nxt = rows(best)
-            chosen += nxt
-            var j = 0
-            while (j < rows.length) {
-              val d = dist(rows(j)._3, nxt._3)
-              if (d < minD(j)) minD(j) = d
-              j += 1
-            }
-          }
-          chosen.iterator.zipWithIndex.map { case (r, i) => (i + 1, r._3) }
-        }
+        else graft.operators.TrainKernels
+          .sphericalKmeans(rows, kSeeds, iters).iterator
       }
-      .toDF("ccid", "cvec")
-      .transform(Checkpoints.stable(_))
-    // Lloyd: assign sample to nearest centroid, recenter, repeat
-    var cent = seeds
-    for (_ <- 1 to iters) {
-      val assign = sample.crossJoin(broadcast(cent))
-        .select($"vec_id", $"q", $"ccid", sqDist($"q", $"cvec").as("d2"))
-        .groupBy($"vec_id")
-        .agg(min_by(struct($"q", $"ccid"), struct($"d2", $"ccid")).as("r"))
-        .select($"r.ccid".as("ccid"), $"r.q".as("q"))
-      cent = assign
-        .select($"ccid", posexplode($"q").as(Seq("pos", "qv")))
-        // k×dim recenter rows: one narrow keyed exchange, then both
-        // groupBys run exchange-free off it
-        .repartition(trainWidth, $"ccid")
-        .groupBy($"ccid", $"pos")
-        .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("c"))
-        .groupBy($"ccid")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-          x => round(x("c")).cast("long")).as("cvec0"))
-        // renormalize to the 1e6 sphere (exact int norm again)
-        .withColumn("csq", intNormSq($"cvec0"))
-        .select($"ccid", transform($"cvec0", x =>
-          round(x.cast("double") / sqrt($"csq".cast("double")) * lit(1e6))
-            .cast("long")).as("cvec"))
-        .transform(Checkpoints.stable(_))
-    }
+      .collect()
+    val cent = centRows.toSeq.toDF("ccid", "cvec")
     // search: the q33 inverted-file restriction, learned quantizer
     val withN = emb.withColumn("nsq", intNormSq($"q"))
     val dist = withN.crossJoin(broadcast(cent))
@@ -795,22 +734,28 @@ object SimilarityQueries {
     * every recenter a round-to-long mean, so the DuckDB CTE block
     * from [[pqTrainSqlBlock]] replays training bit-identically.
     *
+    * Seeding AND Lloyd run fused in the ONE task the seeding already
+    * ran in ([[graft.operators.TrainKernels.pqBook]] — same argmin
+    * tie-breaks, same round-to-long means, same empty-cluster drops).
+    * The distributed Lloyd loop this replaces (per-iteration
+    * broadcast join + two keyed exchanges + a lineage-cut checkpoint)
+    * was ~20 sequential sub-100 ms jobs of pure scheduling latency at
+    * the sample's bounded size — the r20 stage profile measured
+    * q160's training phase at ~2.6 s wall for ~0.3 s of compute
+    * (OPTIMIZATION_r20.md). The single task is corpus-size-
+    * independent, and its lineage (scan → modulo filter → limit →
+    * train) is deterministic and re-runnable, so no loop state needs
+    * a checkpoint anymore.
+    *
     * Returns the learned codebook as ONE literal
     * `array<struct<sub,ccid,cvec>>` column (M×KS rows — bounded by
     * construction, the same class as catalog metadata), sub-major /
     * ccid-ascending: ADC `element_at` indexing relies on that order.
-    * Training-loop frames are bounded by design and lineage-cut (Checkpoints.stable — reliable under the cluster profile, the r18 chaos rule)
-    * at the narrow shared loop width; the terminal frame is collected
-    * here, so no unmaterialized cache outlives the call.
     */
   private def pqTrainBookLit(s: SparkSession, sample0: DataFrame,
       M: Int, D: Int, KS: Int, iters: Int): org.apache.spark.sql.Column = {
     import s.implicits._
-    val trainWidth = graft.operators.Components.defaultLoopWidth(s)
-    val sample = sample0.transform(Checkpoints.stable(_))
-    // Per-subspace farthest-first seeds, one task over the staged
-    // sample (single-node by design — see ivfKmeans' seeding note).
-    val seeds = sample
+    val trained: Array[(Int, Int, Array[Long])] = sample0
       .withColumn("h", md5($"vec_id".cast("string")))
       .select($"h", $"vec_id", $"v")
       .as[(String, Long, Array[Long])]
@@ -818,72 +763,10 @@ object SimilarityQueries {
       .mapPartitions { it =>
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
-        else {
-          def dist(a: Array[Long], b: Array[Long]): Long = {
-            var t = 0L; var i = 0
-            while (i < a.length) { val d = a(i) - b(i); t += d * d; i += 1 }
-            t
-          }
-          val out = Seq.newBuilder[(Int, Int, Array[Long])]
-          for (sp <- 0 until M) {
-            val svs = rows.map(r =>
-              (r._1, r._2, java.util.Arrays.copyOfRange(r._3, sp * D, (sp + 1) * D)))
-            val first = svs.minBy(t => (t._1, t._2))
-            val chosen = scala.collection.mutable.ArrayBuffer(first)
-            val minD = svs.map(r => dist(r._3, first._3))
-            while (chosen.size < KS) {
-              var best = 0; var i = 1
-              while (i < svs.length) {
-                if (minD(i) > minD(best) ||
-                    (minD(i) == minD(best) && svs(i)._2 < svs(best)._2)) best = i
-                i += 1
-              }
-              val nxt = svs(best); chosen += nxt
-              var j = 0
-              while (j < svs.length) {
-                val d = dist(svs(j)._3, nxt._3)
-                if (d < minD(j)) minD(j) = d
-                j += 1
-              }
-            }
-            out ++= chosen.toSeq.zipWithIndex.map { case (r, i) => (sp, i + 1, r._3) }
-          }
-          out.result().iterator
-        }
+        else graft.operators.TrainKernels.pqBook(rows, M, D, KS, iters).iterator
       }
-      .toDF("sub", "ccid", "cvec").transform(Checkpoints.stable(_))
-    // Lloyd on the sample subvectors, all M subspaces per pass. The
-    // exploded subvector table is static across iterations — staged
-    // once, partitioned by the assignment key so every iteration's
-    // groupBy(vec_id, sub) runs exchange-free.
-    val ssub = sample
-      .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("sub"), $"v")
-      .select($"vec_id", $"sub", slice($"v", $"sub" * D + 1, lit(D)).as("sv"))
-      .repartition(trainWidth, $"vec_id")
-      .transform(Checkpoints.stable(_))
-    var cent = seeds
-    for (_ <- 1 to iters) {
-      val assign = ssub.join(broadcast(cent), Seq("sub"))
-        .select($"vec_id", $"sub", $"sv", $"ccid", sqDist($"sv", $"cvec").as("d2"))
-        .groupBy($"vec_id", $"sub")
-        .agg(min_by(struct($"sv", $"ccid"), struct($"d2", $"ccid")).as("r"))
-        .select($"sub", $"r.ccid".as("ccid"), $"r.sv".as("sv"))
-      cent = assign
-        .select($"sub", $"ccid", posexplode($"sv").as(Seq("pos", "x")))
-        // M×KS×D recenter rows: one narrow keyed exchange, then both
-        // groupBys run exchange-free off it
-        .repartition(trainWidth, $"sub", $"ccid")
-        .groupBy($"sub", $"ccid", $"pos")
-        .agg((sum($"x").cast("double") / count(lit(1)).cast("double")).as("c"))
-        .groupBy($"sub", $"ccid")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-          x => round(x("c")).cast("long")).as("cvec"))
-        .transform(Checkpoints.stable(_))
-    }
-    // Collect the bounded codebook (M×KS rows) → one literal column.
-    val book: Map[Int, Seq[(Int, Array[Long])]] = cent
-      .select($"sub", $"ccid", $"cvec").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray))
+      .collect()
+    val book: Map[Int, Seq[(Int, Array[Long])]] = trained
       .groupBy(_._1).view
       .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
     require(book.size == M && book.values.forall(_.size == KS),
