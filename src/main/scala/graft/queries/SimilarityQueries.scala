@@ -1624,11 +1624,17 @@ object SimilarityQueries {
       .filter($"doc_id" % 50 === 0 && size($"__t") >= 32)
       .select(($"doc_id" + 1000000L).as("doc_id"),
         concat($"text", lit(" "), element_at($"__t", 1)).as("text"), $"lang")
-    val emb = docs.unionByName(copies)
+    // Staged (the q24 discipline, caller-owned lifecycle): the embed
+    // kernel (tokenize + HashedBagEmbed over the corpus ∪ copies) has
+    // TWO consumers — the mean collect below and the centered main
+    // plan — and unstaged it re-ran end-to-end for each, paying the
+    // union's single-split scans twice over (r20 profile: ~1.6 s of
+    // serialized re-scan/re-embed stages). One build, both read it.
+    val emb = graft.operators.Staging.staged(docs.unionByName(copies)
       .select($"doc_id", $"lang",
         graft.operators.CurationOps.hashedBagEmbed(
           $"text", EmbedWeights, EmbedK).as("q"))
-      .filter(intNormSq($"q") > 0) // empty docs carry no direction
+      .filter(intNormSq($"q") > 0)) // empty docs carry no direction
     // the corpus mean: one partial-aggregable pass, k bounded int64
     // components — a literal, not a broadcast (the PQ-codebook rule)
     val mu: Array[Long] = emb
