@@ -38,6 +38,23 @@ object Kernels {
     h
   }
 
+  /** Exact int64 squared L2 — see [[IntSqDist]]. Null on length
+    * mismatch or null elements, mirroring the HOF chain it replaces.
+    */
+  def intSqDist(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
   /** SimHash: per-bit majority over token hashes. */
   def simhash(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
@@ -466,6 +483,203 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash64 =
     copy(child = newChild)
+}
+
+/** Exact int64 squared L2 distance between two long arrays — the
+  * `aggregate(zip_with((x−y)·(x−y)), sum)` HOF chain (interpreted,
+  * per-element object churn) as one fused codegen loop; the distance
+  * twin of [[IntDotProduct]], used by every k-means/IVF assignment.
+  * Null if lengths differ or any element is null (the HOF's
+  * null-propagation semantics).
+  */
+case class IntSqDist(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int_sqdist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.intSqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("sqd")
+      s"""
+         |java.lang.Long $tmp = graft.plans.Kernels.intSqDist($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernels for the product-quantization hot path (q123/q160):
+  * encode, per-query ADC table, and ADC score. The Column-API
+  * formulations they replace (`transform`/`filter`/`aggregate`
+  * lambdas over the codebook literal) are Catalyst higher-order
+  * functions — CodegenFallback, evaluated interpreted per ROW with
+  * per-element object churn — on the corpus-linear encode scan and
+  * the per-candidate score, the exact class rule §4 (and the
+  * IntDotProduct precedent) exists for. The codebook rides into
+  * generated code as one flattened `long[]` reference object
+  * (index `((sub·KS + ccid−1)·D + p)`), like [[RhpSignature]]'s
+  * sign matrix.
+  */
+object PqKernels {
+
+  /** PQ encode: per subspace the (d2, ccid)-lexicographic argmin —
+    * scan ccid ascending, strict improvement keeps the smaller ccid
+    * on ties, exactly `array_min(struct(d2, ccid))`. Returns 1-based
+    * codes, one per subspace.
+    */
+  def encode(vec: ArrayData, book: Array[Long], m: Int, d: Int,
+      ks: Int): ArrayData = {
+    val v = vec.toLongArray()
+    val out = new Array[Int](m)
+    var sp = 0
+    while (sp < m) {
+      var best = 1
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < ks) {
+        val base = (sp * ks + c) * d
+        var t = 0L
+        var p = 0
+        while (p < d) {
+          val diff = v(sp * d + p) - book(base + p)
+          t += diff * diff
+          p += 1
+        }
+        if (t < bestD) { bestD = t; best = c + 1 }
+        c += 1
+      }
+      out(sp) = best
+      sp += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-query ADC distance table over the whole codebook, sub-major /
+    * ccid-ascending — exactly the `transform(bookLit, sqDist(slice))`
+    * ordering the 1-based `dt[sub·KS + code]` lookup indexes into.
+    */
+  def adcTable(vec: ArrayData, book: Array[Long], m: Int, d: Int,
+      ks: Int): ArrayData = {
+    val v = vec.toLongArray()
+    val out = new Array[Long](m * ks)
+    var i = 0
+    while (i < m * ks) {
+      val sp = i / ks
+      val base = i * d
+      var t = 0L
+      var p = 0
+      while (p < d) {
+        val diff = v(sp * d + p) - book(base + p)
+        t += diff * diff
+        p += 1
+      }
+      out(i) = t
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC score: Σ_sub dt[sub·KS + code_sub] (1-based lookup) — the
+    * `aggregate(sequence(...), element_at(...))` fold as one loop.
+    */
+  def adcScore(dt: ArrayData, code: ArrayData, ks: Int): Long = {
+    val m = code.numElements()
+    var acc = 0L
+    var sp = 0
+    while (sp < m) {
+      acc += dt.getLong(sp * ks + code.getInt(sp) - 1)
+      sp += 1
+    }
+    acc
+  }
+}
+
+/** PQ encode as one codegen kernel — see [[PqKernels.encode]]. */
+case class PqEncode(child: Expression, book: Array[Long], m: Int,
+    d: Int, ks: Int) extends UnaryExpression {
+  require(book.length == m * ks * d, "book must be M x KS x D")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernels.encode(input.asInstanceOf[ArrayData], book, m, d, ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBook", book, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.PqKernels.encode($c, $ref, $m, $d, $ks)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+
+  // content equality for plan canonicalization (the RhpSignature rule)
+  override def equals(other: Any): Boolean = other match {
+    case e: PqEncode => child == e.child && m == e.m && d == e.d &&
+      ks == e.ks && java.util.Arrays.equals(book, e.book)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(m), Integer.valueOf(d),
+      Integer.valueOf(ks), Integer.valueOf(java.util.Arrays.hashCode(book)))
+}
+
+/** Per-query ADC table as one codegen kernel — see
+  * [[PqKernels.adcTable]].
+  */
+case class PqAdcTable(child: Expression, book: Array[Long], m: Int,
+    d: Int, ks: Int) extends UnaryExpression {
+  require(book.length == m * ks * d, "book must be M x KS x D")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_adc_table"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PqKernels.adcTable(input.asInstanceOf[ArrayData], book, m, d, ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBook", book, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.PqKernels.adcTable($c, $ref, $m, $d, $ks)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+
+  override def equals(other: Any): Boolean = other match {
+    case e: PqAdcTable => child == e.child && m == e.m && d == e.d &&
+      ks == e.ks && java.util.Arrays.equals(book, e.book)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(m), Integer.valueOf(d),
+      Integer.valueOf(ks), Integer.valueOf(java.util.Arrays.hashCode(book)))
+}
+
+/** ADC score fold as one codegen kernel — see [[PqKernels.adcScore]]. */
+case class PqAdcScore(left: Expression, right: Expression, ks: Int)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_score"
+
+  override protected def nullSafeEval(dt: Any, code: Any): Any =
+    PqKernels.adcScore(dt.asInstanceOf[ArrayData],
+      code.asInstanceOf[ArrayData], ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.PqKernels.adcScore($a, $b, $ks)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScore =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Column wrappers + SQL registration. */

@@ -7,6 +7,17 @@ import graft.Tables
 import graft.operators.Checkpoints
 import graft.functions.VectorOps._
 
+/** A coarse-quantizer centroid row (q160's IVF cells), embedded as
+  * ONE typed literal: a single `Literal` of `array<struct<clabel,
+  * cvec>>` replaces the former inlined `array(struct(lit...))`
+  * expression tree — ~4 × |labels| × 65 literal nodes per copy for
+  * the analyzer to walk (guide §7.3 "very large plans"); the trained
+  * PQ codebook goes further and enters generated code as a flattened
+  * `long[]` reference inside the native [[graft.plans.PqKernels]]
+  * expressions.
+  */
+final case class IvfCentRow(clabel: Long, cvec: Seq[Long])
+
 /** Similarity-search operator family over the `embeddings` table
   * (vec_id, embedding float[64], label): brute-force cosine top-k,
   * random-hyperplane LSH bucketed ANN, label centroids, and IVF-style
@@ -723,8 +734,41 @@ object SimilarityQueries {
     * vectors — the distance every PQ kernel below shares.
     */
   private def sqDist(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // native codegen kernel (IntSqDist), not the aggregate(zip_with)
+    // HOF chain: higher-order functions are CodegenFallback —
+    // interpreted per row with per-element object churn — and this
+    // distance sits on every k-means/IVF assignment path (rule §4;
+    // the IntDotProduct precedent)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.IntSqDist(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
+  /** PQ hot-path wrappers (q123/q160): encode, per-query ADC table,
+    * ADC score — single codegen kernels over the flattened trained
+    * codebook (see [[graft.plans.PqKernels]]) replacing the
+    * interpreted `transform`/`filter`/`aggregate` lambdas on the
+    * corpus-linear scan.
+    */
+  private def pqEncodeCol(v: org.apache.spark.sql.Column, book: Array[Long],
+      M: Int, D: Int, KS: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.PqEncode(ColumnShim.expression(v), book, M, D, KS))
+  }
+
+  private def pqAdcTableCol(v: org.apache.spark.sql.Column, book: Array[Long],
+      M: Int, D: Int, KS: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.PqAdcTable(ColumnShim.expression(v), book, M, D, KS))
+  }
+
+  private def pqAdcScoreCol(dt: org.apache.spark.sql.Column,
+      code: org.apache.spark.sql.Column, KS: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.PqAdcScore(
+      ColumnShim.expression(dt), ColumnShim.expression(code), KS))
+  }
 
   /** Shared product-quantizer trainer (q123 trains on raw vectors,
     * q160 on IVF residuals): per-subspace farthest-first seeding +
@@ -747,13 +791,14 @@ object SimilarityQueries {
     * train) is deterministic and re-runnable, so no loop state needs
     * a checkpoint anymore.
     *
-    * Returns the learned codebook as ONE literal
-    * `array<struct<sub,ccid,cvec>>` column (M×KS rows — bounded by
-    * construction, the same class as catalog metadata), sub-major /
-    * ccid-ascending: ADC `element_at` indexing relies on that order.
+    * Returns the learned codebook FLATTENED sub-major / ccid-ascending
+    * / pos-ascending (M×KS×D longs — bounded by construction, the
+    * same class as catalog metadata), the layout the
+    * [[graft.plans.PqKernels]] codegen kernels index directly; the
+    * 1-based `dt[sub·KS + code]` ADC lookup relies on that order.
     */
-  private def pqTrainBookLit(s: SparkSession, sample0: DataFrame,
-      M: Int, D: Int, KS: Int, iters: Int): org.apache.spark.sql.Column = {
+  private def pqTrainBook(s: SparkSession, sample0: DataFrame,
+      M: Int, D: Int, KS: Int, iters: Int): Array[Long] = {
     import s.implicits._
     val trained: Array[(Int, Int, Array[Long])] = sample0
       .withColumn("h", md5($"vec_id".cast("string")))
@@ -771,10 +816,7 @@ object SimilarityQueries {
       .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
     require(book.size == M && book.values.forall(_.size == KS),
       s"PQ training left an empty cluster: ${book.view.mapValues(_.size).toMap}")
-    def litVec(a: Array[Long]) = array(a.toIndexedSeq.map(lit(_)): _*)
-    array((for (sp <- 0 until M; (ccid, cv) <- book(sp)) yield
-      struct(lit(sp).as("sub"), lit(ccid).as("ccid"),
-        litVec(cv).as("cvec"))): _*)
+    (for (sp <- 0 until M; (_, cv) <- book(sp); x <- cv) yield x).toArray
   }
 
   /** DuckDB fragment: exact int64 squared L2 over D=8 subvector lists
@@ -783,7 +825,7 @@ object SimilarityQueries {
   private def d2s8(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
 
-  /** The DuckDB mirror of [[pqTrainBookLit]]: a CTE block (each CTE
+  /** The DuckDB mirror of [[pqTrainBook]]: a CTE block (each CTE
     * followed by a trailing comma) that expects a prior CTE
     * `sample(vec_id, q)` holding the bounded training vectors and
     * defines `subs` plus the seeding/Lloyd chain ending in
@@ -872,32 +914,26 @@ object SimilarityQueries {
     // Both bound layers are inert at oracle scales (modulus = 4,
     // limit never binds), so the DuckDB mirror keeps `% 4 = 0`.
     val nVec = Tables.load(s, dir, "embeddings").count()
-    // Shared trainer — see [[pqTrainBookLit]]: the codebook enters
-    // the plan as ONE literal array of structs (data in a single
-    // literal, not M×KS inlined expression trees), so the per-row
-    // argmin / table-build lambdas below are compiled once and stay a
-    // pure map — no joins, no shuffles.
-    val bookLit = pqTrainBookLit(s,
+    // Shared trainer — see [[pqTrainBook]]: the codebook enters the
+    // plan as one flattened long[] codegen reference inside the
+    // native PQ kernels, so encode / ADC table / ADC score are pure
+    // whole-stage-codegen map expressions — no joins, no shuffles,
+    // and no interpreted higher-order lambdas on the corpus scan
+    // (the former transform/filter/aggregate chain was CodegenFallback,
+    // ~0.8 ms/row on the corpus-linear encode — rule §4).
+    val book = pqTrainBook(s,
       trainingSample(emb, nVec).select($"vec_id", $"q".as("v")),
       M, D, KS, ITERS)
-    // code_s = argmin_c d2(subvec_s, centroid_{s,c}) — pure map expr;
-    // ties break to the smallest ccid via the (d2, ccid) struct min,
-    // exactly as the inlined form did
-    val codeCol = transform(sequence(lit(0), lit(M - 1)), sp =>
-      array_min(transform(filter(bookLit, e => e("sub") === sp), e =>
-        struct(sqDist(slice($"q", sp * D + lit(1), lit(D)), e("cvec")).as("d2"),
-          e("ccid").as("ccid"))))("ccid"))
-    val coded = emb.select($"vec_id", codeCol.as("code"))
+    // code_s = argmin_c d2(subvec_s, centroid_{s,c}) — (d2, ccid)
+    // lexicographic, ties to the smallest ccid, exactly as before
+    val coded = emb.select($"vec_id", pqEncodeCol($"q", book, M, D, KS).as("code"))
     // per-query ADC table: dt[(1-based) s*KS + ccid] = d2(query_sub, centroid)
-    val dtExpr = transform(bookLit, e =>
-      sqDist(slice($"qv", e("sub") * D + lit(1), lit(D)), e("cvec")))
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"q".as("qv"))
-      .select($"qid", dtExpr.as("dt"))
+      .select($"qid", pqAdcTableCol($"qv", book, M, D, KS).as("dt"))
     val scored = coded.join(broadcast(queries), $"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"),
-        aggregate(sequence(lit(0), lit(M - 1)), lit(0L), (acc, sp) =>
-          acc + element_at($"dt", sp * KS + element_at($"code", sp + 1))).as("adist"))
+        pqAdcScoreCol($"dt", $"code", KS).as("adist"))
     // ADC SHORTLIST (50/query) + EXACT RE-RANK — the production PQ
     // serving shape: the compressed scan over-fetches, then one
     // bounded fetch of true vectors fixes the final ordering. The
@@ -1010,21 +1046,29 @@ object SimilarityQueries {
     // literal array of structs — bounded by the label domain, the
     // same catalog-metadata class as the PQ codebook. One map-side
     // partial-agg shuffle of |labels|×64 rows, once, at build time.
+    // The per-(label, pos) count is the per-label row count (every
+    // pos of a row exists), so carrying it through lets this ONE
+    // aggregation also yield the corpus row count the training-sample
+    // modulus needs — the separate `count()` job is gone.
     val centRows = emb
       .select($"label", posexplode($"q").as(Seq("pos", "qv")))
       .groupBy($"label", $"pos")
-      .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("c"))
+      .agg((sum($"qv").cast("double") / count(lit(1)).cast("double")).as("c"),
+        count(lit(1)).as("n"))
       .groupBy($"label")
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-        x => round(x("c")).cast("long")).as("cvec"))
-      .select($"label".cast("long").as("clabel"), $"cvec")
+        x => round(x("c")).cast("long")).as("cvec"),
+        max($"n").as("n"))
+      .select($"label".cast("long").as("clabel"), $"cvec", $"n")
       .collect()
-    def litVec(a: Array[Long]) = array(a.toIndexedSeq.map(lit(_)): _*)
-    val centLit = array(centRows
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1)
-      .map { case (l, cv) =>
-        struct(lit(l).as("clabel"), litVec(cv).as("cvec")) }.toIndexedSeq: _*)
+    val nVec = centRows.map(_.getLong(2)).sum
+    // ONE typed literal (see [[IvfCentRow]]): the assignment and
+    // probe expressions below copy this array twice each — as inlined
+    // struct trees that was ~4 × |labels| × 65 literal nodes for the
+    // analyzer to walk per copy.
+    val centLit = typedLit(centRows
+      .map(r => IvfCentRow(r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_.clabel).toSeq)
     // nearest cell = lexicographic struct min over (d2, clabel) —
     // ties to the smaller label, exactly the oracle's ORDER BY
     val chosen = array_min(transform(centLit, e =>
@@ -1035,17 +1079,16 @@ object SimilarityQueries {
       .select($"vec_id", $"ch.clabel".as("cluster"),
         zip_with($"q", $"ch.cvec", (x, y) => x - y).as("r"))
     // PQ trained on the bounded RESIDUAL sample (same two-layer bound
-    // as q97/q123; the oracle mirrors `% 4 = 0`, inert at its scales)
-    val nVec = Tables.load(s, dir, "embeddings").count()
-    val bookLit = pqTrainBookLit(s,
+    // as q97/q123; the oracle mirrors `% 4 = 0`, inert at its scales;
+    // nVec rode the centroid aggregation above). Encode / ADC table /
+    // ADC score run as native codegen kernels over the flattened
+    // codebook (see pqAdcSearch's note — rule §4).
+    val book = pqTrainBook(s,
       trainingSample(resid, nVec).select($"vec_id", $"r".as("v")),
       M, D, KS, ITERS)
-    val codeCol = transform(sequence(lit(0), lit(M - 1)), sp =>
-      array_min(transform(filter(bookLit, e => e("sub") === sp), e =>
-        struct(sqDist(slice($"r", sp * D + lit(1), lit(D)), e("cvec")).as("d2"),
-          e("ccid").as("ccid"))))("ccid"))
     // the persisted-index shape: (vec_id, cluster, 8×4-bit code)
-    val coded = resid.select($"vec_id", $"cluster", codeCol.as("code"))
+    val coded = resid.select($"vec_id", $"cluster",
+      pqEncodeCol($"r", book, M, D, KS).as("code"))
     // Query side: nprobe nearest cells per query, each carrying its
     // OWN ADC table built from the query's residual w.r.t. that cell.
     val probesCol = slice(array_sort(transform(centLit, e =>
@@ -1056,8 +1099,7 @@ object SimilarityQueries {
       .select($"qid", $"p.clabel".as("cluster"),
         zip_with($"q", $"p.cvec", (x, y) => x - y).as("rq"))
       .select($"qid", $"cluster",
-        transform(bookLit, e =>
-          sqDist(slice($"rq", e("sub") * D + lit(1), lit(D)), e("cvec"))).as("dt"))
+        pqAdcTableCol($"rq", book, M, D, KS).as("dt"))
     // inverted-file restriction: candidates join their cell's probes
     // (the self-exclusion lives in the join condition, as q123's —
     // one operator, and the broadcast audit's bounded-side descent
@@ -1066,8 +1108,7 @@ object SimilarityQueries {
         broadcast(qprobes.withColumnRenamed("cluster", "pcluster")),
         $"cluster" === $"pcluster" && $"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("cid"), $"cluster",
-        aggregate(sequence(lit(0), lit(M - 1)), lit(0L), (acc, sp) =>
-          acc + element_at($"dt", sp * KS + element_at($"code", sp + 1))).as("adist"))
+        pqAdcScoreCol($"dt", $"code", KS).as("adist"))
     val short = scored.groupBy($"qid")
       .agg(boundedTopK(struct($"adist", $"cid", $"cluster"), SHORTLIST).as("top"))
       .select($"qid", explode($"top").as("r"))
