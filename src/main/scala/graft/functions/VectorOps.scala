@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** float[] → int64[] at 1e6 scale (exact arithmetic thereafter). */
-  def quantize(v: Column, scale: Double = 1e6): Column =
-    transform(v, x => round(x.cast("double") * scale).cast("long"))
+  /** float[] → int64[] at 1e6 scale (exact arithmetic thereafter).
+    * Native codegen kernel ([[graft.plans.QuantizeVec]]): the
+    * `transform(round(cast · scale))` HOF it replaces was a
+    * CodegenFallback evaluated interpreted on every similarity-family
+    * corpus scan (rule §4; same semantics to the last ulp — widen,
+    * double multiply, HALF_UP round, truncating cast).
+    */
+  def quantize(v: Column, scale: Double = 1e6): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.QuantizeVec(ColumnShim.expression(v), scale))
+  }
 
   /** Exact int64 dot product of two quantized vectors — the native
     * codegen [[graft.plans.IntDotProduct]] (one fused multiply-add

@@ -485,6 +485,51 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** float[]/double[] → int64[] quantization at a fixed scale — the
+  * `transform(v, round(x.cast(double) · scale).cast(long))` HOF on
+  * EVERY similarity-family corpus scan, as one codegen loop. Per
+  * element: widen to double (exact), multiply (double ×), round
+  * BigDecimal-HALF_UP at scale 0 (Spark `round` semantics), truncate
+  * to long (exact on the integral result) — bit-identical to the
+  * chain it replaces, null elements propagated.
+  */
+case class QuantizeVec(child: Expression, scale: Double)
+  extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType)
+  override def prettyName: String = "quantize_vec"
+
+  @transient private lazy val fromFloat: Boolean =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.FloatType
+
+  def quantize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val d = (if (fromFloat) v.getFloat(i).toDouble else v.getDouble(i)) * scale
+        out(i) = java.math.BigDecimal.valueOf(d)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quantizeVec", this, classOf[QuantizeVec].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.quantize($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
+}
+
 /** Exact int64 squared L2 distance between two long arrays — the
   * `aggregate(zip_with((x−y)·(x−y)), sum)` HOF chain (interpreted,
   * per-element object churn) as one fused codegen loop; the distance
