@@ -17,23 +17,37 @@ object TextOps {
   /** Whitespace tokenization (single-space convention of the corpus). */
   def words(text: Column): Column = split(text, " ")
 
-  /** Distinct k-word shingles of a token array (guarded for short docs). */
-  def shingles(w: Column, k: Int = 3): Column =
-    when(size(w) < k, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(w) - (k - 1)),
-        i => concat_ws(" ", slice(w, i, lit(k))))))
+  /** Distinct k-word shingles of a token array (guarded for short
+    * docs). Native codegen kernel ([[graft.plans.Shingles]]) — the
+    * former `array_distinct(transform(...))` HOF chain ran
+    * interpreted on every dedup-family corpus scan (rule §4).
+    */
+  def shingles(w: Column, k: Int = 3): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.Shingles(ColumnShim.expression(w), k))
+  }
+
+  /** `n` seeded MinHash values (seeds `seedFrom until seedFrom + n`)
+    * in ONE fused pass over the shingles
+    * ([[graft.plans.MinHashes]]); empty shingle sets yield n nulls,
+    * exactly as the per-seed `array_min(transform(...))` did.
+    */
+  def minhashes(sh: Column, seedFrom: Int, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.MinHashes(ColumnShim.expression(sh), seedFrom, n))
+  }
 
   /** One MinHash value: min over the shingle set of seeded md5. */
   def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(s"$seed:"), x))))
+    element_at(minhashes(sh, seed, 1), 1)
 
   /** LSH band key: concatenation of `rowsPerBand` consecutive
-    * minhashes. Docs sharing any band key are near-dup candidates.
+    * minhashes (one fused kernel pass). Docs sharing any band key are
+    * near-dup candidates. Empty shingle sets give '' (concat_ws skips
+    * the null minhashes), as before.
     */
   def bandKey(sh: Column, band: Int, rowsPerBand: Int): Column =
-    concat_ws("|", (0 until rowsPerBand)
-      .map(r => minhash(sh, band * rowsPerBand + r)): _*)
+    concat_ws("|", minhashes(sh, band * rowsPerBand, rowsPerBand))
 
   /** Count of tokens drawn from a marker vocabulary. */
   def markerCount(w: Column, markers: Seq[String]): Column = {

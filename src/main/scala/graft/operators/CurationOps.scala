@@ -255,27 +255,19 @@ object CurationOps {
       k: Int = 4,
       w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowFingerprints needs k,w >= 1, got $k/$w")
-    val base = docs.select(
-      col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("__w"))
-      .withColumn("__n", size(col("__w")))
-    val positions = when(col("__n") >= k, sequence(lit(1), col("__n") - (k - 1)))
-      .otherwise(array().cast("array<int>"))
-    val grams = base.select(
-      col("doc_id"),
-      explode(transform(positions, i => struct(
-        i.as("pos"),
-        substring(md5(array_join(slice(col("__w"), i, lit(k)), " ")), 1, 16)
-          .as("h")))).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(0, w - 1)
-    // min over (hash asc, -pos asc) = smallest hash, rightmost tie
-    grams
-      .withColumn("mk", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
-      .select(col("doc_id"), (-col("mk.np")).as("pos"), col("mk.h").as("fp"))
-      .distinct()
+    // Whole-document native kernel ([[graft.plans.WinnowSelect]]):
+    // gram hashing, the w-window (hash asc, pos desc)-min, and the
+    // per-doc dedup all happen map-side in one codegen call. The
+    // pipeline it replaces — gram transform+explode → doc-keyed
+    // WINDOW → distinct — paid a full corpus exchange + sort for the
+    // window and a second exchange for the distinct (guide §2.4),
+    // with the gram HOF interpreted (rule §4); the distinct is
+    // equivalent per-doc because doc_id is unique per input row.
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val sel = ColumnShim.column(graft.plans.WinnowSelect(
+      ColumnShim.expression(split(col(textCol), " ")), k, w))
+    docs.select(col(idCol).as("doc_id"), explode(sel).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.fp").as("fp"))
   }
 
   /** Grouped simple least-squares fit of `y = slope·x + intercept`
@@ -451,11 +443,10 @@ object CurationOps {
     val reserved = Seq("__bm", "__g", "__hit")
     require(!docs.columns.exists(reserved.contains),
       s"contaminationFraction input must not use reserved columns ${reserved.mkString(", ")}")
-    val w = split(col(textCol), " ")
-    val grams = when(size(w) >= k,
-      array_distinct(transform(sequence(lit(1), size(w) - (k - 1)),
-        i => concat_ws(" ", slice(w, i, lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    // distinct k-grams via the native Shingles kernel (one fused
+    // codegen pass — rule §4; identical semantics incl. the short-doc
+    // empty array and first-occurrence order)
+    val grams = graft.functions.TextOps.shingles(split(col(textCol), " "), k)
     // staged: the benchmark-gram branch and the raw-side explode both
     // read the gram kernel — one build instead of two (cache
     // lifecycle is caller-owned, as with q24's signature staging)

@@ -485,6 +485,249 @@ case class RollingHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct k-word shingles of a token array in ONE codegen kernel —
+  * the `array_distinct(transform(sequence, concat_ws(slice)))` HOF
+  * chain (CodegenFallback, interpreted per row on every dedup-family
+  * corpus scan — rule §4) as a fused loop. Semantics preserved:
+  * short docs (< k tokens) yield an empty array, grams join with a
+  * single space, distinct keeps FIRST-occurrence order.
+  */
+case class Shingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"Shingles needs k >= 1, got $k")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  def shingle(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val bb = new java.io.ByteArrayOutputStream(64)
+    var i = 0
+    while (i <= n - k) {
+      bb.reset()
+      var j = i
+      while (j < i + k) {
+        if (j > i) bb.write(' ')
+        bb.write(words.getUTF8String(j).getBytes)
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(bb.toByteArray))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    shingle(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[Shingles].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.shingle($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+/** `n` seeded MinHash values over a shingle array in ONE pass — the
+  * per-seed `array_min(transform(sh, md5(concat(seed, ':', x))))`
+  * chain (one interpreted HOF per seed per row, md5 included) fused:
+  * one loop over the shingles computes every seed's min. Element
+  * `s` = min over shingles of md5hex(s"${seedFrom+s}:" + shingle),
+  * compared lexicographically (hex ⇒ byte order); an EMPTY shingle
+  * array yields n NULLs, exactly `array_min(transform([]))`.
+  */
+case class MinHashes(child: Expression, seedFrom: Int, n: Int)
+  extends UnaryExpression {
+  require(n >= 1, s"MinHashes needs n >= 1, got $n")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "min_hashes"
+
+  def minHashes(sh: ArrayData): ArrayData = {
+    val m = sh.numElements()
+    val out = new Array[Any](n)
+    if (m == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[Array[Byte]](n)
+    val bb = new java.io.ByteArrayOutputStream(64)
+    var s = 0
+    while (s < n) {
+      val prefix = (seedFrom + s).toString + ":"
+      val pBytes = prefix.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      var i = 0
+      while (i < m) {
+        bb.reset()
+        bb.write(pBytes)
+        bb.write(sh.getUTF8String(i).getBytes)
+        md.reset()
+        val dig = md.digest(bb.toByteArray)
+        val hex = new Array[Byte](32)
+        var b = 0
+        while (b < 16) {
+          val v = dig(b) & 0xff
+          hex(b * 2) = MinHashes.HexChars(v >>> 4)
+          hex(b * 2 + 1) = MinHashes.HexChars(v & 0xf)
+          b += 1
+        }
+        if (mins(s) == null || MinHashes.lt(hex, mins(s))) mins(s) = hex
+        i += 1
+      }
+      out(s) = UTF8String.fromBytes(mins(s))
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    minHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashes", this, classOf[MinHashes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.minHashes($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashes =
+    copy(child = newChild)
+}
+
+object MinHashes {
+  private val HexChars: Array[Byte] = "0123456789abcdef".getBytes
+  private def lt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    false
+  }
+}
+
+/** Winnowing fingerprint selection (Schleimer et al. 2003) over a
+  * token array, whole-document, in ONE codegen kernel: hash every
+  * word k-gram (md5 hex prefix 16 — the oracle-pinned hash), slide a
+  * w-window picking the (hash asc, pos desc)-min, emit the DISTINCT
+  * (pos, fp) selections in first-selection order.
+  *
+  * Replaces the gram `transform`+`explode` → doc-keyed WINDOW →
+  * `distinct` pipeline: the window was a full corpus exchange + sort
+  * on doc_id and the distinct a second exchange (guide §2.4), and
+  * the gram HOF was CodegenFallback (rule §4) — q113/q111 spent
+  * ~60/10 task-CPU-seconds there at sf0.1. Selection math is
+  * identical: the struct min over (h, −pos) resolves hash ties to the
+  * RIGHTMOST gram, windows at the tail shrink below w exactly as
+  * `ROWS BETWEEN CURRENT ROW AND w−1 FOLLOWING` does, and dedup
+  * equals the global distinct because doc_id is unique per input row.
+  */
+case class WinnowSelect(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"WinnowSelect needs k,w >= 1, got $k/$w")
+  override def dataType: DataType = {
+    import org.apache.spark.sql.types._
+    ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("fp", StringType, nullable = false))), containsNull = false)
+  }
+  override def prettyName: String = "winnow_select"
+
+  def select(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val nG = n - k + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Array[Byte]](nG) // 16 hex chars as ASCII bytes
+    val bb = new java.io.ByteArrayOutputStream(64)
+    var i = 0
+    while (i < nG) {
+      bb.reset()
+      var j = i
+      while (j < i + k) {
+        if (j > i) bb.write(' ')
+        // split(" ") never yields null elements; md5 sees the joined
+        // string's UTF-8 bytes, exactly array_join's output
+        bb.write(words.getUTF8String(j).getBytes)
+        j += 1
+      }
+      md.reset()
+      val dig = md.digest(bb.toByteArray)
+      val hex = new Array[Byte](16) // substring(md5hex, 1, 16) = first 8 bytes
+      var b = 0
+      while (b < 8) {
+        val v = dig(b) & 0xff
+        hex(b * 2) = WinnowSelect.HexChars(v >>> 4)
+        hex(b * 2 + 1) = WinnowSelect.HexChars(v & 0xf)
+        b += 1
+      }
+      hs(i) = hex
+      i += 1
+    }
+    // sliding (h asc, pos desc)-min; dedup keeps first-selection order
+    val seen = new java.util.LinkedHashSet[(Int, String)]()
+    var p = 0
+    while (p < nG) {
+      var best = p
+      var j = p + 1
+      val end = math.min(p + w, nG)
+      while (j < end) {
+        val c = WinnowSelect.compareHex(hs(j), hs(best))
+        // strictly smaller hash wins; equal hash prefers the LARGER
+        // pos (min over (h, -pos)), and j > best always here
+        if (c <= 0) best = j
+        j += 1
+      }
+      seen.add((best + 1, new String(hs(best),
+        java.nio.charset.StandardCharsets.US_ASCII)))
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) {
+      val (pos, fp) = it.next()
+      out(o) = org.apache.spark.sql.catalyst.InternalRow(
+        pos, UTF8String.fromString(fp))
+      o += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    select(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowSelect].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.select($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  private val HexChars: Array[Byte] = "0123456789abcdef".getBytes
+  /** Byte-wise compare of equal-length ASCII hex — UTF8String binary
+    * order, which for hex equals lexicographic string order.
+    */
+  private def compareHex(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
+  }
+}
+
 /** float[]/double[] → int64[] quantization at a fixed scale — the
   * `transform(v, round(x.cast(double) · scale).cast(long))` HOF on
   * EVERY similarity-family corpus scan, as one codegen loop. Per

@@ -397,13 +397,16 @@ object CurationQueries {
       .where(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("n_shared_fp"))
       .filter(col("n_shared_fp") >= 3)
-    val w = split(col("text"), " ")
-    val positions = when(size(w) >= 4, sequence(lit(1), size(w) - 3))
-      .otherwise(array().cast("array<int>"))
+    // distinct 4-grams via the native Shingles kernel (one fused
+    // codegen pass; the transform(array_join(slice)) HOF it replaces
+    // was interpreted per row — rule §4). Per-doc kernel distinct ≡
+    // the row distinct (doc_id is unique per input row); the explicit
+    // .distinct() is kept so the THREE gs consumers keep sharing one
+    // canonical exchange (ReuseExchange — the layout A/B'd in r17).
     val gs = docs.select(
       col("doc_id"),
-      explode(transform(positions, i =>
-        array_join(slice(w, i, lit(4)), " "))).as("gram"))
+      explode(graft.functions.TextOps.shingles(
+        split(col("text"), " "), 4)).as("gram"))
       .distinct()
     val gcnt = gs.groupBy("doc_id").agg(count(lit(1)).as("ng"))
     // shuffle_hash on the two gs verify joins: gs is CORPUS-LINEAR

@@ -2224,8 +2224,9 @@ object TextQueries {
     val sigs = Staging.staged(docs
       .filter(size(words($"text")) >= 3)
       .select($"doc_id", shingles(words($"text")).as("sh"))
-      .select($"doc_id",
-        array((0 until bands * rowsPerBand).map(i => minhash($"sh", i)): _*).as("mh")))
+      // all bands·r seeds in ONE fused kernel pass over the shingles
+      // (identical array to the per-seed minhash() formulation)
+      .select($"doc_id", minhashes($"sh", 0, bands * rowsPerBand).as("mh")))
     val banded = sigs.select($"doc_id",
       posexplode(array((0 until bands).map(b => concat_ws("|",
         (0 until rowsPerBand).map(r =>
