@@ -875,6 +875,66 @@ object PqKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** [[encode]] of the residual `vec − cent`, subtraction fused into
+    * the distance loop: `((v−c) − book)²` term by term — bit-identical
+    * to encoding a pre-staged `zip_with(vec, cent, x − y)` residual
+    * (int64 subtraction is exact), with no intermediate array.
+    */
+  def encodeResid(vec: ArrayData, cent: ArrayData, book: Array[Long],
+      m: Int, d: Int, ks: Int): ArrayData = {
+    val v = vec.toLongArray()
+    val cv = cent.toLongArray()
+    val out = new Array[Int](m)
+    var sp = 0
+    while (sp < m) {
+      var best = 1
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < ks) {
+        val base = (sp * ks + c) * d
+        var t = 0L
+        var p = 0
+        while (p < d) {
+          val i = sp * d + p
+          val diff = (v(i) - cv(i)) - book(base + p)
+          t += diff * diff
+          p += 1
+        }
+        if (t < bestD) { bestD = t; best = c + 1 }
+        c += 1
+      }
+      out(sp) = best
+      sp += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** [[adcTable]] of the residual `vec − cent`, subtraction fused —
+    * see [[encodeResid]].
+    */
+  def adcTableResid(vec: ArrayData, cent: ArrayData, book: Array[Long],
+      m: Int, d: Int, ks: Int): ArrayData = {
+    val v = vec.toLongArray()
+    val cv = cent.toLongArray()
+    val out = new Array[Long](m * ks)
+    var i = 0
+    while (i < m * ks) {
+      val sp = i / ks
+      val base = i * d
+      var t = 0L
+      var p = 0
+      while (p < d) {
+        val vi = sp * d + p
+        val diff = (v(vi) - cv(vi)) - book(base + p)
+        t += diff * diff
+        p += 1
+      }
+      out(i) = t
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** ADC score: Σ_sub dt[sub·KS + code_sub] (1-based lookup) — the
     * `aggregate(sequence(...), element_at(...))` fold as one loop.
     */
@@ -968,6 +1028,355 @@ case class PqAdcScore(left: Expression, right: Expression, ks: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdcScore =
     copy(left = newLeft, right = newRight)
+}
+
+/** Elementwise long-vector subtraction — the residual
+  * `zip_with(a, b, (x, y) => x - y)` on the q160 IVF-PQ corpus scan
+  * and q174's mean-centering, as ONE codegen loop (the HOF is
+  * CodegenFallback — interpreted per row with per-element boxing,
+  * rule §4). Exact zip_with-minus semantics: result length is
+  * max(|a|, |b|); an element is null when either side is missing
+  * (shorter array) or null.
+  */
+case class LongVecSub(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "long_vec_sub"
+
+  def sub(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements(); val nb = b.numElements()
+    val n = math.max(na, nb)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < na && i < nb && !a.isNullAt(i) && !b.isNullAt(i))
+        out(i) = a.getLong(i) - b.getLong(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("longVecSub", this, classOf[LongVecSub].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.sub($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongVecSub =
+    copy(left = newLeft, right = newRight)
+}
+
+/** PQ encode of the RESIDUAL (vec − cent) without materializing it —
+  * the fused form of `PqEncode(zip_with(vec, cent, x − y))` on the
+  * q160 corpus-linear encode scan: the residual subtraction happens
+  * inside the per-subspace distance loop ((v−c)−book ≡ the staged
+  * subtraction exactly, in int64), so the last interpreted HOF leaves
+  * the scan AND the per-row residual array allocation disappears.
+  * Both inputs must be non-null M×D vectors (quantized corpus vectors
+  * and collected centroid rows — non-null by construction).
+  */
+case class PqEncodeResid(left: Expression, right: Expression,
+    book: Array[Long], m: Int, d: Int, ks: Int) extends BinaryExpression {
+  require(book.length == m * ks * d, "book must be M x KS x D")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_resid"
+
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    PqKernels.encodeResid(v.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], book, m, d, ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBook", book, "long[]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.plans.PqKernels.encodeResid($v, $c, $ref, $m, $d, $ks)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeResid =
+    copy(left = newLeft, right = newRight)
+
+  // content equality for plan canonicalization (the RhpSignature rule)
+  override def equals(other: Any): Boolean = other match {
+    case e: PqEncodeResid => left == e.left && right == e.right &&
+      m == e.m && d == e.d && ks == e.ks &&
+      java.util.Arrays.equals(book, e.book)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right, Integer.valueOf(m),
+      Integer.valueOf(d), Integer.valueOf(ks),
+      Integer.valueOf(java.util.Arrays.hashCode(book)))
+}
+
+/** Per-query ADC table of the RESIDUAL (vec − cent) — the fused form
+  * of `PqAdcTable(zip_with(vec, cent, x − y))`; see [[PqEncodeResid]].
+  */
+case class PqAdcTableResid(left: Expression, right: Expression,
+    book: Array[Long], m: Int, d: Int, ks: Int) extends BinaryExpression {
+  require(book.length == m * ks * d, "book must be M x KS x D")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_adc_table_resid"
+
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    PqKernels.adcTableResid(v.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], book, m, d, ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqBook", book, "long[]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.plans.PqKernels.adcTableResid($v, $c, $ref, $m, $d, $ks)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcTableResid =
+    copy(left = newLeft, right = newRight)
+
+  override def equals(other: Any): Boolean = other match {
+    case e: PqAdcTableResid => left == e.left && right == e.right &&
+      m == e.m && d == e.d && ks == e.ks &&
+      java.util.Arrays.equals(book, e.book)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right, Integer.valueOf(m),
+      Integer.valueOf(d), Integer.valueOf(ks),
+      Integer.valueOf(java.util.Arrays.hashCode(book)))
+}
+
+/** Word bigrams ("w[i] w[i+1]") of a token array in ONE codegen pass —
+  * the `zip_with(slice(w, 1, n−1), slice(w, 2, n−1), concat(a, ' ', b))`
+  * chain (two interpreted slices + an interpreted zip_with per corpus
+  * row, rule §4) on q28/q79/q84/q106 and the DSIR weight family
+  * (q114/q115/q116). Exactly n−1 bigrams for n ≥ 2 tokens, else empty;
+  * token arrays come from `split`, whose elements are never null.
+  */
+case class Bigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bigrams"
+
+  def bigrams(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    val bb = new java.io.ByteArrayOutputStream(48)
+    var i = 0
+    var cur = words.getUTF8String(0)
+    while (i < n - 1) {
+      val nxt = words.getUTF8String(i + 1)
+      bb.reset()
+      bb.write(cur.getBytes)
+      bb.write(' ')
+      bb.write(nxt.getBytes)
+      out(i) = UTF8String.fromBytes(bb.toByteArray)
+      cur = nxt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    bigrams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigrams", this, classOf[Bigrams].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.bigrams($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Bigrams =
+    copy(child = newChild)
+}
+
+/** All word k-grams WITH their 1-based positions, as
+  * array<struct<pos int, gram string>> — the
+  * `transform(sequence(1, n−k+1), i => struct(i, array_join(slice(w,
+  * i, k), ' ')))` chain of the q107/q173 gram index (an interpreted
+  * HOF building every gram via slice+join object churn, rule §4) in
+  * ONE codegen pass. Empty for n < k, exactly as the guarded
+  * `when(n >= k, sequence(...))` produced.
+  */
+case class GramsWithPos(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"GramsWithPos needs k >= 1, got $k")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("gram", StringType,
+          nullable = false))), containsNull = false)
+  override def prettyName: String = "grams_with_pos"
+
+  def grams(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    val bb = new java.io.ByteArrayOutputStream(64)
+    var i = 0
+    while (i <= n - k) {
+      bb.reset()
+      var j = i
+      while (j < i + k) {
+        if (j > i) bb.write(' ')
+        bb.write(words.getUTF8String(j).getBytes)
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i + 1, UTF8String.fromBytes(bb.toByteArray)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    grams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramsWithPos", this, classOf[GramsWithPos].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.grams($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramsWithPos =
+    copy(child = newChild)
+}
+
+/** Count of positionally equal elements between two arrays — the
+  * q147 signature-agreement `size(filter(zip_with(a, b, _ = _),
+  * x => x))` per candidate pair, fused. zip_with pads the shorter
+  * side with nulls and `a = b` is null when either side is null, and
+  * `filter` drops non-true — so the count covers only i < min(|a|,
+  * |b|) with both non-null and equal, exactly as here.
+  */
+case class EqCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "eq_count"
+
+  def eqCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) &&
+          a.getUTF8String(i).equals(b.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("eqCount", this, classOf[EqCount].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.eqCount($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EqCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Unit-norm re-quantization for q97:
+  * `transform(q0, x => round(x.cast(double) / sqrt(nsq) * 1e6)
+  * .cast(long))` as one codegen loop. Per element, the exact scalar
+  * chain: widen to double, divide by sqrt(nsq) (double), multiply by
+  * 1e6 (double), round BigDecimal-HALF_UP at scale 0 (Spark `round`
+  * on double), truncate to long — bit-identical to the HOF it
+  * replaces, null elements propagated.
+  */
+case class RenormQuantize(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType)
+  override def prettyName: String = "renorm_quantize"
+
+  def renorm(v: ArrayData, nsq: Long): ArrayData = {
+    val n = v.numElements()
+    val root = math.sqrt(nsq.toDouble)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val d = v.getLong(i).toDouble / root * 1e6
+        // Spark's round leaves NaN/Inf unchanged (its codegen guard);
+        // the trailing cast-to-long then clamps exactly like this
+        out(i) =
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d.toLong
+          else java.math.BigDecimal.valueOf(d)
+            .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any, nsq: Any): Any =
+    renorm(v.asInstanceOf[ArrayData], nsq.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("renormQuantize", this, classOf[RenormQuantize].getName)
+    defineCodeGen(ctx, ev, (v, nsq) => s"$ref.renorm($v, $nsq)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RenormQuantize =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fixed-width word chunks ("paragraphs") of a token array — q85's
+  * `transform(sequence(0, (n+15) div 16 − 1), i =>
+  * array_join(slice(w, i·16+1, 16), ' '))` as one codegen pass:
+  * ⌈n/width⌉ space-joined chunks (n ≥ 1 always — `split` yields at
+  * least one element). Chunk i covers words [i·width, min((i+1)·width,
+  * n)).
+  */
+case class WordChunks(child: Expression, width: Int)
+  extends UnaryExpression {
+  require(width >= 1, s"WordChunks needs width >= 1, got $width")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_chunks"
+
+  def chunks(words: ArrayData): ArrayData = {
+    val n = words.numElements()
+    val nc = math.max((n + width - 1) / width, 1)
+    val out = new Array[Any](nc)
+    val bb = new java.io.ByteArrayOutputStream(128)
+    var c = 0
+    while (c < nc) {
+      bb.reset()
+      var j = c * width
+      val hi = math.min(j + width, n)
+      while (j < hi) {
+        if (j > c * width) bb.write(' ')
+        bb.write(words.getUTF8String(j).getBytes)
+        j += 1
+      }
+      out(c) = UTF8String.fromBytes(bb.toByteArray)
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    chunks(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordChunks", this, classOf[WordChunks].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.chunks($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordChunks =
+    copy(child = newChild)
 }
 
 /** Column wrappers + SQL registration. */
