@@ -186,8 +186,11 @@ object SimilarityQueries {
     // assign: nearest centroid by exact squared L2
     val dist = emb.crossJoin(broadcast(cent))
       .select($"vec_id", $"q", $"label", $"clabel",
-        aggregate(zip_with($"q", $"cvec", (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, v) => a + v).as("d2"))
+        // native IntSqDist kernel, not the aggregate(zip_with) HOF:
+        // this distance runs once per (corpus row × centroid) on the
+        // assignment scan, and the HOF chain is CodegenFallback —
+        // interpreted per row with per-element boxing (rule §4)
+        sqDist($"q", $"cvec").as("d2"))
     val assigned = dist.groupBy($"vec_id")
       .agg(min_by(struct($"q", $"label", $"clabel", $"d2"),
         struct($"d2", $"clabel")).as("r"))
@@ -226,8 +229,11 @@ object SimilarityQueries {
       .select($"label".as("clabel"), $"cvec")
     val dist = emb.crossJoin(broadcast(cent))
       .select($"vec_id", $"q", $"label", $"clabel",
-        aggregate(zip_with($"q", $"cvec", (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, v) => a + v).as("d2"))
+        // native IntSqDist kernel, not the aggregate(zip_with) HOF:
+        // this distance runs once per (corpus row × centroid) on the
+        // assignment scan, and the HOF chain is CodegenFallback —
+        // interpreted per row with per-element boxing (rule §4)
+        sqDist($"q", $"cvec").as("d2"))
     // corpus side: one cluster per vector (the inverted file)
     val assigned = dist.groupBy($"vec_id")
       .agg(min_by(struct($"q", $"clabel", $"d2"),
@@ -387,12 +393,19 @@ object SimilarityQueries {
     // disagree on between engines), and every centroid is
     // renormalized the same way, making min-L2 assignment equivalent
     // to max-cosine.
+    // unit-norm re-quantization as ONE codegen kernel
+    // ([[graft.plans.RenormQuantize]]) — the former per-element
+    // `transform(round(cast / sqrt · 1e6))` HOF ran interpreted on
+    // every corpus row (rule §4); scalar math identical (round
+    // HALF_UP, NaN/Inf pass-through, cast-to-long clamp)
     val emb = Tables.loadSpread(s, dir, "embeddings")
       .select($"vec_id", quantize($"embedding").as("q0"))
       .withColumn("nsq0", intNormSq($"q0"))
-      .select($"vec_id", transform($"q0", x =>
-        round(x.cast("double") / sqrt($"nsq0".cast("double")) * lit(1e6))
-          .cast("long")).as("q"))
+      .select($"vec_id", {
+        import org.apache.spark.sql.graftshim.ColumnShim
+        ColumnShim.column(graft.plans.RenormQuantize(
+          ColumnShim.expression($"q0"), ColumnShim.expression($"nsq0")))
+      }.as("q"))
     // The ≤[[TrainCap]]-vector bound is ENFORCED, not asserted (the
     // r16 finding: a fixed `% 4` modulus is 25% of the corpus at any
     // size — 25 TB through the one seeding task at 100 TB). Two
@@ -546,14 +559,20 @@ object SimilarityQueries {
     */
   def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // quantize BEFORE the union (rule §4): QuantizeVec widens float
+    // elements to double exactly, so quantizing the raw float column
+    // is bit-identical to quantizing `transform(emb, cast double)` —
+    // and the interpreted cast HOF leaves the 100%-of-corpus branch
+    // (the perturbed-copies HOF survives only on the 2% branch, where
+    // the double arithmetic actually differs)
     val base = Tables.loadSpread(s, dir, "embeddings")
-      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"))
+      .select($"vec_id", $"embedding")
     val copies = base.filter($"vec_id" % 50 === 0)
       .select(($"vec_id" + 1000000L).as("vec_id"),
-        transform($"emb", (x, i) =>
-          x * (lit(1.0) + lit(0.001) * ((i % 5) - 2).cast("double"))).as("emb"))
-    val emb = base.unionByName(copies)
-      .select($"vec_id", quantize($"emb").as("q"))
+        quantize(transform($"embedding", (x, i) =>
+          x.cast("double") * (lit(1.0) + lit(0.001) * ((i % 5) - 2).cast("double")))).as("q"))
+    val emb = base.select($"vec_id", quantize($"embedding").as("q"))
+      .unionByName(copies)
       .withColumn("nsq", intNormSq($"q"))
     val banded = emb.select($"vec_id", $"q", $"nsq",
         explode(array((0 until 3).map(b =>
@@ -627,15 +646,19 @@ object SimilarityQueries {
     */
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // quantize BEFORE the union — same reasoning as q34: QuantizeVec's
+    // exact float→double widening makes quantize(embedding) ≡
+    // quantize(transform(embedding, cast double)), so the interpreted
+    // cast HOF leaves the full-corpus branch (rule §4)
     val base = Tables.loadSpread(s, dir, "embeddings")
-      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"), $"label")
+      .select($"vec_id", $"embedding", $"label")
     val copies = base.filter($"vec_id" % 50 === 0)
       .select(($"vec_id" + 1000000L).as("vec_id"),
-        transform($"emb", (x, i) =>
-          x * (lit(1.0) + lit(0.001) * ((i % 5) - 2).cast("double"))).as("emb"),
+        quantize(transform($"embedding", (x, i) =>
+          x.cast("double") * (lit(1.0) + lit(0.001) * ((i % 5) - 2).cast("double")))).as("q"),
         $"label")
-    val emb = base.unionByName(copies)
-      .select($"vec_id", quantize($"emb").as("q"), $"label")
+    val emb = base.select($"vec_id", quantize($"embedding").as("q"), $"label")
+      .unionByName(copies)
     val cent = emb
       .select($"label", posexplode($"q").as(Seq("pos", "qv")))
       .groupBy($"label", $"pos")
@@ -646,8 +669,11 @@ object SimilarityQueries {
       .select($"label".as("clabel"), $"cvec")
     val dist = emb.crossJoin(broadcast(cent))
       .select($"vec_id", $"q", $"label", $"clabel",
-        aggregate(zip_with($"q", $"cvec", (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, v) => a + v).as("d2"))
+        // native IntSqDist kernel, not the aggregate(zip_with) HOF:
+        // this distance runs once per (corpus row × centroid) on the
+        // assignment scan, and the HOF chain is CodegenFallback —
+        // interpreted per row with per-element boxing (rule §4)
+        sqDist($"q", $"cvec").as("d2"))
     val assigned = dist.groupBy($"vec_id")
       .agg(min_by(struct($"q", $"label", $"clabel", $"d2"),
         struct($"d2", $"clabel")).as("r"))
@@ -768,6 +794,39 @@ object SimilarityQueries {
     import org.apache.spark.sql.graftshim.ColumnShim
     ColumnShim.column(graft.plans.PqAdcScore(
       ColumnShim.expression(dt), ColumnShim.expression(code), KS))
+  }
+
+  /** Residual-fused PQ kernels (r21): encode/ADC-table of `q − cvec`
+    * with the subtraction inside the distance loop — the staged
+    * `zip_with(q, cvec, x − y)` residual array (the last interpreted
+    * HOF on the q160 corpus-linear encode scan, rule §4) disappears.
+    */
+  private def pqEncodeResidCol(q: org.apache.spark.sql.Column,
+      cvec: org.apache.spark.sql.Column, book: Array[Long],
+      M: Int, D: Int, KS: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.PqEncodeResid(
+      ColumnShim.expression(q), ColumnShim.expression(cvec), book, M, D, KS))
+  }
+
+  private def pqAdcTableResidCol(q: org.apache.spark.sql.Column,
+      cvec: org.apache.spark.sql.Column, book: Array[Long],
+      M: Int, D: Int, KS: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.PqAdcTableResid(
+      ColumnShim.expression(q), ColumnShim.expression(cvec), book, M, D, KS))
+  }
+
+  /** Elementwise long-vector subtraction (codegen kernel) — exact
+    * `zip_with(a, b, (x, y) => x − y)` semantics; used where the
+    * residual array itself is consumed downstream (training samples,
+    * q174's mean-centering).
+    */
+  private def longVecSub(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.LongVecSub(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
   }
 
   /** Shared product-quantizer trainer (q123 trains on raw vectors,
@@ -1074,21 +1133,27 @@ object SimilarityQueries {
     val chosen = array_min(transform(centLit, e =>
       struct(sqDist($"q", e("cvec")).as("d2"), e("clabel").as("clabel"),
         e("cvec").as("cvec"))))
-    val resid = emb
+    val assignedC = emb
       .withColumn("ch", chosen)
-      .select($"vec_id", $"ch.clabel".as("cluster"),
-        zip_with($"q", $"ch.cvec", (x, y) => x - y).as("r"))
+      .select($"vec_id", $"q", $"ch.clabel".as("cluster"), $"ch.cvec".as("cvec"))
     // PQ trained on the bounded RESIDUAL sample (same two-layer bound
     // as q97/q123; the oracle mirrors `% 4 = 0`, inert at its scales;
-    // nVec rode the centroid aggregation above). Encode / ADC table /
-    // ADC score run as native codegen kernels over the flattened
-    // codebook (see pqAdcSearch's note — rule §4).
+    // nVec rode the centroid aggregation above). The residual array
+    // is built ONLY here, on the bounded sample, by the LongVecSub
+    // codegen kernel — trainingSample's filter is on vec_id, so
+    // sampling first commutes exactly with the subtraction the old
+    // corpus-wide `zip_with(q, ch.cvec, x − y)` staged (rule §4: that
+    // HOF ran interpreted on every corpus row).
     val book = pqTrainBook(s,
-      trainingSample(resid, nVec).select($"vec_id", $"r".as("v")),
+      trainingSample(assignedC, nVec)
+        .select($"vec_id", longVecSub($"q", $"cvec").as("v")),
       M, D, KS, ITERS)
-    // the persisted-index shape: (vec_id, cluster, 8×4-bit code)
-    val coded = resid.select($"vec_id", $"cluster",
-      pqEncodeCol($"r", book, M, D, KS).as("code"))
+    // the persisted-index shape: (vec_id, cluster, 8×4-bit code) —
+    // encode fuses the residual subtraction into its distance loop
+    // ((q−c)−book term by term, exact int64), so the corpus-linear
+    // scan materializes no residual array at all
+    val coded = assignedC.select($"vec_id", $"cluster",
+      pqEncodeResidCol($"q", $"cvec", book, M, D, KS).as("code"))
     // Query side: nprobe nearest cells per query, each carrying its
     // OWN ADC table built from the query's residual w.r.t. that cell.
     val probesCol = slice(array_sort(transform(centLit, e =>
@@ -1097,9 +1162,7 @@ object SimilarityQueries {
     val qprobes = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"q", explode(probesCol).as("p"))
       .select($"qid", $"p.clabel".as("cluster"),
-        zip_with($"q", $"p.cvec", (x, y) => x - y).as("rq"))
-      .select($"qid", $"cluster",
-        pqAdcTableCol($"rq", book, M, D, KS).as("dt"))
+        pqAdcTableResidCol($"q", $"p.cvec", book, M, D, KS).as("dt"))
     // inverted-file restriction: candidates join their cell's probes
     // (the self-exclusion lives in the join condition, as q123's —
     // one operator, and the broadcast audit's bounded-side descent
@@ -1686,7 +1749,10 @@ object SimilarityQueries {
       .orderBy($"pos").select($"m").as[Long].collect()
     val cent = emb
       .select($"doc_id", $"lang",
-        zip_with($"q", array(mu.map(lit(_)): _*), (x, y) => x - y).as("qc"))
+        // mean-centering via the LongVecSub codegen kernel — the
+        // zip_with HOF it replaces ran interpreted on every corpus
+        // row of BOTH cache-build passes (rule §4)
+        longVecSub($"q", array(mu.map(lit(_)): _*)).as("qc"))
       .withColumn("nsq", intNormSq($"qc"))
       .filter($"nsq" > 0) // a doc AT the mean has no direction either
     val banded = cent.select($"doc_id", $"qc", $"nsq",
