@@ -27,6 +27,16 @@ object TextOps {
     ColumnShim.column(graft.plans.Shingles(ColumnShim.expression(w), k))
   }
 
+  /** Word bigrams ("w[i] w[i+1]") in one codegen pass
+    * ([[graft.plans.Bigrams]]) — the former
+    * `zip_with(slice(w, 1, n−1), slice(w, 2, n−1), concat)` chain ran
+    * interpreted on every bigram-family corpus scan (rule §4).
+    */
+  def bigrams(w: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.Bigrams(ColumnShim.expression(w)))
+  }
+
   /** `n` seeded MinHash values (seeds `seedFrom until seedFrom + n`)
     * in ONE fused pass over the shingles
     * ([[graft.plans.MinHashes]]); empty shingle sets yield n nulls,

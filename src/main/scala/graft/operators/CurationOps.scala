@@ -64,16 +64,19 @@ object CurationOps {
       col(idCol).as("doc_id"),
       split(text, " ").as("__w"))
       .withColumn("__n", size(col("__w")))
-    // Spark's sequence(1, hi) DESCENDS when hi < 1 (step defaults to
-    // -1), so short documents must yield an explicitly empty position
-    // list, not sequence(1, 0) = [1, 0].
-    val positions = when(col("__n") >= k, sequence(lit(1), col("__n") - (k - 1)))
-      .otherwise(array().cast("array<int>"))
+    // Native codegen kernel ([[graft.plans.GramsWithPos]]): every
+    // (pos, gram) pair in ONE fused pass. The chain it replaces —
+    // `transform(sequence(1, n−k+1), i => struct(i, array_join(
+    // slice(__w, i, k))))`, guarded empty for n < k — was an
+    // interpreted HOF (CodegenFallback) building each gram through
+    // slice+join object churn on this corpus-linear scan (rule §4);
+    // the kernel emits identical structs (1-based pos, space-joined
+    // gram, empty array below k tokens).
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val gramsCol = ColumnShim.column(graft.plans.GramsWithPos(
+      ColumnShim.expression(col("__w")), k))
     val grams = Staging.staged(base.select(
-      col("doc_id"),
-      explode(transform(positions, i =>
-        struct(i.as("pos"), array_join(slice(col("__w"), i, lit(k)), " ").as("gram"))))
-        .as("g"))
+      col("doc_id"), explode(gramsCol).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram")))
     (base, grams)
   }
@@ -386,9 +389,9 @@ object CurationOps {
       s"dsirLogWeights input must not use reserved columns ${reserved.mkString(", ")}")
     val buckets = 1L << (4 * hexChars)
     val w = split(col(textCol), " ")
-    val bigrams = zip_with(
-      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-      (a, b) => concat(a, lit(" "), b))
+    // native Bigrams kernel — the zip_with(slice, slice, concat) HOF
+    // it replaces ran interpreted on the DSIR corpus scans (rule §4)
+    val bigrams = graft.functions.TextOps.bigrams(w)
     // Staged (caller-owned lifecycle, the q24 discipline): the
     // bucketed gram stream feeds the per-bucket counts AND the
     // per-doc weight aggregate — one explode+md5 pass instead of two.

@@ -208,10 +208,9 @@ object TextQueries {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val w = words($"text")
-    val bigrams = zip_with(
-      slice(w, lit(1), size(w) - 1),
-      slice(w, lit(2), size(w) - 1),
-      (a, b) => concat(a, lit(" "), b))
+    // native Bigrams kernel — the zip_with(slice, slice, concat)
+    // chain it replaces ran interpreted per corpus row (rule §4)
+    val bigrams = graft.functions.TextOps.bigrams(w)
     docs.select(explode(bigrams).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("n"))
@@ -274,10 +273,9 @@ object TextQueries {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
     val w = words($"text")
-    val bigrams = zip_with(
-      slice(w, lit(1), size(w) - 1),
-      slice(w, lit(2), size(w) - 1),
-      (a, b) => concat(a, lit(" "), b))
+    // native Bigrams kernel — the zip_with(slice, slice, concat)
+    // chain it replaces ran interpreted per corpus row (rule §4)
+    val bigrams = graft.functions.TextOps.bigrams(w)
     val docBigrams =
       docs.select($"doc_id", explode(bigrams).as("bigram"))
         .withColumn("w1", split($"bigram", " ").getItem(0))
@@ -336,10 +334,9 @@ object TextQueries {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val w = words($"text")
-    val bigrams = zip_with(
-      slice(w, lit(1), size(w) - 1),
-      slice(w, lit(2), size(w) - 1),
-      (a, b) => concat(a, lit(" "), b))
+    // native Bigrams kernel — the zip_with(slice, slice, concat)
+    // chain it replaces ran interpreted per corpus row (rule §4)
+    val bigrams = graft.functions.TextOps.bigrams(w)
     docs.select($"doc_id", $"source", bigrams.as("bg"))
       .select($"doc_id", $"source",
         size($"bg").cast("long").as("n_bigrams"),
@@ -467,9 +464,15 @@ object TextQueries {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val w = words($"text")
-    val chunkArr = transform(
-      sequence(lit(0L), expr("CAST((size(split(text, ' ')) + 15) DIV 16 - 1 AS BIGINT)")),
-      i => array_join(slice(w, (i * 16 + 1).cast("int"), lit(16)), " "))
+    // native WordChunks kernel — the transform(sequence, array_join(
+    // slice)) chain it replaces ran interpreted per corpus row, one
+    // slice+join allocation per chunk (rule §4); ⌈n/16⌉ chunks with
+    // identical word coverage (split yields ≥ 1 token, so the HOF's
+    // n = 0 guard case is unreachable)
+    val chunkArr = {
+      import org.apache.spark.sql.graftshim.ColumnShim
+      ColumnShim.column(graft.plans.WordChunks(ColumnShim.expression(w), 16))
+    }
     val chunks = docs
       .select($"doc_id", posexplode(chunkArr).as(Seq("idx", "chunk")))
     val firsts = chunks.groupBy($"chunk")
@@ -2079,10 +2082,9 @@ object TextQueries {
     val docs = Tables.load(s, dir, "documents")
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
     val w = words($"text")
-    val bigrams = zip_with(
-      slice(w, lit(1), size(w) - 1),
-      slice(w, lit(2), size(w) - 1),
-      (a, b) => concat(a, lit(" "), b))
+    // native Bigrams kernel — the zip_with(slice, slice, concat)
+    // chain it replaces ran interpreted per corpus row (rule §4)
+    val bigrams = graft.functions.TextOps.bigrams(w)
     val base = docs.select($"doc_id", $"source",
       size(w).cast("long").as("n_words"),
       (($"n_chars" - (size(w) - 1)).cast("double") /
@@ -2263,9 +2265,13 @@ object TextQueries {
     cand
       .join(candPayload.select($"doc_id".as("i"), $"sh".as("sh_i"), $"mh".as("mh_i")), "i")
       .join(candPayload.select($"doc_id".as("j"), $"sh".as("sh_j"), $"mh".as("mh_j")), "j")
-      .withColumn("n_match",
-        expr("size(filter(zip_with(mh_i, mh_j, (a, b) -> a = b), x -> x))")
-          .cast("long"))
+      .withColumn("n_match", {
+        // native EqCount kernel — the size(filter(zip_with)) chain it
+        // replaces ran interpreted once per candidate pair (rule §4)
+        import org.apache.spark.sql.graftshim.ColumnShim
+        ColumnShim.column(graft.plans.EqCount(
+          ColumnShim.expression($"mh_i"), ColumnShim.expression($"mh_j")))
+      }.cast("long"))
       .withColumn("inter", size(array_intersect($"sh_i", $"sh_j")).cast("long"))
       .withColumn("n_union",
         (size($"sh_i") + size($"sh_j")).cast("long") - $"inter")
