@@ -1150,6 +1150,84 @@ case class PqAdcTableResid(left: Expression, right: Expression,
       Integer.valueOf(java.util.Arrays.hashCode(book)))
 }
 
+/** Nearest-cell argmin over a flattened centroid table, as ONE
+  * codegen kernel: returns the 1-BASED index (into the caller's
+  * cell-id-ascending cell order) of the cell minimizing exact int64
+  * squared L2, ties to the EARLIEST cell (= smallest cell id) — the
+  * `array_min(transform(centLit, e => struct(sqDist(q, e.cvec),
+  * e.clabel, …)))` / `min_by(struct(…), struct(d2, clabel))`
+  * lexicographic (d2, id) argmin of the IVF assignment scans
+  * (q33/q80/q83/q97/q160). The HOF form was interpreted per corpus
+  * row AND copied every centroid vector into per-row structs (rule
+  * §4); the min_by form paid a corpus exchange (guide §2.4) — callers
+  * look the winning id/centroid up from bounded literals via
+  * `element_at`. Null for a null/length-mismatched input vector.
+  */
+case class IvfNearestIdx(child: Expression, cents: Array[Long], dim: Int)
+  extends UnaryExpression {
+  require(dim >= 1 && cents.length % dim == 0,
+    s"cents must be k x dim, got ${cents.length} with dim $dim")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_nearest_idx"
+
+  def nearest(v: ArrayData): java.lang.Integer = {
+    if (v.numElements() != dim) return null
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      q(i) = v.getLong(i)
+      i += 1
+    }
+    val k = cents.length / dim
+    var best = 1
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var t = 0L
+      var p = 0
+      while (p < dim) {
+        val d = q(p) - cents(base + p)
+        t += d * d
+        p += 1
+      }
+      if (t < bestD) { bestD = t; best = c + 1 }
+      c += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    nearest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfNearestIdx", this, classOf[IvfNearestIdx].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("nidx")
+      s"""
+         |java.lang.Integer $tmp = $ref.nearest($c);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.intValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfNearestIdx =
+    copy(child = newChild)
+
+  // content equality for plan canonicalization (the RhpSignature rule)
+  override def equals(other: Any): Boolean = other match {
+    case e: IvfNearestIdx => child == e.child && dim == e.dim &&
+      java.util.Arrays.equals(cents, e.cents)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(dim),
+      Integer.valueOf(java.util.Arrays.hashCode(cents)))
+}
+
 /** Word bigrams ("w[i] w[i+1]") of a token array in ONE codegen pass —
   * the `zip_with(slice(w, 1, n−1), slice(w, 2, n−1), concat(a, ' ', b))`
   * chain (two interpreted slices + an interpreted zip_with per corpus

@@ -18,6 +18,11 @@ import graft.functions.VectorOps._
   */
 final case class IvfCentRow(clabel: Long, cvec: Seq[Long])
 
+/** [[IvfCentRow]] with the label kept at the embeddings table's
+  * int32 width (q33/q80/q83 carry `label` through unchanged).
+  */
+final case class IvfCentRowI(clabel: Int, cvec: Seq[Long])
+
 /** Similarity-search operator family over the `embeddings` table
   * (vec_id, embedding float[64], label): brute-force cosine top-k,
   * random-hyperplane LSH bucketed ANN, label centroids, and IVF-style
@@ -183,19 +188,21 @@ object SimilarityQueries {
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
         x => round(x("c")).cast("long")).as("cvec"))
       .select($"label".as("clabel"), $"cvec")
-    // assign: nearest centroid by exact squared L2
-    val dist = emb.crossJoin(broadcast(cent))
-      .select($"vec_id", $"q", $"label", $"clabel",
-        // native IntSqDist kernel, not the aggregate(zip_with) HOF:
-        // this distance runs once per (corpus row × centroid) on the
-        // assignment scan, and the HOF chain is CodegenFallback —
-        // interpreted per row with per-element boxing (rule §4)
-        sqDist($"q", $"cvec").as("d2"))
-    val assigned = dist.groupBy($"vec_id")
-      .agg(min_by(struct($"q", $"label", $"clabel", $"d2"),
-        struct($"d2", $"clabel")).as("r"))
-      .select($"vec_id", $"r.q".as("q"), $"r.label".as("label"),
-        $"r.clabel".as("cluster"))
+    // assign: nearest centroid by exact squared L2 — the label-domain
+    // centroid table is COLLECTED (bounded, the q160 catalog-metadata
+    // class) and assignment becomes the IvfNearestIdx codegen kernel
+    // over one map-only corpus scan. The crossJoin(broadcast) +
+    // groupBy(vec_id).min_by shape it replaces paid a full corpus
+    // exchange (q + label per row) for the same (d2, clabel)
+    // lexicographic argmin (guide §2.4); tie order preserved — the
+    // kernel scans clabel-ascending with strict improvement.
+    val centRows = cent.collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1)
+    val dim = centRows.head._2.length
+    val idx = ivfNearestIdx($"q", centRows.flatMap(_._2).toArray, dim)
+    val assigned = emb
+      .select($"vec_id", $"q", $"label",
+        element_at(typedLit(centRows.map(_._1).toSeq), idx).as("cluster"))
       .withColumn("nsq", intNormSq($"q"))
     val queries = assigned.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("qn"), $"cluster")
@@ -227,24 +234,28 @@ object SimilarityQueries {
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
         x => round(x("c")).cast("long")).as("cvec"))
       .select($"label".as("clabel"), $"cvec")
-    val dist = emb.crossJoin(broadcast(cent))
-      .select($"vec_id", $"q", $"label", $"clabel",
-        // native IntSqDist kernel, not the aggregate(zip_with) HOF:
-        // this distance runs once per (corpus row × centroid) on the
-        // assignment scan, and the HOF chain is CodegenFallback —
-        // interpreted per row with per-element boxing (rule §4)
-        sqDist($"q", $"cvec").as("d2"))
-    // corpus side: one cluster per vector (the inverted file)
-    val assigned = dist.groupBy($"vec_id")
-      .agg(min_by(struct($"q", $"clabel", $"d2"),
-        struct($"d2", $"clabel")).as("r"))
-      .select($"vec_id", $"r.q".as("q"), $"r.clabel".as("cluster"))
+    // corpus side: one cluster per vector (the inverted file) — the
+    // q33 shape: collected bounded centroid table + the IvfNearestIdx
+    // kernel on a map-only scan instead of crossJoin + min_by's
+    // corpus exchange (guide §2.4; identical (d2, clabel) argmin).
+    val centRows = cent.collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1)
+    val dim = centRows.head._2.length
+    val idx = ivfNearestIdx($"q", centRows.flatMap(_._2).toArray, dim)
+    val assigned = emb
+      .select($"vec_id", $"q",
+        element_at(typedLit(centRows.map(_._1).toSeq), idx).as("cluster"))
       .withColumn("nsq", intNormSq($"q"))
-    // query side: nprobe=2 nearest clusters per query
-    val probes = dist.filter($"vec_id" < 10)
-      .groupBy($"vec_id")
-      .agg(boundedTopK(struct($"d2", $"clabel"), 2).as("p"))
-      .select($"vec_id".as("qid"), explode($"p.clabel").as("cluster"))
+    // query side: nprobe=2 nearest clusters per query — |Q| rows, so
+    // the per-row transform over the centroid literal is bounded
+    // (the q160 probesCol shape); array_sort on struct(d2, clabel) is
+    // the same lexicographic order boundedTopK(struct(d2, clabel))
+    // kept, and only the clabel field survives the explode
+    val centLit = typedLit(centRows.map(r => IvfCentRowI(r._1, r._2)).toSeq)
+    val probesCol = slice(array_sort(transform(centLit, e =>
+      struct(sqDist($"q", e("cvec")).as("d2"), e("clabel").as("clabel")))), 1, 2)
+    val probes = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), explode(probesCol("clabel")).as("cluster"))
     val queries = assigned.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("qn"))
       .join(probes, Seq("qid"))
@@ -444,15 +455,18 @@ object SimilarityQueries {
           .sphericalKmeans(rows, kSeeds, iters).iterator
       }
       .collect()
-    val cent = centRows.toSeq.toDF("ccid", "cvec")
-    // search: the q33 inverted-file restriction, learned quantizer
+    // search: the q33 inverted-file restriction, learned quantizer.
+    // The trained centroids are ALREADY on the driver — assignment is
+    // the IvfNearestIdx kernel on a map-only scan instead of the
+    // crossJoin + min_by corpus exchange (guide §2.4; identical
+    // (d2, ccid) lexicographic argmin, ccid-ascending tie order).
+    val sortedCents = centRows.sortBy(_._1)
+    val dim = sortedCents.head._2.length
+    val nIdx = ivfNearestIdx($"q", sortedCents.flatMap(_._2), dim)
     val withN = emb.withColumn("nsq", intNormSq($"q"))
-    val dist = withN.crossJoin(broadcast(cent))
-      .select($"vec_id", $"q", $"nsq", $"ccid", sqDist($"q", $"cvec").as("d2"))
-    val assigned = dist.groupBy($"vec_id")
-      .agg(min_by(struct($"q", $"nsq", $"ccid"), struct($"d2", $"ccid")).as("r"))
-      .select($"vec_id", $"r.q".as("q"), $"r.nsq".as("nsq"),
-        $"r.ccid".as("cluster"))
+    val assigned = withN
+      .select($"vec_id", $"q", $"nsq",
+        element_at(typedLit(sortedCents.map(_._1).toSeq), nIdx).as("cluster"))
     val queries = assigned.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"q".as("qv"), $"nsq".as("qn"), $"cluster")
     val scored = assigned.join(queries, Seq("cluster")).filter($"vec_id" =!= $"qid")
@@ -667,18 +681,17 @@ object SimilarityQueries {
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
         x => round(x("c")).cast("long")).as("cvec"))
       .select($"label".as("clabel"), $"cvec")
-    val dist = emb.crossJoin(broadcast(cent))
-      .select($"vec_id", $"q", $"label", $"clabel",
-        // native IntSqDist kernel, not the aggregate(zip_with) HOF:
-        // this distance runs once per (corpus row × centroid) on the
-        // assignment scan, and the HOF chain is CodegenFallback —
-        // interpreted per row with per-element boxing (rule §4)
-        sqDist($"q", $"cvec").as("d2"))
-    val assigned = dist.groupBy($"vec_id")
-      .agg(min_by(struct($"q", $"label", $"clabel", $"d2"),
-        struct($"d2", $"clabel")).as("r"))
-      .select($"vec_id", $"r.q".as("q"), $"r.label".as("label"),
-        $"r.clabel".as("cluster"))
+    // assignment via the collected bounded centroid table + the
+    // IvfNearestIdx kernel on a map-only scan — the q33 shape; the
+    // crossJoin + min_by it replaces paid a full corpus exchange for
+    // the same (d2, clabel) lexicographic argmin (guide §2.4)
+    val centRows = cent.collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1))).sortBy(_._1)
+    val dim = centRows.head._2.length
+    val idx = ivfNearestIdx($"q", centRows.flatMap(_._2).toArray, dim)
+    val assigned = emb
+      .select($"vec_id", $"q", $"label",
+        element_at(typedLit(centRows.map(_._1).toSeq), idx).as("cluster"))
       .withColumn("nsq", intNormSq($"q"))
     val banded = assigned.select($"vec_id", $"cluster", $"q", $"nsq",
         explode(array((0 until 3).map(b =>
@@ -827,6 +840,21 @@ object SimilarityQueries {
     import org.apache.spark.sql.graftshim.ColumnShim
     ColumnShim.column(graft.plans.LongVecSub(
       ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
+  /** Nearest-cell assignment as ONE codegen kernel over the flattened
+    * (cell-id-ascending) centroid table — 1-based argmin index by
+    * exact (d2, id)-lexicographic order; the caller looks cell id /
+    * centroid up from bounded literals via `element_at`. Replaces the
+    * corpus-exchange `crossJoin(broadcast(cent)) + groupBy(vec_id).
+    * min_by` assignment (guide §2.4) and the interpreted
+    * `array_min(transform(centLit, …))` HOF (rule §4).
+    */
+  private def ivfNearestIdx(q: org.apache.spark.sql.Column,
+      cents: Array[Long], dim: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.IvfNearestIdx(
+      ColumnShim.expression(q), cents, dim))
   }
 
   /** Shared product-quantizer trainer (q123 trains on raw vectors,
@@ -1125,17 +1153,23 @@ object SimilarityQueries {
     // probe expressions below copy this array twice each — as inlined
     // struct trees that was ~4 × |labels| × 65 literal nodes for the
     // analyzer to walk per copy.
-    val centLit = typedLit(centRows
+    val sortedCents = centRows
       .map(r => IvfCentRow(r.getLong(0), r.getSeq[Long](1)))
-      .sortBy(_.clabel).toSeq)
-    // nearest cell = lexicographic struct min over (d2, clabel) —
-    // ties to the smaller label, exactly the oracle's ORDER BY
-    val chosen = array_min(transform(centLit, e =>
-      struct(sqDist($"q", e("cvec")).as("d2"), e("clabel").as("clabel"),
-        e("cvec").as("cvec"))))
+      .sortBy(_.clabel)
+    val centLit = typedLit(sortedCents.toSeq)
+    // nearest cell = (d2, clabel) lexicographic argmin, now the
+    // IvfNearestIdx codegen kernel (r21): the array_min(transform(
+    // centLit, struct(sqDist, clabel, cvec))) HOF it replaces ran
+    // interpreted on every corpus row — copying every centroid
+    // vector into per-row structs — and was evaluated TWICE (the
+    // join's inferred isnotnull filter plus the projection). Cell id
+    // and centroid come back via element_at over bounded literals;
+    // tie order identical (clabel-ascending scan, strict improvement).
+    val nIdx = ivfNearestIdx($"q", sortedCents.flatMap(_.cvec).toArray, M * D)
     val assignedC = emb
-      .withColumn("ch", chosen)
-      .select($"vec_id", $"q", $"ch.clabel".as("cluster"), $"ch.cvec".as("cvec"))
+      .select($"vec_id", $"q",
+        element_at(typedLit(sortedCents.map(_.clabel).toSeq), nIdx).as("cluster"),
+        element_at(typedLit(sortedCents.map(_.cvec).toSeq), nIdx).as("cvec"))
     // PQ trained on the bounded RESIDUAL sample (same two-layer bound
     // as q97/q123; the oracle mirrors `% 4 = 0`, inert at its scales;
     // nVec rode the centroid aggregation above). The residual array

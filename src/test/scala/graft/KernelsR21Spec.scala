@@ -11,6 +11,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * mismatch, rounding, tie-breaks, boundary positions) diverges the
   * two columns.
   */
+/** typedLit row shape for the IvfNearestIdx equivalence fixture. */
+final case class TestCentRow(cid: Int, cvec: Seq[Long])
+
 class KernelsR21Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -148,6 +151,29 @@ class KernelsR21Spec extends AnyFunSuite {
       sequence(lit(0L), expr("CAST((size(split(text, ' ')) + 15) DIV 16 - 1 AS BIGINT)")),
       i => array_join(slice(w, (i * 16 + 1).cast("int"), lit(16)), " "))
     val native = col2(graft.plans.WordChunks(ColumnShim.expression(w), 16))
+    val bad = df.select(hof.as("h"), native.as("n"))
+      .filter(not($"h" <=> $"n")).count()
+    assert(bad == 0)
+  }
+
+  test("IvfNearestIdx == array_min(transform(centLit, struct(d2, id))) argmin (tie-heavy)") {
+    val dim = 4
+    // duplicate centroids force distance ties; the winner must be the
+    // EARLIEST (smallest id) cell both ways
+    val cents: Seq[Seq[Long]] = Seq(
+      Seq(0L, 1L, 2L, 3L), Seq(4L, 4L, 4L, 4L), Seq(4L, 4L, 4L, 4L),
+      Seq(1L, 1L, 1L, 1L), Seq(0L, 1L, 2L, 3L))
+    var x = 4242L
+    def nxt(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; math.floorMod(x, 5L) }
+    val df = (0 until 60).map(_ => Seq.fill(dim)(nxt())).toDF("q")
+    val centLit = typedLit(cents.zipWithIndex.map { case (c, i) => (i + 1, c) }
+      .map { case (id, c) => TestCentRow(id, c) })
+    val hofSqDist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)), lit(0L), (acc, v) => acc + v)
+    val hof = array_min(transform(centLit, e =>
+      struct(hofSqDist($"q", e("cvec")).as("d2"), e("cid").as("cid"))))("cid")
+    val native = col2(graft.plans.IvfNearestIdx(
+      ColumnShim.expression($"q"), cents.flatten.toArray, dim))
     val bad = df.select(hof.as("h"), native.as("n"))
       .filter(not($"h" <=> $"n")).count()
     assert(bad == 0)
