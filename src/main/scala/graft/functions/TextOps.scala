@@ -59,6 +59,15 @@ object TextOps {
   def bandKey(sh: Column, band: Int, rowsPerBand: Int): Column =
     concat_ws("|", minhashes(sh, band * rowsPerBand, rowsPerBand))
 
+  /** Per-target occurrence counts over a token array in one codegen
+    * pass ([[graft.plans.TermCounts]]) — the retrieval-family posting
+    * build for a bounded collected query-term set.
+    */
+  def termCounts(w: Column, targets: Array[String]): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.plans.TermCounts(ColumnShim.expression(w), targets))
+  }
+
   /** Count of tokens drawn from a marker vocabulary. */
   def markerCount(w: Column, markers: Seq[String]): Column = {
     val m = array(markers.map(lit): _*)

@@ -228,6 +228,39 @@ object CurationOps {
       .select("doc_id", "chunk_id", "start_word", "chunk_words", "chunk_text")
   }
 
+  /** [[chunkDocuments]] emitting the chunk's WORD SLICE instead of the
+    * joined `chunk_text` string (r21, for q125): the retrieval layer
+    * only ever re-split `chunk_text` back into words, so building,
+    * caching and re-parsing the string per chunk was pure overhead —
+    * `split(array_join(ws, " "), " ") ≡ ws` because `split` tokens
+    * cannot contain the separator. Same chunk grid (ids, starts,
+    * word counts) as [[chunkDocuments]].
+    */
+  def chunkWordSlices(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkWords: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(chunkWords >= 1 && stride >= 1 && stride <= chunkWords,
+      s"chunkWordSlices needs 1 <= stride <= chunkWords, got $stride/$chunkWords")
+    val base = docs.select(
+      col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("__w"))
+      .where(col("__w").isNotNull)
+      .withColumn("__n", size(col("__w")))
+    val nChunks = (floor(
+      (greatest(col("__n") - chunkWords, lit(0)) + lit(stride - 1)) /
+        lit(stride.toDouble)).cast("int") + 1)
+    val start = lit(1) + col("chunk_id") * stride
+    base
+      .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+      .withColumn("wslice", slice(col("__w"), start.cast("int"), lit(chunkWords)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("wslice")).cast("long").as("chunk_words"), col("wslice"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
     * *Winnowing: Local Algorithms for Document Fingerprinting*, SIGMOD
     * — the MOSS algorithm): hash every word `k`-gram, then in each

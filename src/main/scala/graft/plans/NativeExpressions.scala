@@ -1326,6 +1326,71 @@ case class GramsWithPos(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-target occurrence counts over a token array, in ONE codegen
+  * pass: element `t` = how many tokens equal `targets(t)`. Replaces
+  * the retrieval-family posting shape "explode every token → join the
+  * query-term set → count per (doc, term)" for a BOUNDED collected
+  * query-term set (q86/q125): the explode+join+aggregate paid a
+  * corpus-vocabulary hash aggregate and a per-token hash probe where
+  * one map-side scan suffices (guide §2.3 aggregate-before-shuffle,
+  * taken to its limit: no shuffle at all). Null tokens match nothing.
+  */
+case class TermCounts(child: Expression, targets: Array[String])
+  extends UnaryExpression {
+  require(targets.nonEmpty, "TermCounts needs at least one target")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  @transient private lazy val targetBytes: Array[UTF8String] =
+    targets.map(UTF8String.fromString)
+
+  def counts(words: ArrayData): ArrayData = {
+    val out = new Array[Int](targets.length)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        var t = 0
+        while (t < targetBytes.length) {
+          if (w.equals(targetBytes(t))) out(t) += 1
+          t += 1
+        }
+      }
+      i += 1
+    }
+    val boxed = new Array[Any](out.length)
+    var t = 0
+    while (t < out.length) { boxed(t) = out(t); t += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(boxed)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    counts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termCounts", this, classOf[TermCounts].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.counts($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+
+  // content equality for plan canonicalization (the RhpSignature rule)
+  override def equals(other: Any): Boolean = other match {
+    case e: TermCounts => child == e.child &&
+      java.util.Arrays.equals(targets.asInstanceOf[Array[AnyRef]],
+        e.targets.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.hashCode(
+        targets.asInstanceOf[Array[AnyRef]])))
+}
+
 /** Count of positionally equal elements between two arrays — the
   * q147 signature-agreement `size(filter(zip_with(a, b, _ = _),
   * x => x))` per candidate pair, fused. zip_with pads the shorter

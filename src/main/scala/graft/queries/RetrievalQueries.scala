@@ -174,31 +174,39 @@ object RetrievalQueries {
     // cheaper than caching the text (measured: a staged variant cost
     // more CPU in cache builds than it saved).
     val docs = Tables.loadSpread(s, dir, "documents").select($"doc_id", $"text")
-    // chunk_words from the chunker IS the chunk's word count — reuse
-    // it as BM25's dl instead of re-splitting chunk_text per consumer
-    // persisted: chunking feeds both the posting explode and the
-    // corpus stats — one build instead of two (Staging.staged: the
+    // chunk WORD SLICES, not chunk_text (r21): the posting build only
+    // ever re-split chunk_text, so the chunker now carries the slice
+    // array straight through (CurationOps.chunkWordSlices — identical
+    // chunk grid; split∘join is the identity on split output).
+    // persisted: chunking feeds both the posting pass and the corpus
+    // stats — one build instead of two (Staging.staged: the
     // caller-owned / scope-released lifecycle, as with q24)
     val chunks = graft.operators.Staging.staged(graft.operators.CurationOps
-      .chunkDocuments(docs, "doc_id", "text", chunkWords = 32, stride = 24)
-      .select($"doc_id", $"chunk_id", $"chunk_words".as("dl"), $"chunk_text"))
+      .chunkWordSlices(docs, "doc_id", "text", chunkWords = 32, stride = 24)
+      .select($"doc_id", $"chunk_id", $"chunk_words".as("dl"), $"wslice"))
     // query terms: the corpus top-3 words over FULL documents — the
-    // same query set q86 answers, so the two retrieval layers compare
+    // same query set q86 answers, so the two retrieval layers compare.
+    // COLLECTED into a literal (the PQ-codebook bounded-collect
+    // discipline) so the per-chunk tf of the 3 terms is ONE map-side
+    // TermCounts kernel pass (guide §2.3 taken to its limit) — the
+    // former per-token explode + broadcast join probe + (doc, chunk,
+    // term) hash aggregate over every chunk word is gone.
     val top3 = docs.select(explode(words($"text")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("n"))
       .agg(boundedTopK(struct((-$"n").as("negn"), $"term"), 3).as("t"))
       .select(explode($"t.term").as("term"))
-    // the broadcast term filter sits BELOW the tf aggregate: the
-    // shuffle carries only query-term occurrences (vocabulary-fold
-    // smaller than the full posting build), tf of the surviving terms
-    // unchanged.
+      .collect().map(_.getString(0)).toSeq
     // persisted: `pruned` feeds the df collect AND the scoring
-    // projection — without staging, the whole chunk-explode pipeline
+    // projection — without staging, the whole chunk pipeline
     // executes once per consumer.
     val pruned = graft.operators.Staging.staged(chunks
-      .select($"doc_id", $"chunk_id", $"dl", explode(words($"chunk_text")).as("term"))
-      .join(broadcast(top3), Seq("term"))
-      .groupBy($"doc_id", $"chunk_id", $"term", $"dl").agg(count(lit(1)).as("tf")))
+      .select($"doc_id", $"chunk_id", $"dl",
+        posexplode(graft.functions.TextOps.termCounts(
+          $"wslice", top3.toArray)).as(Seq("ti", "tf0")))
+      .filter($"tf0" > 0)
+      .select($"doc_id", $"chunk_id",
+        element_at(typedLit(top3), $"ti" + 1).as("term"),
+        $"dl", $"tf0".cast("long").as("tf")))
     // Bounded collects (the PQ-codebook discipline,
     // SimilarityQueries q123): df has ONE row per query term (3 —
     // bounded by the query set at any corpus size) and the corpus

@@ -549,19 +549,29 @@ object TextQueries {
     val S = 1000000L
     val docs = Tables.loadSpread(s, dir, "documents")
     val w = words($"text")
-    // The ONE staged posting table (Staging.staged — scope-releasable
-    // by library callers): the word explode runs once; the query-term
-    // selection, their document frequencies, the corpus stats and the
-    // scoring pass all read the cache, in strict dependency order
-    // (blocking collects — nothing races an unmaterialized cache).
-    val postings = Staging.staged(
-      docs.select($"doc_id", size(w).cast("long").as("dl"), explode(w).as("term"))
-        .groupBy($"doc_id", $"term", $"dl").agg(count(lit(1)).as("tf")))
-    // top-3 corpus terms by total frequency (sum of per-doc tf)
-    val terms = postings.groupBy($"term").agg(sum($"tf").as("n"))
+    // r21 (guide §2.3 taken to its limit): the corpus-VOCABULARY
+    // posting aggregate — groupBy(doc_id, term, dl) over every
+    // exploded token, cached, whose full output only ever fed (a) the
+    // top-3 term selection and (b) rows for those 3 terms — is gone.
+    // Top-3 now comes from a term-keyed count over the raw explode
+    // (identical totals: Σ_docs tf(term) = corpus occurrences), and
+    // the 3-term posting rows come from ONE map-side TermCounts
+    // kernel scan: no (doc_id, term) hash aggregate, no posting
+    // cache, no per-token join probe — the per-doc tf of a BOUNDED
+    // query-term set is a scan-side projection at any corpus size.
+    val terms = docs.select(explode(w).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n"))
       .agg(boundedTopK(struct((-$"n").as("negn"), $"term"), 3).as("t"))
       .select(explode($"t.term").as("term"))
       .collect().map(_.getString(0)).toSeq
+    // per-doc tf of the 3 query terms, one codegen pass; posexplode's
+    // 0-based index looks the term string back up from the literal
+    val postings = Staging.staged(docs
+      .select($"doc_id", size(w).cast("long").as("dl"),
+        posexplode(termCounts(w, terms.toArray)).as(Seq("ti", "tf0")))
+      .filter($"tf0" > 0)
+      .select($"doc_id", element_at(typedLit(terms), $"ti" + 1).as("term"),
+        $"dl", $"tf0".cast("long").as("tf")))
     // Bounded collects into LITERALS (the q125/PQ-codebook
     // discipline): df has one row per query term and the stats are
     // two scalars, so scoring is a pure projection riding the posting
@@ -573,14 +583,13 @@ object TextQueries {
     // profile). n_docs/total_len come from ONE map-side pass over the
     // raw scan — two scalars never justify a shuffle (re-aggregating
     // the posting table by doc_id would move the whole corpus).
-    val dfMap = postings.filter($"term".isin(terms: _*))
+    val dfMap = postings
       .groupBy($"term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val st = Tables.load(s, dir, "documents")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(words($"text")).cast("long")).as("total_len")).collect()(0)
     val scored = postings
-      .filter($"term".isin(terms: _*))
       .withColumn("df", element_at(typedLit(dfMap), $"term"))
       .withColumn("n_docs", lit(st.getLong(0)))
       .withColumn("total_len", lit(st.getLong(1)))

@@ -179,6 +179,18 @@ class KernelsR21Spec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("TermCounts == per-target size(filter(w, _ === t)) incl. dup targets and empty docs") {
+    val targets = Array("the", "a", "the") // duplicate target must count independently
+    val docs = Seq("the a the b", "", "a", "b c d", "the the the a a")
+    val df = docs.toDF("text")
+    val w = split($"text", " ")
+    val hof = array(targets.map(t => size(filter(w, x => x === lit(t)))): _*)
+    val native = col2(graft.plans.TermCounts(ColumnShim.expression(w), targets))
+    val bad = df.select(hof.as("h"), native.as("n"))
+      .filter(not($"h" <=> $"n")).count()
+    assert(bad == 0)
+  }
+
   test("quantize(float) == quantize(transform(cast double)) — the q34/q83 union hoist") {
     val rows = Seq(
       Seq(0.1f, -0.25f, 1.5e-3f, 0.9999999f),
