@@ -670,7 +670,11 @@ object CrawlQueries {
     // factor must not race each other's overwrite
     val path = s"/tmp/graft_bpe_artifact/" +
       s"${new java.io.File(dir).getName}_${ProcessHandle.current().pid()}"
-    table.write.mode("overwrite").parquet(path)
+    // one file, not one per shuffle partition (guide §6 small-file
+    // batching): the merge table is vocab-bounded (≤ TrainMerges
+    // rows), so a 32-way write produced 32 tiny parquet files that
+    // the reload had to list, open and footer-parse individually
+    table.coalesce(1).write.mode("overwrite").parquet(path)
 
     val s2 = s.newSession()
     val merges = s2.read.parquet(path)

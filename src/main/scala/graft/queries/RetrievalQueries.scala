@@ -103,13 +103,18 @@ object RetrievalQueries {
     // ---- sparse ranking: postings pruned to query terms BELOW the
     // tf aggregate, so the shuffle carries only matching occurrences
     val w = words($"text")
-    // persisted: consumed by the df collect AND the scoring pass —
-    // ≤ |Q| rows per doc after the literal term prune (which pushes
-    // below the tf aggregate, so the shuffle carries only matches)
+    // persisted: consumed by the df collect AND the scoring pass.
+    // Per-doc tf of the ≤|Q| collected query terms via ONE map-side
+    // TermCounts kernel pass (r21, the q86/q125 shape): the former
+    // per-token explode + isin probe + (doc, term) hash aggregate is
+    // gone — the posting build is a scan-side projection.
     val postings = graft.operators.Staging.staged(corpus
-      .select($"doc_id", size(w).cast("long").as("dl"), explode(w).as("term"))
-      .filter($"term".isin(termList: _*))
-      .groupBy($"doc_id", $"term", $"dl").agg(count(lit(1)).as("tf")))
+      .select($"doc_id", size(w).cast("long").as("dl"),
+        posexplode(graft.functions.TextOps.termCounts(
+          w, termList.toArray)).as(Seq("ti", "tf0")))
+      .filter($"tf0" > 0)
+      .select($"doc_id", element_at(typedLit(termList), $"ti" + 1).as("term"),
+        $"dl", $"tf0".cast("long").as("tf")))
     // df + corpus stats as bounded collected literals (q86/q125
     // discipline): the former `.join(dfreq, Seq("term"))` shuffled the
     // scored rows on term — a ≤|Q|-key exchange whose task ceiling is
